@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` has one entry per implemented operator (SURVEY.md §2 plus the
+  * extension suite); `oracleSql` carries the DuckDB-runnable equivalent for
+  * every SQL-expressible query. Keys and result column names MUST match
+  * between the two maps — the driver sorts columns by name and hash-compares
+  * values.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ops.MetricsView(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metrics_view" -> ((s, dir) => ops.MetricsView(Tables.events(s, dir)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "metrics_view" -> ops.MetricsView.oracle
+  )
 }

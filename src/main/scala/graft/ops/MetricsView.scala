@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Flagship query: the reference's one analytical view
+  * (`consolidacao_de_metricas`, /root/reference/README.md:119-219)
+  * re-expressed over the harness `events` table.
+  *
+  * Reference shape: filter → group-avg per (period, group) → LAG over the
+  * period within each group → pct-change rounded to 1dp with NULLIF guard →
+  * re-group per period with AVG + manual CASE-WHEN pivot per group +
+  * COALESCE(...,0.0) + per-group diff-vs-mean → HAVING COUNT(DISTINCT group)
+  * >= 2 → ORDER BY period DESC.
+  *
+  * Mapping onto `events`: period = calendar day of `ts` (the testdata spans a
+  * single month, so day-granularity is what gives the LAG a real series);
+  * group = `event_type`; metric = `value`.
+  *
+  * Scale notes (100 TB): the first aggregation reduces the fact table to
+  * (days × types) rows — partial aggregation happens map-side, so the single
+  * shuffle carries only pre-aggregated groups. The window partitions by
+  * `event_type` (bounded cardinality) over an already-tiny aggregate, and the
+  * final HAVING/pivot works on that same reduced set. No step retains
+  * fact-table cardinality past the first HashAggregate.
+  */
+object MetricsView {
+
+  /** Pivot list kept explicit (reference hardcodes its 6 economic groups,
+    * README.md:167-182); a dynamic variant would need a two-pass collect of
+    * distinct groups. Sorted for deterministic column order.
+    */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def apply(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("dia"), col("event_type"))
+      .agg(avg(col("value")).as("valor_atual"))
+
+    val w = Window.partitionBy("event_type").orderBy("dia")
+    val taxa = daily
+      .withColumn("valor_anterior", lag(col("valor_atual"), 1).over(w))
+      .filter(col("valor_anterior").isNotNull && col("valor_anterior") =!= 0)
+      .withColumn(
+        "taxa_var",
+        round(
+          (col("valor_atual") - col("valor_anterior")) /
+            when(col("valor_anterior") === 0, lit(null)).otherwise(col("valor_anterior")) * 100,
+          1))
+
+    val pivotCols = eventTypes.map { t =>
+      coalesce(round(avg(when(col("event_type") === t, col("taxa_var"))), 1), lit(0.0))
+        .as(s"taxa_$t")
+    }
+    val diffCols = eventTypes.map { t =>
+      round(col(s"taxa_$t") - col("taxa_media"), 1).as(s"dif_$t")
+    }
+
+    taxa
+      .groupBy("dia")
+      .agg(
+        round(avg(col("taxa_var")), 1).as("taxa_media"),
+        pivotCols :+ countDistinct(col("event_type")).as("n_tipos"): _*)
+      .filter(col("n_tipos") >= 2)
+      .select(col("dia") +: col("taxa_media") +: eventTypes.map(t => col(s"taxa_$t")): _*)
+      .select(col("*") +: diffCols: _*)
+      .orderBy(col("dia").desc)
+  }
+
+  /** DuckDB-dialect equivalent (ANSI; shared with PostgreSQL semantics). */
+  val oracle: String = {
+    val pivot = eventTypes.map { t =>
+      s"COALESCE(ROUND(AVG(CASE WHEN event_type = '$t' THEN taxa_var END), 1), 0.0) AS taxa_$t"
+    }.mkString(", ")
+    val diffs = eventTypes.map(t => s"ROUND(taxa_$t - taxa_media, 1) AS dif_$t").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT CAST(ts AS DATE) AS dia, event_type, AVG(value) AS valor_atual
+       |  FROM events WHERE value IS NOT NULL
+       |  GROUP BY 1, 2
+       |), lagged AS (
+       |  SELECT dia, event_type, valor_atual,
+       |         LAG(valor_atual) OVER (PARTITION BY event_type ORDER BY dia) AS valor_anterior
+       |  FROM base
+       |), taxa AS (
+       |  SELECT dia, event_type,
+       |         ROUND((valor_atual - valor_anterior) / NULLIF(valor_anterior, 0) * 100, 1) AS taxa_var
+       |  FROM lagged
+       |  WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
+       |), pivoted AS (
+       |  SELECT dia, ROUND(AVG(taxa_var), 1) AS taxa_media, $pivot
+       |  FROM taxa
+       |  GROUP BY dia
+       |  HAVING COUNT(DISTINCT event_type) >= 2
+       |)
+       |SELECT dia, taxa_media, ${eventTypes.map("taxa_" + _).mkString(", ")}, $diffs
+       |FROM pivoted
+       |ORDER BY dia DESC""".stripMargin
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query: the Spark implementation plus (when the semantics
+  * are ANSI-SQL-expressible) the DuckDB oracle the driver hash-compares
+  * against. Result column names must match the oracle's exactly — the
+  * driver's compare sorts columns by name before hashing.
+  */
+final case class QueryDef(
+    doc: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** A themed group of queries contributed to [[SparkEntry]]. */
+trait QueryPack {
+  def queries: Map[String, QueryDef]
+}
+
+/** Aggregates every pack; [[SparkEntry]] is a thin view over this. */
+object Catalog {
+  val packs: Seq[QueryPack] = Seq(
+    queries.CorePack,
+    queries.JoinPack,
+    queries.WindowPack)
+
+  lazy val all: Map[String, QueryDef] = {
+    val merged = packs.flatMap(_.queries)
+    require(merged.size == merged.map(_._1).distinct.size, "duplicate query name across packs")
+    merged.toMap
+  }
+}

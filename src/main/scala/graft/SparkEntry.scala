@@ -16,11 +16,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.MetricsView(Tables.events(spark, "/root/testdata/sf0.001"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "metrics_view" -> ((s, dir) => ops.MetricsView(Tables.events(s, dir)))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Catalog.all.map { case (name, q) => name -> q.fn } +
+      ("metrics_view" -> ((s: SparkSession, dir: String) => ops.MetricsView(Tables.events(s, dir))))
 
-  def oracleSql: Map[String, String] = Map(
-    "metrics_view" -> ops.MetricsView.oracle
-  )
+  def oracleSql: Map[String, String] =
+    Catalog.all.collect { case (name, QueryDef(_, _, Some(sql))) => name -> sql } +
+      ("metrics_view" -> ops.MetricsView.oracle)
 }

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Core scan/filter/project/aggregate/set operators (SURVEY.md §2.1-§2.2,
+  * §2.4, §2.6-§2.8) re-expressed over the harness tables.
+  *
+  * Determinism rules shared by every query here: a total ORDER BY on a
+  * unique key combination, and doubles rounded so the DuckDB hash-compare
+  * is stable — sums of 2-4dp fixed-point data to 2dp (fp drift ≪ 0.005),
+  * averages to 4dp.
+  *
+  * Scale posture: every aggregation is a partial+final HashAggregate (one
+  * shuffle of pre-aggregated groups); filters and projections sit directly
+  * on the parquet scan so pushdown/pruning fire.
+  */
+object CorePack extends QueryPack {
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // P6/P7/P8 — projection + predicate, pushed to the parquet scan.
+    "q_filter_project" -> QueryDef(
+      "Filter + project on lineitem; predicates reach PushedFilters (main.py:144 / README.md:144 analogue)",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") > 0.05)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // A1/A2 + F10 — the TPC-H Q1 pricing-summary shape: grouped multi-agg.
+    "q_pricing_summary" -> QueryDef(
+      "Grouped multi-aggregate (sum/avg/count) a la TPC-H Q1; partial aggregation map-side",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+             |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+             |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+             |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+             |  ROUND(AVG(l_discount), 4) AS avg_disc,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A4 — COUNT(DISTINCT) beside other aggs + HAVING (README.md:211).
+    "q_having_distinct" -> QueryDef(
+      "countDistinct with HAVING filter; Catalyst RewriteDistinctAggregates",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .filter(col("n_customers") >= 2)
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  COUNT(DISTINCT o_custkey) AS n_customers,
+             |  COUNT(*) AS n_orders,
+             |  ROUND(SUM(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |HAVING COUNT(DISTINCT o_custkey) >= 2
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // A5 — whole-row distinct (main.py:647).
+    "q_distinct" -> QueryDef(
+      "dropDuplicates -> shuffle + HashAggregate over all selected columns",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select("o_orderstatus", "o_orderpriority")
+          .dropDuplicates()
+          .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority
+             |FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // U1 — n-ary union with heterogeneous schemas (pd.concat semantics,
+    // main.py:644): unionByName + allowMissingColumns null-fills.
+    "q_union_byname" -> QueryDef(
+      "unionByName(allowMissingColumns) of two differently-shaped projections",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"), lit("orders").as("src"))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey").as("k"), lit("lineitem").as("src"))
+        o.unionByName(l, allowMissingColumns = true)
+          .groupBy("src")
+          .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("sum_price"))
+          .orderBy("src")
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS price, 'orders' AS src FROM orders
+             |  UNION ALL
+             |  SELECT l_orderkey AS k, NULL AS price, 'lineitem' AS src FROM lineitem WHERE l_linenumber = 1
+             |)
+             |SELECT src, COUNT(*) AS n, ROUND(SUM(price), 2) AS sum_price
+             |FROM u GROUP BY src ORDER BY src""".stripMargin)),
+
+    // F1 — ordered contains-classifier (main.py:174-189) over part.p_name.
+    "q_case_classifier" -> QueryDef(
+      "Ordered when/contains chain (first match wins), pure Catalyst CASE WHEN",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .withColumn("classe",
+            when(upper(col("p_name")).contains("RED"), "RED")
+              .when(upper(col("p_name")).contains("BLUE"), "BLUE")
+              .when(upper(col("p_name")).contains("SMALL"), "SMALL")
+              .otherwise("OUTROS"))
+          .groupBy("classe")
+          .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("avg_price"))
+          .orderBy("classe"),
+      Some("""SELECT CASE
+             |    WHEN UPPER(p_name) LIKE '%RED%' THEN 'RED'
+             |    WHEN UPPER(p_name) LIKE '%BLUE%' THEN 'BLUE'
+             |    WHEN UPPER(p_name) LIKE '%SMALL%' THEN 'SMALL'
+             |    ELSE 'OUTROS' END AS classe,
+             |  COUNT(*) AS n, ROUND(AVG(p_retailprice), 4) AS avg_price
+             |FROM part GROUP BY 1 ORDER BY classe""".stripMargin)),
+
+    // F2 — regexp extraction with empty->null (main.py:192-199) on events.props.
+    "q_regexp_extract" -> QueryDef(
+      "regexp_extract first number, ''->NULL, cast int (year-extraction analogue)",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("num", nullif(regexp_extract(col("props"), "(\\d+)", 1), lit("")).cast("int"))
+          .groupBy("event_type")
+          .agg(count(col("num")).as("n_num"), round(avg("num"), 4).as("avg_num"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  COUNT(num) AS n_num, ROUND(AVG(num), 4) AS avg_num
+             |FROM (SELECT event_type,
+             |        CAST(NULLIF(regexp_extract(props, '(\d+)', 1), '') AS INTEGER) AS num
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // F6/F9 — month bucketing + formatting (main.py:521-525, README.md:156).
+    "q_month_rollup" -> QueryDef(
+      "to month-string (date_format) rollup of orders",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mes"))
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("mes"),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS mes,
+             |  COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY 1 ORDER BY mes""".stripMargin)),
+
+    // Event-time day windows (batch window() aggregation, SURVEY.md §2.10).
+    "q_event_daily_window" -> QueryDef(
+      "groupBy(window(ts, 1 day)): batch event-time windowing over events",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy("day", "event_type"),
+      Some("""SELECT date_trunc('day', ts) AS day, event_type,
+             |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // JSON extraction from events.props (FIXTURES.md B; get_json_object).
+    "q_json_extract" -> QueryDef(
+      "get_json_object on a JSON string column, numeric stats per type",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("event_type")
+          .agg(
+            count(col("k")).as("n_k"),
+            min("k").as("min_k"),
+            max("k").as("max_k"),
+            round(avg("k"), 4).as("avg_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  COUNT(k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k, ROUND(AVG(k), 4) AS avg_k
+             |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // O1 + top-k — global sort + limit with a total tie-break order.
+    "q_topk_orders" -> QueryDef(
+      "Top-100 orders by price desc (TakeOrderedAndProject, no full sort at scale)",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+             |FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC
+             |LIMIT 100""".stripMargin))
+  )
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Join coverage (SURVEY.md §2.3: absent in the reference, required of the
+  * engine) over the star schema.
+  *
+  * Strategy notes for 100 TB: dimension tables (region/nation/supplier/
+  * customer/part) are broadcast — no shuffle of the fact side; fact-fact
+  * joins (lineitem ⋈ orders) shuffle on the join key and stay sort-merge,
+  * with AQE free to convert to broadcast when the build side turns out
+  * small. Semi/anti joins are expressed as join types (not IN-subquery
+  * collects) so Catalyst plans them as broadcast/shuffled hash semi-joins.
+  */
+object JoinPack extends QueryPack {
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // Broadcast dim-chain join: customer ⋈ nation ⋈ region.
+    "q_join_broadcast_dims" -> QueryDef(
+      "Customer rollup by region via two broadcast joins (no fact shuffle)",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = broadcast(Tables.nation(s, dir))
+        val r = broadcast(Tables.region(s, dir))
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal"), 4).as("avg_acctbal"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // Fact-fact shuffle join: lineitem ⋈ orders on the shared key.
+    "q_join_fact_fact" -> QueryDef(
+      "lineitem ⋈ orders revenue per priority; sort-merge on l_orderkey/o_orderkey",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Left-semi join (EXISTS).
+    "q_join_semi" -> QueryDef(
+      "Orders having a high-discount line (left_semi = EXISTS, no row duplication)",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir).filter(col("l_discount") >= 0.09)
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Left-anti join (NOT EXISTS). Orders restricted to a recent window so
+    // the anti side is non-empty at every scale factor.
+    "q_join_anti" -> QueryDef(
+      "Customers with no orders since 2001 (left_anti = NOT EXISTS)",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal"), 4).as("avg_acctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Left-outer join preserving unmatched left rows.
+    "q_join_outer" -> QueryDef(
+      "Order line-counts including zero-line orders (left outer + count of right key)",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
+          .groupBy("o_orderkey")
+          .agg(count(col("l_linenumber")).as("n_lines"))
+          .groupBy("n_lines")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("n_lines")
+      },
+      Some("""SELECT n_lines, COUNT(*) AS n_orders
+             |FROM (SELECT o_orderkey, COUNT(l_linenumber) AS n_lines
+             |      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+             |      GROUP BY o_orderkey)
+             |GROUP BY n_lines ORDER BY n_lines""".stripMargin)),
+
+    // TPC-H Q3 shape: segment filter + 3-way join + grouped revenue + top-k.
+    "q_shipping_priority" -> QueryDef(
+      "TPC-H Q3-like: filter customer segment, join orders+lineitem, top-10 revenue",
+      (s, dir) => {
+        val c = broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+        val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey ASC
+             |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape: full star join, revenue per nation.
+    "q_local_revenue" -> QueryDef(
+      "TPC-H Q5-like: customer+orders+lineitem+supplier+nation star join, broadcast dims",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val sup = broadcast(Tables.supplier(s, dir))
+        val n = broadcast(Tables.nation(s, dir))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(n, sup("s_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM customer
+             |JOIN orders   ON c_custkey  = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey  = s_suppkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin))
+  )
+}

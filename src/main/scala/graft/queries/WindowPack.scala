@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Window-function coverage (SURVEY.md §2.5): the reference's LAG (W1) lives
+  * in the flagship MetricsView; this pack adds sequential ids (W2), ranking,
+  * and running frames.
+  *
+  * Scale: every window here partitions by a real key (custkey / nation) so
+  * WindowExec runs after a hash exchange, never single-partition — except
+  * q_seq_id which is the documented small-data parity mode of the
+  * reference's global sequential id (main.py:696); the scalable variant is
+  * graft.ops.Consolidate.withSequentialId (zipWithIndex), spec-tested.
+  */
+object WindowPack extends QueryPack {
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // W2 — global sequential id, parity mode (single-partition window).
+    "q_seq_id" -> QueryDef(
+      "row_number over a canonical total order = reference's 1..N id (main.py:696)",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 400000.0)
+          .select("o_orderkey", "o_totalprice")
+          .withColumn("id", row_number().over(Window.orderBy(col("o_orderkey"))))
+          .orderBy("id"),
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  ROW_NUMBER() OVER (ORDER BY o_orderkey) AS id
+             |FROM orders WHERE o_totalprice > 400000.0
+             |ORDER BY id""".stripMargin)),
+
+    // Ranking per group + filter (top-3 per nation).
+    "q_window_rank" -> QueryDef(
+      "rank per partition + filter: top-3 customers by balance per nation",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables.customer(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("c_nationkey", "rk", "c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_nationkey", "rk")
+      },
+      Some("""SELECT c_nationkey, rk, c_custkey, c_name, c_acctbal
+             |FROM (SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             |        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |                           ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+             |      FROM customer)
+             |WHERE rk <= 3
+             |ORDER BY c_nationkey, rk""".stripMargin)),
+
+    // Running sum with an explicit rows frame.
+    "q_window_running" -> QueryDef(
+      "running total per customer (rowsBetween unboundedPreceding..current)",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") % 100 === 0)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate ASC, o_orderkey ASC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             |FROM orders WHERE o_custkey % 100 = 0
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // LEAD companion to the flagship's LAG.
+    "q_window_lead" -> QueryDef(
+      "lead(next order date) per customer; gap in days",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") % 100 === 0)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            lead(col("o_orderdate"), 1).over(w).as("next_orderdate"))
+          .withColumn("gap_days", datediff(to_date(col("next_orderdate")), to_date(col("o_orderdate"))))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, next_orderdate,
+             |  datediff('day', CAST(o_orderdate AS DATE), CAST(next_orderdate AS DATE)) AS gap_days
+             |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             |        LEAD(o_orderdate, 1) OVER (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_orderdate
+             |      FROM orders WHERE o_custkey % 100 = 0)
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+  )
+}

@@ -22,7 +22,8 @@ object Catalog {
   val packs: Seq[QueryPack] = Seq(
     queries.CorePack,
     queries.JoinPack,
-    queries.WindowPack)
+    queries.WindowPack,
+    queries.RefPipelinePack)
 
   lazy val all: Map[String, QueryDef] = {
     val merged = packs.flatMap(_.queries)

@@ -23,7 +23,11 @@ object Catalog {
     queries.CorePack,
     queries.JoinPack,
     queries.WindowPack,
-    queries.RefPipelinePack)
+    queries.RefPipelinePack,
+    queries.TextPack,
+    queries.DedupPack,
+    queries.SimilarityPack,
+    queries.MultimodalPack)
 
   lazy val all: Map[String, QueryDef] = {
     val merged = packs.flatMap(_.queries)

@@ -1,0 +1,190 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (fingerprint group-by), MinHash+LSH banded near-dup, SimHash, and
+  * n-gram Jaccard. Embedding-cosine near-dup lives in [[Similarity]].
+  *
+  * Scale design (100 TB): nothing here compares all pairs globally —
+  * exact dedup is one hash shuffle on the fingerprint; MinHash-LSH
+  * shuffles (band_id, band_key) so only same-bucket docs ever meet in the
+  * self-join; the exact-Jaccard verification runs on candidate pairs only.
+  * The all-pairs `ngramJaccardPairs` is the small-data oracle/verification
+  * variant, which LSH candidates are checked against in the specs.
+  */
+object Dedup {
+
+  /** Distinct whitespace tokens of the casefolded text. */
+  def tokenSet(text: Column): Column = array_distinct(TextAnalysis.tokens(text))
+
+  /** Distinct word n-gram shingles (space-joined) of the casefolded text.
+    * element_at is 1-based, matching the DuckDB list indexing its oracle
+    * uses; docs shorter than n yield an empty set.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    // Guarded: sequence(1, 0) would generate a DESCENDING sequence in
+    // Spark, so short docs must short-circuit to an empty set.
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+  }
+
+  /** Exact-duplicate groups: fingerprint → (n copies, keeper = min id). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** Jaccard similarity of two pre-deduplicated arrays as a Column. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Distinct (doc_id, shingle) ROWS — the relational formulation of
+    * [[shingles]]: posexplode + per-doc window leads, every step
+    * whole-stage-codegen. The array/lambda formulation re-evaluates the
+    * tokenizer per element (CodegenFallback) and measured 10s just to
+    * build shingles at sf0.1; this one is sub-second. Short docs (< n
+    * tokens) simply produce no rows.
+    */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"l$k"))
+    toked
+      .select(col("doc_id") +: col("tok") +: leads: _*)
+      .filter(col(s"l${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"l$k")): _*).as("sh"))
+      .distinct()
+  }
+
+  /** Jaccard of two docs' shingle sets from per-doc set sizes and the
+    * pair's intersection size — plain integer/double arithmetic.
+    */
+  private def jaccardFromCounts(nInter: Column, nA: Column, nB: Column): Column =
+    nInter.cast("double") / (nA + nB - nInter)
+
+  /** All-pairs n-gram Jaccard ≥ threshold via an inverted-index
+    * similarity join: pairs meet ONLY through shared shingles (a pair
+    * with an empty intersection has jaccard 0 and can never pass), so the
+    * O(n²) cross join never materializes — the cost is Σ per-shingle
+    * bucket², which stays near-linear when shingles are discriminative.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val s = shingleRows(docs, n)
+    val counts = s.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = s.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(s.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jac", jaccardFromCounts(col("n_inter"), col("n_a"), col("n_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate detection over n-gram SHINGLE sets:
+    * signature → bands → bucket self-join on ids only → exact-Jaccard
+    * verification of candidate pairs. Returns verified pairs
+    * (doc_a < doc_b, jaccard ≥ threshold that LSH surfaced). Bands of
+    * `rowsPerBand` signature rows; a pair is a candidate iff it collides
+    * in ≥ 1 band.
+    *
+    * Shingles, not unigrams, on purpose: unigram token sets over a small
+    * vocabulary collide massively (on this corpus one band bucket held
+    * half the docs → the LSH join degenerated to all-pairs). Shingle
+    * similarity is sharply bimodal, so buckets stay tiny and the
+    * candidate set is ~linear. The self-join also carries ONLY
+    * (band, key, doc_id) — shingle arrays are re-attached afterwards for
+    * the verification step, keeping the shuffle narrow.
+    */
+  def minHashLshPairs(
+      docs: DataFrame,
+      threshold: Double,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val nBands = Hashing.MinHashParams.size / rowsPerBand
+    val s = shingleRows(docs, shingleN)
+
+    // Signature via hash + 16 min-aggregates over the shingle ROWS:
+    // every step is whole-stage-codegen, md5 evaluated once per shingle.
+    val sig = s
+      .withColumn("x", Hashing.portableTokenHash(col("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min(Hashing.minHashFn(0)(col("x"))).as("h0"),
+        Hashing.MinHashParams.indices.drop(1)
+          .map(i => min(Hashing.minHashFn(i)(col("x"))).as(s"h$i")): _*)
+
+    val banded = sig.select(
+      col("doc_id"),
+      explode(array((0 until nBands).map { bIdx =>
+        struct(
+          lit(bIdx).as("band"),
+          concat_ws("_",
+            (0 until rowsPerBand).map(r => col(s"h${bIdx * rowsPerBand + r}")): _*)
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    val candidates = l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b") // collide in ≥1 band, count once
+
+    // Exact-Jaccard verification of the (small) candidate set, again as a
+    // relational intersection count: candidates → their shingle rows →
+    // matching shingles → counts. LSH pruned first, so this touches only
+    // candidate docs' shingles.
+    val counts = s.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val nInter = candidates
+      .join(s.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    nInter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jac", jaccardFromCounts(col("n_inter"), col("n_a"), col("n_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** 60-bit SimHash of the unigram token set: per bit j, tokens vote
+    * +1/-1 by bit j of their portable 60-bit hash; simhash bit j is 1 when
+    * votes are positive. Bit extraction is shiftright(x, j) & 1 with a
+    * literal shift — DuckDB mirrors it as (x >> j) & 1; both operate on
+    * non-negative 60-bit values so sign never interferes.
+    */
+  def simHash(text: Column): Column = {
+    val toks = tokenSet(text)
+    val terms = (0 until 60).map { j =>
+      val votes = aggregate(
+        toks,
+        lit(0L),
+        (acc, t) =>
+          acc + when(shiftright(Hashing.portableTokenHash60(t), j).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

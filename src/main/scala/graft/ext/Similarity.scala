@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Vector math is higher-order expressions (`zip_with` + `aggregate`) over
+  * the arrays cast to double — element order is preserved, so the
+  * left-to-right double summation is bit-identical to the DuckDB oracle's
+  * `list_dot_product(CAST(... AS DOUBLE[]))`, letting cosine ranks compare
+  * exactly.
+  *
+  * Scale design (100 TB): brute force is the correctness baseline —
+  * queries are broadcast so the corpus never shuffles, and per-query top-k
+  * is a window over (query, cosine) with rank pruning. The scale path is
+  * sign-LSH ([[lshBuckets]]): hyperplanes derived from the portable hash
+  * (no stored model), bucket join instead of full cross product; recall is
+  * spec-tested against brute force.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalize `vecCol` (as array&lt;double&gt;) into `outCol` in two
+    * steps so the norm is evaluated once per ROW, not once per element.
+    * Higher-order array expressions are CodegenFallback (interpreted), so
+    * pairwise ops must touch each vector pair ONCE: normalize up front,
+    * then cosine(pair) = one dot.
+    */
+  def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("_nrm", norm(col(vecCol).cast("array<double>")))
+      .withColumn(outCol, transform(col(vecCol).cast("array<double>"), x => x / col("_nrm")))
+      .drop("_nrm")
+
+  /** Exact top-k neighbors by cosine for each query vector (self excluded).
+    * `queries` and `corpus` both have (idCol, vecCol); queries are
+    * broadcast. Output: query_id, rank, neighbor_id, cosine (rounded 6dp;
+    * rank by exact cosine desc then neighbor id for total determinism).
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(
+      withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "qv")
+        .select("query_id", "qv"))
+    val c = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol, "cv")
+      .select("neighbor_id", "cv")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane p, dim d) in
+    * [-1, 1): (md5_32("p_d") mod 2001 - 1000) / 1000 — computed on the
+    * driver (plain Java md5, same derivation any engine can replay) and
+    * embedded as an array literal, so the bucket expression is one zip_with
+    * per plane instead of a 64-term md5 expression tree per plane (which
+    * bloated task binaries to ~6 MiB).
+    */
+  def planeWeights(p: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+    }.toArray
+  }
+
+  /** Sign-LSH bucket key from `nPlanes` hyperplanes: bit p = sign of the
+    * projection onto plane p. Vectors in the same bucket are ANN
+    * candidates. No stored model — planes are pure functions of (p, dim).
+    */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 4): Column =
+    lshBucketForTable(vec, dim, nPlanes, table = 0)
+
+  /** ANN top-k via sign-LSH: candidates share a bucket with the query in at
+    * least one of `nTables` plane-sets, then exact cosine re-ranks the
+    * candidates. Recall < 1 by construction; spec-tested against
+    * [[bruteForceTopK]]. Defaults (4 planes × 6 tables) target ~50%+
+    * recall@5 on weakly-clustered data — raise planes for clustered
+    * corpora where neighbors are truly close.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      dim: Int,
+      nPlanes: Int = 4,
+      nTables: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      withNormalized(df.select(col(idCol).as(id), col(vecCol)), vecCol, vec)
+        .select(
+          col(id), col(vec),
+          explode(array((0 until nTables).map { t =>
+            struct(lit(t).as("tbl"),
+              lshBucketForTable(col(vec), dim, nPlanes, t).as("bucket"))
+          }: _*)).as("bk"))
+        .select(col(id), col(vec), col("bk.tbl"), col("bk.bucket"))
+
+    val q = broadcast(bucketed(queries, "query_id", "qv"))
+    val c = bucketed(corpus, "neighbor_id", "cv")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(q, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Per-table variant of [[lshBucket]] — table index salts the plane id. */
+  def lshBucketForTable(vec: Column, dim: Int, nPlanes: Int, table: Int): Column = {
+    val v = vec.cast("array<double>")
+    val bits = (0 until nPlanes).map { p =>
+      val w = typedLit(planeWeights(table * 1000 + p, dim))
+      when(dot(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** All-pairs cosine near-duplicates ≥ threshold — the exact verification
+    * variant, deliberately bounded to ids &lt; `idCap` (O(n²) pairs do not
+    * scale; the slice keeps the oracle meaningful at every SF while LSH
+    * buckets are the scale path).
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, idCap: Long = 500): DataFrame = {
+    val e = withNormalized(
+      embeddings.filter(col("vec_id") < idCap).select("vec_id", "embedding"),
+      "embedding", "v").select("vec_id", "v")
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+  }
+}

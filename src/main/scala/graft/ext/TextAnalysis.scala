@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder contract:
+  * language-ID, quality scoring, token counting, fingerprinting), all pure
+  * Catalyst expressions — codegen-able, no UDFs, array functions instead of
+  * explodes so nothing leaves the row until aggregation.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * each count as one token (regex identical to the DuckDB oracle's).
+    */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpeishPattern))
+
+  /** Stopword sets per language for the n-gram/stopword language heuristic.
+    * Latin-script langs only — the corpus is latin text; zh scores 0 and is
+    * only ever predicted for empty token sets.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"))
+
+  /** Count of tokens that belong to `set`. */
+  def stopwordHits(text: Column, set: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(set: _*)))
+
+  /** Language scores + argmax prediction. Ties resolve by the fixed
+    * language order (de, en, es, fr), then 'und' (undetermined) when every
+    * score is zero — the same CASE order the oracle uses.
+    */
+  def langId(text: Column): Column = {
+    val s = Seq("de", "en", "es", "fr").map(l => l -> stopwordHits(text, Stopwords(l))).toMap
+    when(s.values.reduce(_ + _) === 0, "und")
+      .when(s("de") >= greatest(s("en"), s("es"), s("fr")), "de")
+      .when(s("en") >= greatest(s("es"), s("fr")), "en")
+      .when(s("es") >= s("fr"), "es")
+      .otherwise("fr")
+  }
+
+  /** Punctuation character count (anything outside alnum/whitespace). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, penalizes
+    * punctuation density, rewards stopword presence (fluency proxy). Plain
+    * arithmetic so the oracle states the identical formula.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRatio = stopwordHits(text, Stopwords("en")).cast("double") / nTok
+    val punctRatio = punctCount(text).cast("double") / length(text).cast("double")
+    round(least(lit(1.0), nTok / lit(50.0)) * (lit(1.0) - punctRatio) *
+      (lit(0.5) + lit(0.5) * stopRatio), 4)
+  }
+
+  /** Content fingerprint: md5 of casefolded, whitespace-collapsed, trimmed
+    * text — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 64-bit-ish (60-bit) polynomial rolling hash of the normalized token
+    * stream: h = sum_i x(t_i) * 31^(n-1-i) mod 2^60, computed with
+    * `aggregate` so it stays an expression. Library-only (not
+    * SQL-oracle-checked; the md5 fingerprint is the checked variant).
+    */
+  def rollingHash(text: Column): Column = {
+    val m = lit(1152921504606846976L) // 2^60
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * 31L + Hashing.portableTokenHash(t), m))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Hashing}
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Deduplication extension queries over `documents`: exact, n-gram
+  * Jaccard, MinHash-LSH, SimHash — every one oracle-checked, the hash
+  * family being md5-derived so DuckDB reproduces it bit-for-bit
+  * (see [[graft.ext.Hashing]]).
+  */
+object DedupPack extends QueryPack {
+
+  /** The md5-32 token hash, DuckDB spelling. */
+  private val H = "CAST(('0x'||substring(md5(t),1,8)) AS BIGINT)"
+
+  def queries: Map[String, QueryDef] = Map(
+
+    "dedup_exact" -> QueryDef(
+      "Exact dedup via normalized-text fingerprint: per-source doc vs distinct counts",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(graft.ext.TextAnalysis.fingerprint(col("text"))).as("n_unique"))
+          .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    "dedup_ngram_jaccard" -> QueryDef(
+      "3-gram shingle Jaccard >= 0.3 via inverted-index similarity join (exact)",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+          .orderBy("doc_a", "doc_b"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+             |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+             |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+             |  FROM d),
+             |p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+             |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
+             |FROM p WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "dedup_minhash_lsh" -> QueryDef(
+      "Shingle MinHash(16)+LSH(4 bands of 4) candidates, exact-Jaccard-verified >= 0.3",
+      (s, dir) =>
+        Dedup.minHashLshPairs(Tables.documents(s, dir), threshold = 0.3)
+          .orderBy("doc_a", "doc_b"),
+      Some {
+        val sigEntries = Hashing.MinHashParams.map { case (a, b) =>
+          s"list_min(list_transform(sh, t -> ($a * $H + $b) % ${Hashing.MinHashPrime}))"
+        }.mkString(",\n    ")
+        val bandKeys = (0 until 4).map { b =>
+          val parts = (1 to 4).map(r => s"sig[${b * 4 + r}]").mkString(", ")
+          s"WHEN $b THEN concat_ws('_', $parts)"
+        }.mkString(" ")
+        s"""WITH raw AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+           |  FROM documents),
+           |d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+           |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+           |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+           |  FROM raw),
+           |h AS (
+           |  SELECT doc_id, [
+           |    $sigEntries] AS sig
+           |  FROM d),
+           |b AS (
+           |  SELECT doc_id, band, CASE band $bandKeys END AS key
+           |  FROM h, (SELECT unnest(range(4)) AS band)),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+           |v AS (
+           |  SELECT doc_a, doc_b,
+           |    len(list_intersect(da.sh, db.sh))::DOUBLE /
+           |      (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jac
+           |  FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
+           |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
+           |FROM v WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    "dedup_simhash" -> QueryDef(
+      "60-bit SimHash signatures from md5 token hashes (first 50 docs)",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\s+')) AS toks
+             |  FROM documents WHERE doc_id < 50),
+             |t AS (
+             |  SELECT doc_id, CAST(('0x'||substring(md5(unnest(toks)),1,15)) AS BIGINT) AS h
+             |  FROM d),
+             |v AS (
+             |  SELECT doc_id, j,
+             |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             |  FROM t, (SELECT unnest(range(60)) AS j)
+             |  GROUP BY doc_id, j)
+             |SELECT doc_id,
+             |  SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  )
+}

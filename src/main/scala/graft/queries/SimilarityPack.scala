@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Similarity-search extension queries over `embeddings`. The cosine math
+  * on both sides is double-precision left-to-right over the same element
+  * order (Spark zip_with/aggregate vs DuckDB list_dot_product on
+  * DOUBLE[]), so values — and therefore ranks — compare exactly.
+  */
+object SimilarityPack extends QueryPack {
+
+  /** Unit-normalization CTE shared by the oracles: identical arithmetic to
+    * Similarity.withNormalized (norm once per row, x/nrm per element, then
+    * a single left-to-right double dot per pair) so doubles — and ranks —
+    * match bit-for-bit.
+    */
+  private def normCte(filter: String): String =
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> x / nrm) AS nv
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |        FROM embeddings$filter))""".stripMargin
+
+  def queries: Map[String, QueryDef] = Map(
+
+    "sim_topk_bruteforce" -> QueryDef(
+      "Exact cosine top-5 neighbors for the first 8 query vectors (broadcast queries)",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${normCte("")},
+              |q AS (SELECT * FROM e WHERE vec_id < 8),
+              |p AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    list_dot_product(q.nv, c.nv) AS cos
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+              |r AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM p)
+              |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    "dedup_embedding_cosine" -> QueryDef(
+      "All-pairs embedding near-duplicates, cosine >= 0.45 (exact baseline, vec_id<500 slice)",
+      (s, dir) =>
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
+          .orderBy("vec_a", "vec_b"),
+      Some(s"""WITH ${normCte(" WHERE vec_id < 500")},
+              |p AS (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    list_dot_product(a.nv, b.nv) AS cos
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              |SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+              |FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Scale path: sign-LSH candidate buckets + exact re-rank. Deliberately
+    // no oracle (approximate operator — recall spec-tested against brute
+    // force in SimilaritySpec); driver records the weaker rows-only check.
+    "sim_topk_lsh" -> QueryDef(
+      "ANN top-5 via 3-table sign-LSH bucketing + exact cosine re-rank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.lshTopK(e.filter(col("vec_id") < 8), e, k = 5, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      None)
+  )
+}

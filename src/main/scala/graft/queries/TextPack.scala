@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextAnalysis
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Text-analysis extension queries over `documents` (builder contract:
+  * token counting, quality scoring, language-ID, fingerprinting — each
+  * oracle-checked).
+  */
+object TextPack extends QueryPack {
+
+  private val EnStop = TextAnalysis.Stopwords("en").map(s => s"'$s'").mkString(", ")
+
+  def queries: Map[String, QueryDef] = Map(
+
+    "text_tokens" -> QueryDef(
+      "Whitespace + BPE-ish regex token counts per language",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("sum_ws_tokens"),
+            sum(TextAnalysis.bpeishTokenCount(col("text"))).as("sum_bpeish_tokens"),
+            round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_ws_tokens"))
+          .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+              |  SUM(len(regexp_split_to_array(lower(text), '\\s+'))) AS sum_ws_tokens,
+              |  SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS sum_bpeish_tokens,
+              |  ROUND(AVG(len(regexp_split_to_array(lower(text), '\\s+'))), 4) AS avg_ws_tokens
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    "text_quality" -> QueryDef(
+      "Heuristic quality score (length, punctuation, stopword fluency) per language",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("q", TextAnalysis.qualityScore(col("text")))
+          .withColumn("punct_ratio",
+            TextAnalysis.punctCount(col("text")).cast("double") / length(col("text")))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg("q"), 4).as("avg_quality"),
+            round(avg("punct_ratio"), 4).as("avg_punct_ratio"))
+          .orderBy("lang"),
+      Some(s"""WITH m AS (
+              |  SELECT lang,
+              |    len(regexp_split_to_array(lower(text), '\\s+')) AS ntok,
+              |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              |        t -> t IN ($EnStop))) AS nstop,
+              |    length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS npunct,
+              |    length(text) AS nchar
+              |  FROM documents)
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  ROUND(AVG(ROUND(LEAST(1.0, ntok / 50.0) * (1.0 - npunct / nchar)
+              |        * (0.5 + 0.5 * nstop / ntok), 4)), 4) AS avg_quality,
+              |  ROUND(AVG(npunct / nchar), 4) AS avg_punct_ratio
+              |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    "text_langid" -> QueryDef(
+      "Stopword-profile language ID; confusion counts vs the labeled lang",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("predicted", TextAnalysis.langId(col("text")))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted"),
+      Some {
+        def hits(l: String) = {
+          val set = TextAnalysis.Stopwords(l).map(s => s"'$s'").mkString(", ")
+          s"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ($set)))"
+        }
+        s"""WITH sc AS (
+           |  SELECT lang, ${hits("de")} AS s_de, ${hits("en")} AS s_en,
+           |         ${hits("es")} AS s_es, ${hits("fr")} AS s_fr
+           |  FROM documents),
+           |p AS (
+           |  SELECT lang, CASE
+           |    WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+           |    WHEN s_de >= GREATEST(s_en, s_es, s_fr) THEN 'de'
+           |    WHEN s_en >= GREATEST(s_es, s_fr) THEN 'en'
+           |    WHEN s_es >= s_fr THEN 'es'
+           |    ELSE 'fr' END AS predicted
+           |  FROM sc)
+           |SELECT lang, predicted, COUNT(*) AS n
+           |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+      }),
+
+    "text_fingerprint" -> QueryDef(
+      "md5 content fingerprint of normalized text (exact-dedup key), first 20 docs",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup collapses true duplicates and keeps the min id") {
+    val docs = Seq(
+      (1L, "Hello   world"),
+      (2L, "hello world"), // same after casefold+ws-collapse
+      (3L, "different doc")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L) // keeper is min doc_id
+  }
+
+  test("shingles: correct 3-gram set, short docs give empty set") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(1L) == Set("a b c", "b c d"))
+    assert(sh(2L) == Set.empty[String])
+  }
+
+  test("jaccard: identical sets = 1, disjoint = 0") {
+    val df = Seq(("x", "a b c", "a b c"), ("y", "a b", "c d")).toDF("k", "t1", "t2")
+    val out = df.select(col("k"),
+      Dedup.jaccard(Dedup.tokenSet(col("t1")), Dedup.tokenSet(col("t2"))).as("j"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("x") == 1.0 && out("y") == 0.0)
+  }
+
+  test("MinHash-LSH finds every near-dup pair the exact shingle method finds") {
+    val docs = Tables.documents(spark, sf)
+    // this corpus' near-dups sit at shingle-jaccard ~0.98, where a
+    // 4-rows-per-band LSH collides with probability ~1
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, threshold = 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall at j>=0.3 was $recall (${exact.size} exact pairs)")
+    // precision: LSH must not invent pairs below the verification threshold
+    assert(lsh.subsetOf(exact) || (lsh -- exact).isEmpty)
+  }
+
+  test("simhash: hamming distance 0 for identical text, small for near-identical") {
+    val df = Seq(
+      (1L, "spark query engine fast scan"),
+      (2L, "spark query engine fast scan"),
+      (3L, "spark query engine fast scan extra"),
+      (4L, "completely unrelated words entirely different")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+}

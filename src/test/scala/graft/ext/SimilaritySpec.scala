@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cosine of a vector with itself is 1") {
+    val e = Tables.embeddings(spark, sf).limit(5)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val cos = e.select(Similarity.cosine(col("v"), col("v")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k: k rows per query, rank 1 is the max cosine, no self") {
+    val e = Tables.embeddings(spark, sf)
+    val topk = Similarity.bruteForceTopK(e.filter(col("vec_id") < 4), e, k = 5).collect()
+    assert(topk.length == 20)
+    val byQuery = topk.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      assert(rows.forall(_.getLong(2) != q))
+      val cosines = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.toSeq == cosines.sorted.reverse.toSeq) // descending by rank
+    }
+  }
+
+  test("LSH top-k achieves reasonable recall@5 against brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, k = 5))
+    val approx = pairs(Similarity.lshTopK(q, e, k = 5, dim = 64))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall@5 = $recall") // 8 planes x 3 tables on random data
+  }
+
+  test("LSH buckets are deterministic across invocations") {
+    val e = Tables.embeddings(spark, sf).limit(20)
+    val b1 = e.select(Similarity.lshBucket(col("embedding"), 64).as("b")).collect().map(_.getLong(0))
+    val b2 = e.select(Similarity.lshBucket(col("embedding"), 64).as("b")).collect().map(_.getLong(0))
+    assert(b1.toSeq == b2.toSeq)
+  }
+}

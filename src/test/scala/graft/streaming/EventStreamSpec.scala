@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Structured Streaming driven synchronously over the batch parquet: the
+  * streaming daily aggregation must agree with the equivalent batch query
+  * once all input is processed (complete mode over a bounded source).
+  */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The file-stream source watches a directory; stage the single events
+    * parquet file into a temp dir (testdata itself is read-only).
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming daily agg == batch daily agg after processAllAvailable") {
+    val q = EventStream.dailyAgg(spark, eventsDir)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_daily")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("stream_daily")
+      .orderBy("day", "event_type")
+      .collect()
+
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("day", "event_type")
+      .collect()
+
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("streaming user activity emits per-user daily rows") {
+    val q = EventStream.userActivity(spark, eventsDir)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_users")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val rows = spark.table("stream_users")
+    assert(rows.count() > 0)
+    assert(rows.columns.toSeq == Seq("user_id", "day", "n_events", "n_types"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these queries
+  * scale — predicate pushdown into the parquet scan, column pruning,
+  * broadcast joins for dims, map-side partial aggregation — must be
+  * visible in the plan, not assumed.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.toString
+
+  test("q_filter_project pushes predicates into the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("LessThan(l_shipdate") || p.contains("GreaterThan(l_discount"))
+  }
+
+  test("q_filter_project prunes to the 6 referenced columns") {
+    val p = plan("q_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"))
+  }
+
+  test("dim joins broadcast the small side") {
+    assert(plan("q_join_broadcast_dims").contains("BroadcastHashJoin"))
+    assert(plan("q_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
+  test("semi/anti joins plan as join types, not materialized subqueries") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("grouped aggregation is partial+final (map-side combine)") {
+    val p = plan("q_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("the window in metrics_view partitions by event_type (no single-partition window)") {
+    // executedPlan, not sparkPlan: exchanges appear only after
+    // EnsureRequirements runs
+    val p = SparkEntry.queries("metrics_view")(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(event_type"))
+  }
+}

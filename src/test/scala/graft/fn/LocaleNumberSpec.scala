@@ -31,6 +31,14 @@ class LocaleNumberSpec extends AnyFunSuite {
   test("invalid markers to empty (main.py:538)") {
     assert(parse("-", "--", "---", "ND", "N/D", "nan", "") == Seq.fill(7)(""))
   }
+  test("en-us strings are misparsed pt-BR-style, faithful to main.py:550-562") {
+    // '.' is treated as thousands sep, ',' as decimal — so en-us input
+    // '1,234.56' becomes 1.23456; multi-group '1,234,567.89' yields a
+    // multi-dot string, exactly like the reference (NOT 'fixed' here).
+    assert(parse("1,234.56") == Seq("1.23456"))
+    assert(parse("1,234,567.89") == Seq("1.234.56789"))
+  }
+
   test("non-numeric chars stripped (currency etc)") {
     assert(parse("R$ 1.234,56", " 87,50 %") == Seq("1234.56", "87.50"))
   }

@@ -1,0 +1,80 @@
+package graft.fn
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Property-style tests (SURVEY.md §5.2#3): ScalaCheck generators with a
+  * fixed seed produce each sample batch, evaluated as ONE DataFrame per
+  * property so Spark runs one job instead of one per trial.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  private val money: Gen[Double] =
+    Gen.chooseNum(0L, 200000000L).map(_ / 100.0) // exact 2dp doubles
+
+  test("locale parse round-trips pt-BR formatting for any 2dp amount") {
+    val vals = samples(money)
+    val df = vals.toDF("x")
+      .withColumn("ptbr", translate(format_number(col("x"), 2), ",.", ".,"))
+      .withColumn("back", LocaleNumber.parseToDouble(col("ptbr")))
+    val bad = df.filter(col("back") =!= col("x")).count()
+    assert(bad == 0)
+  }
+
+  test("locale parse is idempotent on its own output") {
+    // en-us inputs stay below 1M: with multiple thousands groups the
+    // reference's pt-BR rule ('.'-strip then ','→'.') intentionally emits
+    // a multi-dot string ('1,234,567.89' → '1.234.56789', main.py:550-562)
+    // which a SECOND parse digit-concats — faithful, but not idempotent.
+    val smallMoney = Gen.chooseNum(0L, 99999999L).map(_ / 100.0)
+    val raw = Gen.oneOf(
+      smallMoney.map(v => f"$v%,.2f"),                  // en-us, one thousands group
+      money.map(v => f"$v%.2f".replace('.', ',')),      // comma decimal
+      Gen.oneOf("ND", "-", "--", "N/D", "", "abc"))
+    val df = samples(raw).toDF("s")
+      .withColumn("p1", LocaleNumber.parse(col("s")))
+      .withColumn("p2", LocaleNumber.parse(LocaleNumber.parse(col("s"))))
+    assert(df.filter(col("p1") =!= col("p2")).count() == 0)
+  }
+
+  test("trailing-zero trim is idempotent and value-preserving") {
+    val decimals = money.map(v => f"$v%.4f") // forces trailing zeros often
+    val df = samples(decimals).toDF("s")
+      .withColumn("t1", CleanValues.trimTrailingZeros(col("s")))
+      .withColumn("t2", CleanValues.trimTrailingZeros(CleanValues.trimTrailingZeros(col("s"))))
+    assert(df.filter(col("t1") =!= col("t2")).count() == 0)
+    assert(df.filter(col("t1").cast("double") =!= col("s").cast("double")).count() == 0)
+  }
+
+  test("fingerprint is invariant under case and whitespace noise") {
+    val word = Gen.alphaLowerStr.suchThat(_.nonEmpty)
+    val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+    val df = samples(doc, 200).toDF("text")
+      .withColumn("noisy",
+        upper(regexp_replace(col("text"), " ", "   ")))
+      .select(
+        graft.ext.TextAnalysis.fingerprint(col("text")).as("a"),
+        graft.ext.TextAnalysis.fingerprint(col("noisy")).as("b"))
+    assert(df.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("unpivot then pivot is the identity on a generated wide frame") {
+    val rows = samples(Gen.zip(money, money, money), 100)
+      .zipWithIndex.map { case ((a, b, c), i) => (i.toLong, a, b, c) }
+    val wide = rows.toDF("k", "m1", "m2", "m3")
+    val long = wide.unpivot(Array(col("k")), Array(col("m1"), col("m2"), col("m3")), "var", "val")
+    val back = long.groupBy("k").pivot("var", Seq("m1", "m2", "m3")).agg(first("val"))
+    val joined = wide.alias("w").join(back.alias("b"), "k")
+      .filter(col("w.m1") =!= col("b.m1") ||
+        col("w.m2") =!= col("b.m2") || col("w.m3") =!= col("b.m3"))
+    assert(joined.count() == 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.sql.Date
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.io.OdsReader
+
+/** Golden end-to-end test: the FIXTURES.md A1 messy-spreadsheet shape
+  * pushed through the whole pipeline (ODS-shaped frame + a second file
+  * with a different schema exercising the heterogeneous union), asserting
+  * the exact canonical output table.
+  */
+class IdaPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fileA = OdsReader.fromRows(spark, Seq(
+    Seq("ÍNDICE DE DESEMPENHO NO ATENDIMENTO", null, null, null),
+    Seq("SERVIÇO: SMP", "PERÍODO: 2015", "FONTE: ANATEL", null),
+    Seq(null, null, null, null),
+    Seq("GRUPO ECONÔMICO", "VARIAVEL", "2015-01-01 00:00:00", "2015-02-01 00:00:00"),
+    Seq("CLARO", "IDA", "87,50", "90.00"),
+    Seq("CLARO", "IDA", "87,50", "90.00"), // exact duplicate -> dedup
+    Seq("VIVO", "IDA", "1.234,56", "ND")))
+
+  private def fileB = OdsReader.fromRows(spark, Seq(
+    // different month column + OPERADORA id column (heterogeneous union)
+    Seq("GRUPO ECONÔMICO", "VARIAVEL", "OPERADORA", "2015-03"),
+    Seq("TIM", "IDA", "TIM S/A", "15.00")))
+
+  test("full pipeline: golden output") {
+    val frames = Seq(
+      IdaPipeline.cleanFile(fileA, "SMP"),
+      IdaPipeline.cleanFile(fileB, "STFC"))
+    val out = IdaPipeline.consolidate(frames)
+
+    assert(out.columns.toSeq == Seq(
+      "id", "grupo_economico", "servico", "mes_referencia", "valor", "tipo_servico", "OPERADORA"))
+
+    val rows = out.collect().map(r => (
+      r.getLong(0), r.getString(1), r.getString(2),
+      r.getDate(3), Option(r.get(4)).map(_.asInstanceOf[Double]), r.getString(5)))
+
+    val expected = Seq(
+      (1L, "CLARO", "IDA", Date.valueOf("2015-01-01"), Some(87.5), "SMP"),
+      (2L, "CLARO", "IDA", Date.valueOf("2015-02-01"), Some(90.0), "SMP"),
+      (3L, "TIM", "IDA", Date.valueOf("2015-03-01"), Some(15.0), "STFC"),
+      (4L, "VIVO", "IDA", Date.valueOf("2015-01-01"), Some(1234.56), "SMP"),
+      (5L, "VIVO", "IDA", Date.valueOf("2015-02-01"), None, "SMP"))
+
+    assert(rows.toSeq == expected)
+  }
+
+  test("id is contiguous 1..N in canonical sort order") {
+    val out = IdaPipeline.consolidate(Seq(IdaPipeline.cleanFile(fileA, "SMP")))
+    val ids = out.collect().map(_.getLong(0)).toSeq
+    assert(ids == (1L to ids.length))
+  }
+}

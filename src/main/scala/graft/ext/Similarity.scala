@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Native codegen dot product (graft.plans.DotProductExpr); identical
+    * left-to-right double summation to the higher-order
+    * aggregate(zip_with) spelling it replaced, ~order-of-magnitude faster
+    * on pairwise workloads.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.plans.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for lifting a Catalyst Expression into the public Column API:
+  * `classic.ExpressionUtils` is private[sql] in Spark 4, so the engine's
+  * custom expressions (graft.plans) go through this one-file shim — the
+  * standard pattern Spark extension libraries use.
+  */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

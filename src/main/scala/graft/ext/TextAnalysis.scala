@@ -50,9 +50,11 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
-  /** Punctuation character count (anything outside alnum/whitespace). */
+  /** Punctuation character count (anything outside alnum/whitespace):
+    * original length minus the length after stripping the punctuation.
+    */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
 
   /** Heuristic quality score in [0,1]: rewards mid-length docs, penalizes
     * punctuation density, rewards stopword presence (fluency proxy). Plain

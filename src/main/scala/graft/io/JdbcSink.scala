@@ -45,6 +45,27 @@ object JdbcSink {
   def createTableColumnTypes(df: DataFrame): String =
     df.schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
 
+  /** Database bootstrap (SURVEY.md §2.1 S8; connect_postgre.py:68-119):
+    * CREATE DATABASE if absent, via a plain driver-side JDBC connection to
+    * the system database — not a Spark operator, mirrored for surface
+    * completeness. PostgreSQL runs CREATE DATABASE outside transactions,
+    * hence autocommit.
+    */
+  def createDatabaseIfAbsent(systemUrl: String, dbName: String, props: Properties): Unit = {
+    require(dbName.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe database name: $dbName")
+    val conn = java.sql.DriverManager.getConnection(systemUrl, props)
+    try {
+      conn.setAutoCommit(true)
+      val ps = conn.prepareStatement("SELECT 1 FROM pg_database WHERE datname = ?")
+      ps.setString(1, dbName)
+      val exists = { val rs = ps.executeQuery(); try rs.next() finally rs.close() }
+      if (!exists) {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"""CREATE DATABASE "$dbName"""") finally st.close()
+      }
+    } finally conn.close()
+  }
+
   /** Overwrite-write with explicit types and per-partition batching
     * (DROP+CREATE semantics like the reference's recreate-on-rerun).
     */

@@ -49,7 +49,7 @@ object TextPack extends QueryPack {
               |    len(regexp_split_to_array(lower(text), '\\s+')) AS ntok,
               |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
               |        t -> t IN ($EnStop))) AS nstop,
-              |    length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS npunct,
+              |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct,
               |    length(text) AS nchar
               |  FROM documents)
               |SELECT lang, COUNT(*) AS n_docs,

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, texts: String*): Seq[Any] =
+    texts.toDF("text").select(c).collect().map(_.get(0)).toSeq
+
+  test("token counts: whitespace vs BPE-ish") {
+    assert(one(TextAnalysis.tokenCount(col("text")), "a b  c") == Seq(3))
+    // 'don't stop!' -> don + ' + t + stop + ! = 5 bpe-ish tokens, 2 ws tokens
+    assert(one(TextAnalysis.bpeishTokenCount(col("text")), "don't stop!") == Seq(5))
+  }
+
+  test("langId picks the dominant stopword profile with deterministic ties") {
+    assert(one(TextAnalysis.langId(col("text")), "the cat and the dog") == Seq("en"))
+    assert(one(TextAnalysis.langId(col("text")), "el perro y la casa de que") == Seq("es"))
+    assert(one(TextAnalysis.langId(col("text")), "xyzzy qwerty") == Seq("und"))
+    // 'la' is both es and fr; 'de' both es and fr; es wins the tie by CASE order
+    assert(one(TextAnalysis.langId(col("text")), "la de") == Seq("es"))
+  }
+
+  test("rolling hash: deterministic, order-sensitive, whitespace-amount-invariant") {
+    val h = (s: String) => one(TextAnalysis.rollingHash(col("text")), s).head.asInstanceOf[Long]
+    assert(h("a b c") == h("a b c"))
+    assert(h("a  b   c") == h("a b c")) // tokenizer collapses runs
+    assert(h("a b c") != h("c b a"))    // order matters, unlike the md5 set fingerprint
+    assert(h("a b c") >= 0L)
+  }
+
+  test("quality score stays in [0,1] and rewards fluent mid-length text") {
+    val docs = Seq(
+      "the cat sat on the mat and it was a good day in the sun " * 3, // fluent, long enough
+      "@@@@ #### !!!!",                                               // punctuation junk
+      "word")                                                         // too short
+    val scores = docs.toDF("text")
+      .select(TextAnalysis.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1) && scores(0) > scores(2))
+  }
+}

@@ -1,0 +1,28 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions into the SQL function registry so `spark.sql` text can use
+  * them (`graft_dot(a, b)`), alongside the Column API in
+  * [[VectorExpressions]].
+  *
+  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. No custom
+  * optimizer rules or strategies are injected — SURVEY.md §4.2: the
+  * built-in planner covers every operator here; extensions are limited to
+  * functions Spark genuinely lacks.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
+        DotProductExpr(children.head, children(1))
+      }))
+  }
+}

@@ -92,6 +92,41 @@ object DedupPack extends QueryPack {
            |FROM v WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    "dedup_simhash_pairs" -> QueryDef(
+      "SimHash near-dup pairs: hamming(xor) <= 10 over a 200-doc slice",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
+          .filter(col("hamming") <= 10)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\s+')) AS toks
+             |  FROM documents WHERE doc_id < 200),
+             |t AS (
+             |  SELECT doc_id, CAST(('0x'||substring(md5(unnest(toks)),1,15)) AS BIGINT) AS h
+             |  FROM d),
+             |v AS (
+             |  SELECT doc_id, j,
+             |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             |  FROM t, (SELECT unnest(range(60)) AS j)
+             |  GROUP BY doc_id, j),
+             |s AS (
+             |  SELECT doc_id,
+             |    SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sh
+             |  FROM v GROUP BY doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  bit_count(xor(a.sh, b.sh)) AS hamming
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sh, b.sh)) <= 10
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     "dedup_simhash" -> QueryDef(
       "60-bit SimHash signatures from md5 token hashes (first 50 docs)",
       (s, dir) =>

@@ -32,6 +32,26 @@ object MultimodalPack extends QueryPack {
              |  SUM(octet_length(encode(text))) AS total_bytes,
              |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
              |  ROUND(AVG((n_chars % 64) + 16), 4) AS avg_width
-             |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)),
+
+    "mm_frame_stats" -> QueryDef(
+      "Frame sampling rollup (typed Dataset flatMap path): every 4th 16-byte chunk of video payloads",
+      (s, dir) => {
+        import s.implicits._
+        val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+          .as[Multimodal.Asset]
+        Multimodal.sampleFrames(assets, frameBytes = 16, stride = 4)
+          .groupBy("asset_id")
+          .agg(count(lit(1)).as("n_frames"))
+          .agg(
+            count(lit(1)).as("n_videos"),
+            sum("n_frames").as("total_frames"),
+            max("n_frames").as("max_frames"))
+      },
+      // frames per video = ceil(ceil(bytes/16)/4): chunk count, every 4th kept
+      Some("""SELECT COUNT(*) AS n_videos,
+             |  SUM(CAST(CEIL(CEIL(octet_length(encode(text)) / 16.0) / 4.0) AS BIGINT)) AS total_frames,
+             |  MAX(CAST(CEIL(CEIL(octet_length(encode(text)) / 16.0) / 4.0) AS BIGINT)) AS max_frames
+             |FROM documents WHERE doc_id % 3 = 2""".stripMargin))
   )
 }

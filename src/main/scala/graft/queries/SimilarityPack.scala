@@ -60,6 +60,25 @@ object SimilarityPack extends QueryPack {
               |SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
               |FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    "sim_nn_all" -> QueryDef(
+      "Nearest neighbor for every vector (k-NN join, k=1) over a 500-vector slice",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+        Similarity.bruteForceTopK(e, e, k = 1)
+          .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"), col("cosine"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${normCte(" WHERE vec_id < 500")},
+              |p AS (
+              |  SELECT q.vec_id, c.vec_id AS nn_id,
+              |    list_dot_product(q.nv, c.nv) AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |                       ORDER BY list_dot_product(q.nv, c.nv) DESC,
+              |                                c.vec_id ASC) AS rk
+              |  FROM e q JOIN e c ON c.vec_id <> q.vec_id)
+              |SELECT vec_id, nn_id, ROUND(cos, 6) AS cosine
+              |FROM p WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
+
     // Scale path: sign-LSH candidate buckets + exact re-rank. Deliberately
     // no oracle (approximate operator — recall spec-tested against brute
     // force in SimilaritySpec); driver records the weaker rows-only check.

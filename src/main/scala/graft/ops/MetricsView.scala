@@ -33,38 +33,43 @@ object MetricsView {
     */
   val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
-  def apply(events: DataFrame): DataFrame = {
+  /** Oracle-parity form: the fixed group list (reference hardcodes its 6
+    * economic groups).
+    */
+  def apply(events: DataFrame): DataFrame = buildView(events, eventTypes)
+
+  /** Dynamic variant (SURVEY.md §7.4 #5): pivot groups collected from the
+    * data (two-pass) — the engine-API form.
+    */
+  def dynamic(events: DataFrame): DataFrame = {
+    val types = events.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    buildView(events, types)
+  }
+
+  private def buildView(events: DataFrame, types: Seq[String]): DataFrame = {
     val daily = events
       .filter(col("value").isNotNull)
       .groupBy(to_date(col("ts")).as("dia"), col("event_type"))
       .agg(avg(col("value")).as("valor_atual"))
-
     val w = Window.partitionBy("event_type").orderBy("dia")
     val taxa = daily
       .withColumn("valor_anterior", lag(col("valor_atual"), 1).over(w))
       .filter(col("valor_anterior").isNotNull && col("valor_anterior") =!= 0)
-      .withColumn(
-        "taxa_var",
-        round(
-          (col("valor_atual") - col("valor_anterior")) /
-            when(col("valor_anterior") === 0, lit(null)).otherwise(col("valor_anterior")) * 100,
-          1))
-
-    val pivotCols = eventTypes.map { t =>
+      .withColumn("taxa_var",
+        round((col("valor_atual") - col("valor_anterior")) /
+          when(col("valor_anterior") === 0, lit(null)).otherwise(col("valor_anterior")) * 100, 1))
+    val pivotCols = types.map { t =>
       coalesce(round(avg(when(col("event_type") === t, col("taxa_var"))), 1), lit(0.0))
         .as(s"taxa_$t")
     }
-    val diffCols = eventTypes.map { t =>
-      round(col(s"taxa_$t") - col("taxa_media"), 1).as(s"dif_$t")
-    }
-
+    val diffCols = types.map(t => round(col(s"taxa_$t") - col("taxa_media"), 1).as(s"dif_$t"))
     taxa
       .groupBy("dia")
-      .agg(
-        round(avg(col("taxa_var")), 1).as("taxa_media"),
+      .agg(round(avg(col("taxa_var")), 1).as("taxa_media"),
         pivotCols :+ countDistinct(col("event_type")).as("n_tipos"): _*)
       .filter(col("n_tipos") >= 2)
-      .select(col("dia") +: col("taxa_media") +: eventTypes.map(t => col(s"taxa_$t")): _*)
+      .select(col("dia") +: col("taxa_media") +: types.map(t => col(s"taxa_$t")): _*)
       .select(col("*") +: diffCols: _*)
       .orderBy(col("dia").desc)
   }

@@ -201,6 +201,24 @@ object CorePack extends QueryPack {
              |      FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // from_json with explicit schema (typed struct access; the schemaful
+    // sibling of q_json_extract's get_json_object).
+    "q_from_json" -> QueryDef(
+      "from_json(props) with explicit schema, struct field aggregation",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("p", from_json(col("props"), lit("k INT")))
+          .groupBy("event_type")
+          .agg(
+            count(col("p.k")).as("n_k"),
+            round(sum(col("p.k")), 2).as("sum_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  COUNT(k) AS n_k, ROUND(SUM(k), 2) AS sum_k
+             |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // O1 + top-k — global sort + limit with a total tie-break order.
     "q_topk_orders" -> QueryDef(
       "Top-100 orders by price desc (TakeOrderedAndProject, no full sort at scale)",

@@ -72,6 +72,27 @@ object WindowPack extends QueryPack {
              |FROM orders WHERE o_custkey % 100 = 0
              |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
 
+    // Ranking-family coverage beyond row_number: dense_rank + ntile.
+    "q_window_dense_ntile" -> QueryDef(
+      "dense_rank over order price ties + ntile(4) quartiles per priority",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") % 50 === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            dense_rank().over(w).as("drk"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_orderpriority", "drk", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |  DENSE_RANK() OVER (PARTITION BY o_orderpriority
+             |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS drk,
+             |  NTILE(4) OVER (PARTITION BY o_orderpriority
+             |                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+             |FROM orders WHERE o_custkey % 50 = 0
+             |ORDER BY o_orderpriority, drk, o_orderkey""".stripMargin)),
+
     // LEAD companion to the flagship's LAG.
     "q_window_lead" -> QueryDef(
       "lead(next order date) per customer; gap in days",

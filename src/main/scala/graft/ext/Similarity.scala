@@ -139,6 +139,60 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest centroid cell; a query probes only its `nProbe` closest
+    * cells and exact-re-ranks the candidates. Centroids here are the
+    * first `nCentroids` corpus vectors — a deterministic stand-in for
+    * k-means training (the index SHAPE, assignment and probing is what
+    * scales; swapping in trained centroids changes no query code). Fully
+    * deterministic, so DuckDB can oracle the whole path.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = withNormalized(corpus.select(col(idCol), col(vecCol)), vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
+    val cents = broadcast(
+      withNormalized(
+        corpus.filter(col(idCol) < nCentroids).select(col(idCol), col(vecCol)), vecCol, "centv")
+        .select(col(idCol).as("cent_id"), col("centv")))
+
+    // cell assignment: nearest centroid per corpus vector
+    val wAssign = Window.partitionBy("neighbor_id")
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val assigned = c.crossJoin(cents)
+      .withColumn("cdot", dot(col("cv"), col("centv")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cent_id").as("cell"))
+
+    // probe list: nProbe nearest cells per query
+    val q = broadcast(
+      withNormalized(queries.select(col(idCol), col(vecCol)), vecCol, "qv")
+        .select(col(idCol).as("query_id"), col("qv")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("cent_id").asc)
+    val probes = q.crossJoin(cents)
+      .withColumn("qdot", dot(col("qv"), col("centv")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+
+    // candidates = corpus vectors in probed cells; exact re-rank
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** All-pairs cosine near-duplicates ≥ threshold — the exact verification
     * variant, deliberately bounded to ids &lt; `idCap` (O(n²) pairs do not
     * scale; the slice keeps the oracle meaningful at every SF while LSH

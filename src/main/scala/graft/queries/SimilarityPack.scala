@@ -79,16 +79,81 @@ object SimilarityPack extends QueryPack {
               |SELECT vec_id, nn_id, ROUND(cos, 6) AS cosine
               |FROM p WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
 
-    // Scale path: sign-LSH candidate buckets + exact re-rank. Deliberately
-    // no oracle (approximate operator — recall spec-tested against brute
-    // force in SimilaritySpec); driver records the weaker rows-only check.
+    "sim_topk_ivf" -> QueryDef(
+      "ANN top-5 via IVF cells (16 centroids, probe 4) + exact re-rank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${normCte("")},
+              |cents AS (SELECT vec_id AS cent_id, nv AS centv FROM e WHERE vec_id < 16),
+              |assign AS (
+              |  SELECT neighbor_id, cv, cell FROM (
+              |    SELECT c.vec_id AS neighbor_id, c.nv AS cv, ct.cent_id AS cell,
+              |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              |                         ORDER BY list_dot_product(c.nv, ct.centv) DESC,
+              |                                  ct.cent_id ASC) AS rk
+              |    FROM e c CROSS JOIN cents ct)
+              |  WHERE rk = 1),
+              |probes AS (
+              |  SELECT query_id, qv, cell FROM (
+              |    SELECT q.vec_id AS query_id, q.nv AS qv, ct.cent_id AS cell,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |                         ORDER BY list_dot_product(q.nv, ct.centv) DESC,
+              |                                  ct.cent_id ASC) AS prk
+              |    FROM e q CROSS JOIN cents ct WHERE q.vec_id < 8)
+              |  WHERE prk <= 4),
+              |cand AS (
+              |  SELECT p.query_id, a.neighbor_id, list_dot_product(p.qv, a.cv) AS cos
+              |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.neighbor_id <> p.query_id),
+              |r AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM cand)
+              |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // Scale path: sign-LSH candidate buckets + exact re-rank. The
+    // hyperplanes are pure functions of (table, plane, dim), so the oracle
+    // embeds the identical weights as SQL array literals and replays the
+    // whole path — approximate operator, exactly checked.
     "sim_topk_lsh" -> QueryDef(
-      "ANN top-5 via 3-table sign-LSH bucketing + exact cosine re-rank",
+      "ANN top-5 via 6-table sign-LSH bucketing + exact cosine re-rank",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         Similarity.lshTopK(e.filter(col("vec_id") < 8), e, k = 5, dim = 64)
           .orderBy("query_id", "rank")
       },
-      None)
+      Some {
+        def wList(planeId: Int): String =
+          Similarity.planeWeights(planeId, 64).map(_.toString).mkString("[", ", ", "]")
+        val tables = (0 until 6).map { t =>
+          val bucket = (0 until 4).map { p =>
+            s"(CASE WHEN list_dot_product(nv, ${wList(t * 1000 + p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, nv, $t AS tbl, $bucket AS bucket FROM e"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${normCte("")},
+           |b AS (
+           |$tables),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+           |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, list_dot_product(eq.nv, ec.nv) AS cos
+           |  FROM cand
+           |  JOIN e eq ON eq.vec_id = query_id
+           |  JOIN e ec ON ec.vec_id = neighbor_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      })
   )
 }

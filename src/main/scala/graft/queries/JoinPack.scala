@@ -137,6 +137,30 @@ object JoinPack extends QueryPack {
              |ORDER BY revenue DESC, l_orderkey ASC
              |LIMIT 10""".stripMargin)),
 
+    // As-of (point-in-time) join: composed union+window (ops/AsOfJoin),
+    // oracled against DuckDB's native ASOF JOIN.
+    "q_asof_join" -> QueryDef(
+      "For each error event, the user's most recent click at-or-before it",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.ops.AsOfJoin.leftAsOf(
+          errors, clicks,
+          keyCol = "user_id", tsCol = "ts",
+          valueCols = Seq("click_id"), rightTieBreak = "click_id")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_click_id").as("prev_click_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, a.user_id, a.ts, b.event_id AS prev_click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'error') a
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+             |  ON a.user_id = b.user_id AND b.ts <= a.ts
+             |ORDER BY a.event_id""".stripMargin)),
+
     // TPC-H Q5 shape: full star join, revenue per nation.
     "q_local_revenue" -> QueryDef(
       "TPC-H Q5-like: customer+orders+lineitem+supplier+nation star join, broadcast dims",

@@ -62,6 +62,17 @@ class IoSpec extends AnyFunSuite {
     assert(rows == Seq(Seq("X", "X", "X", "Y")))
   }
 
+  test("ODS DataSource V2: spark.read.format(\"ods\") matches the driver-side reader") {
+    val path = makeOds(Seq(
+      Seq("GRUPO ECONÔMICO", "VARIAVEL", "2015-01"),
+      Seq("CLARO", "IDA", "87,50"),
+      Seq("VIVO", "IDA", null)))
+    val viaDsv2 = spark.read.format("ods").load(path)
+    val viaDriver = OdsReader.read(spark, path)
+    assert(viaDsv2.schema == viaDriver.schema)
+    assert(viaDsv2.collect().map(_.toSeq).toSeq == viaDriver.collect().map(_.toSeq).toSeq)
+  }
+
   test("CsvEncodingReader detects latin-1 and reads accented text intact") {
     val f = Files.createTempFile("fixture", ".tsv")
     val content = "GRUPO ECONÔMICO\tVALOR\nSÃO PAULO\t87,50\n"

@@ -27,7 +27,8 @@ object Catalog {
     queries.TextPack,
     queries.DedupPack,
     queries.SimilarityPack,
-    queries.MultimodalPack)
+    queries.MultimodalPack,
+    queries.SqlSurfacePack)
 
   lazy val all: Map[String, QueryDef] = {
     val merged = packs.flatMap(_.queries)

@@ -42,6 +42,20 @@ object EventStream {
       .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming deduplication: exact dedup on (user_id, event_type, value)
+    * within the watermark horizon — the streaming form of the
+    * training-pipeline dedup stage (state bounded by the watermark).
+    */
+  def dedupedEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(RawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+  }
+
   /** Sessionized per-user event counts with a processing-state timeout —
     * the mapGroupsWithState shape for custom streaming state.
     */

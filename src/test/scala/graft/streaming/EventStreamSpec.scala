@@ -48,6 +48,21 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming dedup matches batch dropDuplicates on a bounded source") {
+    val q = EventStream.dedupedEvents(spark, eventsDir)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_dedup").count()
+    val batch = graft.Tables.events(spark, sf)
+      .dropDuplicates("user_id", "event_type", "value").count()
+    assert(streamed == batch)
+  }
+
   test("streaming user activity emits per-user daily rows") {
     val q = EventStream.userActivity(spark, eventsDir)
       .writeStream

@@ -92,6 +92,59 @@ object RefPipelinePack extends QueryPack {
              |)
              |GROUP BY metric ORDER BY metric""".stripMargin)),
 
+    // The flagship view SHAPE over the orders fact table (SURVEY.md §7.0:
+    // the consolidacao family re-expressed over orders as well as events):
+    // month × priority avg -> LAG pct-change -> pivot -> HAVING -> DESC.
+    "metrics_view_orders" -> QueryDef(
+      "consolidacao shape over orders: monthly avg per priority, LAG pct-change, pivot",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val monthly = Tables.orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mes"), col("o_orderpriority"))
+          .agg(avg("o_totalprice").as("valor_atual"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("mes")
+        val taxa = monthly
+          .withColumn("valor_anterior", lag(col("valor_atual"), 1).over(w))
+          .filter(col("valor_anterior").isNotNull && col("valor_anterior") =!= 0)
+          .withColumn("taxa_var",
+            round((col("valor_atual") - col("valor_anterior")) /
+              when(col("valor_anterior") === 0, lit(null)).otherwise(col("valor_anterior")) * 100, 1))
+        val pivotCols = priorities.zipWithIndex.map { case (p, i) =>
+          coalesce(round(avg(when(col("o_orderpriority") === p, col("taxa_var"))), 1), lit(0.0))
+            .as(s"taxa_p${i + 1}")
+        }
+        taxa.groupBy("mes")
+          .agg(round(avg(col("taxa_var")), 1).as("taxa_media"),
+            pivotCols :+ countDistinct(col("o_orderpriority")).as("n_prio"): _*)
+          .filter(col("n_prio") >= 2)
+          .drop("n_prio")
+          .orderBy(col("mes").desc)
+      },
+      Some {
+        val pivot = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+          .zipWithIndex.map { case (p, i) =>
+            s"COALESCE(ROUND(AVG(CASE WHEN o_orderpriority = '$p' THEN taxa_var END), 1), 0.0) AS taxa_p${i + 1}"
+          }.mkString(", ")
+        s"""WITH base AS (
+           |  SELECT strftime(o_orderdate, '%Y-%m') AS mes, o_orderpriority,
+           |         AVG(o_totalprice) AS valor_atual
+           |  FROM orders GROUP BY 1, 2
+           |), lagged AS (
+           |  SELECT mes, o_orderpriority, valor_atual,
+           |    LAG(valor_atual) OVER (PARTITION BY o_orderpriority ORDER BY mes) AS valor_anterior
+           |  FROM base
+           |), taxa AS (
+           |  SELECT mes, o_orderpriority,
+           |    ROUND((valor_atual - valor_anterior) / NULLIF(valor_anterior, 0) * 100, 1) AS taxa_var
+           |  FROM lagged WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
+           |)
+           |SELECT mes, ROUND(AVG(taxa_var), 1) AS taxa_media, $pivot
+           |FROM taxa GROUP BY mes
+           |HAVING COUNT(DISTINCT o_orderpriority) >= 2
+           |ORDER BY mes DESC""".stripMargin
+      }),
+
     // R2 — long→wide dynamic pivot (groupBy().pivot(), README.md:167-203).
     "q_pivot_wide" -> QueryDef(
       "groupBy(day).pivot(event_type) daily value sums (manual-pivot analogue)",

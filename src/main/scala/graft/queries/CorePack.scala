@@ -219,6 +219,48 @@ object CorePack extends QueryPack {
              |      FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Gap-based sessionization: flag session starts with LAG, number
+    // sessions with a running SUM — the canonical two-window composition.
+    "q_sessionize" -> QueryDef(
+      "30-minute-gap sessions per user: session counts and sizes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val wRun = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(wRun))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max("n_events").as("max_session_events"),
+            sum("n_events").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+             |), sessions AS (
+             |  SELECT user_id,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged
+             |), sized AS (
+             |  SELECT user_id, session_id, COUNT(*) AS n_events
+             |  FROM sessions GROUP BY user_id, session_id
+             |)
+             |SELECT user_id, COUNT(*) AS n_sessions,
+             |  MAX(n_events) AS max_session_events, SUM(n_events) AS n_events
+             |FROM sized GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // O1 + top-k — global sort + limit with a total tie-break order.
     "q_topk_orders" -> QueryDef(
       "Top-100 orders by price desc (TakeOrderedAndProject, no full sort at scale)",

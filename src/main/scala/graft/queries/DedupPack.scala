@@ -92,6 +92,34 @@ object DedupPack extends QueryPack {
            |FROM v WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // Edit-distance near-dup (classic unit-cost Levenshtein DP — identical
+    // in Spark and DuckDB). O(n²·len²), hence the hard 80-doc slice: this
+    // modality exists for short-text / high-precision use; set-based
+    // methods above are the scale path.
+    "dedup_edit_distance" -> QueryDef(
+      "Levenshtein distance <= 100 over an 80-doc slice",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).filter(col("doc_id") < 80)
+          .select(col("doc_id"), col("text"))
+        // repartition the probe side BEFORE the broadcast join: the single
+        // parquet split would otherwise emit one task, and the levenshtein
+        // filter gets predicate-pushed below any post-join repartition —
+        // serializing the O(len²) DP work
+        val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta")).repartition(32)
+        val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+        a.join(broadcast(b), col("doc_a") < col("doc_b"))
+          .withColumn("dist", levenshtein(col("ta"), col("tb")))
+          .filter(col("dist") <= 100)
+          .select("doc_a", "doc_b", "dist")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  levenshtein(a.text, b.text) AS dist
+             |FROM documents a JOIN documents b
+             |  ON a.doc_id < b.doc_id AND a.doc_id < 80 AND b.doc_id < 80
+             |WHERE levenshtein(a.text, b.text) <= 100
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     "dedup_simhash_pairs" -> QueryDef(
       "SimHash near-dup pairs: hamming(xor) <= 10 over a 200-doc slice",
       (s, dir) => {

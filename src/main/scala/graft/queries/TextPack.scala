@@ -87,6 +87,29 @@ object TextPack extends QueryPack {
            |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
       }),
 
+    "text_chargrams" -> QueryDef(
+      "Top-20 character trigrams across the corpus (n-gram profile)",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          // lower(text) as its own projection step: referencing it inside
+          // the transform lambda would re-evaluate it per element
+          .select(lower(col("text")).as("t"))
+          .select(explode(
+            transform(
+              sequence(lit(1), length(col("t")) - 2),
+              i => substr(col("t"), i, lit(3)))).as("gram"))
+          .groupBy("gram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram").asc)
+          .limit(20),
+      Some("""SELECT gram, COUNT(*) AS n
+             |FROM (SELECT unnest(list_transform(range(1, length(text) - 1),
+             |               i -> substring(lower(text), i, 3))) AS gram
+             |      FROM documents)
+             |GROUP BY gram
+             |ORDER BY n DESC, gram ASC
+             |LIMIT 20""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       "md5 content fingerprint of normalized text (exact-dedup key), first 20 docs",
       (s, dir) =>

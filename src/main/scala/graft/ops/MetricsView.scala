@@ -74,6 +74,42 @@ object MetricsView {
       .orderBy(col("dia").desc)
   }
 
+  /** The view in its ORIGINAL shape (README.md:119-219): over the
+    * canonical IDA table (grupo_economico, servico, mes_referencia,
+    * valor), filtered to the IDA indicator, month-granularity LAG,
+    * dynamic group list — composes directly onto [[IdaPipeline]] output
+    * for the full reference-system path (raw spreadsheet → view).
+    */
+  def overIda(
+      ida: DataFrame,
+      indicador: String = "Indicador de Desempenho no Atendimento (IDA)"): DataFrame = {
+    val filtered = ida.filter(col("servico") === indicador)
+    val grupos = filtered.select("grupo_economico").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+    val monthly = filtered
+      .groupBy(col("mes_referencia"), col("grupo_economico"))
+      .agg(avg(col("valor")).as("valor_atual"))
+    val w = Window.partitionBy("grupo_economico").orderBy("mes_referencia")
+    val taxa = monthly
+      .withColumn("valor_anterior", lag(col("valor_atual"), 1).over(w))
+      .filter(col("valor_anterior").isNotNull && col("valor_anterior") =!= 0)
+      .withColumn("taxa_var",
+        round((col("valor_atual") - col("valor_anterior")) /
+          when(col("valor_anterior") === 0, lit(null)).otherwise(col("valor_anterior")) * 100, 1))
+    val pivotCols = grupos.map { g =>
+      coalesce(round(avg(when(col("grupo_economico") === g, col("taxa_var"))), 1), lit(0.0))
+        .as(s"taxa_$g")
+    }
+    taxa
+      .groupBy(col("mes_referencia"))
+      .agg(round(avg(col("taxa_var")), 1).as("taxa_variacao_media"),
+        pivotCols :+ countDistinct(col("grupo_economico")).as("n_grupos"): _*)
+      .filter(col("n_grupos") >= 2)
+      .drop("n_grupos")
+      .orderBy(col("mes_referencia").desc)
+  }
+
   /** DuckDB-dialect equivalent (ANSI; shared with PostgreSQL semantics). */
   val oracle: String = {
     val pivot = eventTypes.map { t =>

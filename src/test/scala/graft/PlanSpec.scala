@@ -46,6 +46,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("shuffle budget: exchange counts stay at their designed minimum") {
+    // shuffle exchanges only — BroadcastExchange is the cheap, desired kind
+    def exchanges(name: String): Int =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r.findAllIn(
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString).size
+    // scan -> partial agg -> ONE exchange -> final agg (plus the final sort's
+    // range exchange)
+    assert(exchanges("q_pricing_summary") <= 2,
+      s"q_pricing_summary grew to ${exchanges("q_pricing_summary")} exchanges")
+    // broadcast dims: no fact-side hash exchange beyond the agg + sort
+    assert(exchanges("q_join_broadcast_dims") <= 2)
+    // flagship: agg exchange + window partition + month re-group + sort
+    assert(exchanges("metrics_view") <= 4,
+      s"metrics_view grew to ${exchanges("metrics_view")} exchanges")
+  }
+
   test("the window in metrics_view partitions by event_type (no single-partition window)") {
     // executedPlan, not sparkPlan: exchanges appear only after
     // EnsureRequirements runs

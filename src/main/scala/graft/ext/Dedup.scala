@@ -170,6 +170,9 @@ object Dedup {
     * votes are positive. Bit extraction is shiftright(x, j) & 1 with a
     * literal shift — DuckDB mirrors it as (x >> j) & 1; both operate on
     * non-negative 60-bit values so sign never interferes.
+    *
+    * Column-level form (interpreted aggregate lambda — fine for slices);
+    * [[simHashRows]] is the codegen'd scale formulation.
     */
   def simHash(text: Column): Column = {
     val toks = tokenSet(text)
@@ -183,6 +186,27 @@ object Dedup {
       when(votes > 0, lit(1L << j)).otherwise(lit(0L))
     }
     terms.reduce(_ + _)
+  }
+
+  /** Relational SimHash: explode distinct tokens once, hash once, then 60
+    * codegen'd vote SUM aggregates per doc (one shuffle of pre-aggregated
+    * votes) — identical output to [[simHash]], linear and uncapped at
+    * scale.
+    */
+  def simHashRows(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(tokenSet(col(textCol))).as("t"))
+      .withColumn("h", Hashing.portableTokenHash60(col("t")))
+    val voteAggs = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val simhash = (0 until 60)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hashed
+      .groupBy(col(idCol))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col(idCol), simhash.as("simhash"))
   }
 
   /** Hamming distance between two SimHash values. */

@@ -123,9 +123,8 @@ object DedupPack extends QueryPack {
     "dedup_simhash_pairs" -> QueryDef(
       "SimHash near-dup pairs: hamming(xor) <= 10 over a 200-doc slice",
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .filter(col("doc_id") < 200)
-          .select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+        val sh = Dedup.simHashRows(Tables.documents(s, dir).filter(col("doc_id") < 200))
+          .withColumnRenamed("simhash", "sh")
         val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         a.join(b, col("doc_a") < col("doc_b"))
@@ -158,9 +157,7 @@ object DedupPack extends QueryPack {
     "dedup_simhash" -> QueryDef(
       "60-bit SimHash signatures from md5 token hashes (first 50 docs)",
       (s, dir) =>
-        Tables.documents(s, dir)
-          .filter(col("doc_id") < 50)
-          .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+        Dedup.simHashRows(Tables.documents(s, dir).filter(col("doc_id") < 50))
           .orderBy("doc_id"),
       Some("""WITH d AS (
              |  SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\s+')) AS toks

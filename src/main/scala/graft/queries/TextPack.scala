@@ -91,13 +91,12 @@ object TextPack extends QueryPack {
       "Top-20 character trigrams across the corpus (n-gram profile)",
       (s, dir) =>
         Tables.documents(s, dir)
-          // lower(text) as its own projection step: referencing it inside
-          // the transform lambda would re-evaluate it per element
+          // explode the INDEX sequence and slice with a plain row-level
+          // substr: every step is whole-stage codegen. A transform()
+          // lambda would run interpreted per element (CodegenFallback)
           .select(lower(col("text")).as("t"))
-          .select(explode(
-            transform(
-              sequence(lit(1), length(col("t")) - 2),
-              i => substr(col("t"), i, lit(3)))).as("gram"))
+          .select(col("t"), explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
+          .select(substr(col("t"), col("i"), lit(3)).as("gram"))
           .groupBy("gram")
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("gram").asc)

@@ -28,7 +28,8 @@ object Catalog {
     queries.DedupPack,
     queries.SimilarityPack,
     queries.MultimodalPack,
-    queries.SqlSurfacePack)
+    queries.SqlSurfacePack,
+    queries.FunctionsPack)
 
   lazy val all: Map[String, QueryDef] = {
     val merged = packs.flatMap(_.queries)

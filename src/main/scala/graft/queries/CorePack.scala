@@ -219,6 +219,41 @@ object CorePack extends QueryPack {
              |      FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Funnel conversion: click -> purchase within one hour, per user.
+    "q_funnel" -> QueryDef(
+      "Click->purchase conversion within 1h: per-user funnel states",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min("ts").as("first_click"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        clicks
+          .join(purchases, Seq("user_id"), "left_outer")
+          .withColumn("within_1h",
+            col("p_ts").isNotNull && col("p_ts") >= col("first_click") &&
+              col("p_ts").cast("long") - col("first_click").cast("long") <= 3600)
+          .groupBy("user_id", "first_click")
+          .agg(max(when(col("within_1h"), 1).otherwise(0)).as("converted"),
+            count(when(col("within_1h"), 1)).as("n_purchases_1h"))
+          .orderBy("user_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, MIN(ts) AS first_click
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id
+             |), joined AS (
+             |  SELECT c.user_id, c.first_click,
+             |    (p.ts IS NOT NULL AND p.ts >= c.first_click
+             |     AND epoch(p.ts) - epoch(c.first_click) <= 3600) AS within_1h
+             |  FROM clicks c
+             |  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+             |    ON p.user_id = c.user_id
+             |)
+             |SELECT user_id, first_click,
+             |  MAX(CASE WHEN within_1h THEN 1 ELSE 0 END) AS converted,
+             |  COUNT(CASE WHEN within_1h THEN 1 END) AS n_purchases_1h
+             |FROM joined GROUP BY user_id, first_click ORDER BY user_id""".stripMargin)),
+
     // Gap-based sessionization: flag session starts with LAG, number
     // sessions with a running SUM — the canonical two-window composition.
     "q_sessionize" -> QueryDef(

@@ -109,6 +109,73 @@ object TextPack extends QueryPack {
              |ORDER BY n DESC, gram ASC
              |LIMIT 20""".stripMargin)),
 
+    // N-gram-profile language ID: top-50 char trigrams per labeled
+    // language form the profile; docs classify to the profile with the
+    // largest distinct-trigram overlap (ties: lang asc). Two-pass
+    // (profiles then classify), both passes relational.
+    "text_langid_ngram" -> QueryDef(
+      "Char-trigram profile language ID; confusion counts vs labels",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val grams = docs
+          .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+          .select(col("doc_id"), col("lang"),
+            explode(sequence(lit(1), length(col("t")) - 2)).as("i"), col("t"))
+          .select(col("doc_id"), col("lang"), substr(col("t"), col("i"), lit(3)).as("gram"))
+        // one aggregation feeds both branches (distinct doc-grams AND
+        // profile totals) so Catalyst's exchange reuse avoids exploding
+        // the grams twice
+        val gramCounts = grams.groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("cnt"))
+        val docGrams = gramCounts.select("doc_id", "lang", "gram")
+
+        val profiles = gramCounts.groupBy(col("lang").as("p_lang"), col("gram"))
+          .agg(sum(col("cnt")).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("p_lang").orderBy(col("n").desc, col("gram").asc)))
+          .filter(col("rk") <= 50)
+          .select("p_lang", "gram")
+
+        val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang").asc)
+        val scored = docGrams.join(profiles, Seq("gram"))
+          .groupBy("doc_id", "lang", "p_lang")
+          .agg(count(lit(1)).as("score"))
+          .withColumn("rk", row_number().over(wBest))
+          .filter(col("rk") === 1)
+        scored.groupBy(col("lang"), col("p_lang").as("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted")
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_transform(range(1, length(text) - 1),
+             |      i -> substring(lower(text), i, 3))) AS gram
+             |  FROM documents
+             |), doc_grams AS (
+             |  SELECT DISTINCT doc_id, lang, gram FROM grams
+             |), profile_counts AS (
+             |  SELECT lang AS p_lang, gram, COUNT(*) AS n
+             |  FROM grams GROUP BY lang, gram
+             |), profiles AS (
+             |  SELECT p_lang, gram FROM (
+             |    SELECT p_lang, gram,
+             |      ROW_NUMBER() OVER (PARTITION BY p_lang ORDER BY n DESC, gram ASC) AS rk
+             |    FROM profile_counts)
+             |  WHERE rk <= 50
+             |), scored AS (
+             |  SELECT doc_id, lang, p_lang, COUNT(*) AS score
+             |  FROM doc_grams d JOIN profiles p USING (gram)
+             |  GROUP BY doc_id, lang, p_lang
+             |), best AS (
+             |  SELECT doc_id, lang, p_lang FROM (
+             |    SELECT doc_id, lang, p_lang,
+             |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang ASC) AS rk
+             |    FROM scored)
+             |  WHERE rk = 1
+             |)
+             |SELECT lang, p_lang AS predicted, COUNT(*) AS n
+             |FROM best GROUP BY lang, p_lang ORDER BY lang, predicted""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       "md5 content fingerprint of normalized text (exact-dedup key), first 20 docs",
       (s, dir) =>

@@ -51,6 +51,30 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact) || (lsh -- exact).isEmpty)
   }
 
+  test("Column-form minhash signature equals the relational min-aggregate path") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val viaColumn = docs
+      .select(col("doc_id"), Hashing.minHashSignature(Dedup.shingles(col("text"), 3)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val viaRows = Dedup.shingleRows(docs, 3)
+      .withColumn("x", Hashing.portableTokenHash(col("sh")))
+      .groupBy("doc_id")
+      .agg(min(Hashing.minHashFn(0)(col("x"))).as("h0"),
+        Hashing.MinHashParams.indices.drop(1).map(i => min(Hashing.minHashFn(i)(col("x"))).as(s"h$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong(_)).toSeq).toMap
+    assert(viaRows.keySet.subsetOf(viaColumn.keySet))
+    viaRows.foreach { case (id, sig) => assert(viaColumn(id) == sig, s"doc $id") }
+  }
+
+  test("Column-form simHash equals the relational simHashRows path") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val viaColumn = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRows = Dedup.simHashRows(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaColumn == viaRows)
+  }
+
   test("simhash: hamming distance 0 for identical text, small for near-identical") {
     val df = Seq(
       (1L, "spark query engine fast scan"),

@@ -176,6 +176,74 @@ object TextPack extends QueryPack {
              |SELECT lang, p_lang AS predicted, COUNT(*) AS n
              |FROM best GROUP BY lang, p_lang ORDER BY lang, predicted""".stripMargin)),
 
+    // TF-IDF document similarity (sparse vectors as (doc, token, weight)
+    // ROWS; pair dot products via the shared-token join — no dense
+    // vectors, no cross product). Linear idf (N/df, not ln) on purpose:
+    // ln differs in final ulps across libm implementations, while
+    // +,*,/ arithmetic is bit-identical, keeping the oracle exact. Ranks
+    // order by the ROUNDED cosine so sub-1e-6 cross-engine summation
+    // differences cannot flip neighbors.
+    "text_tfidf_sim" -> QueryDef(
+      "Most-similar document per doc by tf-idf cosine (200-doc slice)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        val nDocs = 200.0
+        val tf = docs
+          .select(col("doc_id"), explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+        val w = tf.join(df, Seq("tok"))
+          .select(col("doc_id"), col("tok"), (col("tf") * (lit(nDocs) / col("df"))).as("w"))
+        val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        val a = w.select(col("doc_id").as("doc_a"), col("tok"), col("w").as("wa"))
+        val b = w.select(col("doc_id").as("doc_b"), col("tok"), col("w").as("wb"))
+        val dots = a.join(b, Seq("tok"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(sum(col("wa") * col("wb")).as("dot"))
+        val cos = dots
+          .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
+          .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+        val wBest = Window.partitionBy("doc_a").orderBy(col("cosine").desc, col("doc_b").asc)
+        cos.withColumn("rk", row_number().over(wBest))
+          .filter(col("rk") === 1)
+          .select(col("doc_a").as("doc_id"), col("doc_b").as("nn_id"), col("cosine"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents WHERE doc_id < 200
+             |), tf AS (
+             |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+             |  FROM d GROUP BY doc_id, tok
+             |), idf AS (
+             |  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+             |), w AS (
+             |  SELECT doc_id, tok, tf * (200.0 / df) AS w
+             |  FROM tf JOIN idf USING (tok)
+             |), norms AS (
+             |  SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+             |), dots AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+             |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id
+             |), cos AS (
+             |  SELECT doc_a, doc_b,
+             |    ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+             |  FROM dots
+             |  JOIN norms na ON na.doc_id = doc_a
+             |  JOIN norms nb ON nb.doc_id = doc_b
+             |), best AS (
+             |  SELECT doc_a, doc_b, cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_a
+             |                       ORDER BY cosine DESC, doc_b ASC) AS rk
+             |  FROM cos)
+             |SELECT doc_a AS doc_id, doc_b AS nn_id, cosine
+             |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       "md5 content fingerprint of normalized text (exact-dedup key), first 20 docs",
       (s, dir) =>

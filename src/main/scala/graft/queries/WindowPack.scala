@@ -93,6 +93,51 @@ object WindowPack extends QueryPack {
              |FROM orders WHERE o_custkey % 50 = 0
              |ORDER BY o_orderpriority, drk, o_orderkey""".stripMargin)),
 
+    // RANGE frame: value-based window (trailing 30-day spend) — the
+    // other frame type beside ROWS (q_window_running).
+    "q_window_range_frame" -> QueryDef(
+      "Trailing-30-day spend per customer via RANGE BETWEEN on epoch days",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("day_num"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") % 100 === 0)
+          .withColumn("day_num", datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))))
+          .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+            round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"))
+          .orderBy("o_custkey", "day_num", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, day_num,
+             |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_num
+             |        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |        datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
+             |      FROM orders WHERE o_custkey % 100 = 0)
+             |ORDER BY o_custkey, day_num, o_orderkey""".stripMargin)),
+
+    // first_value / last_value with explicit full-partition frame.
+    "q_window_first_last" -> QueryDef(
+      "First and latest order price per customer alongside each order",
+      (s, dir) => {
+        val base = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") % 100 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_totalprice")).over(full).as("first_price"),
+            last(col("o_totalprice")).over(full).as("latest_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+             |  LAST_VALUE(o_totalprice) OVER w AS latest_price
+             |FROM orders WHERE o_custkey % 100 = 0
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // LEAD companion to the flagship's LAG.
     "q_window_lead" -> QueryDef(
       "lead(next order date) per customer; gap in days",

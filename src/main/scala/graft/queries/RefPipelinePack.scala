@@ -104,12 +104,16 @@ object RefPipelinePack extends QueryPack {
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mes"), col("o_orderpriority"))
           .agg(avg("o_totalprice").as("valor_atual"))
         val w = Window.partitionBy("o_orderpriority").orderBy("mes")
+        // taxa_var deliberately UNROUNDED here (unlike the flagship's
+        // reference-exact round-then-average): averaging 1dp-rounded
+        // values lands exactly on .x5 boundaries, where cross-engine
+        // summation-order ulps flip ROUND(x,1) — observed at sf0.001
         val taxa = monthly
           .withColumn("valor_anterior", lag(col("valor_atual"), 1).over(w))
           .filter(col("valor_anterior").isNotNull && col("valor_anterior") =!= 0)
           .withColumn("taxa_var",
-            round((col("valor_atual") - col("valor_anterior")) /
-              when(col("valor_anterior") === 0, lit(null)).otherwise(col("valor_anterior")) * 100, 1))
+            (col("valor_atual") - col("valor_anterior")) /
+              when(col("valor_anterior") === 0, lit(null)).otherwise(col("valor_anterior")) * 100)
         val pivotCols = priorities.zipWithIndex.map { case (p, i) =>
           coalesce(round(avg(when(col("o_orderpriority") === p, col("taxa_var"))), 1), lit(0.0))
             .as(s"taxa_p${i + 1}")
@@ -136,7 +140,7 @@ object RefPipelinePack extends QueryPack {
            |  FROM base
            |), taxa AS (
            |  SELECT mes, o_orderpriority,
-           |    ROUND((valor_atual - valor_anterior) / NULLIF(valor_anterior, 0) * 100, 1) AS taxa_var
+           |    (valor_atual - valor_anterior) / NULLIF(valor_anterior, 0) * 100 AS taxa_var
            |  FROM lagged WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
            |)
            |SELECT mes, ROUND(AVG(taxa_var), 1) AS taxa_media, $pivot

@@ -40,6 +40,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall@5 = $recall") // 8 planes x 3 tables on random data
   }
 
+  test("IVF top-k achieves reasonable recall@5 against brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(q, e, k = 5))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@5 = $recall") // 16 cells, probe 4, unclustered data
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = Tables.embeddings(spark, sf).limit(20)
     val b1 = e.select(Similarity.lshBucket(col("embedding"), 64).as("b")).collect().map(_.getLong(0))

@@ -219,6 +219,33 @@ object CorePack extends QueryPack {
              |      FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Retention cohorts: users grouped by first-active day, counted by
+    // day offset of later activity.
+    "q_retention" -> QueryDef(
+      "Cohort retention: first-active-day cohorts x active-day offsets",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val activity = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+        activity.join(cohorts, Seq("user_id"))
+          .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+          .filter(col("day_offset") <= 7)
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH activity AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+             |), cohorts AS (
+             |  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+             |)
+             |SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+             |  COUNT(DISTINCT a.user_id) AS n_users
+             |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+             |WHERE datediff('day', cohort_day, day) <= 7
+             |GROUP BY cohort_day, day_offset
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
     // Funnel conversion: click -> purchase within one hour, per user.
     "q_funnel" -> QueryDef(
       "Click->purchase conversion within 1h: per-user funnel states",

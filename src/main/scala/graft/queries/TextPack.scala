@@ -87,6 +87,36 @@ object TextPack extends QueryPack {
            |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
       }),
 
+    // Corpus vocabulary statistics: vocab size, hapax legomena, coverage
+    // of the top-10 tokens.
+    "text_vocab_stats" -> QueryDef(
+      "Corpus vocabulary: size, hapax count, top-10 token mass",
+      (s, dir) => {
+        val tokenCounts = Tables.documents(s, dir)
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val top10 = tokenCounts.orderBy(col("n").desc, col("tok").asc).limit(10)
+          .agg(sum("n").as("top10_mass"))
+        tokenCounts.agg(
+          count(lit(1)).as("vocab_size"),
+          sum("n").as("total_tokens"),
+          count(when(col("n") === 1, 1)).as("n_hapax"))
+          .crossJoin(top10)
+      },
+      Some("""WITH tc AS (
+             |  SELECT tok, COUNT(*) AS n
+             |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY tok
+             |), top10 AS (
+             |  SELECT SUM(n) AS top10_mass
+             |  FROM (SELECT n FROM tc ORDER BY n DESC, tok ASC LIMIT 10)
+             |)
+             |SELECT COUNT(*) AS vocab_size, SUM(n) AS total_tokens,
+             |  COUNT(CASE WHEN n = 1 THEN 1 END) AS n_hapax, top10_mass
+             |FROM tc, top10
+             |GROUP BY top10_mass""".stripMargin)),
+
     "text_chargrams" -> QueryDef(
       "Top-20 character trigrams across the corpus (n-gram profile)",
       (s, dir) =>

@@ -219,6 +219,20 @@ object CorePack extends QueryPack {
              |      FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Salted two-phase aggregation in the graded set: semantics-preserving
+    // (ops/Salting), so the oracle is the plain GROUP BY.
+    "q_salted_agg" -> QueryDef(
+      "Skew-safe salted sum/count of quantities per returnflag",
+      (s, dir) =>
+        graft.ops.Salting.saltedSumCount(
+          Tables.lineitem(s, dir), Seq("l_returnflag"), "l_quantity")
+          .select(col("l_returnflag"),
+            round(col("sum_value"), 2).as("sum_qty"), col("n_rows"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Retention cohorts: users grouped by first-active day, counted by
     // day offset of later activity.
     "q_retention" -> QueryDef(

@@ -161,6 +161,30 @@ object JoinPack extends QueryPack {
              |  ON a.user_id = b.user_id AND b.ts <= a.ts
              |ORDER BY a.event_id""".stripMargin)),
 
+    // Non-equi (range) theta join on a bounded slice: pairs of orders by
+    // the same customer placed within 7 days of each other.
+    "q_join_range" -> QueryDef(
+      "Same-customer order pairs within 7 days (non-equi range join)",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_custkey") % 100 === 0)
+          .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+        val a = o.select(col("o_custkey"), col("o_orderkey").as("k_a"), col("d").as("d_a"))
+        val b = o.select(col("o_custkey").as("ck_b"), col("o_orderkey").as("k_b"), col("d").as("d_b"))
+        a.join(b,
+          col("o_custkey") === col("ck_b") && col("k_a") < col("k_b") &&
+            abs(datediff(col("d_a"), col("d_b"))) <= 7)
+          .select(col("o_custkey"), col("k_a"), col("k_b"),
+            datediff(col("d_b"), col("d_a")).as("gap_days"))
+          .orderBy("o_custkey", "k_a", "k_b")
+      },
+      Some("""SELECT a.o_custkey, a.o_orderkey AS k_a, b.o_orderkey AS k_b,
+             |  datediff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE)) AS gap_days
+             |FROM orders a JOIN orders b
+             |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+             |  AND abs(datediff('day', CAST(b.o_orderdate AS DATE), CAST(a.o_orderdate AS DATE))) <= 7
+             |WHERE a.o_custkey % 100 = 0
+             |ORDER BY a.o_custkey, k_a, k_b""".stripMargin)),
+
     // TPC-H Q5 shape: full star join, revenue per nation.
     "q_local_revenue" -> QueryDef(
       "TPC-H Q5-like: customer+orders+lineitem+supplier+nation star join, broadcast dims",

@@ -93,6 +93,27 @@ object WindowPack extends QueryPack {
              |FROM orders WHERE o_custkey % 50 = 0
              |ORDER BY o_orderpriority, drk, o_orderkey""".stripMargin)),
 
+    // Distribution ranks: percent_rank + cume_dist (identical definitions
+    // in DuckDB), completing the ranking family.
+    "q_window_pct_rank" -> QueryDef(
+      "percent_rank and cume_dist of account balances per nation",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        Tables.customer(s, dir)
+          .filter(col("c_custkey") % 20 === 0)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("c_nationkey", "c_acctbal", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+             |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             |  ROUND(CUME_DIST() OVER w, 6) AS cume
+             |FROM customer WHERE c_custkey % 20 = 0
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+             |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin)),
+
     // RANGE frame: value-based window (trailing 30-day spend) — the
     // other frame type beside ROWS (q_window_running).
     "q_window_range_frame" -> QueryDef(

@@ -55,14 +55,14 @@ def compare(got: pd.DataFrame, want: pd.DataFrame):
     bad_col = None
     for c in got.columns:
         a, b = got[c], want[c]
+        # The driver hashes value REPRESENTATIONS, so int64 5354 vs a
+        # float64 5354.0 (e.g. DuckDB HUGEINT from SUM(int) -> pandas
+        # float) is a hash MISMATCH even though == says equal. Compare
+        # via repr-strings, never after numeric coercion.
         try:
-            a = a.astype(b.dtype) if a.dtype != b.dtype else a
+            col_exact = a.equals(b) or (a.astype(str) == b.astype(str)).all()
         except Exception:  # noqa: BLE001
-            pass
-        try:
-            col_exact = a.equals(b) or (a.fillna("<NA>") == b.fillna("<NA>")).all()
-        except Exception:  # noqa: BLE001
-            col_exact = (a.astype(str) == b.astype(str)).all()
+            col_exact = False
         if not col_exact:
             exact = False
             try:

@@ -211,4 +211,57 @@ object Dedup {
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over a near-duplicate pair list by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * doc_id in its component, which is the canonical "keeper" of the
+    * dup cluster. Returns (doc_id, cluster) for every node that appears
+    * in at least one pair.
+    *
+    * Scale design: each round is one shuffle join on the (narrow)
+    * symmetric edge list plus a min-aggregate — no global structures, no
+    * driver-side graph. Rounds needed = component diameter, and near-dup
+    * components are shallow (dup clusters, not long chains), so this
+    * converges in a handful of rounds; `localCheckpoint` truncates the
+    * lineage so plan size stays constant across rounds. (For adversarial
+    * long-chain graphs the large-star/small-star variant halves diameter
+    * per round — not needed for dedup workloads.) Deterministic fixpoint:
+    * the result does not depend on the round count, so the DuckDB
+    * recursive-CTE oracle reproduces it exactly.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("dlab")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("dlab")).as("nbr"))
+        .withColumnRenamed("src", "node")
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
 }

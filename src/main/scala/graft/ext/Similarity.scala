@@ -62,7 +62,9 @@ object Similarity {
       .select("neighbor_id", "cv")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+      // project BEFORE the rank window: the top-k shuffle/sort must carry
+      // (id, id, cos), not two 64-double vectors per row
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
@@ -117,13 +119,25 @@ object Similarity {
           }: _*)).as("bk"))
         .select(col(id), col(vec), col("bk.tbl"), col("bk.bucket"))
 
+    // Bucket join carries ONLY (tbl, bucket, id) — vectors re-attach after
+    // candidate dedup. The candidate set is queries×few, so it broadcasts
+    // into both re-attach joins and the corpus never shuffles.
     val q = broadcast(bucketed(queries, "query_id", "qv"))
     val c = bucketed(corpus, "neighbor_id", "cv")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(q, Seq("tbl", "bucket"))
+    val cand = c.select("neighbor_id", "tbl", "bucket")
+      .join(q.select("query_id", "tbl", "bucket"), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", dot(col("qv"), col("cv")))
+    val qv = broadcast(
+      withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "qv")
+        .select("query_id", "qv"))
+    val cv = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol, "cv")
+      .select("neighbor_id", "cv")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cv.join(broadcast(cand), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
@@ -157,24 +171,49 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val c = withNormalized(corpus.select(col(idCol), col(vecCol)), vecCol, "cv")
       .select(col(idCol).as("neighbor_id"), col("cv"))
-    val cents = broadcast(
-      withNormalized(
-        corpus.filter(col(idCol) < nCentroids).select(col(idCol), col(vecCol)), vecCol, "centv")
-        .select(col(idCol).as("cent_id"), col("centv")))
 
-    // cell assignment: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy("neighbor_id")
-      .orderBy(col("cdot").desc, col("cent_id").asc)
-    val assigned = c.crossJoin(cents)
-      .withColumn("cdot", dot(col("cv"), col("centv")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("neighbor_id"), col("cv"), col("cent_id").as("cell"))
+    // The centroid set IS the index's small model — collect it to the
+    // driver (nCentroids rows) and embed as literals, so cell assignment
+    // is a single map-side pass over the corpus (16 codegen'd dots + an
+    // argmax when-chain) instead of a corpus×centroids cross join ranked
+    // through a window (which shuffled every vector 16×).
+    val centroids: Array[(Long, Array[Double])] =
+      corpus.filter(col(idCol) < nCentroids).select(col(idCol), col(vecCol))
+        .collect()
+        .map { r =>
+          val id = r.get(0) match { case l: Long => l; case i: Int => i.toLong }
+          val raw = r.getSeq[Any](1).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+          }.toArray
+          // identical arithmetic to withNormalized: one left-to-right
+          // norm over the widened doubles, then x/nrm per element
+          val nrm = math.sqrt(raw.foldLeft(0.0)((acc, x) => acc + x * x))
+          (id, raw.map(_ / nrm))
+        }
+        .sortBy(_._1)
 
-    // probe list: nProbe nearest cells per query
+    // argmax over struct(cdot, -cent_id): max cdot, ties to the SMALLEST
+    // cent_id — same order as the ROW_NUMBER() (cdot DESC, cent_id ASC)
+    // spelling in the oracle. greatest() evaluates each child ONCE; a
+    // when-chain reduce would copy the accumulated subtree per level
+    // (2^16 literal copies → codegen OOM).
+    def bestCell(vec: Column): Column = {
+      val scored = centroids.map { case (cid, w) =>
+        struct(dot(vec, typedLit(w)).as("cdot"), lit(-cid).as("negid"))
+      }
+      -greatest(scored: _*).getField("negid")
+    }
+
+    val assigned = c.withColumn("cell", bestCell(col("cv")))
+
+    // probe list: nProbe nearest cells per query (queries are few — the
+    // window runs over a broadcast-sized frame)
     val q = broadcast(
       withNormalized(queries.select(col(idCol), col(vecCol)), vecCol, "qv")
         .select(col(idCol).as("query_id"), col("qv")))
+    val cents = broadcast(q.sparkSession.createDataFrame(
+      centroids.map { case (cid, w) => (cid, w) }.toSeq).toDF("cent_id", "centv"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("qdot").desc, col("cent_id").asc)
     val probes = q.crossJoin(cents)
@@ -183,11 +222,12 @@ object Similarity {
       .filter(col("prk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
 
-    // candidates = corpus vectors in probed cells; exact re-rank
+    // candidates = corpus vectors in probed cells; exact re-rank. Project
+    // to (ids, cos) before the rank window — no vectors in the shuffle.
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    probes.join(assigned, Seq("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))

@@ -211,10 +211,10 @@ object CorePack extends QueryPack {
           .groupBy("event_type")
           .agg(
             count(col("p.k")).as("n_k"),
-            round(sum(col("p.k")), 2).as("sum_k"))
+            sum(col("p.k")).as("sum_k"))
           .orderBy("event_type"),
       Some("""SELECT event_type,
-             |  COUNT(k) AS n_k, ROUND(SUM(k), 2) AS sum_k
+             |  COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k
              |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
              |      FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
@@ -334,7 +334,7 @@ object CorePack extends QueryPack {
              |  FROM sessions GROUP BY user_id, session_id
              |)
              |SELECT user_id, COUNT(*) AS n_sessions,
-             |  MAX(n_events) AS max_session_events, SUM(n_events) AS n_events
+             |  MAX(n_events) AS max_session_events, CAST(SUM(n_events) AS BIGINT) AS n_events
              |FROM sized GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // O1 + top-k — global sort + limit with a total tie-break order.

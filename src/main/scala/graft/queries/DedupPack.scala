@@ -171,7 +171,84 @@ object DedupPack extends QueryPack {
              |  FROM t, (SELECT unnest(range(60)) AS j)
              |  GROUP BY doc_id, j)
              |SELECT doc_id,
-             |  SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |  CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Dup-cluster formation: pairs → connected components → per-cluster
+    // stats. Spark side is iterative min-label propagation
+    // (Dedup.connectedComponents); the oracle replays the same fixpoint as
+    // a recursive transitive closure — iteration-count-independent, so
+    // both agree exactly.
+    "dedup_cc_clusters" -> QueryDef(
+      "Near-dup clusters: connected components over 3-gram Jaccard >= 0.3 pairs",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+        Dedup.connectedComponents(pairs)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("cluster")
+      },
+      Some(CcLabelsCte +
+        """
+          |SELECT cluster, COUNT(*) AS n_docs,
+          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    // The dedup DELIVERABLE: survivor counts after keeping one canonical
+    // doc (the min id) per near-dup cluster.
+    "dedup_survivors" -> QueryDef(
+      "Corpus size after canonical-per-cluster dedup (keep min doc per component)",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val labels = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
+        labels
+          .agg(count(lit(1)).as("n_clustered"),
+            countDistinct("cluster").as("n_clusters"))
+          .crossJoin(docs.agg(count(lit(1)).as("n_corpus")))
+          .select(col("n_corpus"), col("n_clustered"), col("n_clusters"),
+            (col("n_corpus") - col("n_clustered") + col("n_clusters")).as("n_survivors"))
+      },
+      Some(CcLabelsCte +
+        """
+          |SELECT (SELECT COUNT(*) FROM documents) AS n_corpus,
+          |  COUNT(*) AS n_clustered,
+          |  COUNT(DISTINCT cluster) AS n_clusters,
+          |  (SELECT COUNT(*) FROM documents) - COUNT(*) + COUNT(DISTINCT cluster) AS n_survivors
+          |FROM labels""".stripMargin))
   )
+
+  /** Shared oracle prefix: 3-gram Jaccard pairs (same CTE as
+    * dedup_ngram_jaccard) → symmetric edges → recursive reachability →
+    * min-reachable-id labels. Every node with an edge reaches itself via
+    * any neighbor (edges are symmetric), so MIN(b) is the component min
+    * including the node's own id.
+    */
+  private val CcLabelsCte: String =
+    """WITH RECURSIVE raw AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM raw),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+      |pairs AS (SELECT doc_a, doc_b FROM p WHERE jac >= 0.3),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |labels AS (
+      |  SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a)""".stripMargin
 }

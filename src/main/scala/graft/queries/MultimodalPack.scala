@@ -29,7 +29,7 @@ object MultimodalPack extends QueryPack {
       Some("""SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
              |            ELSE 'video' END AS kind,
              |  COUNT(*) AS n_assets,
-             |  SUM(octet_length(encode(text))) AS total_bytes,
+             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
              |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
              |  ROUND(AVG((n_chars % 64) + 16), 4) AS avg_width
              |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)),
@@ -50,8 +50,28 @@ object MultimodalPack extends QueryPack {
       },
       // frames per video = ceil(ceil(bytes/16)/4): chunk count, every 4th kept
       Some("""SELECT COUNT(*) AS n_videos,
-             |  SUM(CAST(CEIL(CEIL(octet_length(encode(text)) / 16.0) / 4.0) AS BIGINT)) AS total_frames,
+             |  CAST(SUM(CAST(CEIL(CEIL(octet_length(encode(text)) / 16.0) / 4.0) AS BIGINT)) AS BIGINT) AS total_frames,
              |  MAX(CAST(CEIL(CEIL(octet_length(encode(text)) / 16.0) / 4.0) AS BIGINT)) AS max_frames
-             |FROM documents WHERE doc_id % 3 = 2""".stripMargin))
+             |FROM documents WHERE doc_id % 3 = 2""".stripMargin)),
+
+    // The batched decode path itself (typed mapPartitions → feature rows).
+    // Rows-only driver check: per-byte decode isn't SQL-expressible in the
+    // oracle; MultimodalSpec asserts the feature math on known payloads.
+    "mm_decode_features" -> QueryDef(
+      "Decode-stub features via batched mapPartitions: per-kind byte stats",
+      (s, dir) => {
+        import s.implicits._
+        val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+          .as[Multimodal.Asset]
+        Multimodal.extractFeatures(assets).toDF()
+          .groupBy("kind")
+          .agg(
+            count(lit(1)).as("n_assets"),
+            sum("n_bytes").as("total_bytes"),
+            round(avg("mean_byte"), 4).as("avg_mean_byte"),
+            round(sum(element_at(col("histogram"), 3)), 4).as("hist_bin2_mass"))
+          .orderBy("kind")
+      },
+      None)
   )
 }

@@ -89,6 +89,192 @@ object SqlSurfacePack extends QueryPack {
              |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
              |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
              |  COUNT(*) AS n
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Explicit GROUPING SETS (beyond rollup/cube) with GROUPING() markers —
+    // SQL-text path, since the DataFrame API only exposes rollup/cube.
+    "q_grouping_sets" -> QueryDef(
+      "GROUP BY GROUPING SETS with grouping() markers over lineitem",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                |  COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+                |FROM lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                |                        (l_returnflag), (l_linestatus), ())
+                |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+                |         l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+             |  COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), (l_linestatus), ())
+             |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+             |         l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Sliding ROWS frame (moving average). l_quantity is integer-valued,
+    // so frame sums are exact in double no matter how each engine slides
+    // the frame (incremental add/remove vs recompute) — avg stays
+    // hash-exact.
+    "q_window_sliding" -> QueryDef(
+      "7-row moving average of quantity per supplier (sliding ROWS frame)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // (l_orderkey, l_linenumber) is NOT unique in this TPC-H-ish data —
+        // the frame order must be total (+ partkey, extendedprice) or the
+        // sliding frames are ambiguous across engines
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+            col("l_partkey").asc, col("l_extendedprice").asc)
+          .rowsBetween(-6, Window.currentRow)
+        Tables.lineitem(s, dir)
+          .filter(col("l_suppkey") < 50)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_extendedprice"),
+            round(avg("l_quantity").over(w), 4).as("mov_avg_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+             |  ROUND(AVG(l_quantity) OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov_avg_qty
+             |FROM lineitem WHERE l_suppkey < 50
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin)),
+
+    // Variance / stddev / correlation from explicit moment sums. The sums
+    // are over integer-valued columns (exact in double, order-independent)
+    // and the divisions happen ONCE at the end — deterministic where each
+    // engine's built-in one-pass stddev/corr (running-mean updates in
+    // merge order) would not be.
+    "q_stats_moments" -> QueryDef(
+      "Sample variance/stddev of quantity + corr(quantity, linenumber) per returnflag",
+      (s, dir) => {
+        val x = col("l_quantity").cast("double")
+        val y = col("l_linenumber").cast("double")
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x).as("sx"), sum(x * x).as("sxx"),
+            sum(y).as("sy"), sum(y * y).as("syy"),
+            sum(x * y).as("sxy"))
+          .select(
+            col("l_returnflag"),
+            col("n").cast("long").as("n_rows"),
+            round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 6)
+              .as("var_qty"),
+            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+              .as("stddev_qty"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_line"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag,
+             |    CAST(COUNT(*) AS DOUBLE) AS n,
+             |    SUM(l_quantity) AS sx, SUM(l_quantity * l_quantity) AS sxx,
+             |    SUM(CAST(l_linenumber AS DOUBLE)) AS sy,
+             |    SUM(CAST(l_linenumber AS DOUBLE) * CAST(l_linenumber AS DOUBLE)) AS syy,
+             |    SUM(l_quantity * CAST(l_linenumber AS DOUBLE)) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |  CAST(n AS BIGINT) AS n_rows,
+             |  ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+             |  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+             |  ROUND((n * sxy - sx * sy) /
+             |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_line
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Ordered string aggregation (listagg): sort-then-join on both sides.
+    "q_string_agg" -> QueryDef(
+      "Comma-joined nation list per region (ordered string_agg)",
+      (s, dir) => {
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  COUNT(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // Correlated EXISTS (decorrelates to a semi join in both engines).
+    "q_exists_subquery" -> QueryDef(
+      "Customers with any order over 200k, counted per market segment (EXISTS)",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // FILTER-clause style conditional aggregation + DISTINCT aggregation.
+    "q_conditional_agg" -> QueryDef(
+      "count_if / filtered sums / SUM(DISTINCT) per returnflag",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(when(col("l_quantity") > 25, 1)).as("n_big"),
+            round(sum(when(col("l_discount") > 0.05, col("l_quantity"))), 2).as("qty_discounted"),
+            round(sum_distinct(col("l_quantity")), 2).as("sum_distinct_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+             |  ROUND(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 2) AS qty_discounted,
+             |  ROUND(SUM(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // posexplode ≡ DuckDB's zipped parallel unnests (0-based position).
+    "q_posexplode" -> QueryDef(
+      "Tokens with positions for the first 5 docs (posexplode)",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 5)
+          .select(col("doc_id"),
+            posexplode(graft.ext.TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+          .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS tok
+             |FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |      FROM documents WHERE doc_id < 5)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // HLL sketch: approximate distinct vs exact, relative error in-row.
+    // No DuckDB oracle on purpose (different HLL implementations) — the
+    // driver records the rows-only check; SketchSpec asserts the error
+    // bound against the exact count.
+    "q_approx_distinct" -> QueryDef(
+      "approx_count_distinct(custkey) per order priority vs exact + rel error",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            approx_count_distinct(col("o_custkey")).as("approx_customers"),
+            countDistinct(col("o_custkey")).as("exact_customers"))
+          .withColumn("rel_err",
+            round(abs(col("approx_customers") - col("exact_customers")) /
+              col("exact_customers"), 4))
+          .orderBy("o_orderpriority"),
+      None)
   )
 }

@@ -26,8 +26,8 @@ object TextPack extends QueryPack {
             round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_ws_tokens"))
           .orderBy("lang"),
       Some(s"""SELECT lang, COUNT(*) AS n_docs,
-              |  SUM(len(regexp_split_to_array(lower(text), '\\s+'))) AS sum_ws_tokens,
-              |  SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS sum_bpeish_tokens,
+              |  CAST(SUM(len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS sum_ws_tokens,
+              |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS sum_bpeish_tokens,
               |  ROUND(AVG(len(regexp_split_to_array(lower(text), '\\s+'))), 4) AS avg_ws_tokens
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
@@ -109,10 +109,10 @@ object TextPack extends QueryPack {
              |        FROM documents)
              |  GROUP BY tok
              |), top10 AS (
-             |  SELECT SUM(n) AS top10_mass
+             |  SELECT CAST(SUM(n) AS BIGINT) AS top10_mass
              |  FROM (SELECT n FROM tc ORDER BY n DESC, tok ASC LIMIT 10)
              |)
-             |SELECT COUNT(*) AS vocab_size, SUM(n) AS total_tokens,
+             |SELECT COUNT(*) AS vocab_size, CAST(SUM(n) AS BIGINT) AS total_tokens,
              |  COUNT(CASE WHEN n = 1 THEN 1 END) AS n_hapax, top10_mass
              |FROM tc, top10
              |GROUP BY top10_mass""".stripMargin)),
@@ -153,23 +153,23 @@ object TextPack extends QueryPack {
           .select(col("doc_id"), col("lang"),
             explode(sequence(lit(1), length(col("t")) - 2)).as("i"), col("t"))
           .select(col("doc_id"), col("lang"), substr(col("t"), col("i"), lit(3)).as("gram"))
-        // one aggregation feeds both branches (distinct doc-grams AND
-        // profile totals) so Catalyst's exchange reuse avoids exploding
-        // the grams twice
-        val gramCounts = grams.groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("cnt"))
-        val docGrams = gramCounts.select("doc_id", "lang", "gram")
 
-        val profiles = gramCounts.groupBy(col("lang").as("p_lang"), col("gram"))
-          .agg(sum(col("cnt")).as("n"))
+        // profile pass first: groupBy(lang, gram) collapses map-side to
+        // ~|langs|×|distinct grams| per partition, and the top-50 result
+        // is ~200 rows — broadcast it into the raw gram stream, so the
+        // only wide operation left is a distinct over PROFILE-MATCHED
+        // grams (never a groupBy over every doc-gram)
+        val profiles = grams.groupBy(col("lang").as("p_lang"), col("gram"))
+          .agg(count(lit(1)).as("n"))
           .withColumn("rk", row_number().over(
             Window.partitionBy("p_lang").orderBy(col("n").desc, col("gram").asc)))
           .filter(col("rk") <= 50)
           .select("p_lang", "gram")
 
         val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang").asc)
-        val scored = docGrams.join(profiles, Seq("gram"))
+        val scored = grams.join(broadcast(profiles), Seq("gram"))
           .groupBy("doc_id", "lang", "p_lang")
-          .agg(count(lit(1)).as("score"))
+          .agg(countDistinct("gram").as("score"))
           .withColumn("rk", row_number().over(wBest))
           .filter(col("rk") === 1)
         scored.groupBy(col("lang"), col("p_lang").as("predicted"))

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table (capability-forward; the
@@ -56,8 +57,74 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
   }
 
-  /** Sessionized per-user event counts with a processing-state timeout —
-    * the mapGroupsWithState shape for custom streaming state.
+  /** One in-flight session per user held as explicit stream state. */
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long)
+
+  /** A closed (gap-expired) session. */
+  case class ClosedSession(user_id: Long, session_start_sec: Long, n_events: Long, duration_sec: Long)
+
+  // public: Catalyst's generated deserializer must instantiate it
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Gap-based streaming sessionization via `flatMapGroupsWithState` —
+    * the custom-state operator the windowed built-ins can't express: a
+    * session closes `gapSec` after its LAST event (not on a fixed grid).
+    * State per user is one (start, last, count) triple; the event-time
+    * timeout (watermark-driven) closes idle sessions, so state size is
+    * bounded by ACTIVE users, not stream length. Emits closed sessions
+    * (append mode).
+    */
+  def sessionized(spark: SparkSession, eventsDir: String, gapSec: Long = 1800): Dataset[ClosedSession] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(RawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 day")
+      .select(col("user_id"), col("ts"))
+      .as[SessionEvent]
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def close(s: SessionState): ClosedSession =
+            ClosedSession(userId, s.start / 1000000L, s.nEvents, (s.lastTs - s.start) / 1000000L)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            // fold this micro-batch's events (in event-time order) into
+            // the open session, closing it whenever a gap exceeds gapSec
+            val sorted = batch.map(_.ts.getTime * 1000L).toSeq.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.lastTs <= gapSec * 1000000L =>
+                  open = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += close(s)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // time out gapSec past the session's last event
+              state.setTimeoutTimestamp(s.lastTs / 1000L + gapSec * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Per-user daily activity rollup (windowed aggregation shape; see
+    * [[sessionized]] for the custom-state operator).
     */
   def userActivity(spark: SparkSession, eventsDir: String): DataFrame = {
     import spark.implicits._

@@ -87,4 +87,24 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(2L)) == 0)
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
   }
+
+  test("connected components: chains merge, singleton pairs stay separate, min label wins") {
+    // components: {1,2,3,4} (chain), {10,11}, 20 alone (no pairs → absent)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long chain converges (diameter > a couple rounds)") {
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 13 && labels.values.forall(_ == 0L))
+  }
+
+  test("connected components: empty pair set yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
 }

@@ -63,6 +63,39 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessionization: closed sessions == batch sessions minus open ones") {
+    val q = EventStream.sessionized(spark, eventsDir, gapSec = 1800)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_sessions")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val closed = spark.table("stream_sessions").count()
+
+    // batch truth: gap-based sessions per user (LAG + running sum). After
+    // all data, every session is closed EXCEPT each user's last — and even
+    // that one closes if its event-time timeout (last event + gap) fell
+    // strictly below the final watermark (max event time - 1 day), because
+    // the engine runs a no-data batch to fire expired timers.
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val events = Tables.events(spark, sf)
+    val sessions = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+    val totalSessions = sessions.agg(sum("new_session")).collect()(0).getLong(0)
+    val watermarkMs = events.agg(unix_millis(max(col("ts")))).collect()(0).getLong(0) - 86400000L
+    val stillOpen = events.groupBy("user_id")
+      .agg(unix_millis(max(col("ts"))).as("last_ms"))
+      .filter(col("last_ms") + 1800000L >= watermarkMs)
+      .count()
+    assert(closed == totalSessions - stillOpen && closed > 0)
+  }
+
   test("streaming user activity emits per-user daily rows") {
     val q = EventStream.userActivity(spark, eventsDir)
       .writeStream

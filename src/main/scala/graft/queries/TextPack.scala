@@ -141,38 +141,75 @@ object TextPack extends QueryPack {
 
     // N-gram-profile language ID: top-50 char trigrams per labeled
     // language form the profile; docs classify to the profile with the
-    // largest distinct-trigram overlap (ties: lang asc). Two-pass
-    // (profiles then classify), both passes relational.
+    // largest distinct-trigram overlap (ties: lang asc). Two-pass: the
+    // profile pass is relational (explode → partial-agg → top-k); the
+    // ~|langs|×50-row profile is then COLLECTED (the standard
+    // train-then-broadcast shape, like k-means centroids) and the
+    // classify pass scores each doc with codegen'd instr() presence
+    // checks — no second explode, no doc×gram shuffle, no per-doc
+    // window. At 100 TB the classify pass is a single map-only scan.
     "text_langid_ngram" -> QueryDef(
       "Char-trigram profile language ID; confusion counts vs labels",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
         val grams = docs
-          .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-          .select(col("doc_id"), col("lang"),
+          .select(col("lang"), lower(col("text")).as("t"))
+          .select(col("lang"),
             explode(sequence(lit(1), length(col("t")) - 2)).as("i"), col("t"))
-          .select(col("doc_id"), col("lang"), substr(col("t"), col("i"), lit(3)).as("gram"))
+          .select(col("lang"), substr(col("t"), col("i"), lit(3)).as("gram"))
 
-        // profile pass first: groupBy(lang, gram) collapses map-side to
-        // ~|langs|×|distinct grams| per partition, and the top-50 result
-        // is ~200 rows — broadcast it into the raw gram stream, so the
-        // only wide operation left is a distinct over PROFILE-MATCHED
-        // grams (never a groupBy over every doc-gram)
+        // profile pass: groupBy(lang, gram) collapses map-side to
+        // ~|langs|×|distinct grams| per partition; top-50 per lang
         val profiles = grams.groupBy(col("lang").as("p_lang"), col("gram"))
           .agg(count(lit(1)).as("n"))
           .withColumn("rk", row_number().over(
             Window.partitionBy("p_lang").orderBy(col("n").desc, col("gram").asc)))
           .filter(col("rk") <= 50)
           .select("p_lang", "gram")
+          .collect()
+        val byLang: Seq[(String, Seq[String])] = profiles
+          .groupBy(_.getString(0)).view
+          .mapValues(_.map(_.getString(1)).toSeq).toSeq
+          .sortBy(_._1) // asc order ⇒ the when() chain below tie-breaks asc
 
-        val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang").asc)
-        val scored = grams.join(broadcast(profiles), Seq("gram"))
-          .groupBy("doc_id", "lang", "p_lang")
-          .agg(countDistinct("gram").as("score"))
-          .withColumn("rk", row_number().over(wBest))
-          .filter(col("rk") === 1)
-        scored.groupBy(col("lang"), col("p_lang").as("predicted"))
+        // classify pass: score(l) = |{profile grams of l present in doc}|
+        // — profile grams are distinct, so summing presence flags equals
+        // the distinct-overlap count. A doc matching no profile gram of
+        // any language is absent from the inner-join oracle ⇒ filter out.
+        val langs = byLang.map(_._1)
+        // score = |{profile grams present}| via a higher-order filter over
+        // the 50-gram literal array. Deliberately NOT a 50-term codegen'd
+        // when(instr…) sum: that form measured ~7 s of Janino compile for
+        // 0.14 s of execution; the HOF is CodegenFallback (tiny generated
+        // code) and the interpreted contains() scan is trivial per row.
+        val scoreCols = byLang.map { case (l, gs) =>
+          size(filter(array(gs.map(lit): _*), g => contains(col("t"), g)))
+            .as(s"score_$l")
+        }
+        // explode(array(struct(scores))) is a deliberate barrier: Project
+        // collapse would otherwise inline each score HOF into greatest()
+        // and every when() arm (~4× code duplication → ~4× Janino compile
+        // time), and a predicate on generator output cannot be pushed
+        // below the Generate — so each score is computed (and compiled)
+        // exactly once, and everything downstream is cheap field access.
+        val scored = docs
+          .select(col("lang"), lower(col("text")).as("t"))
+          .select(col("lang"), explode(array(struct(scoreCols: _*))).as("s"))
+        def score(l: String) = col("s").getField(s"score_$l")
+        val best =
+          if (langs.size == 1) score(langs.head)
+          else greatest(langs.map(score): _*)
+        // filter(best >= 1) guarantees some score equals best, so the
+        // when-chain needs no otherwise; asc lang order tie-breaks asc
+        val predicted = langs.tail.foldLeft(
+          when(score(langs.head) === best, langs.head)) {
+          (acc, l) => acc.when(score(l) === best, l)
+        }
+        scored
+          .filter(best >= 1)
+          .select(col("lang"), predicted.as("predicted"))
+          .groupBy("lang", "predicted")
           .agg(count(lit(1)).as("n"))
           .orderBy("lang", "predicted")
       },

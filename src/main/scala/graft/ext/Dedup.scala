@@ -47,25 +47,25 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Distinct (doc_id, shingle) ROWS — the relational formulation of
-    * [[shingles]]: posexplode + per-doc window leads, every step
-    * whole-stage-codegen. The array/lambda formulation re-evaluates the
-    * tokenizer per element (CodegenFallback) and measured 10s just to
-    * build shingles at sf0.1; this one is sub-second. Short docs (< n
-    * tokens) simply produce no rows.
+  /** Distinct (doc_id, shingle) ROWS — [[shingles]] exploded, entirely
+    * MAP-SIDE: the token array is materialized as an attribute behind an
+    * explode(array(...)) barrier, so the transform() lambda reads
+    * element_at(toks, i) instead of re-running the tokenizer per element
+    * (the naive lambda form measured 10 s at sf0.1 for that reason), and
+    * array_distinct gives per-doc distinctness — which IS global
+    * (doc_id, sh) distinctness — without any shuffle. An earlier
+    * formulation (posexplode → per-doc window leads → distinct) was
+    * whole-stage-codegen but paid two full shuffles of the token stream;
+    * this one pays zero. Short docs (< n tokens) produce no rows.
     */
   def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toked = docs.select(col("doc_id"),
-      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"l$k"))
-    toked
-      .select(col("doc_id") +: col("tok") +: leads: _*)
-      .filter(col(s"l${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"l$k")): _*).as("sh"))
-      .distinct()
+      explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
+    val sh = when(size(col("toks")) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
+    toked.select(col("doc_id"), explode(sh).as("sh"))
   }
 
   /** Jaccard of two docs' shingle sets from per-doc set sizes and the
@@ -83,8 +83,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val s = shingleRows(docs, n)
     val counts = s.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // shuffle_hash, explicitly: the shingle stream is the FULL corpus
+    // (never broadcastable at scale — the session's raised broadcast
+    // threshold otherwise collects it onto the driver), and both sides
+    // hash-partition by sh with no sort needed
     val inter = s.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(s.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .join(s.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
@@ -152,6 +156,11 @@ object Dedup {
     // matching shingles → counts. LSH pruned first, so this touches only
     // candidate docs' shingles.
     val counts = s.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // no join hint here: the candidate set is small relative to the
+    // corpus, so broadcasting IT (leaving the shingle stream in place,
+    // map-side) is the plan we want — Catalyst picks it from sizes, and
+    // falls back to a shuffle join if candidates ever grow past the
+    // threshold
     val nInter = candidates
       .join(s.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
       .join(s.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
@@ -250,15 +259,14 @@ object Dedup {
         .groupBy(col("src"))
         .agg(min(col("dlab")).as("nbr"))
         .withColumnRenamed("src", "node")
+      // carry the previous label through the join so convergence is read
+      // off the checkpointed result directly — no extra join per round
       val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("node", "label")
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")

@@ -29,7 +29,8 @@ object Catalog {
     queries.SimilarityPack,
     queries.MultimodalPack,
     queries.SqlSurfacePack,
-    queries.FunctionsPack)
+    queries.FunctionsPack,
+    queries.TrainPack)
 
   lazy val all: Map[String, QueryDef] = {
     val merged = packs.flatMap(_.queries)

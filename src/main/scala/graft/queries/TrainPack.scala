@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Hashing, TextAnalysis}
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Training-data pipeline operators beyond the dedup/similarity/text packs:
+  * PII redaction, repetition-based quality signals, deterministic
+  * stratified sampling, time-series gap filling, embedding quantization,
+  * and time-weighted engagement — each oracle-checked.
+  */
+object TrainPack extends QueryPack {
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // PII-shaped redaction: digit runs (account/phone-number-shaped spans)
+    // counted and replaced. Integers only — exact across engines. Runs
+    // over events.props (the corpus' only digit-bearing text column).
+    "text_pii_redact" -> QueryDef(
+      "Digit-run PII redaction counts + length deltas over events.props",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"), col("props"),
+            regexp_count(col("props"), lit("[0-9]+")).as("n_runs"),
+            (length(col("props")) -
+              length(regexp_replace(col("props"), "[0-9]+", "#"))).as("len_delta"),
+            regexp_replace(col("props"), "[0-9]+", "#").as("redacted"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum("n_runs").as("total_runs"),
+            sum("len_delta").as("total_len_delta"),
+            countDistinct("redacted").as("n_shapes"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS total_runs,
+             |  CAST(SUM(length(props) - length(regexp_replace(props, '[0-9]+', '#', 'g'))) AS BIGINT) AS total_len_delta,
+             |  COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS n_shapes
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Repetition quality signal (Gopher-style): top-token share per doc;
+    // high share = boilerplate/degenerate text. Per-doc ratio is an exact
+    // double division; rounded before the cross-doc average.
+    "text_repetition" -> QueryDef(
+      "Top-token share per doc -> per-lang repetition profile",
+      (s, dir) => {
+        val tokc = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "lang", "tok")
+          .agg(count(lit(1)).as("n"))
+        val per = tokc.groupBy("doc_id", "lang")
+          .agg((max("n").cast("double") / sum("n")).as("ratio"))
+        per.groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(round(col("ratio"), 4)), 4).as("avg_top_share"),
+            count(when(col("ratio") > 0.1, 1)).as("n_repetitive"))
+          .orderBy("lang")
+      },
+      Some("""WITH tokc AS (
+             |  SELECT doc_id, lang, tok, COUNT(*) AS n
+             |  FROM (SELECT doc_id, lang,
+             |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY doc_id, lang, tok),
+             |per AS (
+             |  SELECT doc_id, lang, CAST(MAX(n) AS DOUBLE) / SUM(n) AS ratio
+             |  FROM tokc GROUP BY doc_id, lang)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  ROUND(AVG(ROUND(ratio, 4)), 4) AS avg_top_share,
+             |  COUNT(CASE WHEN ratio > 0.1 THEN 1 END) AS n_repetitive
+             |FROM per GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Deterministic stratified sampling: md5-derived bucket of the doc id
+    // (portable across engines and re-runs — no RNG state, no reservoir),
+    // keep bucket 0 of 10 ⇒ ~10% per stratum. At 100 TB this is a
+    // map-only filter with exact reproducibility.
+    "sample_stratified" -> QueryDef(
+      "Deterministic ~10% hash sample per language stratum",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val sampled = d.filter(
+          pmod(Hashing.portableTokenHash(col("doc_id").cast("string")), lit(10L)) === 0)
+        val tot = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        val smp = sampled.groupBy("lang").agg(
+          count(lit(1)).as("n_s"),
+          round(avg("n_chars"), 4).as("avg_chars_sampled"))
+        tot.join(smp, Seq("lang"), "left")
+          .select(col("lang"), col("n_total"),
+            coalesce(col("n_s"), lit(0L)).as("n_sampled"),
+            round(coalesce(col("n_s"), lit(0L)) * lit(100.0) / col("n_total"), 2)
+              .as("sample_pct"),
+            col("avg_chars_sampled"))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (
+             |  SELECT * FROM documents
+             |  WHERE CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 10 = 0),
+             |t AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+             |m AS (SELECT lang, COUNT(*) AS n_s,
+             |        ROUND(AVG(n_chars), 4) AS avg_chars_sampled FROM s GROUP BY lang)
+             |SELECT t.lang, n_total, COALESCE(n_s, 0) AS n_sampled,
+             |  ROUND(COALESCE(n_s, 0) * 100.0 / n_total, 2) AS sample_pct,
+             |  avg_chars_sampled
+             |FROM t LEFT JOIN m USING (lang) ORDER BY lang""".stripMargin)),
+
+    // Time-series gap fill: dense (event_type × day) grid generated from
+    // the observed span, missing days forward-filled with the last
+    // observed daily average (rounded BEFORE the fill, so filled values
+    // replicate observed ones bit-for-bit).
+    "q_gap_fill" -> QueryDef(
+      "Dense daily grid per event_type with forward fill of sparse averages",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val dayId = datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long")
+        val daily = ev.filter(col("value") >= 300)
+          .select(col("event_type"), dayId.as("day_id"), col("value"))
+          .groupBy("event_type", "day_id")
+          .agg(round(avg("value"), 2).as("day_avg"))
+        val span = ev.agg(min(dayId).as("d0"), max(dayId).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day_id"))
+        val grid = daily.select("event_type").distinct().crossJoin(days)
+        grid.join(daily, Seq("event_type", "day_id"), "left")
+          .withColumn("filled",
+            last(col("day_avg"), ignoreNulls = true).over(
+              Window.partitionBy("event_type").orderBy("day_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("event_type", "day_id", "filled")
+          .orderBy("event_type", "day_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_id,
+             |    value
+             |  FROM events WHERE value >= 300),
+             |daily AS (
+             |  SELECT event_type, day_id, ROUND(AVG(value), 2) AS day_avg
+             |  FROM f GROUP BY event_type, day_id),
+             |span AS (
+             |  SELECT CAST(MIN(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS BIGINT) AS d0,
+             |         CAST(MAX(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS BIGINT) AS d1
+             |  FROM events),
+             |days AS (SELECT unnest(range(d0, d1 + 1)) AS day_id FROM span),
+             |grid AS (
+             |  SELECT t.event_type, d.day_id
+             |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN days d)
+             |SELECT g.event_type, g.day_id,
+             |  last_value(day_avg IGNORE NULLS) OVER (
+             |    PARTITION BY g.event_type ORDER BY g.day_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+             |FROM grid g LEFT JOIN daily ON daily.event_type = g.event_type
+             |                           AND daily.day_id = g.day_id
+             |ORDER BY g.event_type, g.day_id""".stripMargin)),
+
+    // Int8 scalar quantization (the memory-scale path for ANN indexes):
+    // per-vector min/max affine map to 0..255, round-trip error measured.
+    // sum_q is integer-valued (order-independent-exact); the error sum is
+    // a left-to-right fold in both engines.
+    "emb_quantize" -> QueryDef(
+      "Per-vector int8 scalar quantization codes + reconstruction error",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+        // explode(array(struct)) barrier: mn/scale computed once, not
+        // re-inlined into every lambda by project collapse
+        val base = e.select(col("vec_id"), explode(array(struct(
+            col("v0").as("v"),
+            array_min(col("v0")).as("mn"),
+            ((array_max(col("v0")) - array_min(col("v0"))) / 255.0).as("scale")))).as("b"))
+          .select(col("vec_id"), col("b.v").as("v"), col("b.mn").as("mn"),
+            col("b.scale").as("scale"))
+        val scale0 = when(col("scale") === 0.0, lit(null).cast("double"))
+          .otherwise(col("scale"))
+        def qCode(x: org.apache.spark.sql.Column) =
+          round((x - col("mn")) / scale0, 0)
+        base.select(
+          col("vec_id"),
+          aggregate(col("v"), lit(0.0),
+            (acc, x) => acc + coalesce(qCode(x), lit(0.0))).cast("long").as("sum_q"),
+          round(
+            aggregate(col("v"), lit(0.0),
+              (acc, x) => acc + abs(x - (col("mn") + coalesce(qCode(x) * col("scale"), lit(0.0)))))
+              / size(col("v")), 6).as("mean_abs_err"),
+          round(col("mn"), 6).as("vmin"),
+          round(col("scale"), 6).as("qscale"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id < 20),
+             |b AS (
+             |  SELECT vec_id, v, list_min(v) AS mn,
+             |    (list_max(v) - list_min(v)) / 255.0 AS scale
+             |  FROM e)
+             |SELECT vec_id,
+             |  CAST(list_sum(list_transform(v,
+             |    x -> COALESCE(ROUND((x - mn) / NULLIF(scale, 0), 0), 0.0))) AS BIGINT) AS sum_q,
+             |  ROUND(list_sum(list_transform(v,
+             |    x -> abs(x - (mn + COALESCE(ROUND((x - mn) / NULLIF(scale, 0), 0) * scale, 0.0)))))
+             |    / len(v), 6) AS mean_abs_err,
+             |  ROUND(mn, 6) AS vmin,
+             |  ROUND(scale, 6) AS qscale
+             |FROM b ORDER BY vec_id""".stripMargin)),
+
+    // Time-weighted engagement: dwell = gap to the user's next event
+    // (LEAD over the user timeline); millisecond integers end-to-end so
+    // sums are exact.
+    "q_time_weighted" -> QueryDef(
+      "Per-event-type dwell time from LEAD gaps on the user timeline",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("nxt", lead(col("ts"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .withColumn("dwell_ms", unix_millis(col("nxt")) - unix_millis(col("ts")))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            sum("dwell_ms").as("total_dwell_ms"),
+            round(avg("dwell_ms"), 2).as("avg_dwell_ms"))
+          .orderBy("event_type")
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type, epoch_ms(ts) AS ms,
+             |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n_gaps,
+             |  CAST(SUM(nxt - ms) AS BIGINT) AS total_dwell_ms,
+             |  ROUND(AVG(nxt - ms), 2) AS avg_dwell_ms
+             |FROM x WHERE nxt IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

@@ -227,27 +227,36 @@ object Dedup {
     * dup cluster. Returns (doc_id, cluster) for every node that appears
     * in at least one pair.
     *
-    * Scale design: each round is one shuffle join on the (narrow)
-    * symmetric edge list plus a min-aggregate — no global structures, no
-    * driver-side graph. Rounds needed = component diameter, and near-dup
-    * components are shallow (dup clusters, not long chains), so this
-    * converges in a handful of rounds; `localCheckpoint` truncates the
-    * lineage so plan size stays constant across rounds. (For adversarial
-    * long-chain graphs the large-star/small-star variant halves diameter
-    * per round — not needed for dedup workloads.) Deterministic fixpoint:
-    * the result does not depend on the round count, so the DuckDB
-    * recursive-CTE oracle reproduces it exactly.
+    * Scale design, SIZE-ADAPTIVE like broadcast-vs-shuffle joins: the
+    * near-dup edge list is dup-density-bounded, normally orders of
+    * magnitude smaller than the corpus, so when it fits comfortably on
+    * the driver (`driverEdgeLimit`, counted after dedup) a union-find
+    * with path compression labels it in one collect — O(E α(E)), no
+    * per-round job overhead. Above the limit, iterative min-label
+    * propagation: each round is one shuffle join on the (narrow)
+    * symmetric edge list plus a min-aggregate — no global structures.
+    * Rounds needed = component diameter, and near-dup components are
+    * shallow (dup clusters, not long chains), so this converges in a
+    * handful of rounds; `localCheckpoint` truncates the lineage so plan
+    * size stays constant across rounds. (For adversarial long-chain
+    * graphs the large-star/small-star variant halves diameter per round
+    * — not needed for dedup workloads.) Both paths compute the same
+    * deterministic fixpoint (min id per component), independent of round
+    * count and path choice — which is what lets a DuckDB recursive-CTE
+    * oracle check either exactly.
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      driverEdgeLimit: Long = 4000000L): DataFrame = {
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .localCheckpoint()
+    if (edges.count() <= driverEdgeLimit) return unionFindLabels(pairs.sparkSession, edges)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -271,5 +280,39 @@ object Dedup {
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Driver-side labeling of a small edge list: union-find with path
+    * compression + union by attachment to the smaller root id, then a
+    * second pass mapping every root to the component MINIMUM id — the
+    * identical fixpoint the iterative path converges to.
+    */
+  private def unionFindLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    val es = edges.collect()
+    es.foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+    }
+    val nodes = mutable.LongMap.empty[Long] // node -> root
+    es.foreach { r => nodes(r.getLong(0)) = 0L; nodes(r.getLong(1)) = 0L }
+    nodes.keys.foreach(n => nodes(n) = find(n))
+    val minOfRoot = mutable.LongMap.empty[Long]
+    nodes.foreach { case (n, root) =>
+      minOfRoot(root) = math.min(minOfRoot.getOrElse(root, n), n)
+    }
+    val rows = nodes.toSeq.map { case (n, root) => (n, minOfRoot(root)) }
+    import spark.implicits._
+    rows.toDF("doc_id", "cluster")
   }
 }

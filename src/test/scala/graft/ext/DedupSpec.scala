@@ -107,4 +107,20 @@ class DedupSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
+
+  test("connected components: driver union-find and iterative paths agree") {
+    // mixed shape: chain + triangle + isolated pair + shared-min overlap
+    val pairs = Seq(
+      (5L, 9L), (9L, 2L), (2L, 7L),       // chain with min inside, not at an end
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle
+      (30L, 31L),
+      (7L, 40L))                          // extends the chain
+      .toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = asMap(Dedup.connectedComponents(pairs)) // under limit
+    val viaRounds = asMap(Dedup.connectedComponents(pairs, driverEdgeLimit = -1L))
+    assert(viaDriver == viaRounds)
+    assert(viaDriver(5L) == 2L && viaDriver(40L) == 2L && viaDriver(22L) == 20L)
+  }
 }

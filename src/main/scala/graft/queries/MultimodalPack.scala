@@ -54,6 +54,54 @@ object MultimodalPack extends QueryPack {
              |  MAX(CAST(CEIL(CEIL(octet_length(encode(text)) / 16.0) / 4.0) AS BIGINT)) AS max_frames
              |FROM documents WHERE doc_id % 3 = 2""".stripMargin)),
 
+    // "Resize" plumbing: deterministic byte-stride downsampling of the
+    // payload (every 4th byte), the per-row transform shape a real pixel
+    // resize follows — no shuffle until the bounded rollup. Exactly
+    // oracle-checked by sampling hex-pair positions of the same payload
+    // in DuckDB (hex is uppercase in both engines).
+    "mm_resize" -> QueryDef(
+      "Byte-stride payload downsample (resize-shaped): per-kind size + distinct rollup",
+      (s, dir) => {
+        val a = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+          .select(col("asset_id"), col("kind"),
+            length(col("bytes")).as("orig_bytes"), hex(col("bytes")).as("h"))
+        // sampled byte index 4k ⇒ hex chars at 8k+1 (1-based, 2 chars);
+        // empty payloads guard the DESCENDING-sequence trap (seq(0,-1))
+        val rh = when(col("orig_bytes") === 0, lit(""))
+          .otherwise(array_join(
+            transform(
+              sequence(lit(0L), floor((col("orig_bytes") - 1) / 4).cast("long")),
+              k => substr(col("h"), (k * 8 + 1).cast("int"), lit(2))), ""))
+        a.select(col("kind"), col("orig_bytes"), rh.as("rh"))
+          .groupBy("kind")
+          .agg(
+            count(lit(1)).as("n_assets"),
+            sum("orig_bytes").as("total_orig_bytes"),
+            sum((length(col("rh")) / 2).cast("long")).as("total_resized_bytes"),
+            countDistinct(md5(col("rh"))).as("n_distinct_resized"))
+          .orderBy("kind")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS asset_id,
+             |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |    octet_length(encode(text)) AS orig_bytes,
+             |    hex(encode(text)) AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT kind, orig_bytes,
+             |    CASE WHEN orig_bytes = 0 THEN ''
+             |         ELSE array_to_string(list_transform(
+             |                range(0, CAST(FLOOR((orig_bytes - 1) / 4.0) AS BIGINT) + 1),
+             |                k -> substring(h, CAST(k * 8 + 1 AS INT), 2)), '')
+             |    END AS rh
+             |  FROM a)
+             |SELECT kind, COUNT(*) AS n_assets,
+             |  CAST(SUM(orig_bytes) AS BIGINT) AS total_orig_bytes,
+             |  CAST(SUM(CAST(length(rh) / 2 AS BIGINT)) AS BIGINT) AS total_resized_bytes,
+             |  COUNT(DISTINCT md5(rh)) AS n_distinct_resized
+             |FROM r GROUP BY kind ORDER BY kind""".stripMargin)),
+
     // The batched decode path itself (typed mapPartitions → feature rows).
     // Rows-only driver check: per-byte decode isn't SQL-expressible in the
     // oracle; MultimodalSpec asserts the feature math on known payloads.

@@ -299,7 +299,10 @@ object Dedup {
       while (parent.getOrElse(c, c) != r) { val p = parent(c); parent(c) = r; c = p }
       r
     }
-    val es = edges.collect()
+    // collect one direction only — the symmetric twin of every edge is a
+    // no-op union, so this halves driver transfer at exactly the boundary
+    // where driver memory matters
+    val es = edges.filter(col("src") < col("dst")).collect()
     es.foreach { r =>
       val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
       if (a != b) { if (a < b) parent(b) = a else parent(a) = b }

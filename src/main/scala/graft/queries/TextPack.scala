@@ -12,6 +12,50 @@ object TextPack extends QueryPack {
 
   private val EnStop = TextAnalysis.Stopwords("en").map(s => s"'$s'").mkString(", ")
 
+  /** text_langid_ngram classify pass: score(l) = |{profile grams of l
+    * present in doc}| — profile grams are distinct, so summing presence
+    * flags equals the distinct-overlap count. A doc matching no profile
+    * gram of any language is absent from the inner-join oracle ⇒ filtered
+    * out. Scores are higher-order filters over 50-gram literal arrays —
+    * deliberately NOT a 50-term codegen'd when(instr…) sum: that form
+    * measured ~7 s of Janino compile for 0.14 s of execution; the HOF is
+    * CodegenFallback (tiny generated code) and the interpreted contains()
+    * scan is trivial per row. The explode(array(struct(scores))) is a
+    * barrier: Project collapse would otherwise inline each score HOF into
+    * greatest() and every when() arm (~4× code duplication → ~4× Janino
+    * compile time), and a predicate on generator output cannot be pushed
+    * below the Generate — so each score is computed (and compiled) exactly
+    * once, and everything downstream is cheap field access.
+    */
+  private def classify(
+      docs: org.apache.spark.sql.DataFrame,
+      byLang: Seq[(String, Seq[String])]): org.apache.spark.sql.DataFrame = {
+    val langs = byLang.map(_._1)
+    val scoreCols = byLang.map { case (l, gs) =>
+      size(filter(array(gs.map(lit): _*), g => contains(col("t"), g)))
+        .as(s"score_$l")
+    }
+    val scored = docs
+      .select(col("lang"), lower(col("text")).as("t"))
+      .select(col("lang"), explode(array(struct(scoreCols: _*))).as("s"))
+    def score(l: String) = col("s").getField(s"score_$l")
+    val best =
+      if (langs.size == 1) score(langs.head)
+      else greatest(langs.map(score): _*)
+    // filter(best >= 1) guarantees some score equals best, so the
+    // when-chain needs no otherwise; asc lang order tie-breaks asc
+    val predicted = langs.tail.foldLeft(
+      when(score(langs.head) === best, langs.head)) {
+      (acc, l) => acc.when(score(l) === best, l)
+    }
+    scored
+      .filter(best >= 1)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
   def queries: Map[String, QueryDef] = Map(
 
     "text_tokens" -> QueryDef(
@@ -125,7 +169,10 @@ object TextPack extends QueryPack {
           // substr: every step is whole-stage codegen. A transform()
           // lambda would run interpreted per element (CodegenFallback)
           .select(lower(col("text")).as("t"))
-          .select(col("t"), explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
+          // len < 3 guard: sequence(1, len-2) would generate DESCENDING
+          .select(col("t"), explode(
+            when(length(col("t")) >= 3, sequence(lit(1), length(col("t")) - 2))
+              .otherwise(array().cast("array<int>"))).as("i"))
           .select(substr(col("t"), col("i"), lit(3)).as("gram"))
           .groupBy("gram")
           .agg(count(lit(1)).as("n"))
@@ -153,10 +200,14 @@ object TextPack extends QueryPack {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
+        // guard sub-3-char texts: sequence(1, len-2) would generate a
+        // DESCENDING sequence for len < 3 (Spark defaults step to -1),
+        // where the oracle's range(1, len-1) is empty
+        val positions = when(length(col("t")) >= 3, sequence(lit(1), length(col("t")) - 2))
+          .otherwise(array().cast("array<int>"))
         val grams = docs
           .select(col("lang"), lower(col("text")).as("t"))
-          .select(col("lang"),
-            explode(sequence(lit(1), length(col("t")) - 2)).as("i"), col("t"))
+          .select(col("lang"), explode(positions).as("i"), col("t"))
           .select(col("lang"), substr(col("t"), col("i"), lit(3)).as("gram"))
 
         // profile pass: groupBy(lang, gram) collapses map-side to
@@ -173,45 +224,13 @@ object TextPack extends QueryPack {
           .mapValues(_.map(_.getString(1)).toSeq).toSeq
           .sortBy(_._1) // asc order ⇒ the when() chain below tie-breaks asc
 
-        // classify pass: score(l) = |{profile grams of l present in doc}|
-        // — profile grams are distinct, so summing presence flags equals
-        // the distinct-overlap count. A doc matching no profile gram of
-        // any language is absent from the inner-join oracle ⇒ filter out.
-        val langs = byLang.map(_._1)
-        // score = |{profile grams present}| via a higher-order filter over
-        // the 50-gram literal array. Deliberately NOT a 50-term codegen'd
-        // when(instr…) sum: that form measured ~7 s of Janino compile for
-        // 0.14 s of execution; the HOF is CodegenFallback (tiny generated
-        // code) and the interpreted contains() scan is trivial per row.
-        val scoreCols = byLang.map { case (l, gs) =>
-          size(filter(array(gs.map(lit): _*), g => contains(col("t"), g)))
-            .as(s"score_$l")
-        }
-        // explode(array(struct(scores))) is a deliberate barrier: Project
-        // collapse would otherwise inline each score HOF into greatest()
-        // and every when() arm (~4× code duplication → ~4× Janino compile
-        // time), and a predicate on generator output cannot be pushed
-        // below the Generate — so each score is computed (and compiled)
-        // exactly once, and everything downstream is cheap field access.
-        val scored = docs
-          .select(col("lang"), lower(col("text")).as("t"))
-          .select(col("lang"), explode(array(struct(scoreCols: _*))).as("s"))
-        def score(l: String) = col("s").getField(s"score_$l")
-        val best =
-          if (langs.size == 1) score(langs.head)
-          else greatest(langs.map(score): _*)
-        // filter(best >= 1) guarantees some score equals best, so the
-        // when-chain needs no otherwise; asc lang order tie-breaks asc
-        val predicted = langs.tail.foldLeft(
-          when(score(langs.head) === best, langs.head)) {
-          (acc, l) => acc.when(score(l) === best, l)
-        }
-        scored
-          .filter(best >= 1)
-          .select(col("lang"), predicted.as("predicted"))
-          .groupBy("lang", "predicted")
-          .agg(count(lit(1)).as("n"))
-          .orderBy("lang", "predicted")
+        if (byLang.isEmpty) {
+          // no grams at all (empty corpus / all sub-3-char texts): the
+          // oracle's inner joins yield nothing — degrade to empty, don't
+          // throw (RobustnessSpec contract)
+          import s.implicits._
+          Seq.empty[(String, String, Long)].toDF("lang", "predicted", "n")
+        } else classify(docs, byLang)
       },
       Some("""WITH grams AS (
              |  SELECT doc_id, lang,

@@ -31,6 +31,17 @@ class RobustnessSpec extends AnyFunSuite {
     assert(ext.Dedup.simHashRows(docs).count() == 3) // "" still yields one token row
   }
 
+  test("trigram queries degrade to empty on a sub-3-char corpus (no descending sequence)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-robust").toString
+    Seq((1L, "ab", "en", "s", 2L), (2L, "", "de", "s", 0L), (3L, "x", "fr", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // profile pass finds no grams -> classify degrades to empty
+    assert(Catalog.all("text_langid_ngram").fn(spark, dir).count() == 0)
+    assert(Catalog.all("text_chargrams").fn(spark, dir).count() == 0)
+  }
+
   test("approx sketches stay within tolerance of exact (the 100TB substitutes)") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val row = li.agg(

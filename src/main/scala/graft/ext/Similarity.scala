@@ -233,6 +233,63 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** ANN top-k via SQ8 scalar quantization: the candidate scan runs over
+    * per-vector affine int8 codes (smallint column — 4× smaller than
+    * float32 at rest and in shuffle, the memory-scale lever emb_quantize
+    * measures the error of), scoring candidates with the DEQUANTIZED
+    * approximate cosine; the top `rerank` per query are re-scored with
+    * full-precision vectors. Every step is deterministic (affine code
+    * map, left-to-right folds), so a DuckDB oracle replays the whole
+    * path — approximate operator, exactly checked.
+    */
+  def sq8TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      rerank: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(
+      withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "qv")
+        .select("query_id", "qv"))
+    val c = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol, "cv")
+      .select("neighbor_id", "cv")
+
+    // quantize: per-vector (mn, scale) + smallint codes. The explode
+    // barrier keeps mn/scale evaluated once (not re-inlined per lambda).
+    val quant = c.select(col("neighbor_id"), explode(array(struct(
+        col("cv").as("cv"),
+        array_min(col("cv")).as("mn"),
+        ((array_max(col("cv")) - array_min(col("cv"))) / 255.0).as("scale")))).as("b"))
+      .select(col("neighbor_id"), col("b.mn").as("mn"), col("b.scale").as("scale"),
+        transform(col("b.cv"), x =>
+          coalesce(
+            round((x - col("b.mn")) /
+              when(col("b.scale") === 0.0, lit(null).cast("double")).otherwise(col("b.scale")), 0),
+            lit(0.0)).cast("smallint")).as("codes"))
+
+    // approximate scan over the quantized table only
+    val wApprox = Window.partitionBy("query_id").orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val cand = quant.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"),
+        dot(col("qv"),
+          transform(col("codes"), cd => col("mn") + cd.cast("double") * col("scale"))).as("ascore"))
+      .select(col("query_id"), col("neighbor_id"), col("ascore"))
+      .withColumn("rk", row_number().over(wApprox))
+      .filter(col("rk") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // full-precision re-rank of the candidate slice
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .join(c, Seq("neighbor_id"))
+      .join(q.withColumnRenamed("qv", "qv2"), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv2"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** All-pairs cosine near-duplicates ≥ threshold — the exact verification
     * variant, deliberately bounded to ids &lt; `idCap` (O(n²) pairs do not
     * scale; the slice keeps the oracle meaningful at every SF while LSH

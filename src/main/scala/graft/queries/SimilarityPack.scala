@@ -115,6 +115,48 @@ object SimilarityPack extends QueryPack {
               |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Memory-scale path: SQ8-quantized candidate scan (4× smaller codes)
+    // + full-precision re-rank of the top-50. Deterministic affine map +
+    // left-to-right folds ⇒ the oracle replays the entire path exactly.
+    "sim_topk_sq8" -> QueryDef(
+      "ANN top-5 via int8 scalar-quantized scan + full-precision re-rank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.sq8TopK(e.filter(col("vec_id") < 8), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${normCte("")},
+              |q AS (SELECT vec_id AS query_id, nv AS qv FROM e WHERE vec_id < 8),
+              |z AS (
+              |  SELECT vec_id AS neighbor_id, nv, mn, scale,
+              |    list_transform(nv, x ->
+              |      COALESCE(ROUND((x - mn) / NULLIF(scale, 0), 0), 0.0)) AS codes
+              |  FROM (SELECT vec_id, nv, list_min(nv) AS mn,
+              |          (list_max(nv) - list_min(nv)) / 255.0 AS scale
+              |        FROM e)),
+              |approx AS (
+              |  SELECT query_id, neighbor_id, ascore,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY ascore DESC, neighbor_id ASC) AS rk
+              |  FROM (
+              |    SELECT q.query_id, z.neighbor_id,
+              |      list_dot_product(q.qv,
+              |        list_transform(z.codes, cd -> z.mn + cd * z.scale)) AS ascore
+              |    FROM q JOIN z ON z.neighbor_id <> q.query_id)),
+              |cand AS (SELECT query_id, neighbor_id FROM approx WHERE rk <= 50),
+              |scored AS (
+              |  SELECT query_id, neighbor_id, list_dot_product(eq.nv, ec.nv) AS cos
+              |  FROM cand
+              |  JOIN e eq ON eq.vec_id = query_id
+              |  JOIN e ec ON ec.vec_id = neighbor_id),
+              |r AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Scale path: sign-LSH candidate buckets + exact re-rank. The
     // hyperplanes are pure functions of (table, plane, dim), so the oracle
     // embeds the identical weights as SQL array literals and replays the

@@ -51,6 +51,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@5 = $recall") // 16 cells, probe 4, unclustered data
   }
 
+  test("SQ8 top-k achieves near-perfect recall@5 against brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, k = 5))
+    val sq8 = pairs(Similarity.sq8TopK(q, e, k = 5))
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    // int8 error is tiny relative to cosine gaps; top-50 re-rank should
+    // recover essentially all true top-5
+    assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = Tables.embeddings(spark, sf).limit(20)
     val b1 = e.select(Similarity.lshBucket(col("embedding"), 64).as("b")).collect().map(_.getLong(0))

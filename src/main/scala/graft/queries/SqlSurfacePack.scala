@@ -275,6 +275,46 @@ object SqlSurfacePack extends QueryPack {
             round(abs(col("approx_customers") - col("exact_customers")) /
               col("exact_customers"), 4))
           .orderBy("o_orderpriority"),
-      None)
+      None),
+
+    // ANSI-safe casting: try_cast yields NULL on malformed input instead
+    // of failing the job — the posture a 100 TB ingest of dirty text
+    // needs (a single bad row must not kill a 6-hour job).
+    "q_try_cast" -> QueryDef(
+      "try_cast parses valid JSON ints and nulls unparseable strings",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"),
+            expr("try_cast(event_type AS INT)").as("bad"),
+            expr("try_cast(props AS DOUBLE)").as("bad2"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("k").as("sum_k"),
+            count(col("bad")).as("n_bad_parsed"),
+            count(col("bad2")).as("n_bad2_parsed"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             |  COUNT(TRY_CAST(event_type AS INT)) AS n_bad_parsed,
+             |  COUNT(TRY_CAST(props AS DOUBLE)) AS n_bad2_parsed
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "q_bit_agg" -> QueryDef(
+      "Bitwise aggregates (bit_and/bit_or/bit_xor) of line numbers per flag",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bit_and(l_linenumber)").as("ba"),
+            expr("bit_or(l_linenumber)").as("bo"),
+            expr("bit_xor(l_linenumber)").as("bx"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, BIT_AND(l_linenumber) AS ba,
+             |  BIT_OR(l_linenumber) AS bo, BIT_XOR(l_linenumber) AS bx,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

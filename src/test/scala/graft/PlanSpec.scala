@@ -46,6 +46,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("shingle self-join never broadcasts the corpus stream") {
+    // regression: under the raised broadcast threshold Catalyst once chose
+    // BroadcastHashJoin for the inverted-index self-join, collecting the
+    // full shingle stream onto the driver — fatal at scale. The hint pins
+    // shuffle_hash; the small counts joins may still broadcast.
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("ShuffledHashJoin"),
+      "inverted-index self-join must be a shuffled hash join")
+  }
+
   test("shuffle budget: exchange counts stay at their designed minimum") {
     // shuffle exchanges only — BroadcastExchange is the cheap, desired kind
     def exchanges(name: String): Int =

@@ -102,6 +102,32 @@ object FunctionsPack extends QueryPack {
              |ORDER BY g_rf, g_ls,
              |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // MapType surface: per-region map of nation -> customer count built
+    // with sort_array(collect_list(struct)) (deterministic order — bare
+    // collect_list order is shuffle-dependent) -> map_from_entries ->
+    // exploded back to rows. The oracle never builds a map: the round
+    // trip must be the identity over the plain GROUP BY result.
+    "q_map_roundtrip" -> QueryDef(
+      "map_from_entries/explode round trip over per-region nation counts",
+      (s, dir) => {
+        val n = Tables.nation(s, dir)
+        val c = Tables.customer(s, dir)
+        val counts = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_regionkey", "n_name")
+          .agg(count(lit(1)).as("n_customers"))
+        counts
+          .groupBy("n_regionkey")
+          .agg(map_from_entries(
+            sort_array(collect_list(struct(col("n_name"), col("n_customers")))))
+            .as("m"))
+          .select(col("n_regionkey"), explode(col("m")).as(Seq("n_name", "n_customers")))
+          .orderBy("n_regionkey", "n_name")
+      },
+      Some("""SELECT n_regionkey, n_name, COUNT(*) AS n_customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_regionkey, n_name
+             |ORDER BY n_regionkey, n_name""".stripMargin)),
+
     "q_cross_join" -> QueryDef(
       "Cartesian product of the two smallest dims (explicit crossJoin)",
       (s, dir) => {

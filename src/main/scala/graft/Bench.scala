@@ -29,11 +29,17 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    val results = queries.map { case (name, fn) =>
+    // Two timed passes, min per query: single-pass numbers showed ±45%
+    // run-to-run swings from transient host stalls (one 0.4s query
+    // spiking to 11s); min-of-2 after warm-up measures steady-state
+    // throughput, which is what the baseline comparison is about.
+    def timedPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = p1.zip(p2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
     // Keep the line compact (3-decimal seconds, numeric sf): the driver
     // captures only a bounded tail of stdout, and a multi-KB line risks
     // being truncated mid-JSON before it is parsed.

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Band (pure non-equi) join: pairs with |a.v − b.v| ≤ width and NO
+  * equality key. Spark plans the naive theta join as a
+  * BroadcastNestedLoopJoin — O(n·m) comparisons and a full broadcast,
+  * fatal at scale. This operator makes it shuffle-parallel by bucket
+  * expansion (the guide's "custom operator" case solved at level (a),
+  * composition, before reaching for a custom SparkPlan):
+  *
+  *   bucket(v) = floor(v / width). Any pair within `width` lands in the
+  *   same or adjacent buckets, so replicating ONE side to its 3 adjacent
+  *   buckets and equi-joining on the bucket id finds every candidate;
+  *   the exact band predicate then filters false positives within the
+  *   joined buckets.
+  *
+  * Cost: 3× replication of one side + one hash shuffle per side +
+  * Σ bucket_a × bucket_b work per bucket — linear-ish when values are
+  * spread, versus n·m always for the nested loop. Skewed value ranges
+  * (many rows in one bucket) degrade toward the per-bucket product; the
+  * standard mitigation (salt the hot bucket) composes on top.
+  */
+object BandJoin {
+
+  /** Self-band-join: ordered pairs (k_a < k_b) from `df` whose `valCol`
+    * values differ by at most `width`. Output: k_a, k_b, v_a, v_b.
+    */
+  def selfPairs(df: DataFrame, keyCol: String, valCol: String, width: Double): DataFrame = {
+    val a = df
+      .select(col(keyCol).as("k_a"), col(valCol).as("v_a"))
+      .withColumn("bucket", floor(col("v_a") / width))
+    val b0 = floor(col("v_b") / width)
+    val b = df
+      .select(col(keyCol).as("k_b"), col(valCol).as("v_b"))
+      // adjacent buckets are distinct values, so a qualifying pair meets
+      // in EXACTLY one bucket — no post-join dedup needed
+      .select(col("k_b"), col("v_b"),
+        explode(array(b0 - 1, b0, b0 + 1)).as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("k_a") < col("k_b") && abs(col("v_a") - col("v_b")) <= width)
+      .select("k_a", "k_b", "v_a", "v_b")
+  }
+}

@@ -185,6 +185,29 @@ object JoinPack extends QueryPack {
              |WHERE a.o_custkey % 100 = 0
              |ORDER BY a.o_custkey, k_a, k_b""".stripMargin)),
 
+    // PURE non-equi band join (no equality key at all): Spark's native
+    // plan is a BroadcastNestedLoopJoin — O(n·m); ops/BandJoin turns it
+    // into a shuffle-parallel equi join on floor-bucket ids (candidates
+    // meet only through same/adjacent buckets). Oracle = the plain theta
+    // join, so the bucketing must be invisible in the result.
+    "q_band_join" -> QueryDef(
+      "Order pairs within $100 total price of each other (pure band join, bucketed)",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_custkey") % 50 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        graft.ops.BandJoin.selfPairs(o, "o_orderkey", "o_totalprice", width = 100.0)
+          .select(col("k_a"), col("k_b"),
+            round(abs(col("v_a") - col("v_b")), 2).as("price_gap"))
+          .orderBy("k_a", "k_b")
+      },
+      Some("""SELECT a.o_orderkey AS k_a, b.o_orderkey AS k_b,
+             |  ROUND(abs(a.o_totalprice - b.o_totalprice), 2) AS price_gap
+             |FROM orders a JOIN orders b
+             |  ON a.o_orderkey < b.o_orderkey
+             | AND abs(a.o_totalprice - b.o_totalprice) <= 100.0
+             |WHERE a.o_custkey % 50 = 0 AND b.o_custkey % 50 = 0
+             |ORDER BY k_a, k_b""".stripMargin)),
+
     // TPC-H Q5 shape: full star join, revenue per nation.
     "q_local_revenue" -> QueryDef(
       "TPC-H Q5-like: customer+orders+lineitem+supplier+nation star join, broadcast dims",

@@ -56,6 +56,13 @@ class PlanSpec extends AnyFunSuite {
       "inverted-index self-join must be a shuffled hash join")
   }
 
+  test("band join plans as an equi join on buckets, never a nested loop") {
+    val p = plan("q_band_join")
+    assert(!p.contains("NestedLoop"),
+      "pure non-equi band join must not degrade to BroadcastNestedLoopJoin")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("shuffle budget: exchange counts stay at their designed minimum") {
     // shuffle exchanges only — BroadcastExchange is the cheap, desired kind
     def exchanges(name: String): Int =

@@ -140,4 +140,44 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), approx_count_distinct("event_type").as("n_types"))
       .select(col("user_id"), col("window.start").as("day"), col("n_events"), col("n_types"))
   }
+
+  /** Stream-static enrichment: the stream joins a STATIC dimension frame
+    * (here: per-type value quantiles precomputed in batch) — planned as a
+    * broadcast join per micro-batch, no stream state at all. This is the
+    * canonical "enrich events with reference data" production shape; the
+    * static side can be re-read per trigger for slowly-changing dims.
+    */
+  def enriched(spark: SparkSession, eventsDir: String, typeStats: DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(RawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .join(broadcast(typeStats), Seq("event_type"))
+      .withColumn("is_high", col("value") > col("p90"))
+  }
+
+  /** Stream-stream join: each 'view' matched to the same user's 'click's
+    * within [view, view + 1h] — both sides watermarked so join state is
+    * bounded (views held 1h past the watermark, clicks dropped once no
+    * future view can reach back to them).
+    */
+  def viewClickJoin(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream
+      .schema(RawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+  }
 }

@@ -96,6 +96,48 @@ class EventStreamSpec extends AnyFunSuite {
     assert(closed == totalSessions - stillOpen && closed > 0)
   }
 
+  test("stream-static enrichment == batch join with the same dim") {
+    val stats = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.9)").as("p90"))
+    val q = EventStream.enriched(spark, eventsDir, stats)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_enriched")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_enriched")
+    val batchHigh = Tables.events(spark, sf)
+      .join(stats, Seq("event_type"))
+      .filter(col("value") > col("p90")).count()
+    assert(streamed.count() == Tables.events(spark, sf).count())
+    assert(streamed.filter(col("is_high")).count() == batchHigh && batchHigh > 0)
+  }
+
+  test("stream-stream view->click join == batch theta join on a bounded source") {
+    val q = EventStream.viewClickJoin(spark, eventsDir)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_vc")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_vc").count()
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"))
+    val batch = v.join(c,
+      col("user_id") === col("cu") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR")).count()
+    assert(streamed == batch && batch > 0)
+  }
+
   test("streaming user activity emits per-user daily rows") {
     val q = EventStream.userActivity(spark, eventsDir)
       .writeStream

@@ -204,6 +204,61 @@ object TrainPack extends QueryPack {
              |  ROUND(scale, 6) AS qscale
              |FROM b ORDER BY vec_id""".stripMargin)),
 
+    // The CAPSTONE: the whole training-data prep DAG as one composed
+    // query — exact dedup (keep min doc per fingerprint), quality gate,
+    // deterministic 1-of-2 hash sample, per-lang corpus stats. Every
+    // stage is an operator proven above; this proves they COMPOSE with
+    // oracle-exact results end to end.
+    "train_pipeline_e2e" -> QueryDef(
+      "End-to-end prep: exact dedup -> quality gate -> hash sample -> per-lang stats",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        val deduped = docs
+          .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+        val gated = deduped
+          .withColumn("q", TextAnalysis.qualityScore(col("text")))
+          .filter(col("q") >= 0.2)
+        val sampled = gated.filter(
+          pmod(Hashing.portableTokenHash(col("doc_id").cast("string")), lit(2L)) === 0)
+        sampled
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+            round(avg("q"), 4).as("avg_quality"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id, lang,
+              |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              |    len(regexp_split_to_array(lower(text), '\\s+')) AS ntok,
+              |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              |        t -> t IN (${TextAnalysis.Stopwords("en").map(x => s"'$x'").mkString(", ")}))) AS nstop,
+              |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct,
+              |    length(text) AS nchar
+              |  FROM documents),
+              |dedup AS (
+              |  SELECT * FROM (
+              |    SELECT m.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+              |    FROM m)
+              |  WHERE rk = 1),
+              |scored AS (
+              |  SELECT doc_id, lang, ntok,
+              |    ROUND(LEAST(1.0, ntok / 50.0) * (1.0 - npunct / nchar)
+              |          * (0.5 + 0.5 * nstop / ntok), 4) AS q
+              |  FROM dedup),
+              |kept AS (
+              |  SELECT * FROM scored
+              |  WHERE q >= 0.2
+              |    AND CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 2 = 0)
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+              |  ROUND(AVG(q), 4) AS avg_quality
+              |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Time-weighted engagement: dwell = gap to the user's next event
     // (LEAD over the user timeline); millisecond integers end-to-end so
     // sums are exact.

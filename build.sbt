@@ -26,8 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 threads × a 92-query warm-up+timed double pass accumulates
-  // broadcasts and codegen classes; 8g produced mid-run full-GC storms
-  // (single queries spiking 0.4s -> 11s). The harness box has 128 GiB.
+  // 32 threads × ~94 queries × 3 bench passes (warm-up + 2 timed)
+  // accumulates broadcasts and codegen classes; 8g produced mid-run
+  // full-GC storms (single queries spiking 0.4s -> 11s). Box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -5,9 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query and total seconds
   * over SPARK_GRAFT_SF_DIR (default sf0.1).
   *
-  * Two passes: an untimed warm-up (JIT, codegen compilation, parquet
-  * footer caches — the first query otherwise absorbs ~5s of one-time JVM
-  * cost) and then the timed pass in sorted name order.
+  * Three passes in sorted name order: an untimed warm-up (JIT, codegen
+  * compilation, parquet footer caches — the first query otherwise
+  * absorbs ~5s of one-time JVM cost), then TWO timed passes with the
+  * per-query minimum reported; "total" is the sum of minima (steady-state
+  * throughput), not the wall time of any single pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

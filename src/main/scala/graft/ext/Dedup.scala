@@ -301,8 +301,10 @@ object Dedup {
     }
     // collect one direction only — the symmetric twin of every edge is a
     // no-op union, so this halves driver transfer at exactly the boundary
-    // where driver memory matters
-    val es = edges.filter(col("src") < col("dst")).collect()
+    // where driver memory matters. <= (not <) keeps self-loop edges:
+    // a node appearing only in a reflexive pair must still be labeled,
+    // matching the iterative path
+    val es = edges.filter(col("src") <= col("dst")).collect()
     es.foreach { r =>
       val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
       if (a != b) { if (a < b) parent(b) = a else parent(a) = b }

@@ -271,10 +271,9 @@ object Similarity {
     // approximate scan over the quantized table only
     val wApprox = Window.partitionBy("query_id").orderBy(col("ascore").desc, col("neighbor_id").asc)
     val cand = quant.join(q, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"),
+      .select(col("query_id"), col("neighbor_id"),
         dot(col("qv"),
           transform(col("codes"), cd => col("mn") + cd.cast("double") * col("scale"))).as("ascore"))
-      .select(col("query_id"), col("neighbor_id"), col("ascore"))
       .withColumn("rk", row_number().over(wApprox))
       .filter(col("rk") <= rerank)
       .select("query_id", "neighbor_id")

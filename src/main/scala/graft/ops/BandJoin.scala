@@ -28,6 +28,9 @@ object BandJoin {
     * values differ by at most `width`. Output: k_a, k_b, v_a, v_b.
     */
   def selfPairs(df: DataFrame, keyCol: String, valCol: String, width: Double): DataFrame = {
+    // width = 0 would make floor(v/width) NULL everywhere and silently
+    // return nothing, not the equal-value pairs |Δv| <= 0 defines
+    require(width > 0, s"band width must be positive, got $width")
     val a = df
       .select(col(keyCol).as("k_a"), col(valCol).as("v_a"))
       .withColumn("bucket", floor(col("v_a") / width))

@@ -27,16 +27,24 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming daily (event-time) counts/sums per event_type with a 1-day
-    * watermark for late data. `eventsDir` is a DIRECTORY of parquet files
-    * (the file-stream source watches directories, not single files).
+  /** The shared streaming source: schema'd parquet file stream with the
+    * nano-long ts converted to a timestamp (same truncation as
+    * Tables.events). ONE place for the ts handling rule.
     */
-  def dailyAgg(spark: SparkSession, eventsDir: String): DataFrame = {
+  private def source(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(RawSchema)
       .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Streaming daily (event-time) counts/sums per event_type with a 1-day
+    * watermark for late data. `eventsDir` is a DIRECTORY of parquet files
+    * (the file-stream source watches directories, not single files).
+    */
+  def dailyAgg(spark: SparkSession, eventsDir: String): DataFrame = {
+    source(spark, eventsDir)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
@@ -48,11 +56,7 @@ object EventStream {
     * training-pipeline dedup stage (state bounded by the watermark).
     */
   def dedupedEvents(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(RawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    source(spark, eventsDir)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
   }
@@ -76,11 +80,7 @@ object EventStream {
     */
   def sessionized(spark: SparkSession, eventsDir: String, gapSec: Long = 1800): Dataset[ClosedSession] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(RawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = source(spark, eventsDir)
       .withWatermark("ts", "1 day")
       .select(col("user_id"), col("ts"))
       .as[SessionEvent]
@@ -128,11 +128,7 @@ object EventStream {
     */
   def userActivity(spark: SparkSession, eventsDir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(RawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = source(spark, eventsDir)
       .withWatermark("ts", "1 day")
 
     events
@@ -148,11 +144,7 @@ object EventStream {
     * static side can be re-read per trigger for slowly-changing dims.
     */
   def enriched(spark: SparkSession, eventsDir: String, typeStats: DataFrame): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(RawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    source(spark, eventsDir)
       .join(broadcast(typeStats), Seq("event_type"))
       .withColumn("is_high", col("value") > col("p90"))
   }
@@ -163,11 +155,7 @@ object EventStream {
     * future view can reach back to them).
     */
   def viewClickJoin(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = spark.readStream
-      .schema(RawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src = source(spark, eventsDir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")

@@ -123,4 +123,13 @@ class DedupSpec extends AnyFunSuite {
     assert(viaDriver == viaRounds)
     assert(viaDriver(5L) == 2L && viaDriver(40L) == 2L && viaDriver(22L) == 20L)
   }
+
+  test("connected components: self-loop pairs label the node on both paths") {
+    val pairs = Seq((7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(7L -> 7L, 1L -> 1L, 2L -> 1L)
+    assert(asMap(Dedup.connectedComponents(pairs)) == expected)
+    assert(asMap(Dedup.connectedComponents(pairs, driverEdgeLimit = -1L)) == expected)
+  }
 }

@@ -150,6 +150,52 @@ object RefPipelinePack extends QueryPack {
       }),
 
     // R2 — long→wide dynamic pivot (groupBy().pivot(), README.md:167-203).
+    // Incremental upsert — the scale-friendly alternative to the
+    // reference's DROP-and-recreate load (connect_postgre.py:240): new
+    // keys inserted, existing keys updated, absent keys kept, as one
+    // full-outer join with per-column COALESCE. At 100 TB the same shape
+    // backs a MERGE INTO against a keyed table layout.
+    "q_upsert" -> QueryDef(
+      "Full-outer-join upsert of a 10%-repriced order slice into orders",
+      (s, dir) => {
+        // all money math in integer CENTS: round(x*1.1, 2) on doubles
+        // hits half-up ties that Spark (BigDecimal) and DuckDB resolve
+        // differently by 1 cent, and double sums drift by partial-sum
+        // order; integer cents are exact in both engines everywhere
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("b_cents"),
+            col("o_orderstatus"))
+        val updates = base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            expr("b_cents * 11 DIV 10").as("u_cents"),
+            lit("R").as("u_orderstatus"))
+        base.join(updates, Seq("o_orderkey"), "full_outer")
+          .select(col("o_orderkey"),
+            coalesce(col("u_cents"), col("b_cents")).as("cents"),
+            coalesce(col("u_orderstatus"), col("o_orderstatus")).as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            (sum("cents") / 100.0).as("total_price"))
+          .orderBy("status")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS b_cents,
+             |    o_orderstatus
+             |  FROM orders),
+             |updates AS (
+             |  SELECT o_orderkey, b_cents * 11 // 10 AS u_cents,
+             |         'R' AS u_orderstatus
+             |  FROM base WHERE o_orderkey % 10 = 0),
+             |merged AS (
+             |  SELECT COALESCE(u.u_cents, b.b_cents) AS cents,
+             |         COALESCE(u.u_orderstatus, b.o_orderstatus) AS status
+             |  FROM base b FULL OUTER JOIN updates u USING (o_orderkey))
+             |SELECT status, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) / 100.0 AS total_price
+             |FROM merged GROUP BY status ORDER BY status""".stripMargin)),
+
     "q_pivot_wide" -> QueryDef(
       "groupBy(day).pivot(event_type) daily value sums (manual-pivot analogue)",
       (s, dir) =>

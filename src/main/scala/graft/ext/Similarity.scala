@@ -193,6 +193,14 @@ object Similarity {
         }
         .sortBy(_._1)
 
+    if (centroids.isEmpty) {
+      // empty corpus slice ⇒ no index model; degrade to an empty result
+      // with the contract schema instead of a 0-arg greatest() crash
+      import c.sparkSession.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "cosine")
+    }
+
     // argmax over struct(cdot, -cent_id): max cdot, ties to the SMALLEST
     // cent_id — same order as the ROW_NUMBER() (cdot DESC, cent_id ASC)
     // spelling in the oracle. greatest() evaluates each child ONCE; a

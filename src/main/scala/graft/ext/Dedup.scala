@@ -79,10 +79,31 @@ object Dedup {
     * with an empty intersection has jaccard 0 and can never pass), so the
     * O(n²) cross join never materializes — the cost is Σ per-shingle
     * bucket², which stays near-linear when shingles are discriminative.
+    *
+    * `maxShingleDf` is the hot-shingle skew valve for 100 TB corpora: a
+    * shingle appearing in d documents contributes d² join work, so
+    * boilerplate shingles (stopword runs, headers) dominate cost while
+    * contributing least similarity signal. Capping drops shingles with
+    * document frequency > cap from the JOIN only (per-doc set sizes stay
+    * exact), which can only LOWER a pair's counted intersection — the
+    * capped result is a subset of the exact pairs (no false positives;
+    * recall traded for bounded bucket width). None = exact (the oracled
+    * default).
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val s = shingleRows(docs, n)
-    val counts = s.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val all = shingleRows(docs, n)
+    val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val s = maxShingleDf match {
+      case Some(cap) =>
+        val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        all.join(hot, Seq("sh"), "left_anti")
+      case None => all
+    }
     // shuffle_hash, explicitly: the shingle stream is the FULL corpus
     // (never broadcastable at scale — the session's raised broadcast
     // threshold otherwise collects it onto the driver), and both sides

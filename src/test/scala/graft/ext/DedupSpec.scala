@@ -124,6 +124,20 @@ class DedupSpec extends AnyFunSuite {
     assert(viaDriver(5L) == 2L && viaDriver(40L) == 2L && viaDriver(22L) == 20L)
   }
 
+  test("df-capped jaccard join: no false positives, generous cap = exact") {
+    val docs = Tables.documents(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.3))
+    // a cap above every shingle's document frequency changes nothing
+    val generous = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.3, maxShingleDf = Some(1000000L)))
+    assert(generous == exact)
+    // a tight cap may drop pairs (lower counted intersections) but can
+    // never invent them
+    val tight = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.3, maxShingleDf = Some(3L)))
+    assert(tight.subsetOf(exact))
+  }
+
   test("connected components: self-loop pairs label the node on both paths") {
     val pairs = Seq((7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
     def asMap(df: org.apache.spark.sql.DataFrame) =

@@ -95,7 +95,12 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Option[Long] = None): DataFrame = {
-    val all = shingleRows(docs, n)
+    // capped path materializes the shingle stream once: counts, the df
+    // aggregate, and both self-join sides all read it, and the anti-join
+    // breaks the exchange-reuse the uncapped plan gets for free
+    val all =
+      if (maxShingleDf.isDefined) shingleRows(docs, n).localCheckpoint()
+      else shingleRows(docs, n)
     val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val s = maxShingleDf match {
       case Some(cap) =>

@@ -194,8 +194,13 @@ object Similarity {
         .sortBy(_._1)
 
     if (centroids.isEmpty) {
-      // empty corpus slice ⇒ no index model; degrade to an empty result
-      // with the contract schema instead of a 0-arg greatest() crash
+      // no centroid ids in [0, nCentroids): legitimate ONLY when the
+      // corpus itself is empty (degrade to the contract-schema empty
+      // frame). A populated corpus with no low ids is a caller
+      // misconfiguration — fail loudly rather than silently return
+      // zero recall.
+      require(c.isEmpty,
+        s"ivfTopK: corpus is non-empty but has no ids < $nCentroids to seed centroids")
       import c.sparkSession.implicits._
       return Seq.empty[(Long, Int, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "cosine")
@@ -210,7 +215,9 @@ object Similarity {
       val scored = centroids.map { case (cid, w) =>
         struct(dot(vec, typedLit(w)).as("cdot"), lit(-cid).as("negid"))
       }
-      -greatest(scored: _*).getField("negid")
+      // greatest() requires >= 2 args; one centroid means one cell
+      if (scored.size == 1) -scored.head.getField("negid")
+      else -greatest(scored: _*).getField("negid")
     }
 
     val assigned = c.withColumn("cell", bestCell(col("cv")))

@@ -149,7 +149,6 @@ object RefPipelinePack extends QueryPack {
            |ORDER BY mes DESC""".stripMargin
       }),
 
-    // R2 — long→wide dynamic pivot (groupBy().pivot(), README.md:167-203).
     // Incremental upsert — the scale-friendly alternative to the
     // reference's DROP-and-recreate load (connect_postgre.py:240): new
     // keys inserted, existing keys updated, absent keys kept, as one
@@ -196,6 +195,7 @@ object RefPipelinePack extends QueryPack {
              |  CAST(SUM(cents) AS BIGINT) / 100.0 AS total_price
              |FROM merged GROUP BY status ORDER BY status""".stripMargin)),
 
+    // R2 — long→wide dynamic pivot (groupBy().pivot(), README.md:167-203).
     "q_pivot_wide" -> QueryDef(
       "groupBy(day).pivot(event_type) daily value sums (manual-pivot analogue)",
       (s, dir) =>

@@ -17,8 +17,7 @@ class EmptyInputSpec extends AnyFunSuite {
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
     val src = "/root/testdata/sf0.001"
-    Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "documents", "embeddings").foreach { t =>
+    Tables.names.filterNot(_ == "events").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }

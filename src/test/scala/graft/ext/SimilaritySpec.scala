@@ -64,6 +64,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
   }
 
+  test("IVF degenerate inputs: single-vector corpus works, bad ids fail loudly") {
+    val e = Tables.embeddings(spark, sf)
+    // exactly one centroid (greatest() needs >= 2 args — single cell path)
+    val one = e.filter(col("vec_id") === 0)
+    assert(Similarity.ivfTopK(one, one, k = 5).count() == 0) // only self
+    // a populated corpus with no ids < nCentroids is a misconfiguration,
+    // not an empty result
+    val high = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(high.limit(2), high, k = 5).count()
+    }
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = Tables.embeddings(spark, sf).limit(20)
     val b1 = e.select(Similarity.lshBucket(col("embedding"), 64).as("b")).collect().map(_.getLong(0))

@@ -149,6 +149,36 @@ object RefPipelinePack extends QueryPack {
            |ORDER BY mes DESC""".stripMargin
       }),
 
+    // CSV round trip (S6 sink + S7 inferred reader) made oracle-checked:
+    // a lineitem slice goes parquet → partitioned CSV (header) → CSV read
+    // with schema inference → aggregation. The oracle aggregates the
+    // ORIGINAL parquet, so the round trip must be a value-exact identity
+    // — including doubles, which Spark prints shortest-repr and re-parses
+    // bit-equal.
+    "q_csv_roundtrip" -> QueryDef(
+      "Parquet -> CSV -> read-back identity, aggregated per returnflag",
+      (s, dir) => {
+        val slice = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 20 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+        graft.io.CsvSink.write(slice, tmp)
+        s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0)
+              .as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+             |FROM lineitem WHERE l_orderkey % 20 = 0
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Incremental upsert — the scale-friendly alternative to the
     // reference's DROP-and-recreate load (connect_postgre.py:240): new
     // keys inserted, existing keys updated, absent keys kept, as one

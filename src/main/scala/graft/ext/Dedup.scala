@@ -282,7 +282,15 @@ object Dedup {
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .localCheckpoint()
-    if (edges.count() <= driverEdgeLimit) return unionFindLabels(pairs.sparkSession, edges)
+    // one job decides AND fetches: collect up to limit+1 one-direction
+    // edges (src <= dst keeps self-loops); a spill past the limit means
+    // "too big for the driver" and we fall through to the iterative path
+    if (driverEdgeLimit >= 0) {
+      val sample = edges.filter(col("src") <= col("dst"))
+        .limit(math.min(driverEdgeLimit, Int.MaxValue - 1).toInt + 1).collect()
+      if (sample.length <= driverEdgeLimit)
+        return unionFindLabels(pairs.sparkSession, sample)
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -308,14 +316,15 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 
-  /** Driver-side labeling of a small edge list: union-find with path
-    * compression + union by attachment to the smaller root id, then a
-    * second pass mapping every root to the component MINIMUM id — the
-    * identical fixpoint the iterative path converges to.
+  /** Driver-side labeling of a small (already collected, one-direction)
+    * edge list: union-find with path compression + union by attachment to
+    * the smaller root id, then a second pass mapping every root to the
+    * component MINIMUM id — the identical fixpoint the iterative path
+    * converges to.
     */
   private def unionFindLabels(
       spark: org.apache.spark.sql.SparkSession,
-      edges: DataFrame): DataFrame = {
+      es: Array[org.apache.spark.sql.Row]): DataFrame = {
     import scala.collection.mutable
     val parent = mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
@@ -325,12 +334,6 @@ object Dedup {
       while (parent.getOrElse(c, c) != r) { val p = parent(c); parent(c) = r; c = p }
       r
     }
-    // collect one direction only — the symmetric twin of every edge is a
-    // no-op union, so this halves driver transfer at exactly the boundary
-    // where driver memory matters. <= (not <) keeps self-loop edges:
-    // a node appearing only in a reflexive pair must still be labeled,
-    // matching the iterative path
-    val es = edges.filter(col("src") <= col("dst")).collect()
     es.foreach { r =>
       val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
       if (a != b) { if (a < b) parent(b) = a else parent(a) = b }

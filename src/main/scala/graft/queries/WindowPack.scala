@@ -177,6 +177,28 @@ object WindowPack extends QueryPack {
              |        LEAD(o_orderdate, 1) OVER (PARTITION BY o_custkey
              |             ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_orderdate
              |      FROM orders WHERE o_custkey % 100 = 0)
-             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // IGNORE NULLS lag: carry the most recent HIGH-value order's price
+    // past any number of low-value orders — the sparse-series lookup
+    // shape (sensor last-reading, last-known-price) that a plain lag(1)
+    // cannot express.
+    "q_window_lag_ignore_nulls" -> QueryDef(
+      "lag(high-value price IGNORE NULLS): last prior high order per customer",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") % 100 === 0)
+          .withColumn("high_price", when(col("o_totalprice") >= 200000, col("o_totalprice")))
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("high_price"), 1, null, ignoreNulls = true).over(w).as("prev_high_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  LAG(CASE WHEN o_totalprice >= 200000 THEN o_totalprice END, 1 IGNORE NULLS)
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+             |    AS prev_high_price
+             |FROM orders WHERE o_custkey % 100 = 0
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }

@@ -65,4 +65,48 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Broadcast-build native form of [[leftAsOf]] — identical semantics,
+    * planned through the engine's own Catalyst operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.BroadcastAsOfJoinExec]]).
+    * The left side never moves (no shuffle, no sort); the right side is
+    * collected into per-key sorted arrays and broadcast, so use this when
+    * the right side is dimension-sized and [[leftAsOf]] when both sides
+    * are fact-sized.
+    */
+  def leftAsOfBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    GraftShims.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lplan = left.queryExecution.analyzed
+    // Re-mint the right side's exprIds: in the common self-as-of case both
+    // sides slice the same scan, and a custom binary node can't rely on
+    // DeduplicateRelations to untangle which duplicate id means which side.
+    val rAnalyzed = right.queryExecution.analyzed
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rplan = Project(rAliases, rAnalyzed)
+    val rAttrs: Seq[Attribute] = rAliases.map(_.toAttribute)
+    def lAttr(name: String) =
+      lplan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${lplan.output.map(_.name)}"))
+    def rAttr(name: String) =
+      rAttrs.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${rAttrs.map(_.name)}"))
+    val rightValues = valueCols.map(rAttr)
+    val outValues = rightValues.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    GraftShims.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lplan, rplan,
+      lAttr(keyCol), lAttr(tsCol),
+      rAttr(keyCol), rAttr(tsCol), rAttr(rightTieBreak),
+      rightValues, outValues))
+  }
 }

@@ -10,10 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[VectorExpressions]].
   *
   * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. No custom
-  * optimizer rules or strategies are injected — SURVEY.md §4.2: the
-  * built-in planner covers every operator here; extensions are limited to
-  * functions Spark genuinely lacks.
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. Extensions are
+  * limited to what Spark genuinely lacks (SURVEY.md §4.2): one native
+  * expression and one whole-operator strategy (broadcast as-of join,
+  * [[AsOfJoinStrategy]]); the built-in planner covers everything else.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         DotProductExpr(children.head, children(1))
       }))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

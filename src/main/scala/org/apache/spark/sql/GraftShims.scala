@@ -1,6 +1,8 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkStrategy
 
 /** Bridge for lifting a Catalyst Expression into the public Column API:
   * `classic.ExpressionUtils` is private[sql] in Spark 4, so the engine's
@@ -22,4 +24,21 @@ object GraftShims {
     spark.asInstanceOf[classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Lift a custom logical plan into a DataFrame (`Dataset.ofRows` is
+    * private[sql]).
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to a LIVE session via the public
+    * `ExperimentalMethods` hook; the builder-time path is
+    * `withExtensions(new graft.plans.GraftExtensions)`.
+    */
+  def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
+  }
 }

@@ -42,4 +42,54 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(got((k, ts, id)) == expected, s"key=$k ts=$ts")
     }
   }
+
+  test("native broadcast form matches the composed form row-for-row") {
+    import spark.implicits._
+    val gen = for {
+      key <- Gen.chooseNum(0L, 8L)
+      ts <- Gen.chooseNum(0L, 500L)
+      id <- Gen.chooseNum(0L, 100000L)
+    } yield (key, ts, id)
+    val sample = Gen.listOfN(600, gen).apply(Gen.Parameters.default, Seed(11L)).get.distinct
+    val (leftRows, rightRows) = sample.splitAt(sample.size / 2)
+    val left = leftRows.toDF("k", "ts", "left_id")
+    val right = rightRows.toDF("k", "ts", "right_id")
+
+    val composed = AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("right_id"), "right_id")
+    val native = AsOfJoin.leftAsOfBroadcast(left, right, "k", "ts", Seq("right_id"), "right_id")
+
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    val c = composed.collect().map(_.toSeq).sortBy(_.toString)
+    val n = native.collect().map(_.toSeq).sortBy(_.toString)
+    assert(n.toSeq == c.toSeq)
+  }
+
+  test("native form plans to BroadcastAsOfJoinExec and never moves the left side") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "ts", "left_id")
+    val right = Seq((1L, 5L, 100L)).toDF("k", "ts", "right_id")
+    val native = AsOfJoin.leftAsOfBroadcast(left, right, "k", "ts", Seq("right_id"), "right_id")
+    val physical = native.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastAsOfJoin"))
+    // probe side stays in place: no exchange or sort above the left scan
+    assert(!physical.contains("Exchange"))
+    assert(!physical.contains("Sort"))
+  }
+
+  test("native form: empty right side yields all-null matches; null keys never match") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "ts", "left_id")
+    val emptyRight = Seq.empty[(Long, Long, Long)].toDF("k", "ts", "right_id")
+    val out = AsOfJoin.leftAsOfBroadcast(left, emptyRight, "k", "ts", Seq("right_id"), "right_id")
+      .collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(3)))
+
+    val nullableLeft = Seq((Some(1L), 10L, 1L), (None, 20L, 2L))
+      .toDF("k", "ts", "left_id")
+    val right = Seq((1L, 5L, 100L)).toDF("k", "ts", "right_id")
+    val out2 = AsOfJoin.leftAsOfBroadcast(nullableLeft, right, "k", "ts", Seq("right_id"), "right_id")
+      .collect().map(r => (r.get(0), Option(r.get(3)))).toMap
+    assert(out2(1L) == Some(100L))
+    assert(out2(null) == None)
+  }
 }

@@ -179,6 +179,36 @@ object RefPipelinePack extends QueryPack {
              |FROM lineitem WHERE l_orderkey % 20 = 0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Partitioned-layout round trip: write a slice partitioned by
+    // priority, read it back with a partition predicate. At 100 TB this
+    // layout turns the filter into directory pruning — the scan never
+    // opens non-matching partitions (PlanSpec asserts PartitionFilters).
+    // Oracle aggregates the original table: the round trip must be the
+    // identity.
+    "q_partition_prune" -> QueryDef(
+      "Parquet partitionBy write + partition-pruned read-back vs original",
+      (s, dir) => {
+        val slice = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"),
+            col("o_orderpriority"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+        slice.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+        // explicit schema: an all-empty write leaves no footer to infer from
+        s.read.schema(slice.schema).parquet(tmp)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM orders
+             |WHERE o_orderkey % 10 = 0
+             |  AND o_orderpriority IN ('1-URGENT', '5-LOW')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Incremental upsert — the scale-friendly alternative to the
     // reference's DROP-and-recreate load (connect_postgre.py:240): new
     // keys inserted, existing keys updated, absent keys kept, as one

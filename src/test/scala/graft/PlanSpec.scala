@@ -46,6 +46,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("per-key top-k pushes a partial WindowGroupLimit below the shuffle") {
+    // rank <= k must prune map-side (each task keeps k rows per key) —
+    // the difference between shuffling k rows and shuffling the table
+    val p = plan("q_window_rank")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial") && p.contains("Final"))
+  }
+
+  test("partitioned read-back prunes partitions at the source") {
+    val p = plan("q_partition_prune")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    // the priority predicate must be a directory-level partition filter,
+    // not a post-scan row filter
+    assert(scanLine.contains("o_orderpriority"), s"no partition filter in: $scanLine")
+  }
+
   test("shingle self-join never broadcasts the corpus stream") {
     // regression: under the raised broadcast threshold Catalyst once chose
     // BroadcastHashJoin for the inverted-index self-join, collecting the

@@ -77,6 +77,32 @@ object TrainPack extends QueryPack {
     // (portable across engines and re-runs — no RNG state, no reservoir),
     // keep bucket 0 of 10 ⇒ ~10% per stratum. At 100 TB this is a
     // map-only filter with exact reproducibility.
+    // Exact-k-per-stratum sampling: rank over a deterministic md5 order
+    // and keep rk <= k. The rank<=k filter plans a Partial
+    // WindowGroupLimit (PlanSpec-asserted pattern), so each map task
+    // forwards at most k rows per stratum — at 100 TB the shuffle carries
+    // k×|strata| rows, not the corpus. Complements the ~10% hash sample
+    // below when the contract is "exactly k examples per class".
+    "sample_exact_k" -> QueryDef(
+      "Exactly k=5 docs per language stratum in deterministic hash order",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val hk = Hashing.portableTokenHash(col("doc_id").cast("string"))
+        val w = Window.partitionBy("lang").orderBy(hk.asc, col("doc_id").asc)
+        d.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id, n_chars
+             |FROM (SELECT lang, doc_id, n_chars,
+             |        ROW_NUMBER() OVER (PARTITION BY lang
+             |          ORDER BY CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) ASC,
+             |                   doc_id ASC) AS rk
+             |      FROM documents)
+             |WHERE rk <= 5
+             |ORDER BY lang, rk""".stripMargin)),
+
     "sample_stratified" -> QueryDef(
       "Deterministic ~10% hash sample per language stratum",
       (s, dir) => {

@@ -179,6 +179,50 @@ object RefPipelinePack extends QueryPack {
              |FROM lineitem WHERE l_orderkey % 20 = 0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // JSON-lines round trip (same identity pattern as q_csv_roundtrip):
+    // typed write -> schema-bound read-back -> aggregate; the oracle
+    // aggregates the original parquet, so serialization must be lossless.
+    "q_json_roundtrip" -> QueryDef(
+      "Parquet -> JSON-lines -> read-back identity, aggregated per priority",
+      (s, dir) => {
+        val slice = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 25 === 0)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"),
+            col("o_orderpriority"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+        slice.write.mode("overwrite").json(tmp)
+        s.read.schema(slice.schema).json(tmp)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM orders WHERE o_orderkey % 25 = 0
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ORC round trip — the third columnar-interchange format next to
+    // parquet and CSV; types survive natively so the schema is re-read.
+    "q_orc_roundtrip" -> QueryDef(
+      "Parquet -> ORC -> read-back identity, aggregated per returnflag",
+      (s, dir) => {
+        val slice = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 25 === 0)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+        slice.write.mode("overwrite").orc(tmp)
+        s.read.schema(slice.schema).orc(tmp)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem WHERE l_orderkey % 25 = 0
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Partitioned-layout round trip: write a slice partitioned by
     // priority, read it back with a partition predicate. At 100 TB this
     // layout turns the filter into directory pruning — the scan never

@@ -47,11 +47,32 @@ object MetricsView {
     buildView(events, types)
   }
 
-  private def buildView(events: DataFrame, types: Seq[String]): DataFrame = {
-    val daily = events
+  /** Stage 1 — the per-(day, type) aggregate, kept as decomposable
+    * sum+count (NOT avg) so a stream can maintain it incrementally:
+    * streaming state merges sums and counts; `avg` happens only in stage
+    * 2. Spark's own Average evaluates as sum/count at the end, so the
+    * split is value-identical to the fused form.
+    */
+  def dailyAggregate(events: DataFrame): DataFrame =
+    events
       .filter(col("value").isNotNull)
       .groupBy(to_date(col("ts")).as("dia"), col("event_type"))
-      .agg(avg(col("value")).as("valor_atual"))
+      .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("n_value"))
+
+  /** Stage 2 — the view over a maintained stage-1 aggregate (batch or the
+    * compacted output of [[graft.streaming.EventStream.maintainedDaily]]).
+    * Everything here runs on (days × types) rows, never fact cardinality.
+    */
+  def fromDailyAggregate(daily: DataFrame, types: Seq[String]): DataFrame =
+    finishView(
+      daily.select(col("dia"), col("event_type"),
+        (col("sum_value") / col("n_value")).as("valor_atual")),
+      types)
+
+  private def buildView(events: DataFrame, types: Seq[String]): DataFrame =
+    fromDailyAggregate(dailyAggregate(events), types)
+
+  private def finishView(daily: DataFrame, types: Seq[String]): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("dia")
     val taxa = daily
       .withColumn("valor_anterior", lag(col("valor_atual"), 1).over(w))

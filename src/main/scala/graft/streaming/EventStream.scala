@@ -51,6 +51,25 @@ object EventStream {
       .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Incrementally-maintained stage 1 of the flagship view: the same
+    * decomposable sum+count aggregate as
+    * [[graft.ops.MetricsView.dailyAggregate]], maintained by streaming
+    * state (sums and counts merge; avg happens in stage 2). Productionized
+    * flagship = this stream compacting into a (days × types) table +
+    * [[graft.ops.MetricsView.fromDailyAggregate]] as the serving query —
+    * the LAG/pivot/HAVING stages run over the tiny maintained aggregate,
+    * never over the event stream itself.
+    */
+  def maintainedDaily(spark: SparkSession, eventsDir: String): DataFrame = {
+    source(spark, eventsDir)
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(sum("value").as("sum_value"), count(lit(1)).as("n_value"))
+      .select(to_date(col("window.start")).as("dia"), col("event_type"),
+        col("sum_value"), col("n_value"))
+  }
+
   /** Streaming deduplication: exact dedup on (user_id, event_type, value)
     * within the watermark horizon — the streaming form of the
     * training-pipeline dedup stage (state bounded by the watermark).

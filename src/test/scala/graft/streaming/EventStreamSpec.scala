@@ -96,6 +96,25 @@ class EventStreamSpec extends AnyFunSuite {
     assert(closed == totalSessions - stillOpen && closed > 0)
   }
 
+  test("flagship view over the stream-maintained aggregate == batch metrics_view") {
+    val q = EventStream.maintainedDaily(spark, eventsDir)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_maintained_daily")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamedView = graft.ops.MetricsView.fromDailyAggregate(
+      spark.table("stream_maintained_daily"), graft.ops.MetricsView.eventTypes)
+      .collect()
+    val batchView = graft.ops.MetricsView(Tables.events(spark, sf)).collect()
+
+    assert(streamedView.length == batchView.length && streamedView.length > 0)
+    assert(streamedView.map(_.toSeq).toSeq == batchView.map(_.toSeq).toSeq)
+  }
+
   test("stream-static enrichment == batch join with the same dim") {
     val stats = Tables.events(spark, sf)
       .groupBy("event_type")

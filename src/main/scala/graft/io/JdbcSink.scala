@@ -19,9 +19,11 @@ object JdbcSink {
   /** Spark type → SQL DDL type, mirroring the reference's
     * pandas_to_sql_type map (connect_postgre.py:121-147): ints→INTEGER
     * family, floats→DOUBLE PRECISION/REAL, bool→BOOLEAN,
-    * datetime→TIMESTAMP, everything else TEXT.
+    * datetime→TIMESTAMP, everything else a string type — `stringSql`
+    * defaults to PostgreSQL's TEXT; engines without it (Derby) pass a
+    * VARCHAR(n) spelling.
     */
-  def sqlType(dt: DataType): String = dt match {
+  def sqlType(dt: DataType, stringSql: String = "TEXT"): String = dt match {
     case LongType                    => "BIGINT"
     case IntegerType                 => "INTEGER"
     case ShortType | ByteType        => "SMALLINT"
@@ -31,7 +33,7 @@ object JdbcSink {
     case TimestampType               => "TIMESTAMP"
     case DateType                    => "DATE"
     case d: DecimalType              => s"DECIMAL(${d.precision},${d.scale})"
-    case _                           => "TEXT"
+    case _                           => stringSql
   }
 
   /** The canonical IDA table's explicit column DDL
@@ -41,9 +43,38 @@ object JdbcSink {
     "id BIGINT, grupo_economico TEXT, servico TEXT, mes_referencia DATE, " +
       "valor DOUBLE PRECISION, tipo_servico TEXT"
 
-  /** DDL column list for an arbitrary frame via [[sqlType]]. */
-  def createTableColumnTypes(df: DataFrame): String =
-    df.schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+  /** DDL column list for an arbitrary frame via [[sqlType]] — the
+    * PostgreSQL-facing DDL the reference builds (connect_postgre.py:
+    * 171-207), usable with a plain JDBC statement.
+    */
+  def createTableColumnTypes(df: DataFrame, stringSql: String = "TEXT"): String =
+    df.schema.fields.map(f => s"${f.name} ${sqlType(f.dataType, stringSql)}").mkString(", ")
+
+  /** Column-type list for Spark's `createTableColumnTypes` WRITE option,
+    * which Spark validates as SPARK DDL (not engine DDL — the JDBC
+    * dialect translates to engine types at CREATE TABLE). The only
+    * meaningful overrides are therefore string width and decimal
+    * precision; `stringSql` carries the VARCHAR spelling (PostgreSQL's
+    * dialect would map plain STRING to TEXT, Derby's to CLOB — an
+    * explicit VARCHAR(n) gives the reference's typed-column behavior on
+    * both).
+    */
+  def sparkColumnTypes(df: DataFrame, stringSql: String = "VARCHAR(10000)"): String =
+    df.schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType             => "BIGINT"
+        case IntegerType          => "INTEGER"
+        case ShortType | ByteType => "SMALLINT"
+        case DoubleType           => "DOUBLE"
+        case FloatType            => "FLOAT"
+        case BooleanType          => "BOOLEAN"
+        case TimestampType        => "TIMESTAMP"
+        case DateType             => "DATE"
+        case d: DecimalType       => s"DECIMAL(${d.precision},${d.scale})"
+        case _                    => stringSql
+      }
+      s"${f.name} $t"
+    }.mkString(", ")
 
   /** Database bootstrap (SURVEY.md §2.1 S8; connect_postgre.py:68-119):
     * CREATE DATABASE if absent, via a plain driver-side JDBC connection to
@@ -66,6 +97,14 @@ object JdbcSink {
     } finally conn.close()
   }
 
+  /** Engine-neutral database bootstrap: embedded engines (Derby) create
+    * the database as a URL attribute (`;create=true`), so opening one
+    * connection IS create-if-absent; PostgreSQL URLs need the catalog
+    * query in [[createDatabaseIfAbsent]] against the system database.
+    */
+  def ensureDatabase(url: String, props: Properties = new Properties()): Unit =
+    java.sql.DriverManager.getConnection(url, props).close()
+
   /** Overwrite-write with explicit types and per-partition batching
     * (DROP+CREATE semantics like the reference's recreate-on-rerun).
     */
@@ -74,10 +113,11 @@ object JdbcSink {
       url: String,
       table: String,
       props: Properties = new Properties(),
-      batchSize: Int = 10000): Unit =
+      batchSize: Int = 10000,
+      stringSql: String = "VARCHAR(10000)"): Unit =
     df.write
       .mode(SaveMode.Overwrite)
-      .option("createTableColumnTypes", createTableColumnTypes(df))
+      .option("createTableColumnTypes", sparkColumnTypes(df, stringSql))
       .option("batchsize", batchSize)
       .jdbc(url, table, props)
 }

@@ -202,6 +202,68 @@ object RefPipelinePack extends QueryPack {
              |FROM orders WHERE o_orderkey % 25 = 0
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // JDBC round trip against embedded Derby (ships with Spark) — closes
+    // the reference's database load path end-to-end (SURVEY.md §2.1
+    // S8+S9, /root/reference/connect_postgre.py:209-321): ensureDatabase
+    // bootstrap, typed-DDL overwrite write, JDBC read-back. The oracle
+    // aggregates the ORIGINAL parquet, so the database round trip must be
+    // a value-exact identity.
+    "q_jdbc_roundtrip" -> QueryDef(
+      "DataFrame -> Derby JDBC table (typed DDL) -> read-back identity per segment",
+      (s, dir) => {
+        System.setProperty("derby.stream.error.file",
+          java.nio.file.Files.createTempDirectory("graft-derby").resolve("derby.log").toString)
+        val url = "jdbc:derby:memory:graftdb;create=true"
+        graft.io.JdbcSink.ensureDatabase(url)
+        val slice = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("acctbal_cents"),
+            col("c_mktsegment"))
+        graft.io.JdbcSink.write(slice, url, "customer_rt", stringSql = "VARCHAR(255)")
+        s.read.jdbc(url, "customer_rt", new java.util.Properties())
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("acctbal_cents").as("sum_cents"),
+            min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+             |FROM customer WHERE c_custkey % 10 = 0
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ODS round trip — the reference's PRIMARY ingest format
+    // (/root/reference/main.py:259-276) finally oracle-gated: a frame goes
+    // OdsWriter → .ods zip → format("ods") read (all-string, positional
+    // columns) → the real pipeline header promotion (Reshape) → typed
+    // re-cast. The oracle reads the ORIGINAL table, so the spreadsheet
+    // round trip must be a value-exact identity.
+    "q_ods_roundtrip" -> QueryDef(
+      "DataFrame -> .ods file -> format(\"ods\") read + header promotion vs original",
+      (s, dir) => {
+        val nat = Tables.nation(s, dir)
+          .orderBy("n_nationkey")
+          .collect()
+        // ODS is a driver-side exchange format (spreadsheet-sized by
+        // construction): header row + all-string data rows
+        val rows: Seq[Seq[String]] =
+          Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++
+            nat.map(r => Seq(r.getInt(0).toString, r.getString(1), r.getInt(2).toString)).toSeq
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ods").toString
+        graft.io.OdsWriter.write(rows, s"$tmp/nation.ods")
+        val raw = s.read.format("ods").load(s"$tmp/nation.ods")
+        val promoted = graft.ops.Reshape.promoteHeader(
+          graft.ops.Reshape.withRowIndex(raw), headerIdx = 0)
+        promoted.select(
+            col("n_nationkey").cast("int").as("n_nationkey"),
+            col("n_name"),
+            col("n_regionkey").cast("int").as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // ORC round trip — the third columnar-interchange format next to
     // parquet and CSV; types survive natively so the schema is re-read.
     "q_orc_roundtrip" -> QueryDef(

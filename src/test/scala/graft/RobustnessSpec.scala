@@ -57,4 +57,13 @@ class RobustnessSpec extends AnyFunSuite {
     assert(math.abs(approxM - exactM) / exactM < 0.01,
       s"percentile_approx err: $approxM vs $exactM")
   }
+
+  test("q_approx_distinct's in-query error gate keeps every priority (rel_err < 5%)") {
+    // The query filters out any group whose HLL estimate misses by >= 5%,
+    // so the driver's rows-only check becomes a real bound: all 5 order
+    // priorities must survive the gate.
+    val out = Catalog.all("q_approx_distinct").fn(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 5, s"expected 5 priorities within the 5% bound, got ${out.length}")
+    out.foreach(r => assert(r.getDouble(r.fieldIndex("rel_err")) < 0.05))
+  }
 }

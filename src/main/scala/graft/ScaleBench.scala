@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-trend benchmark: runs the most expensive queries
+  * against amplified copies of the base SF directory (×2 … ×16) and
+  * reports per-query wall time vs scale, so the "≲ linear growth"
+  * claim in SCALING.md is measured rather than argued.
+  *
+  * Amplification is union-replication with per-replica perturbation —
+  * NOT byte-identical copies, which would be pathological inputs for
+  * the near-dup family (k identical copies of every doc ⇒ k² genuine
+  * near-dup pairs, a property of degenerate data, not of the
+  * operators). Each replica instead simulates *new* data:
+  *  - documents: ids offset; every token prefixed with a replica tag
+  *    (disjoint shingle/token space per replica ⇒ near-dup pair count
+  *    and vocabulary grow linearly, as they would with real new data);
+  *  - embeddings: ids offset; vectors rotated by `r` positions
+  *    (norm-preserving, decorrelates replicas so LSH/IVF buckets fill
+  *    the way genuinely new vectors would);
+  *  - lineitem/orders: order keys offset (join structure preserved,
+  *    key space grows);
+  *  - dimensions are copied unchanged — at 100 TB the facts grow while
+  *    dims stay dimension-sized, so that is the honest scaling shape.
+  *
+  * Usage: runMain graft.ScaleBench [baseSfDir] [scalesCsv]
+  * Output: one JSON line per (scale, query) plus a final markdown
+  * table (pasted into SCALING.md) with the ×N/×1 time ratios.
+  */
+object ScaleBench {
+
+  /** Expensive queries whose input is the full (un-sliced) corpus or
+    * fact tables — the ones whose cost can actually track the scale.
+    */
+  val ScaleQueries: Seq[String] = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "text_chargrams", "text_langid_ngram", "text_vocab_stats",
+    "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_sq8",
+    "q_join_fact_fact", "q_local_revenue")
+
+  private val IdOffset = 100000000L
+
+  /** k perturbed replicas of `df` unioned together; replica 0 is the
+    * original frame bit-for-bit.
+    */
+  private def amplify(df: DataFrame, k: Int)(perturb: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until k).map(r => if (r == 0) df else perturb(df, r)).reduce(_.union(_))
+
+  def materialize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
+    val fs = new java.io.File(outDir)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+
+    amplify(Tables.documents(spark, baseDir), k) { (d, r) =>
+      d.select(
+        (col("doc_id") + lit(r * IdOffset)).as("doc_id"),
+        // prefix every token with a replica tag: replica shingle/token
+        // spaces are disjoint, so near-dup pairs stay intra-replica
+        regexp_replace(col("text"), "(\\S+)", s"r$r$$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    amplify(Tables.embeddings(spark, baseDir), k) { (d, r) =>
+      val rot = r % 64
+      d.select(
+        (col("vec_id") + lit(r * IdOffset)).as("vec_id"),
+        // rotate the vector by r positions: norm-preserving but
+        // decorrelated from the source replica
+        concat(slice(col("embedding"), rot + 1, 64 - rot),
+          slice(col("embedding"), 1, rot)).as("embedding"),
+        col("label"))
+    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    amplify(Tables.lineitem(spark, baseDir), k) { (d, r) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * IdOffset))
+    }.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    amplify(Tables.orders(spark, baseDir), k) { (d, r) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(r * IdOffset))
+    }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      Tables.load(spark, baseDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    new java.io.File(fs, "_DONE").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val scales = args.lift(1).getOrElse("1,2,4,8,16").split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val queries = SparkEntry.queries.filter { case (n, _) => ScaleQueries.contains(n) }
+      .toSeq.sortBy(_._1)
+    require(queries.map(_._1) == ScaleQueries.sorted,
+      s"missing scale queries: ${ScaleQueries.diff(queries.map(_._1)).mkString(",")}")
+
+    val dirs: Seq[(Int, String)] = scales.map { k =>
+      if (k == 1) k -> baseDir
+      else {
+        val d = s"target/scalebench/x$k"
+        materialize(spark, baseDir, d, k)
+        k -> d
+      }
+    }
+
+    // one untimed warm-up pass at the smallest scale (JIT + codegen +
+    // parquet footers), then min-of-2 timed passes per scale
+    queries.foreach { case (_, fn) => fn(spark, dirs.head._2).count() }
+    val results: Seq[(Int, Seq[(String, Double)])] = dirs.map { case (k, dir) =>
+      def pass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val (p1, p2) = (pass(), pass())
+      val mins = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+      mins.foreach { case (n, t) =>
+        println(f"""{"scale":$k,"query":"$n","sec":$t%.3f}""")
+      }
+      k -> mins
+    }
+
+    // markdown table: rows = queries, columns = scales, cells = sec (ratio vs ×1)
+    val base = results.head._2.toMap
+    println()
+    val lastK = results.last._1
+    println("| query | " + results.map { case (k, _) => s"×$k" }.mkString(" | ") + s" | ×$lastK/×1 |")
+    println("|---|" + results.map(_ => "---|").mkString + "---|")
+    queries.map(_._1).foreach { q =>
+      val cells = results.map { case (k, m) =>
+        val t = m.toMap.apply(q)
+        if (k == 1) f"$t%.2f s" else f"$t%.2f s (${t / base(q)}%.1f×)"
+      }
+      val last = results.last._2.toMap.apply(q) / base(q)
+      println(s"| $q | " + cells.mkString(" | ") + f" | $last%.1f |")
+    }
+    val totals = results.map { case (k, m) => k -> m.map(_._2).sum }
+    println("| **total** | " + totals.map { case (k, t) =>
+      if (k == 1) f"$t%.2f s" else f"$t%.2f s (${t / totals.head._2}%.1f×)"
+    }.mkString(" | ") + f" | ${totals.last._2 / totals.head._2}%.1f |")
+    spark.stop()
+  }
+}

@@ -66,7 +66,11 @@ object JdbcSink {
         case IntegerType          => "INTEGER"
         case ShortType | ByteType => "SMALLINT"
         case DoubleType           => "DOUBLE"
-        case FloatType            => "FLOAT"
+        // REAL, not FLOAT: these strings land verbatim in the engine's
+        // CREATE TABLE, and Derby reads FLOAT as FLOAT(53) ≡ DOUBLE —
+        // breaking read-back schema identity. REAL is 4-byte on every
+        // target engine (and valid Spark DDL for the validation parse).
+        case FloatType            => "REAL"
         case BooleanType          => "BOOLEAN"
         case TimestampType        => "TIMESTAMP"
         case DateType             => "DATE"
@@ -97,13 +101,29 @@ object JdbcSink {
     } finally conn.close()
   }
 
-  /** Engine-neutral database bootstrap: embedded engines (Derby) create
-    * the database as a URL attribute (`;create=true`), so opening one
-    * connection IS create-if-absent; PostgreSQL URLs need the catalog
-    * query in [[createDatabaseIfAbsent]] against the system database.
+  /** For a `jdbc:postgresql://host[:port]/db` URL, the matching system
+    * URL (same host, database `postgres`) and the target database name —
+    * what [[createDatabaseIfAbsent]] needs. None for any other engine.
+    */
+  def pgSystemUrl(url: String): Option[(String, String)] = {
+    val Pg = "^jdbc:postgresql://([^/?]+)/([^?/]+)(?:\\?.*)?$".r
+    url match {
+      case Pg(hostPort, db) => Some((s"jdbc:postgresql://$hostPort/postgres", db))
+      case _                => None
+    }
+  }
+
+  /** Engine-neutral database bootstrap, dispatching on the URL: embedded
+    * engines (Derby) create the database as a URL attribute
+    * (`;create=true`), so opening one connection IS create-if-absent;
+    * PostgreSQL URLs are delegated to [[createDatabaseIfAbsent]] against
+    * the server's `postgres` system database.
     */
   def ensureDatabase(url: String, props: Properties = new Properties()): Unit =
-    java.sql.DriverManager.getConnection(url, props).close()
+    pgSystemUrl(url) match {
+      case Some((systemUrl, db)) => createDatabaseIfAbsent(systemUrl, db, props)
+      case None => java.sql.DriverManager.getConnection(url, props).close()
+    }
 
   /** Overwrite-write with explicit types and per-partition batching
     * (DROP+CREATE semantics like the reference's recreate-on-rerun).

@@ -68,6 +68,7 @@ object OdsReader {
     var row: ArrayBuffer[String] = null
     var cellText: StringBuilder = null
     var cellRepeat = 1
+    var sawP = false
     var inText = false
     var tableDepth = 0
     var tablesSeen = 0
@@ -82,10 +83,12 @@ object OdsReader {
               row = ArrayBuffer[String]()
             case "table-cell" | "covered-table-cell" if row != null =>
               cellText = new StringBuilder
+              sawP = false
               cellRepeat = Option(r.getAttributeValue(
                 "urn:oasis:names:tc:opendocument:xmlns:table:1.0", "number-columns-repeated"))
                 .map(_.toInt).getOrElse(1)
             case "p" if cellText != null =>
+              sawP = true
               inText = true
             case _ =>
           }
@@ -96,9 +99,14 @@ object OdsReader {
             case "p" => inText = false
             case "table-cell" | "covered-table-cell" if row != null && cellText != null =>
               val v = cellText.toString
+              // a cell with NO text:p is null; a text:p with no text is
+              // the empty string (the writer emits exactly this shape) —
+              // distinguishing the two makes "" round-trip instead of
+              // silently collapsing to null
+              val isNull = !sawP && v.isEmpty
               // cap absurd repeats of empty filler cells
-              val rep = if (v.isEmpty) math.min(cellRepeat, 1) else cellRepeat
-              (0 until rep).foreach(_ => row += (if (v.isEmpty) null else v))
+              val rep = if (isNull) math.min(cellRepeat, 1) else cellRepeat
+              (0 until rep).foreach(_ => row += (if (isNull) null else v))
               cellText = null
             case "table-row" if row != null =>
               rows += row.toSeq

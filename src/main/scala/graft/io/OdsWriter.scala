@@ -19,17 +19,27 @@ object OdsWriter {
 
   private val Mimetype = "application/vnd.oasis.opendocument.spreadsheet"
 
+  /** Escape for element text. XML 1.0 cannot represent the C0 control
+    * range (except tab/newline/CR) even as character references — those
+    * are DROPPED so a hostile string cannot produce an unparseable
+    * content.xml. `\r` is encoded as a character reference because a
+    * conforming XML parser normalizes literal CR to LF, which would
+    * silently break exact round-trips.
+    */
   private def xmlEscape(s: String): String =
     s.flatMap {
       case '&' => "&amp;"
       case '<' => "&lt;"
       case '>' => "&gt;"
       case '"' => "&quot;"
+      case '\r' => "&#13;"
+      case c if c < 0x20 && c != '\t' && c != '\n' => ""
       case c   => c.toString
     }
 
-  /** content.xml for one sheet; null cells become empty cells (no text:p),
-    * which the reader maps back to null.
+  /** content.xml for one sheet. Null cells become empty cells (no
+    * text:p); empty strings become a string cell with an empty text:p —
+    * the reader distinguishes the two, so both round-trip exactly.
     */
   def contentXml(rows: Seq[Seq[String]], sheetName: String = "Sheet1"): String = {
     val sb = new StringBuilder

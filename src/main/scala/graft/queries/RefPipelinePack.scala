@@ -15,6 +15,15 @@ import graft.{QueryDef, QueryPack, Tables}
   */
 object RefPipelinePack extends QueryPack {
 
+  /** One Derby log location per JVM: the bench invokes q_jdbc_roundtrip
+    * three times (warm-up + 2 timed passes), and setting the property
+    * with a fresh temp dir on every invocation leaked a directory each
+    * pass.
+    */
+  private lazy val derbyLogInit: Unit =
+    System.setProperty("derby.stream.error.file",
+      java.nio.file.Files.createTempDirectory("graft-derby").resolve("derby.log").toString)
+
   def queries: Map[String, QueryDef] = Map(
 
     // F5 — locale parse across all its branches: pt-BR thousands+comma,
@@ -211,8 +220,7 @@ object RefPipelinePack extends QueryPack {
     "q_jdbc_roundtrip" -> QueryDef(
       "DataFrame -> Derby JDBC table (typed DDL) -> read-back identity per segment",
       (s, dir) => {
-        System.setProperty("derby.stream.error.file",
-          java.nio.file.Files.createTempDirectory("graft-derby").resolve("derby.log").toString)
+        derbyLogInit
         val url = "jdbc:derby:memory:graftdb;create=true"
         graft.io.JdbcSink.ensureDatabase(url)
         val slice = Tables.customer(s, dir)

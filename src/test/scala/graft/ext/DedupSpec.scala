@@ -124,6 +124,29 @@ class DedupSpec extends AnyFunSuite {
     assert(viaDriver(5L) == 2L && viaDriver(40L) == 2L && viaDriver(22L) == 20L)
   }
 
+  test("connected components: 10k-node path graph converges in <= 15 distributed rounds") {
+    // the adversarial case for label propagation (rounds = diameter =
+    // 10k); large-star/small-star must close it in O(log²) rounds —
+    // maxIter = 15 makes the bound a hard assertion via require(done)
+    val chain = (0L until 10000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 15, driverEdgeLimit = -1L)
+    import org.apache.spark.sql.functions.{countDistinct, min => fmin, max => fmax}
+    val row = labels.agg(
+      org.apache.spark.sql.functions.count(col("doc_id")),
+      countDistinct(col("cluster")), fmin(col("cluster")), fmax(col("cluster"))).head
+    assert(row.getLong(0) == 10001L && row.getLong(1) == 1L && row.getLong(2) == 0L)
+  }
+
+  test("connected components: random graph — star rounds agree with union-find") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(Dedup.connectedComponents(pairs)) ==
+      asMap(Dedup.connectedComponents(pairs, driverEdgeLimit = -1L)))
+  }
+
   test("df-capped jaccard join: no false positives, generous cap = exact") {
     val docs = Tables.documents(spark, sf)
     def pairSet(df: org.apache.spark.sql.DataFrame) =

@@ -123,6 +123,28 @@ class IoSpec extends AnyFunSuite {
     assert(df.count() == 4)
   }
 
+  test("OdsWriter round trip preserves empty strings and survives control chars") {
+    val rows = Seq(
+      Seq("", "x", null),
+      Seq("a\u0000b\u0007c", "tab\tnl\ncr\rend", ""))
+    val f = Files.createTempFile("graft-odsw3", ".ods")
+    OdsWriter.write(rows, f.toString)
+    val back = OdsReader.readRows(Files.newInputStream(f))
+    // "" and null are distinct on read-back; XML-illegal C0 controls are
+    // dropped (unrepresentable in XML 1.0); \r survives via &#13;
+    assert(back == Seq(
+      Seq("", "x", null),
+      Seq("abc", "tab\tnl\ncr\rend", "")))
+  }
+
+  test("JdbcSink.pgSystemUrl dispatches postgres URLs, passes engines through") {
+    assert(JdbcSink.pgSystemUrl("jdbc:postgresql://db.host:5432/analytics")
+      .contains(("jdbc:postgresql://db.host:5432/postgres", "analytics")))
+    assert(JdbcSink.pgSystemUrl("jdbc:postgresql://db.host/analytics?ssl=true")
+      .contains(("jdbc:postgresql://db.host/postgres", "analytics")))
+    assert(JdbcSink.pgSystemUrl("jdbc:derby:memory:graftdb;create=true").isEmpty)
+  }
+
   test("OdsWriter emits a standards-shaped package (mimetype first, stored)") {
     val f = Files.createTempFile("graft-odsw2", ".ods")
     OdsWriter.write(Seq(Seq("x")), f.toString)
@@ -141,11 +163,13 @@ class IoSpec extends AnyFunSuite {
     val url = "jdbc:derby:memory:graftspec;create=true"
     JdbcSink.ensureDatabase(url) // S8: create-if-absent (URL-native for Derby)
     import spark.implicits._
+    // the float column guards the FloatType→REAL DDL mapping: FLOAT in
+    // Derby DDL means FLOAT(53) ≡ DOUBLE, which would come back DoubleType
     val df = Seq(
-      (1L, "CLARO", Some(87.5), true),
-      (2L, "VIVO", None: Option[Double], false),
-      (3L, "a<b'c\"d", Some(-1.25), true))
-      .toDF("id", "grupo", "valor", "flag")
+      (1L, "CLARO", Some(87.5), true, 1.5f),
+      (2L, "VIVO", None: Option[Double], false, -0.25f),
+      (3L, "a<b'c\"d", Some(-1.25), true, 3.75f))
+      .toDF("id", "grupo", "valor", "flag", "ratio")
     JdbcSink.write(df, url, "ida_rt", stringSql = "VARCHAR(255)")
     val back = spark.read.jdbc(url, "ida_rt", new java.util.Properties())
     assert(back.schema.map(f => (f.name, f.dataType)).toSeq ==

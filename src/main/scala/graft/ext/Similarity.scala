@@ -153,13 +153,117 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Left-to-right driver-side dot — the identical summation order to
+    * the codegen'd DotProductExpr and DuckDB's list_dot_product, so
+    * driver-trained model values replay exactly in both engines.
+    */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** `lloydIters` rounds of spherical k-means over the (vec_id-sorted)
+    * training vectors, seeded with the current centroids. Every step is
+    * order-pinned so any engine replays it bit-for-bit: assignment
+    * iterates centroids in cent_id order keeping the first maximum
+    * (= ROW_NUMBER ... ORDER BY dot DESC, cent_id ASC); per-dimension
+    * means fold members in vec_id order starting from 0.0 (= DuckDB
+    * list_reduce over list(val ORDER BY vec_id)); the mean is then
+    * re-normalized with the same left-to-right norm. Empty or
+    * degenerate (zero-norm) cells keep their previous centroid.
+    */
+  private def lloyd(
+      train: Array[(Long, Array[Double])],
+      init: Array[(Long, Array[Double])],
+      lloydIters: Int): Array[(Long, Array[Double])] = {
+    // no seeds (caller handles the misconfiguration/empty contract) or
+    // nothing to train on: the seeds ARE the model
+    if (init.isEmpty || train.isEmpty) return init
+    var cents = init
+    for (_ <- 0 until lloydIters) {
+      val members = Array.fill(cents.length)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      train.foreach { case (_, v) =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val d = dotSeq(v, cents(ci)._2)
+          if (d > bestDot) { bestDot = d; best = ci }
+          ci += 1
+        }
+        members(best) += v
+      }
+      cents = cents.zipWithIndex.map { case ((cid, old), ci) =>
+        val m = members(ci)
+        if (m.isEmpty) (cid, old)
+        else {
+          val mu = Array.tabulate(old.length) { d =>
+            m.foldLeft(0.0)((acc, v) => acc + v(d)) / m.size
+          }
+          val nrm = math.sqrt(mu.foldLeft(0.0)((acc, x) => acc + x * x))
+          if (nrm == 0.0) (cid, old) else (cid, mu.map(_ / nrm))
+        }
+      }
+    }
+    cents
+  }
+
+  /** Driver-collected unit vectors with id &lt; `cap`, sorted by id —
+    * identical arithmetic to [[withNormalized]] (left-to-right norm over
+    * the widened doubles, then x/nrm per element).
+    */
+  def normalizedVectors(
+      df: DataFrame,
+      cap: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Long, Array[Double])] =
+    df.filter(col(idCol) < cap).select(col(idCol), col(vecCol))
+      .collect()
+      .map { r =>
+        val id = r.get(0) match { case l: Long => l; case i: Int => i.toLong }
+        val raw = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        val nrm = math.sqrt(raw.foldLeft(0.0)((acc, x) => acc + x * x))
+        (id, raw.map(_ / nrm))
+      }
+      .sortBy(_._1)
+
+  /** The IVF index model: the first `nCentroids` corpus vectors refined
+    * by [[lloyd]] over the id &lt; `trainCap` training slice.
+    */
+  def ivfModel(
+      corpus: DataFrame,
+      nCentroids: Int = 16,
+      lloydIters: Int = 2,
+      trainCap: Long = 256L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
+    val train = normalizedVectors(corpus, trainCap, idCol, vecCol)
+    lloyd(train, train.filter(_._1 < nCentroids), lloydIters)
+  }
+
+  /** Mean best-cell cosine of the training slice under `cents` — the
+    * spherical-k-means objective; [[lloyd]] is non-decreasing in it.
+    */
+  def cellCohesion(
+      train: Array[(Long, Array[Double])],
+      cents: Array[(Long, Array[Double])]): Double =
+    if (train.isEmpty || cents.isEmpty) 0.0
+    else train.map { case (_, v) => cents.map(c => dotSeq(v, c._2)).max }.sum / train.length
+
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest centroid cell; a query probes only its `nProbe` closest
-    * cells and exact-re-ranks the candidates. Centroids here are the
-    * first `nCentroids` corpus vectors — a deterministic stand-in for
-    * k-means training (the index SHAPE, assignment and probing is what
-    * scales; swapping in trained centroids changes no query code). Fully
-    * deterministic, so DuckDB can oracle the whole path.
+    * cells and exact-re-ranks the candidates. Centroids are seeded with
+    * the first `nCentroids` corpus vectors and refined with
+    * `lloydIters` deterministic spherical-k-means rounds over the
+    * vec_id &lt; `trainCap` slice ([[lloyd]]) — a real trained index, yet
+    * still fully order-pinned, so DuckDB can replay the whole path
+    * (training included) and hash-check the result exactly.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -167,31 +271,22 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4,
+      lloydIters: Int = 2,
+      trainCap: Long = 256L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    require(trainCap >= nCentroids, "training slice must cover the centroid seeds")
     val c = withNormalized(corpus.select(col(idCol), col(vecCol)), vecCol, "cv")
       .select(col(idCol).as("neighbor_id"), col("cv"))
 
-    // The centroid set IS the index's small model — collect it to the
-    // driver (nCentroids rows) and embed as literals, so cell assignment
-    // is a single map-side pass over the corpus (16 codegen'd dots + an
-    // argmax when-chain) instead of a corpus×centroids cross join ranked
-    // through a window (which shuffled every vector 16×).
+    // The centroid set IS the index's small model — train it on the
+    // driver (trainCap rows, the standard train-then-broadcast shape)
+    // and embed as literals, so cell assignment is a single map-side
+    // pass over the corpus (16 codegen'd dots + an argmax) instead of a
+    // corpus×centroids cross join ranked through a window (which
+    // shuffled every vector 16×).
     val centroids: Array[(Long, Array[Double])] =
-      corpus.filter(col(idCol) < nCentroids).select(col(idCol), col(vecCol))
-        .collect()
-        .map { r =>
-          val id = r.get(0) match { case l: Long => l; case i: Int => i.toLong }
-          val raw = r.getSeq[Any](1).map {
-            case f: Float => f.toDouble
-            case d: Double => d
-          }.toArray
-          // identical arithmetic to withNormalized: one left-to-right
-          // norm over the widened doubles, then x/nrm per element
-          val nrm = math.sqrt(raw.foldLeft(0.0)((acc, x) => acc + x * x))
-          (id, raw.map(_ / nrm))
-        }
-        .sortBy(_._1)
+      ivfModel(corpus, nCentroids, lloydIters, trainCap, idCol, vecCol)
 
     if (centroids.isEmpty) {
       // no centroid ids in [0, nCentroids): legitimate ONLY when the

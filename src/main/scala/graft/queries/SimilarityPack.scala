@@ -79,16 +79,52 @@ object SimilarityPack extends QueryPack {
               |SELECT vec_id, nn_id, ROUND(cos, 6) AS cosine
               |FROM p WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
 
+    // The centroid model is trained (2 deterministic spherical-k-means
+    // rounds over the vec_id<256 slice, seeded with the first 16
+    // vectors) and the oracle REPLAYS THE TRAINING: assignment via the
+    // same dot-desc/cent-asc rank, per-dim means via list_reduce over
+    // vec_id-ordered member lists (= the driver's left-to-right folds),
+    // renormalized means, empty/zero-norm cells keeping their previous
+    // centroid. A trained index, still hash-checked end to end.
     "sim_topk_ivf" -> QueryDef(
-      "ANN top-5 via IVF cells (16 centroids, probe 4) + exact re-rank",
+      "ANN top-5 via IVF cells (16 Lloyd-trained centroids, probe 4) + exact re-rank",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, k = 5)
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH ${normCte("")},
-              |cents AS (SELECT vec_id AS cent_id, nv AS centv FROM e WHERE vec_id < 16),
-              |assign AS (
+      Some {
+        def iterCtes(i: Int, prev: String): String =
+          s"""a$i AS (
+             |  SELECT vec_id, nv, cent_id FROM (
+             |    SELECT t.vec_id, t.nv, c.cent_id,
+             |      ROW_NUMBER() OVER (PARTITION BY t.vec_id
+             |                         ORDER BY list_dot_product(t.nv, c.centv) DESC,
+             |                                  c.cent_id ASC) AS rk
+             |    FROM t CROSS JOIN $prev c)
+             |  WHERE rk = 1),
+             |m$i AS (
+             |  SELECT cent_id, d,
+             |    list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS mu
+             |  FROM (SELECT vec_id, cent_id, generate_subscripts(nv, 1) AS d, unnest(nv) AS val
+             |        FROM a$i)
+             |  GROUP BY cent_id, d),
+             |v$i AS (SELECT cent_id, list(mu ORDER BY d) AS mv FROM m$i GROUP BY cent_id),
+             |c$i AS (
+             |  SELECT p.cent_id,
+             |    CASE WHEN v$i.cent_id IS NULL OR list_dot_product(v$i.mv, v$i.mv) = 0
+             |         THEN p.centv
+             |         ELSE list_transform(v$i.mv, x -> x / sqrt(list_dot_product(v$i.mv, v$i.mv)))
+             |    END AS centv
+             |  FROM $prev p LEFT JOIN v$i ON v$i.cent_id = p.cent_id)""".stripMargin
+        val head = s"""WITH ${normCte("")},
+           |t AS (SELECT vec_id, nv FROM e WHERE vec_id < 256),
+           |c0 AS (SELECT vec_id AS cent_id, nv AS centv FROM e WHERE vec_id < 16),
+           |${iterCtes(1, "c0")},
+           |${iterCtes(2, "c1")},
+           |cents AS (SELECT cent_id, centv FROM c2),
+           |assign AS (""".stripMargin
+        head + s"""
               |  SELECT neighbor_id, cv, cell FROM (
               |    SELECT c.vec_id AS neighbor_id, c.nv AS cv, ct.cent_id AS cell,
               |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
@@ -113,7 +149,8 @@ object SimilarityPack extends QueryPack {
               |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
               |  FROM cand)
               |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
-              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
 
     // Memory-scale path: SQ8-quantized candidate scan (4× smaller codes)
     // + full-precision re-rank of the top-50. Deterministic affine map +

@@ -51,6 +51,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@5 = $recall") // 16 cells, probe 4, unclustered data
   }
 
+  test("Lloyd training improves the k-means objective; recall stays comparable") {
+    val e = Tables.embeddings(spark, sf)
+    // cell cohesion (mean best-cell cosine of the training slice) is the
+    // spherical-k-means objective Lloyd provably does not decrease —
+    // the guarantee training gives. Recall at a FIXED probe budget is
+    // data-dependent (on near-uniform vectors it can dip slightly), so
+    // it gets a bounded-regression sanity check, not an improvement bar.
+    val train = Similarity.normalizedVectors(e, cap = 256)
+    val c0 = Similarity.ivfModel(e, lloydIters = 0)
+    val c2 = Similarity.ivfModel(e, lloydIters = 2)
+    val (coh0, coh2) = (Similarity.cellCohesion(train, c0), Similarity.cellCohesion(train, c2))
+    assert(coh2 > coh0, s"training did not tighten cells: $coh0 -> $coh2")
+
+    val q = e.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, k = 5))
+    def recall(iters: Int) = {
+      val got = pairs(Similarity.ivfTopK(q, e, k = 5, lloydIters = iters))
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val (standIn, trained) = (recall(0), recall(2))
+    assert(trained >= standIn - 0.1,
+      s"training collapsed recall: stand-in $standIn vs trained $trained")
+  }
+
   test("SQ8 top-k achieves near-perfect recall@5 against brute force") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 16)

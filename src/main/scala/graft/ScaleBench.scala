@@ -132,23 +132,28 @@ object ScaleBench {
       k -> mins
     }
 
-    // markdown table: rows = queries, columns = scales, cells = sec (ratio vs ×1)
+    // markdown table: rows = queries, columns = scales, cells = sec.
+    // Ratios are against the FIRST scale actually run (results.head), and
+    // labeled as such — a scales list of "2,8" reports ×8/×2, not a
+    // mislabeled ×1.
+    val baseK = results.head._1
     val base = results.head._2.toMap
     println()
     val lastK = results.last._1
-    println("| query | " + results.map { case (k, _) => s"×$k" }.mkString(" | ") + s" | ×$lastK/×1 |")
+    println("| query | " + results.map { case (k, _) => s"×$k" }.mkString(" | ") +
+      s" | ×$lastK/×$baseK |")
     println("|---|" + results.map(_ => "---|").mkString + "---|")
     queries.map(_._1).foreach { q =>
       val cells = results.map { case (k, m) =>
         val t = m.toMap.apply(q)
-        if (k == 1) f"$t%.2f s" else f"$t%.2f s (${t / base(q)}%.1f×)"
+        if (k == baseK) f"$t%.2f s" else f"$t%.2f s (${t / base(q)}%.1f×)"
       }
       val last = results.last._2.toMap.apply(q) / base(q)
       println(s"| $q | " + cells.mkString(" | ") + f" | $last%.1f |")
     }
     val totals = results.map { case (k, m) => k -> m.map(_._2).sum }
     println("| **total** | " + totals.map { case (k, t) =>
-      if (k == 1) f"$t%.2f s" else f"$t%.2f s (${t / totals.head._2}%.1f×)"
+      if (k == baseK) f"$t%.2f s" else f"$t%.2f s (${t / totals.head._2}%.1f×)"
     }.mkString(" | ") + f" | ${totals.last._2 / totals.head._2}%.1f |")
     spark.stop()
   }

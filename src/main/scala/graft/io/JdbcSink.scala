@@ -87,7 +87,6 @@ object JdbcSink {
     * hence autocommit.
     */
   def createDatabaseIfAbsent(systemUrl: String, dbName: String, props: Properties): Unit = {
-    require(dbName.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe database name: $dbName")
     val conn = java.sql.DriverManager.getConnection(systemUrl, props)
     try {
       conn.setAutoCommit(true)
@@ -95,6 +94,12 @@ object JdbcSink {
       ps.setString(1, dbName)
       val exists = { val rs = ps.executeQuery(); try rs.next() finally rs.close() }
       if (!exists) {
+        // safe-name gate only on the CREATE path: the name is interpolated
+        // into DDL (CREATE DATABASE takes no bind parameters), but an
+        // EXISTING database with an exotic name ("my-db") must still
+        // bootstrap cleanly — the parameterized existence check above
+        // handles any name.
+        require(dbName.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe database name: $dbName")
         val st = conn.createStatement()
         try st.executeUpdate(s"""CREATE DATABASE "$dbName"""") finally st.close()
       }

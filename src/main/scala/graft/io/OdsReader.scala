@@ -26,6 +26,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object OdsReader {
 
+  /** Bound on `table:number-columns-repeated` expansion for EMPTY-string
+    * cells (`<text:p/>` with a repeat count): wide enough for any real
+    * spreadsheet, small enough that a hostile repeat count cannot balloon
+    * a row in driver memory. Null filler cells collapse to 1 regardless.
+    */
+  private val MaxEmptyRepeat = 4096
+
   /** Read the first sheet of an .ods file as an all-string DataFrame with
     * positional columns _c0.._cN (ragged rows are null-padded).
     */
@@ -104,8 +111,15 @@ object OdsReader {
               // distinguishing the two makes "" round-trip instead of
               // silently collapsing to null
               val isNull = !sawP && v.isEmpty
-              // cap absurd repeats of empty filler cells
-              val rep = if (isNull) math.min(cellRepeat, 1) else cellRepeat
+              // cap absurd repeats of filler cells: null cells collapse to
+              // one (foreign files pad rows with 16k null fillers), and a
+              // repeated EMPTY string is capped too — a hostile
+              // <text:p/> + number-columns-repeated=10^9 must not expand
+              // in memory. repeat=1 keeps "" distinct from null.
+              val rep =
+                if (isNull) math.min(cellRepeat, 1)
+                else if (v.isEmpty) math.min(cellRepeat, MaxEmptyRepeat)
+                else cellRepeat
               (0 until rep).foreach(_ => row += (if (isNull) null else v))
               cellText = null
             case "table-row" if row != null =>

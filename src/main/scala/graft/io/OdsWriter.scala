@@ -24,18 +24,34 @@ object OdsWriter {
     * are DROPPED so a hostile string cannot produce an unparseable
     * content.xml. `\r` is encoded as a character reference because a
     * conforming XML parser normalizes literal CR to LF, which would
-    * silently break exact round-trips.
+    * silently break exact round-trips. Lone UTF-16 surrogates (not part
+    * of a valid pair) cannot be encoded as UTF-8 at all — they become
+    * U+FFFD, the standard replacement, instead of emitting malformed
+    * bytes.
     */
-  private def xmlEscape(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case '"' => "&quot;"
-      case '\r' => "&#13;"
-      case c if c < 0x20 && c != '\t' && c != '\n' => ""
-      case c   => c.toString
+  private def xmlEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '&'  => sb.append("&amp;")
+        case '<'  => sb.append("&lt;")
+        case '>'  => sb.append("&gt;")
+        case '"'  => sb.append("&quot;")
+        case '\r' => sb.append("&#13;")
+        case _ if c < 0x20 && c != '\t' && c != '\n' => ()
+        case _ if Character.isHighSurrogate(c) =>
+          if (i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))) {
+            sb.append(c).append(s.charAt(i + 1)); i += 1
+          } else sb.append('�')
+        case _ if Character.isLowSurrogate(c) => sb.append('�')
+        case _ => sb.append(c)
+      }
+      i += 1
     }
+    sb.toString
+  }
 
   /** content.xml for one sheet. Null cells become empty cells (no
     * text:p); empty strings become a string cell with an empty text:p —

@@ -123,6 +123,53 @@ class IoSpec extends AnyFunSuite {
     assert(df.count() == 4)
   }
 
+  test("OdsReader caps hostile empty-string repeats; single empty cell stays \"\"") {
+    // a foreign/hostile file: one empty <text:p/> cell claiming a
+    // billion repeated columns must not expand in driver memory
+    val xml =
+      """<?xml version="1.0"?>
+        |<doc xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+        |     xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+        |<table:table><table:table-row>
+        |<table:table-cell table:number-columns-repeated="1000000000"><text:p/></table:table-cell>
+        |<table:table-cell><text:p>Y</text:p></table:table-cell>
+        |</table:table-row>
+        |<table:table-row>
+        |<table:table-cell><text:p/></table:table-cell>
+        |<table:table-cell table:number-columns-repeated="1000000000"/>
+        |</table:table-row></table:table></doc>""".stripMargin
+    val rows = OdsReader.parseContentXml(
+      new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    assert(rows.length == 2)
+    assert(rows(0).length <= 4097 && rows(0).last == "Y" && rows(0).head == "")
+    // null filler still collapses to one; a lone empty <text:p/> is ""
+    assert(rows(1) == Seq("", null))
+  }
+
+  test("OdsWriter replaces lone surrogates; valid astral pairs round-trip") {
+    val astral = new String(Character.toChars(0x1F600)) // a valid surrogate pair
+    val rows = Seq(Seq("hi\uD800there", "\uDC00", astral))
+    val f = Files.createTempFile("graft-odsw4", ".ods")
+    OdsWriter.write(rows, f.toString)
+    val back = OdsReader.readRows(Files.newInputStream(f))
+    // lone high/low surrogates become U+FFFD (unencodable in UTF-8);
+    // the real astral pair survives intact — and the XML stays parseable
+    assert(back == Seq(Seq("hi�there", "�", astral)))
+  }
+
+  test("JdbcSink.createDatabaseIfAbsent existence check precedes the safe-name gate") {
+    // no live PG in the sandbox: assert via the failure mode. A name that
+    // fails the CREATE-path pattern must reach the CONNECTION attempt
+    // (SQLException on the bogus URL), not die in require() first.
+    val ex = intercept[Exception] {
+      JdbcSink.createDatabaseIfAbsent(
+        "jdbc:postgresql://127.0.0.1:1/postgres?connectTimeout=1&socketTimeout=1",
+        "my-db", new java.util.Properties())
+    }
+    assert(ex.isInstanceOf[java.sql.SQLException],
+      s"expected connection failure, got ${ex.getClass}: ${ex.getMessage}")
+  }
+
   test("OdsWriter round trip preserves empty strings and survives control chars") {
     val rows = Seq(
       Seq("", "x", null),

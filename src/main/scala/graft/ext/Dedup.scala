@@ -247,6 +247,67 @@ object Dedup {
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Edit-distance near-dup pairs at scale: `levenshtein` runs on
+    * CANDIDATES only — the O(n²·len²) cross product of the naive form
+    * (kept as the bounded-slice oracle, `dedup_edit_distance`) never
+    * materializes. Candidates come from two relational bands:
+    *
+    *  - '''Length band (sound)''': ed(a,b) ≤ d ⇒ |len(a)−len(b)| ≤ d, so
+    *    [[graft.ops.BandJoin]]'s bucket expansion applies — bucket =
+    *    floor(len/(d+1)), one side replicated to its 3 adjacent buckets,
+    *    equi-join on the bucket id. Every qualifying pair meets exactly
+    *    once; the plan is a shuffled equi join, never a nested loop.
+    *  - '''Prefix band (precision dial)''': candidates must agree on
+    *    their first `prefixLen` characters. An edit inside that prefix
+    *    escapes the band — a documented recall trade exactly like
+    *    `ngramJaccardPairs(maxShingleDf)`: the result is a
+    *    no-false-positive SUBSET of the exact pairs. `prefixLen = 0`
+    *    disables it, making the candidate set complete and the result
+    *    exact (spec-asserted against the all-pairs form).
+    *
+    * Verification uses the threshold variant `levenshtein(a, b, d)`,
+    * which abandons DP rows that exceed d (returns −1, filtered out):
+    * per-candidate cost is O(d·min(len)) instead of O(len²).
+    *
+    * The join is hinted `shuffle_hash`: both sides are corpus-sized, so
+    * the raised broadcast threshold must not pull one onto the driver,
+    * and the hash shuffle is also what distributes the per-pair DP work
+    * across partitions (the filter runs post-join, inside the shuffle
+    * stage). 100 TB shape: one 3×-replicated shuffle on (bucket, prefix)
+    * + Σ bucket² DP work on survivors — the prefix band is the valve
+    * that keeps buckets narrow on real corpora.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      maxDist: Int,
+      prefixLen: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val w = maxDist + 1
+    def pfx(c: Column) = substring(c, 1, prefixLen)
+    val a = docs.select(
+      col(idCol).as("doc_a"), col(textCol).as("ta"),
+      length(col(textCol)).as("len_a"))
+      .withColumn("bucket", floor(col("len_a") / w))
+      .withColumn("pfx", pfx(col("ta")))
+    val b0 = floor(col("len_b") / w)
+    val b = docs.select(
+      col(idCol).as("doc_b"), col(textCol).as("tb"),
+      length(col(textCol)).as("len_b"))
+      .select(col("doc_b"), col("tb"), col("len_b"),
+        explode(array(b0 - 1, b0, b0 + 1)).as("bucket"))
+      .withColumn("pfx", pfx(col("tb")))
+    val joinKeys = if (prefixLen > 0) Seq("bucket", "pfx") else Seq("bucket")
+    a.hint("shuffle_hash").join(b, joinKeys)
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      // the threshold variant marks "above maxDist" as -1
+      .filter(col("dist") >= 0)
+      .select("doc_a", "doc_b", "dist")
+  }
+
   /** Connected components over a near-duplicate pair list by iterative
     * min-label propagation: every node's label converges to the smallest
     * doc_id in its component, which is the canonical "keeper" of the

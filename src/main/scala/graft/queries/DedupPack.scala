@@ -120,6 +120,27 @@ object DedupPack extends QueryPack {
              |WHERE levenshtein(a.text, b.text) <= 100
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // The SCALE path for edit-distance dedup: length-band bucket join +
+    // prefix band generate candidates relationally; the threshold-variant
+    // levenshtein verifies candidates only. Runs over the FULL corpus (no
+    // doc slice) — the oracle replicates the same candidate algebra, so
+    // the result is hash-exact, and DedupSpec separately proves the
+    // prefixLen=0 form ≡ the all-pairs form on the bounded slice.
+    "dedup_edit_banded" -> QueryDef(
+      "Banded edit-distance near-dup over the full corpus: length bucket + 12-char prefix band, levenshtein on candidates only",
+      (s, dir) =>
+        Dedup.editDistancePairs(Tables.documents(s, dir), maxDist = 100, prefixLen = 12)
+          .orderBy("doc_a", "doc_b"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, length(text) AS len, substring(text, 1, 12) AS pfx
+             |  FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  levenshtein(a.text, b.text) AS dist
+             |FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+             |WHERE abs(a.len - b.len) <= 100
+             |  AND levenshtein(a.text, b.text) <= 100
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     "dedup_simhash_pairs" -> QueryDef(
       "SimHash near-dup pairs: hamming(xor) <= 10 over a 200-doc slice",
       (s, dir) => {

@@ -72,6 +72,14 @@ class PlanSpec extends AnyFunSuite {
       "inverted-index self-join must be a shuffled hash join")
   }
 
+  test("banded edit-distance join is a shuffled equi join, never a cross product") {
+    val p = plan("dedup_edit_banded")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "edit-distance candidates must come from the (bucket, prefix) equi join")
+    assert(p.contains("ShuffledHashJoin"),
+      "corpus-sized sides must not broadcast under the raised threshold")
+  }
+
   test("band join plans as an equi join on buckets, never a nested loop") {
     val p = plan("q_band_join")
     assert(!p.contains("NestedLoop"),

@@ -88,6 +88,29 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("banded edit distance with prefixLen=0 equals the all-pairs form (sound length band)") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+    val exact = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= 100)
+      .select("doc_a", "doc_b", "dist")
+      .collect().map(_.toSeq).toSet
+    val banded = Dedup.editDistancePairs(docs, maxDist = 100, prefixLen = 0)
+      .collect().map(_.toSeq).toSet
+    assert(banded == exact && exact.nonEmpty)
+  }
+
+  test("prefix band yields a no-false-positive subset of the exact edit pairs") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val exact = Dedup.editDistancePairs(docs, maxDist = 100, prefixLen = 0)
+      .collect().map(_.toSeq).toSet
+    val banded = Dedup.editDistancePairs(docs, maxDist = 100, prefixLen = 12)
+      .collect().map(_.toSeq).toSet
+    assert(banded.subsetOf(exact) && banded.nonEmpty)
+  }
+
   test("connected components: chains merge, singleton pairs stay separate, min label wins") {
     // components: {1,2,3,4} (chain), {10,11}, 20 alone (no pairs → absent)
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

@@ -55,6 +55,43 @@ object JoinPack extends QueryPack {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Manual salted join under deliberate key skew: 90% of lineitem rows
+    // are remapped onto ONE hot order key, the classic straggler shape.
+    // The big side is sub-split by a deterministic row hash, the small
+    // side replicated per salt, and the join runs on (key, salt) — the
+    // hot key's rows spread across `salts` tasks instead of one. This is
+    // the MANUAL mitigation for when AQE's skew split can't apply (it
+    // only rewrites shuffle-stage equi joins it can see; derived keys
+    // behind expansions, or aggregation skew, need the compose). The
+    // oracle is the plain unsalted join — salting must be invisible in
+    // the result.
+    "q_skew_join_salted" -> QueryDef(
+      "Hot-key (90%-skewed) lineitem join via salted sub-split keys, per-priority rollup",
+      (s, dir) => {
+        val salts = 8
+        val big = Tables.lineitem(s, dir)
+          .select(
+            when(col("l_orderkey") % 10 =!= 0, lit(1L))
+              .otherwise(col("l_orderkey")).as("k"),
+            col("l_quantity"), col("l_partkey"))
+          .withColumn("_salt", pmod(hash(col("l_partkey")), lit(salts)))
+        val sml = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+          .withColumn("_salt", graft.ops.Salting.explodeSalts(salts))
+        big.join(sml, Seq("k", "_salt"))
+          .groupBy("o_orderpriority")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH big AS (
+             |  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_orderkey END AS k,
+             |         l_quantity
+             |  FROM lineitem)
+             |SELECT o_orderpriority, ROUND(SUM(l_quantity), 2) AS sum_qty,
+             |  COUNT(*) AS n_items
+             |FROM big JOIN orders ON k = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Left-semi join (EXISTS).
     "q_join_semi" -> QueryDef(
       "Orders having a high-discount line (left_semi = EXISTS, no row duplication)",

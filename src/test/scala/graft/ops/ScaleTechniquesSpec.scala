@@ -50,6 +50,48 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("salted band self-join equals the unsalted form on a skewed distribution") {
+    import spark.implicits._
+    // 300 rows piled into one hot bucket (values 100..102, width 5) plus
+    // 100 spread rows — the shape where selfPairs degrades to a
+    // single-task per-bucket product
+    val vals = (0 until 300).map(i => (i.toLong, 100.0 + (i % 3))) ++
+      (0 until 100).map(i => (1000L + i, i * 37.0))
+    val df = vals.toDF("id", "v")
+    val plain = BandJoin.selfPairs(df, "id", "v", 5.0)
+      .collect().map(_.toSeq).toSet
+    val salted = BandJoin.selfPairsSalted(df, "id", "v", 5.0, salts = 8)
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size > 40000) // hot bucket: 300*299/2 pairs
+    // the mitigation must stay an equi join on (bucket, salt)
+    val p = BandJoin.selfPairsSalted(df, "id", "v", 5.0, salts = 8)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // separate session: skew thresholds tuned down so local-scale data
+    // exhibits the same runtime re-plan a 100 TB hot key would
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // 90% of 400k left rows collapse onto key 0 — one shuffle partition
+    // far past factor×median; the right side is uniform
+    val left = s2.range(0, 400000, 1, 8).select(
+      when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val right = s2.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val joined = left.join(right, "k").select("k")
+    joined.collect() // execute THIS DataFrame so its adaptive plan finalizes
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE skew split did not fire; final plan:\n${p.take(4000)}")
+  }
+
   test("graft_dot is callable from SQL once registered (extensions function path)") {
     import org.apache.spark.sql.GraftShims
     GraftShims.registerFunction(spark, "graft_dot",

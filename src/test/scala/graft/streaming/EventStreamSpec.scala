@@ -115,6 +115,82 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamedView.map(_.toSeq).toSeq == batchView.map(_.toSeq).toSeq)
   }
 
+  test("late data: post-watermark rows drop, accepted rows reach the flagship") {
+    import java.nio.file.{Files, StandardCopyOption}
+    val watched = Files.createTempDirectory("late-events")
+    // parquet nanos for 2025-01-01 UTC + d days + h hours
+    def day(d: Int, h: Int = 0): Long =
+      java.time.LocalDate.of(2025, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC)
+        .plusDays(d).plusHours(h).toEpochSecond * 1000000000L
+    var batchNo = 0
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit = {
+      val data = rows.zipWithIndex.map { case ((t, typ, v), i) =>
+        org.apache.spark.sql.Row(batchNo * 100L + i, t, 1L, typ, v, "{}")
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), EventStream.RawSchema)
+      val tmp = Files.createTempDirectory("late-batch")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      batchNo += 1
+      Files.copy(part, watched.resolve(s"batch-$batchNo.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    // APPEND mode: a window emits exactly once, when the watermark passes
+    // its end — so the output IS the drop/accept decision. Two event
+    // types, because the flagship drops days with < 2 distinct types.
+    writeBatch(Seq(
+      (day(0), "view", 10.0), (day(0, 1), "view", 5.0), (day(0, 2), "click", 4.0),
+      (day(3), "view", 7.0), (day(3), "click", 6.0)))
+    val q = EventStream.maintainedDaily(spark, watched.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_maintained").start()
+    try {
+      q.processAllAvailable() // watermark -> day2; the day0 window closes
+      // one LATE row (day0+3h, behind the day2 watermark: must drop) and
+      // two on-time rows into the still-open day3 window (must accept)
+      writeBatch(Seq(
+        (day(0, 3), "view", 99.0),
+        (day(3, 1), "view", 3.0), (day(3, 2), "click", 2.0)))
+      q.processAllAvailable()
+      writeBatch(Seq((day(6), "view", 1.0))) // watermark -> day5; day3 closes
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("late_maintained").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out.size == 4, out.mkString("; "))
+    // day0: the late 99.0 is EXCLUDED — view sum stays 15.0 over 2 rows
+    assert(out(("2025-01-01", "view")) == ((15.0, 2L)))
+    assert(out(("2025-01-01", "click")) == ((4.0, 1L)))
+    // day3: the accepted in-window rows ARE included
+    assert(out(("2025-01-04", "view")) == ((10.0, 2L)))
+    assert(out(("2025-01-04", "click")) == ((8.0, 2L)))
+
+    // flagship over the maintained aggregate == batch flagship over the
+    // ACCEPTED events restricted to the closed windows
+    val accepted = Seq(
+      (day(0), "view", 10.0), (day(0, 1), "view", 5.0), (day(0, 2), "click", 4.0),
+      (day(3), "view", 7.0), (day(3), "click", 6.0),
+      (day(3, 1), "view", 3.0), (day(3, 2), "click", 2.0))
+    val acceptedDaily = spark.createDataFrame(
+      spark.sparkContext.parallelize(accepted.zipWithIndex.map { case ((t, typ, v), i) =>
+        org.apache.spark.sql.Row(1000L + i, t, 1L, typ, v, "{}")
+      }, 1), EventStream.RawSchema)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(to_date(col("ts")).as("dia"), col("event_type"))
+      .agg(sum("value").as("sum_value"), count(lit(1)).as("n_value"))
+    val streamView = graft.ops.MetricsView
+      .fromDailyAggregate(spark.table("late_maintained"), Seq("view", "click"))
+      .collect().map(_.toSeq).toSeq
+    val batchView = graft.ops.MetricsView
+      .fromDailyAggregate(acceptedDaily, Seq("view", "click"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamView == batchView && streamView.nonEmpty)
+  }
+
   test("stream-static enrichment == batch join with the same dim") {
     val stats = Tables.events(spark, sf)
       .groupBy("event_type")

@@ -256,6 +256,67 @@ object Similarity {
     if (train.isEmpty || cents.isEmpty) 0.0
     else train.map { case (_, v) => cents.map(c => dotSeq(v, c._2)).max }.sum / train.length
 
+  /** Map-side nearest-centroid assignment: argmax over
+    * struct(cdot, -cent_id) — max dot, ties to the SMALLEST cent_id,
+    * matching the oracle's ROW_NUMBER() (dot DESC, cent_id ASC).
+    * `greatest()` evaluates each child ONCE; a when-chain reduce would
+    * copy the accumulated subtree per level (2^16 literal copies →
+    * codegen OOM). The centroids ride along as literals, so assignment
+    * is a single scan pass with zero shuffle.
+    */
+  private def cellArgmax(centroids: Array[(Long, Array[Double])], vec: Column): Column = {
+    val scored = centroids.map { case (cid, w) =>
+      struct(dot(vec, typedLit(w)).as("cdot"), lit(-cid).as("negid"))
+    }
+    // greatest() requires >= 2 args; one centroid means one cell
+    if (scored.length == 1) -scored.head.getField("negid")
+    else -greatest(scored.toIndexedSeq: _*).getField("negid")
+  }
+
+  /** SemDeDup-style semantic deduplication: embeddings are assigned
+    * map-side to their nearest trained-centroid cell ([[ivfModel]] +
+    * [[cellArgmax]] — embedded literals, zero assignment shuffle), and
+    * candidate pairs form ONLY within a cell, so the all-pairs cosine
+    * matrix never materializes. Within-cell pairs with cosine ≥
+    * `threshold` are the semantic duplicates (cell id included in the
+    * output: it is the semantic cluster the pair collided in).
+    *
+    * Scale: cells play the role LSH bands play for MinHash — per-cell
+    * width is corpus/nCentroids in expectation, so join work is
+    * Σ cell² ≪ n². Cross-cell near-dups are the documented recall trade
+    * (SemDeDup accepts it; raise nCentroids to tighten cells, lower it
+    * to raise recall). The self-join is hinted shuffle_hash: both sides
+    * are corpus-sized and must never broadcast.
+    */
+  def semanticDupPairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      nCentroids: Int = 16,
+      lloydIters: Int = 2,
+      trainCap: Long = 256L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(trainCap >= nCentroids, "training slice must cover the centroid seeds")
+    val c = withNormalized(embeddings.select(col(idCol), col(vecCol)), vecCol, "nv")
+      .select(col(idCol).as("vid"), col("nv"))
+    val centroids = ivfModel(embeddings, nCentroids, lloydIters, trainCap, idCol, vecCol)
+    if (centroids.isEmpty) {
+      require(c.isEmpty,
+        s"semanticDupPairs: corpus is non-empty but has no ids < $nCentroids to seed centroids")
+      import c.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Long, Double)].toDF("vec_a", "vec_b", "cell", "cosine")
+    }
+    val assigned = c.withColumn("cell", cellArgmax(centroids, col("nv")))
+    val a = assigned.select(col("vid").as("vec_a"), col("nv").as("nv_a"), col("cell"))
+    val b = assigned.select(col("vid").as("vec_b"), col("nv").as("nv_b"), col("cell"))
+    a.hint("shuffle_hash").join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cell"),
+        dot(col("nv_a"), col("nv_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cell"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest centroid cell; a query probes only its `nProbe` closest
     * cells and exact-re-ranks the candidates. Centroids are seeded with
@@ -301,21 +362,7 @@ object Similarity {
         .toDF("query_id", "rank", "neighbor_id", "cosine")
     }
 
-    // argmax over struct(cdot, -cent_id): max cdot, ties to the SMALLEST
-    // cent_id — same order as the ROW_NUMBER() (cdot DESC, cent_id ASC)
-    // spelling in the oracle. greatest() evaluates each child ONCE; a
-    // when-chain reduce would copy the accumulated subtree per level
-    // (2^16 literal copies → codegen OOM).
-    def bestCell(vec: Column): Column = {
-      val scored = centroids.map { case (cid, w) =>
-        struct(dot(vec, typedLit(w)).as("cdot"), lit(-cid).as("negid"))
-      }
-      // greatest() requires >= 2 args; one centroid means one cell
-      if (scored.size == 1) -scored.head.getField("negid")
-      else -greatest(scored: _*).getField("negid")
-    }
-
-    val assigned = c.withColumn("cell", bestCell(col("cv")))
+    val assigned = c.withColumn("cell", cellArgmax(centroids, col("cv")))
 
     // probe list: nProbe nearest cells per query (queries are few — the
     // window runs over a broadcast-sized frame)

@@ -188,6 +188,34 @@ object RefPipelinePack extends QueryPack {
              |FROM lineitem WHERE l_orderkey % 20 = 0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Encoding-fallback ingest, oracle-gated end-to-end: a latin-1 TSV
+    // (bytes that are INVALID utf-8, so detection must fall through to
+    // ISO-8859-1) built deterministically from the nation dim, read via
+    // CsvEncodingReader's detect-then-distributed-read path, header row
+    // dropped, values compared byte-exact against the same accent
+    // transformation computed by DuckDB on the source table. The file
+    // write collects 25 dim rows — spreadsheet-scale ingest is
+    // driver-side by design (SCALING.md "Ingest").
+    "q_csv_latin1" -> QueryDef(
+      "Latin-1 TSV with encoding detection: accented text survives byte-exact",
+      (s, dir) => {
+        val rows = Tables.nation(s, dir).select("n_nationkey", "n_name")
+          .collect().sortBy(_.getAs[Number](0).longValue)
+        val content = "chave\tnome\n" + rows.map { r =>
+          s"${r.getAs[Number](0).longValue}\t${r.getString(1).replace('A', 'Ã').replace('E', 'É')}"
+        }.mkString("\n") + "\n"
+        val f = java.nio.file.Files.createTempFile("graft-latin1", ".tsv")
+        java.nio.file.Files.write(f,
+          content.getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+        graft.io.CsvEncodingReader.read(s, f.toString)
+          .filter(col("_c0") =!= "chave") // header row is data until promoted
+          .select(col("_c0").cast("long").as("chave"), col("_c1").as("nome"))
+          .orderBy("chave")
+      },
+      Some("""SELECT n_nationkey AS chave,
+             |  replace(replace(n_name, 'A', 'Ã'), 'E', 'É') AS nome
+             |FROM nation ORDER BY chave""".stripMargin)),
+
     // JSON-lines round trip (same identity pattern as q_csv_roundtrip):
     // typed write -> schema-bound read-back -> aggregate; the oracle
     // aggregates the original parquet, so serialization must be lossless.

@@ -24,6 +24,57 @@ object SimilarityPack extends QueryPack {
        |          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |        FROM embeddings$filter))""".stripMargin
 
+  /** One deterministic Lloyd round as DuckDB CTEs: assignment via the
+    * dot-desc/cent-asc rank, per-dim means via list_reduce over
+    * vec_id-ordered member lists (= the driver's left-to-right folds),
+    * renormalized means, empty/zero-norm cells keeping their previous
+    * centroid. Exactly [[graft.ext.Similarity]]'s lloyd(), replayed.
+    */
+  private def iterCtes(i: Int, prev: String): String =
+    s"""a$i AS (
+       |  SELECT vec_id, nv, cent_id FROM (
+       |    SELECT t.vec_id, t.nv, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id
+       |                         ORDER BY list_dot_product(t.nv, c.centv) DESC,
+       |                                  c.cent_id ASC) AS rk
+       |    FROM t CROSS JOIN $prev c)
+       |  WHERE rk = 1),
+       |m$i AS (
+       |  SELECT cent_id, d,
+       |    list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS mu
+       |  FROM (SELECT vec_id, cent_id, generate_subscripts(nv, 1) AS d, unnest(nv) AS val
+       |        FROM a$i)
+       |  GROUP BY cent_id, d),
+       |v$i AS (SELECT cent_id, list(mu ORDER BY d) AS mv FROM m$i GROUP BY cent_id),
+       |c$i AS (
+       |  SELECT p.cent_id,
+       |    CASE WHEN v$i.cent_id IS NULL OR list_dot_product(v$i.mv, v$i.mv) = 0
+       |         THEN p.centv
+       |         ELSE list_transform(v$i.mv, x -> x / sqrt(list_dot_product(v$i.mv, v$i.mv)))
+       |    END AS centv
+       |  FROM $prev p LEFT JOIN v$i ON v$i.cent_id = p.cent_id)""".stripMargin
+
+  /** Shared training replay + full-corpus cell assignment: normalized
+    * vectors, the vec_id&lt;256 training slice, 2 Lloyd rounds from the
+    * first-16 seeds, final `cents`, and `assign(vec_id, nv, cell)` —
+    * the model both sim_topk_ivf and dedup_semantic probe.
+    */
+  private def trainedAssignCtes: String =
+    s"""${normCte("")},
+       |t AS (SELECT vec_id, nv FROM e WHERE vec_id < 256),
+       |c0 AS (SELECT vec_id AS cent_id, nv AS centv FROM e WHERE vec_id < 16),
+       |${iterCtes(1, "c0")},
+       |${iterCtes(2, "c1")},
+       |cents AS (SELECT cent_id, centv FROM c2),
+       |assign AS (
+       |  SELECT vec_id, nv, cell FROM (
+       |    SELECT c.vec_id, c.nv, ct.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |                         ORDER BY list_dot_product(c.nv, ct.centv) DESC,
+       |                                  ct.cent_id ASC) AS rk
+       |    FROM e c CROSS JOIN cents ct)
+       |  WHERE rk = 1)""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
 
     "sim_topk_bruteforce" -> QueryDef(
@@ -93,45 +144,7 @@ object SimilarityPack extends QueryPack {
         Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, k = 5)
           .orderBy("query_id", "rank")
       },
-      Some {
-        def iterCtes(i: Int, prev: String): String =
-          s"""a$i AS (
-             |  SELECT vec_id, nv, cent_id FROM (
-             |    SELECT t.vec_id, t.nv, c.cent_id,
-             |      ROW_NUMBER() OVER (PARTITION BY t.vec_id
-             |                         ORDER BY list_dot_product(t.nv, c.centv) DESC,
-             |                                  c.cent_id ASC) AS rk
-             |    FROM t CROSS JOIN $prev c)
-             |  WHERE rk = 1),
-             |m$i AS (
-             |  SELECT cent_id, d,
-             |    list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS mu
-             |  FROM (SELECT vec_id, cent_id, generate_subscripts(nv, 1) AS d, unnest(nv) AS val
-             |        FROM a$i)
-             |  GROUP BY cent_id, d),
-             |v$i AS (SELECT cent_id, list(mu ORDER BY d) AS mv FROM m$i GROUP BY cent_id),
-             |c$i AS (
-             |  SELECT p.cent_id,
-             |    CASE WHEN v$i.cent_id IS NULL OR list_dot_product(v$i.mv, v$i.mv) = 0
-             |         THEN p.centv
-             |         ELSE list_transform(v$i.mv, x -> x / sqrt(list_dot_product(v$i.mv, v$i.mv)))
-             |    END AS centv
-             |  FROM $prev p LEFT JOIN v$i ON v$i.cent_id = p.cent_id)""".stripMargin
-        val head = s"""WITH ${normCte("")},
-           |t AS (SELECT vec_id, nv FROM e WHERE vec_id < 256),
-           |c0 AS (SELECT vec_id AS cent_id, nv AS centv FROM e WHERE vec_id < 16),
-           |${iterCtes(1, "c0")},
-           |${iterCtes(2, "c1")},
-           |cents AS (SELECT cent_id, centv FROM c2),
-           |assign AS (""".stripMargin
-        head + s"""
-              |  SELECT neighbor_id, cv, cell FROM (
-              |    SELECT c.vec_id AS neighbor_id, c.nv AS cv, ct.cent_id AS cell,
-              |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
-              |                         ORDER BY list_dot_product(c.nv, ct.centv) DESC,
-              |                                  ct.cent_id ASC) AS rk
-              |    FROM e c CROSS JOIN cents ct)
-              |  WHERE rk = 1),
+      Some(s"""WITH $trainedAssignCtes,
               |probes AS (
               |  SELECT query_id, qv, cell FROM (
               |    SELECT q.vec_id AS query_id, q.nv AS qv, ct.cent_id AS cell,
@@ -141,16 +154,34 @@ object SimilarityPack extends QueryPack {
               |    FROM e q CROSS JOIN cents ct WHERE q.vec_id < 8)
               |  WHERE prk <= 4),
               |cand AS (
-              |  SELECT p.query_id, a.neighbor_id, list_dot_product(p.qv, a.cv) AS cos
-              |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.neighbor_id <> p.query_id),
+              |  SELECT p.query_id, a.vec_id AS neighbor_id, list_dot_product(p.qv, a.nv) AS cos
+              |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
               |r AS (
               |  SELECT query_id, neighbor_id, cos,
               |    ROW_NUMBER() OVER (PARTITION BY query_id
               |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
               |  FROM cand)
               |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
-              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-      }),
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // SemDeDup-style semantic dedup: pairs form ONLY within a trained
+    // centroid cell (the cells play LSH bands' role), so the all-pairs
+    // cosine matrix never materializes; cross-cell dups are the
+    // documented recall trade. Same trained model as sim_topk_ivf —
+    // the oracle replays training AND assignment, then self-joins
+    // within cells.
+    "dedup_semantic" -> QueryDef(
+      "Semantic near-dup pairs within trained-centroid cells (SemDeDup shape), cosine >= 0.45",
+      (s, dir) =>
+        Similarity.semanticDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
+          .orderBy("vec_a", "vec_b"),
+      Some(s"""WITH $trainedAssignCtes,
+              |p AS (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+              |    list_dot_product(a.nv, b.nv) AS cos
+              |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+              |SELECT vec_a, vec_b, cell, ROUND(cos, 6) AS cosine
+              |FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin)),
 
     // Memory-scale path: SQ8-quantized candidate scan (4× smaller codes)
     // + full-precision re-rank of the top-50. Deterministic affine map +

@@ -90,6 +90,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
   }
 
+  test("semantic dedup: no false positives vs the exact all-pairs form") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 500)
+    val exact = Similarity.cosineNearDupPairs(e, threshold = 0.45)
+      .select("vec_a", "vec_b", "cosine")
+      .collect().map(_.toSeq).toSet
+    val semantic = Similarity.semanticDupPairs(e, threshold = 0.45)
+      .select("vec_a", "vec_b", "cosine")
+      .collect().map(_.toSeq).toSet
+    // within-cell pairs are a subset of all pairs, with IDENTICAL cosines
+    // (same normalized vectors, same fold order); cross-cell dups are the
+    // documented recall trade
+    assert(semantic.subsetOf(exact), (semantic -- exact).take(3).toString)
+    assert(semantic.nonEmpty)
+    // the self-join must stay a shuffled equi join on the cell id
+    val p = Similarity.semanticDupPairs(e, 0.45).queryExecution.sparkPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("IVF degenerate inputs: single-vector corpus works, bad ids fail loudly") {
     val e = Tables.embeddings(spark, sf)
     // exactly one centroid (greatest() needs >= 2 args — single cell path)

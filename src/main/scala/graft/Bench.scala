@@ -43,14 +43,16 @@ object Bench {
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.zip(p2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
     // Keep the line compact (3-decimal seconds, numeric sf): the driver
-    // captures only a bounded tail of stdout, and a multi-KB line risks
-    // being truncated mid-JSON before it is parsed.
+    // captures only a bounded TAIL of stdout, and with 100+ queries the
+    // line exceeds that window — so the headline total/unit/sf go LAST,
+    // guaranteeing the captured tail always ends with them even when the
+    // front of the per-query map is cut off.
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    println(s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum}""")
     spark.stop()
   }
 }

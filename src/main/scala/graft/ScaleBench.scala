@@ -35,9 +35,10 @@ object ScaleBench {
     */
   val ScaleQueries: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_edit_banded", "dedup_semantic",
     "text_chargrams", "text_langid_ngram", "text_vocab_stats",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_sq8",
-    "q_join_fact_fact", "q_local_revenue")
+    "q_join_fact_fact", "q_local_revenue", "q_skew_join_salted")
 
   private val IdOffset = 100000000L
 

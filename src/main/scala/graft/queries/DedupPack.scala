@@ -51,6 +51,32 @@ object DedupPack extends QueryPack {
              |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
              |FROM p WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Boilerplate detector: the highest-document-frequency shingles are
+    // the repeated headers/footers/templates a training pipeline strips
+    // (and exactly the hot keys ngramJaccardPairs' maxShingleDf valve
+    // caps). shingleRows is map-only; one partial+final count per
+    // shingle; TakeOrdered for the report.
+    "text_boilerplate" -> QueryDef(
+      "Top-20 3-gram shingles by document frequency (boilerplate candidates)",
+      (s, dir) =>
+        Dedup.shingleRows(Tables.documents(s, dir))
+          .groupBy("sh")
+          .agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("sh").asc)
+          .limit(20),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+             |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+             |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS shs
+             |  FROM d)
+             |SELECT sh, CAST(COUNT(*) AS BIGINT) AS df
+             |FROM (SELECT doc_id, unnest(shs) AS sh FROM s)
+             |GROUP BY sh ORDER BY df DESC, sh ASC LIMIT 20""".stripMargin)),
+
     "dedup_minhash_lsh" -> QueryDef(
       "Shingle MinHash(16)+LSH(4 bands of 4) candidates, exact-Jaccard-verified >= 0.3",
       (s, dir) =>

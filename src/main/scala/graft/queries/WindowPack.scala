@@ -32,6 +32,26 @@ object WindowPack extends QueryPack {
              |FROM orders WHERE o_totalprice > 400000.0
              |ORDER BY id""".stripMargin)),
 
+    // W2 — global sequential id, SCALE mode: range-partitioned sort +
+    // zipWithIndex (per-partition offsets, one lightweight count job) —
+    // no single-partition window anywhere. Same contract as q_seq_id
+    // (contiguous 1..N in a canonical total order), now oracle-gated:
+    // the two modes are interchangeable and both hash-exact.
+    "q_seq_id_scale" -> QueryDef(
+      "Contiguous 1..N id via range-sort + zipWithIndex (scale mode, no global window)",
+      (s, dir) =>
+        graft.ops.Consolidate.withSequentialId(
+          Tables.orders(s, dir)
+            .filter(col("o_totalprice") > 400000.0)
+            .select("o_orderkey", "o_totalprice"),
+          Seq(col("o_orderkey")), "id")
+          .select("o_orderkey", "o_totalprice", "id")
+          .orderBy("id"),
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  ROW_NUMBER() OVER (ORDER BY o_orderkey) AS id
+             |FROM orders WHERE o_totalprice > 400000.0
+             |ORDER BY id""".stripMargin)),
+
     // Ranking per group + filter (top-3 per nation).
     "q_window_rank" -> QueryDef(
       "rank per partition + filter: top-3 customers by balance per nation",

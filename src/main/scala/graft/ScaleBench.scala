@@ -56,9 +56,15 @@ object ScaleBench {
     amplify(Tables.documents(spark, baseDir), k) { (d, r) =>
       d.select(
         (col("doc_id") + lit(r * IdOffset)).as("doc_id"),
-        // prefix every token with a replica tag: replica shingle/token
-        // spaces are disjoint, so near-dup pairs stay intra-replica
-        regexp_replace(col("text"), "(\\S+)", s"r$r$$1").as("text"),
+        // SUFFIX every token with a replica tag: replica shingle/token
+        // spaces are disjoint, so near-dup pairs stay intra-replica —
+        // and the text's PREFIX keeps its original entropy. (A prefix
+        // tag measured wrong: "r14group r14..." spent the edit-banded
+        // query's 12-char prefix band on the tag + first token alone,
+        // collapsing every "group ..." doc of a replica into one band
+        // bucket — a quadratic artifact of the amplifier, not the
+        // operator. Genuinely new data keeps first-k-char diversity.)
+        regexp_replace(col("text"), "(\\S+)", s"$$1r$r").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 

@@ -103,6 +103,73 @@ object TrainPack extends QueryPack {
              |WHERE rk <= 5
              |ORDER BY lang, rk""".stripMargin)),
 
+    // Sequence packing ("concat then split"): per-SOURCE shard, docs in
+    // canonical id order are laid head-to-tail and cut into fixed
+    // token-budget bins — a doc belongs to the pack its first token
+    // lands in. The window partitions by source (the shard key): no
+    // single-partition window, and at 100 TB packing is per-shard by
+    // construction — exactly how sample packing runs in practice.
+    "train_pack_sequences" -> QueryDef(
+      "Sequence packing: per-source token stream cut into 256-token packs",
+      (s, dir) => {
+        val budget = 256
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / lit(budget)))
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+          .withColumn("fill_pct", round(col("pack_tokens") * 100.0 / budget, 2))
+          .orderBy("source", "pack_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, n_tokens,
+             |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |                        ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t)
+             |SELECT source, CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+             |  ROUND(CAST(SUM(n_tokens) AS BIGINT) * 100.0 / 256, 2) AS fill_pct
+             |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin)),
+
+    // Deterministic mixture construction: each source gets a target
+    // weight (1..4 from its numeric suffix), and the md5-bucket filter
+    // keeps w/8 of its docs — re-runs and retried tasks keep the exact
+    // same mixture with no RNG state (same mechanism as
+    // sample_stratified). This is the "data mixing" stage of a
+    // pretraining pipeline: per-source sampling rates applied in one
+    // map-only pass + one bounded aggregation.
+    "train_mixture" -> QueryDef(
+      "Weighted source mixture: per-source keep-rate w/8 via deterministic md5 buckets",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("w", pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) + 1L)
+          .withColumn("kept",
+            (pmod(Hashing.portableTokenHash(col("doc_id").cast("string")), lit(8L)) < col("w"))
+              .cast("long"))
+        d.groupBy("source", "w")
+          .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"))
+          .withColumn("kept_pct", round(col("n_kept") * 100.0 / col("n_total"), 2))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS w,
+             |    CASE WHEN CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 8
+             |              < CAST(substring(source, 4) AS BIGINT) % 4 + 1
+             |         THEN 1 ELSE 0 END AS kept
+             |  FROM documents)
+             |SELECT source, w, COUNT(*) AS n_total,
+             |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+             |  ROUND(CAST(SUM(kept) AS BIGINT) * 100.0 / COUNT(*), 2) AS kept_pct
+             |FROM d GROUP BY source, w ORDER BY source""".stripMargin)),
+
     "sample_stratified" -> QueryDef(
       "Deterministic ~10% hash sample per language stratum",
       (s, dir) => {

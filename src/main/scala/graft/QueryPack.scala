@@ -30,7 +30,8 @@ object Catalog {
     queries.MultimodalPack,
     queries.SqlSurfacePack,
     queries.FunctionsPack,
-    queries.TrainPack)
+    queries.TrainPack,
+    queries.CurationPack)
 
   lazy val all: Map[String, QueryDef] = {
     val merged = packs.flatMap(_.queries)

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation primitives: benchmark-contamination profiling and
+  * chunk-level (paragraph-shaped) exact dedup. Pure DataFrame logic —
+  * shared by the oracle-checked CurationPack queries and the planted
+  * fixtures in CurationSpec.
+  */
+object Curation {
+
+  /** Per-TRAIN-doc contamination profile against the eval split:
+    * (doc_id, source, n_sh, n_hit, ratio) where n_hit counts the doc's
+    * distinct n-gram shingles that also appear anywhere in the eval
+    * split and ratio = n_hit / n_sh (0 for shingle-less short docs).
+    *
+    * Scale: the eval shingle set is tiny relative to the corpus
+    * (benchmarks are ~1k docs vs billions), so it is broadcast and the
+    * corpus scan stays map-side; the only corpus-sized shuffle is the
+    * per-doc hit count keyed by doc_id.
+    */
+  def contaminationPerDoc(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("source"),
+      Dedup.shingles(col("text"), n).as("sh"), isEval.as("is_eval"))
+    val evalGrams = sh.filter(col("is_eval"))
+      .select(explode(col("sh")).as("g")).distinct()
+    val train = sh.filter(!col("is_eval"))
+      .select(col("doc_id"), col("source"), size(col("sh")).as("n_sh"), col("sh"))
+    val hits = train.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("h"))
+    train.drop("sh")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("h"), lit(0L)))
+      .drop("h")
+      .withColumn("ratio",
+        when(col("n_sh") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_sh")))
+  }
+
+  /** One row per distinct (doc, chunk): docs cut into consecutive
+    * `width`-token chunks (stride = width, tail shorter than `width`
+    * dropped) — the paragraph-dedup unit when the corpus has no
+    * explicit paragraph breaks. Map-only.
+    */
+  def chunkInstances(docs: DataFrame, width: Int = 8): DataFrame = {
+    val toked = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokens(col("text")).as("t"))
+    val chunkArr =
+      when(size(col("t")) < width, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), (size(col("t")) / width).cast("int") - 1),
+          i => concat_ws(" ", slice(col("t"), i * width + 1, lit(width)))))
+    toked.select(col("doc_id"), col("source"), explode(chunkArr).as("chunk"))
+      .distinct()
+  }
+
+  /** Chunk duplication profile: each (doc, chunk) instance annotated with
+    * the chunk's cross-corpus document frequency. One shuffle keyed by
+    * chunk — at 100 TB the key would be the chunk's md5 (fixed 16 bytes)
+    * rather than the string.
+    */
+  def chunkDupInstances(docs: DataFrame, width: Int = 8): DataFrame = {
+    val inst = chunkInstances(docs, width)
+    val df = inst.groupBy("chunk").agg(countDistinct("doc_id").as("cdf"))
+    inst.join(df, Seq("chunk"))
+  }
+}

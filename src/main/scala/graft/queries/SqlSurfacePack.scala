@@ -91,6 +91,42 @@ object SqlSurfacePack extends QueryPack {
              |  COUNT(*) AS n
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Approximate quantile sketch, ORACLE-GATED via the boolean trick:
+    // the GK sketch's value isn't SQL-reproducible, so the query emits
+    // the exact interpolated quantiles plus in-query assertions that the
+    // sketch landed within ±1% RANK error (its value must fall inside
+    // the exact [q-0.01, q+0.01] interpolated interval — the sketch's
+    // actual contract, robust to value gaps at any n, unlike a relative
+    // VALUE bound) — and the oracle expects literal TRUE. A broken
+    // sketch flips the boolean and fails the driver's hash compare, so
+    // the approx path is gated without pretending DuckDB can replay it
+    // (same pattern as q_approx_distinct's rel_err gate, but
+    // hash-checkable).
+    "q_approx_quantile" -> QueryDef(
+      "percentile_approx gated within +/-1% rank of exact interpolated quantiles",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+            round(expr("percentile(value, 0.95)"), 4).as("p95_exact"),
+            expr("percentile(value, 0.49)").as("lo50"),
+            expr("percentile(value, 0.51)").as("hi50"),
+            expr("percentile(value, 0.94)").as("lo95"),
+            expr("percentile(value, 0.96)").as("hi95"),
+            percentile_approx(col("value"), lit(0.5), lit(10000)).as("a50"),
+            percentile_approx(col("value"), lit(0.95), lit(10000)).as("a95"))
+          .select(col("event_type"), col("n"), col("p50_exact"), col("p95_exact"),
+            (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
+            (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_ok"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+             |  ROUND(quantile_cont(value, 0.95), 4) AS p95_exact,
+             |  TRUE AS p50_ok, TRUE AS p95_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Explicit GROUPING SETS (beyond rollup/cube) with GROUPING() markers —
     // SQL-text path, since the DataFrame API only exposes rollup/cube.
     "q_grouping_sets" -> QueryDef(

@@ -219,6 +219,59 @@ object WindowPack extends QueryPack {
              |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
              |    AS prev_high_price
              |FROM orders WHERE o_custkey % 100 = 0
-             |ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // SCD2 history build (gaps-and-islands): collapse each customer's
+    // order stream into priority "versions" — a new version starts
+    // whenever o_orderpriority differs from the previous order's — and
+    // emit effective ranges [eff_from, eff_to) with the open version
+    // flagged current. This is the warehouse type-2 dimension build from
+    // a change stream: two windows over the same (custkey) partitioning
+    // (Catalyst plans ONE exchange; the version re-window rides the same
+    // hash partitioning), then a per-version aggregate. At 100 TB the
+    // customer key partitions the work; nothing is global.
+    "q_scd2_history" -> QueryDef(
+      "Type-2 effective-dated priority history per customer (islands + LEAD)",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val versioned = Tables.orders(s, dir)
+          .filter(col("o_custkey") % 50 === 0)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("o_orderpriority"), 1L)
+              .otherwise(0L))
+          .withColumn("version", sum("chg").over(w))
+        val wv = Window.partitionBy("o_custkey").orderBy("version")
+        versioned
+          .groupBy("o_custkey", "version", "o_orderpriority")
+          .agg(min("o_orderdate").as("eff_from"), count(lit(1)).as("n_orders"))
+          .withColumn("eff_to", lead(col("eff_from"), 1).over(wv))
+          .withColumn("is_current", col("eff_to").isNull)
+          .orderBy("o_custkey", "version")
+      },
+      Some("""WITH v AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             |    CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM orders WHERE o_custkey % 50 = 0
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)),
+             |n AS (
+             |  SELECT o_custkey, o_orderdate, o_orderpriority,
+             |    CAST(SUM(chg) OVER (PARTITION BY o_custkey
+             |                        ORDER BY o_orderdate ASC, o_orderkey ASC
+             |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+             |  FROM v),
+             |g AS (
+             |  SELECT o_custkey, version, o_orderpriority,
+             |    MIN(o_orderdate) AS eff_from, COUNT(*) AS n_orders
+             |  FROM n GROUP BY o_custkey, version, o_orderpriority)
+             |SELECT o_custkey, version, o_orderpriority, eff_from, n_orders,
+             |  LEAD(eff_from) OVER (PARTITION BY o_custkey ORDER BY version) AS eff_to,
+             |  LEAD(eff_from) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL
+             |    AS is_current
+             |FROM g ORDER BY o_custkey, version""".stripMargin))
   )
 }

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 12-token eval doc; train doc 2 copies its middle 6 tokens (= two
+  // overlapping 5-grams), train doc 3 shares nothing.
+  private val docs = Seq(
+    (23L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "src0"),
+    (2L, "x1 x2 gamma delta epsilon zeta eta theta y1 y2", "src0"),
+    (3L, "p q r s t u v w", "src1"),
+    (4L, "tiny doc", "src1") // < 5 tokens: no shingles at all
+  ).toDF("doc_id", "text", "source")
+
+  test("contamination: planted 5-gram overlap is found, clean doc is zero") {
+    val per = Curation.contaminationPerDoc(docs, col("doc_id") === 23L, n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(!per.contains(23L), "eval docs must not appear in the train profile")
+    // doc 2's tokens 3..8 match eval tokens 3..8: 5-grams (3..7) and (4..8)
+    assert(per(2L)._1 == 2L, s"expected 2 overlapping 5-grams, got ${per(2L)._1}")
+    assert(per(3L) == ((0L, 0.0)))
+    assert(per(4L) == ((0L, 0.0)), "shingle-less doc must profile as clean, not null")
+    val d2 = per(2L)._2
+    assert(math.abs(d2 - 2.0 / 6.0) < 1e-12, s"ratio = hits / distinct 5-grams, got $d2")
+  }
+
+  test("chunking: stride = width, tail dropped, duplicate chunk counted across docs") {
+    val two = Seq(
+      (1L, "a b c d e f g h i j", "s"), // chunks: [a..h]; tail i j dropped
+      (2L, "a b c d e f g h", "s"), // same single chunk as doc 1
+      (3L, "z y x w v u t s", "s") // distinct chunk
+    ).toDF("doc_id", "text", "source")
+    val inst = Curation.chunkInstances(two, width = 8)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(inst.length == 3)
+    assert(inst.count(_._2 == "a b c d e f g h") == 2)
+    val dup = Curation.chunkDupInstances(two, width = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    assert(dup(1L) == 2L && dup(2L) == 2L && dup(3L) == 1L)
+  }
+
+  test("chunking: repeated chunk within ONE doc is a single instance, not a dup") {
+    val rep = Seq((1L, "a b c d e f g h a b c d e f g h", "s"))
+      .toDF("doc_id", "text", "source")
+    val dup = Curation.chunkDupInstances(rep, width = 8).collect()
+    assert(dup.length == 1 && dup.head.getLong(3) == 1L)
+  }
+}

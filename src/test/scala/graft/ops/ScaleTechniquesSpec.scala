@@ -92,6 +92,36 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"AQE skew split did not fire; final plan:\n${p.take(4000)}")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the win: a selective dim filter becomes a bloom filter
+    // pushed into the fact scan, so most fact rows die before the join
+    // shuffle. Thresholds tuned down so local parquet exhibits the same
+    // optimizer decision (the size gates default to 10 MB / 10 GB).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val sf = "/root/testdata/sf0.001"
+    val sel = Tables.orders(s2, sf).filter(col("o_totalprice") > 300000.0)
+    val joined = Tables.lineitem(s2, sf)
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"runtime bloom filter was not injected:\n${plan.take(4000)}")
+    // and it must not change results vs the same join with the filter off
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val expect = Tables.lineitem(s3, sf)
+      .join(Tables.orders(s3, sf).filter(col("o_totalprice") > 300000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("graft_dot is callable from SQL once registered (extensions function path)") {
     import org.apache.spark.sql.GraftShims
     GraftShims.registerFunction(spark, "graft_dot",

@@ -37,6 +37,7 @@ object ScaleBench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_edit_banded", "dedup_semantic",
     "text_chargrams", "text_langid_ngram", "text_vocab_stats",
+    "text_contamination", "text_chunk_dedup", "text_rare_tokens",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_sq8",
     "q_join_fact_fact", "q_local_revenue", "q_skew_join_salted")
 

@@ -56,6 +56,29 @@ object Curation {
       .distinct()
   }
 
+  /** Per-doc rare-token profile: (doc_id, source, n_tok, n_rare, share)
+    * where a token instance is "rare" when its corpus document frequency
+    * is <= `dfMax` — the quality signal behind rare-token/garbage
+    * filters (OCR noise, mojibake, random ids score high).
+    *
+    * Two-pass train-then-join shape: the token→df table is vocab-sized
+    * (not corpus-sized), so the second pass joins the exploded corpus
+    * against a small side; the only corpus-sized shuffle is the per-doc
+    * count keyed by doc_id.
+    */
+  def rareTokenProfile(docs: DataFrame, dfMax: Long = 2L): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val dfTbl = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("tdf"))
+    toks.join(dfTbl, Seq("tok"))
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("tdf") <= dfMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("share", col("n_rare").cast("double") / col("n_tok"))
+  }
+
   /** Chunk duplication profile: each (doc, chunk) instance annotated with
     * the chunk's cross-corpus document frequency. One shuffle keyed by
     * chunk — at 100 TB the key would be the chunk's md5 (fixed 16 bytes)

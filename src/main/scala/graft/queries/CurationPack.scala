@@ -95,6 +95,43 @@ object CurationPack extends QueryPack {
              |  CAST(SUM(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
              |  ROUND(CAST(SUM(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 100.0
              |        / COUNT(*), 2) AS dup_pct
-             |FROM c JOIN f USING (chunk) GROUP BY source ORDER BY source""".stripMargin))
+             |FROM c JOIN f USING (chunk) GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Rare-token quality signal: a high share of corpus-rare tokens marks
+    // OCR noise / mojibake / random-id text that quality filters drop.
+    // Train-then-join: pass 1 builds the vocab-sized token→df table,
+    // pass 2 joins the corpus against it — the df side is vocab-sized,
+    // never corpus-sized, so at 100 TB it is a broadcast or small-side
+    // shuffle-hash join, and the only corpus-keyed shuffle is the
+    // per-doc count.
+    "text_rare_tokens" -> QueryDef(
+      "Per-source rare-token share (corpus df <= 2): noise/garbage signal",
+      (s, dir) =>
+        Curation.rareTokenProfile(Tables.documents(s, dir), dfMax = 2L)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_rare").as("total_rare"),
+            round(avg(round(col("share"), 4)), 4).as("avg_rare_share"),
+            sum(when(col("share") > 0.2, 1L).otherwise(0L)).as("n_noisy"))
+          .orderBy("source"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |dfx AS (
+             |  SELECT tok, COUNT(*) AS tdf FROM (
+             |    SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+             |per AS (
+             |  SELECT doc_id, source, COUNT(*) AS n_tok,
+             |    SUM(CASE WHEN tdf <= 2 THEN 1 ELSE 0 END) AS n_rare
+             |  FROM toks JOIN dfx USING (tok)
+             |  GROUP BY doc_id, source)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_rare) AS BIGINT) AS total_rare,
+             |  ROUND(AVG(ROUND(CAST(n_rare AS DOUBLE) / n_tok, 4)), 4) AS avg_rare_share,
+             |  CAST(SUM(CASE WHEN CAST(n_rare AS DOUBLE) / n_tok > 0.2 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_noisy
+             |FROM per GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -297,6 +297,57 @@ object JoinPack extends QueryPack {
              |JOIN lineitem ON o_orderkey = l_orderkey
              |JOIN supplier ON l_suppkey  = s_suppkey
              |JOIN nation   ON s_nationkey = n_nationkey
-             |GROUP BY n_name ORDER BY n_name""".stripMargin))
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // CDC snapshot diff: classify every key across two snapshots of the
+    // same derived table (per-customer revenue at two cutoffs, the newer
+    // one also dropping 'F'-status orders so deletes genuinely occur) as
+    // insert / update / delete / unchanged via ONE full-outer join. This
+    // is the change-capture primitive behind incremental loads and audit
+    // diffs. Both snapshots aggregate before joining, so the join sides
+    // are key-cardinality, not fact-cardinality; the full-outer join
+    // shuffles both sides on the SAME key Catalyst already partitioned
+    // the aggregates by — at 100 TB the exchanges reuse.
+    "q_snapshot_diff" -> QueryDef(
+      "CDC classify (insert/update/delete/unchanged) between two revenue snapshots",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        def snap(pred: org.apache.spark.sql.Column) =
+          o.filter(pred).groupBy("o_custkey")
+            .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val a = snap(year(col("o_orderdate")) < 1997)
+          .select(col("o_custkey").as("k"), col("rev").as("rev_a"))
+        val b = snap(year(col("o_orderdate")) < 1999 && col("o_orderstatus") =!= "F")
+          .select(col("o_custkey").as("k"), col("rev").as("rev_b"))
+        a.join(b, Seq("k"), "full_outer")
+          .withColumn("op",
+            when(col("rev_a").isNull, "insert")
+              .when(col("rev_b").isNull, "delete")
+              .when(col("rev_a") =!= col("rev_b"), "update")
+              .otherwise("unchanged"))
+          .groupBy("op")
+          .agg(
+            count(lit(1)).as("n_keys"),
+            round(sum(coalesce(col("rev_b"), lit(0.0))), 2).as("sum_rev_new"))
+          .orderBy("op")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_custkey AS k, ROUND(SUM(o_totalprice), 2) AS rev_a
+             |  FROM orders WHERE year(o_orderdate) < 1997 GROUP BY o_custkey),
+             |b AS (
+             |  SELECT o_custkey AS k, ROUND(SUM(o_totalprice), 2) AS rev_b
+             |  FROM orders
+             |  WHERE year(o_orderdate) < 1999 AND o_orderstatus <> 'F'
+             |  GROUP BY o_custkey),
+             |d AS (
+             |  SELECT COALESCE(a.k, b.k) AS k, rev_a, rev_b,
+             |    CASE WHEN rev_a IS NULL THEN 'insert'
+             |         WHEN rev_b IS NULL THEN 'delete'
+             |         WHEN rev_a <> rev_b THEN 'update'
+             |         ELSE 'unchanged' END AS op
+             |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+             |SELECT op, COUNT(*) AS n_keys,
+             |  ROUND(SUM(COALESCE(rev_b, 0.0)), 2) AS sum_rev_new
+             |FROM d GROUP BY op ORDER BY op""".stripMargin))
   )
 }

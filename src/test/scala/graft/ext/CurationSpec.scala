@@ -44,6 +44,20 @@ class CurationSpec extends AnyFunSuite {
     assert(dup(1L) == 2L && dup(2L) == 2L && dup(3L) == 1L)
   }
 
+  test("rare-token profile: df counts docs not instances; share = rare/total") {
+    val d = Seq(
+      (1L, "common common weird1", "s"), // "common" twice in one doc: df=2 via docs 1,2
+      (2L, "common weird2 weird2", "s"), // "weird2" twice but only in doc 2: rare (df=1)
+      (3L, "common common common", "s")
+    ).toDF("doc_id", "text", "source")
+    // df: common=3 (not rare at dfMax=2), weird1=1, weird2=1
+    val per = Curation.rareTokenProfile(d, dfMax = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(per(1L) == ((3L, 1L))) // weird1 instance
+    assert(per(2L) == ((3L, 2L))) // BOTH weird2 instances count
+    assert(per(3L) == ((3L, 0L)))
+  }
+
   test("chunking: repeated chunk within ONE doc is a single instance, not a dup") {
     val rep = Seq((1L, "a b c d e f g h a b c d e f g h", "s"))
       .toDF("doc_id", "text", "source")

@@ -80,6 +80,30 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
   }
 
+  /** Idempotent micro-batch write: each batch lands in a DETERMINISTIC
+    * `batch_id=<id>` directory with overwrite semantics, so a RETRIED
+    * batch (failure after write, before checkpoint commit) replaces its
+    * own previous attempt instead of appending duplicates. This is the
+    * standard exactly-once recipe for sinks without transactional
+    * commit: deterministic target keyed by batchId + overwrite = an
+    * effectively-once file sink. Readers see the union via partition
+    * discovery on `batch_id`.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** `foreachBatch` sink wiring [[writeBatchIdempotent]] into a streaming
+    * query (checkpointed, so batch ids are stable across restarts).
+    */
+  def idempotentFileSink(
+      stream: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => writeBatchIdempotent(b, id, outDir))
+      .start()
+
   /** One in-flight session per user held as explicit stream state. */
   case class SessionState(start: Long, lastTs: Long, nEvents: Long)
 

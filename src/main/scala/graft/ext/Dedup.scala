@@ -41,6 +41,37 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** Incremental (batch-vs-corpus) exact dedup — the daily-ingest shape:
+    * the standing corpus is represented ONLY by its fingerprint index
+    * (16-byte md5 per doc, never the text), so admitting a new batch
+    * costs one fp-keyed join against the index plus one window over the
+    * batch itself; the corpus text is never rescanned. Each incoming doc
+    * is classified `dup_corpus` (fingerprint already indexed),
+    * `dup_batch` (a smaller id in THIS batch has the same fingerprint),
+    * or `kept` (enters the corpus, and its fp joins the index).
+    */
+  def incrementalDedup(corpusFps: DataFrame, incoming: DataFrame): DataFrame = {
+    val idx = corpusFps.select(col("fp"), lit(true).as("in_corpus")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    incoming
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("rk", row_number().over(w))
+      .join(idx, Seq("fp"), "left")
+      .withColumn("status",
+        when(col("in_corpus").isNotNull, "dup_corpus")
+          .when(col("rk") > 1, "dup_batch")
+          .otherwise("kept"))
+      .drop("in_corpus", "rk")
+  }
+
+  /** The fingerprint index a standing corpus contributes to
+    * [[incrementalDedup]] — what a 100 TB deployment would keep
+    * materialized between ingest runs.
+    */
+  def fingerprintIndex(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+
   /** Jaccard similarity of two pre-deduplicated arrays as a Column. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -29,6 +29,46 @@ object DedupPack extends QueryPack {
              |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Incremental (batch-vs-corpus) dedup — the daily-ingest shape: the
+    // standing corpus participates ONLY as its fingerprint index (16
+    // bytes/doc), never as text, so admitting a batch costs one fp join
+    // + one window over the batch. doc_id % 5 == 4 stands in for the
+    // incoming batch.
+    "dedup_incremental" -> QueryDef(
+      "Classify an incoming batch against the corpus fp index: dup_corpus/dup_batch/kept",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = pmod(col("doc_id"), lit(5L)) === 4
+        Dedup.incrementalDedup(
+            Dedup.fingerprintIndex(docs.filter(!isNew)), docs.filter(isNew))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_in"),
+            sum(when(col("status") === "dup_corpus", 1L).otherwise(0L)).as("n_dup_corpus"),
+            sum(when(col("status") === "dup_batch", 1L).otherwise(0L)).as("n_dup_batch"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, source,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             |    doc_id % 5 = 4 AS is_new
+             |  FROM documents),
+             |idx AS (SELECT DISTINCT fp FROM m WHERE NOT is_new),
+             |inc AS (
+             |  SELECT m.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+             |  FROM m WHERE is_new),
+             |cls AS (
+             |  SELECT inc.doc_id, inc.source,
+             |    CASE WHEN idx.fp IS NOT NULL THEN 'dup_corpus'
+             |         WHEN rk > 1 THEN 'dup_batch' ELSE 'kept' END AS status
+             |  FROM inc LEFT JOIN idx ON inc.fp = idx.fp)
+             |SELECT source, COUNT(*) AS n_in,
+             |  CAST(SUM(CASE WHEN status = 'dup_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+             |  CAST(SUM(CASE WHEN status = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+             |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM cls GROUP BY source ORDER BY source""".stripMargin)),
+
     "dedup_ngram_jaccard" -> QueryDef(
       "3-gram shingle Jaccard >= 0.3 via inverted-index similarity join (exact)",
       (s, dir) =>

@@ -20,6 +20,21 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.getLong(2) == 1L) // keeper is min doc_id
   }
 
+  test("incremental dedup: dup_corpus beats dup_batch; min-id keeps within batch") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Alpha   beta"), // fingerprint-equal to corpus doc 1
+      (11L, "new doc"),
+      (12L, "new  DOC"), // fingerprint-equal to 11, higher id -> dup_batch
+      (13L, "fresh")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(Dedup.fingerprintIndex(corpus), batch)
+      .select("doc_id", "status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "dup_corpus", 11L -> "kept",
+      12L -> "dup_batch", 13L -> "kept"))
+  }
+
   test("shingles: correct 3-gram set, short docs give empty set") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
     val sh = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))

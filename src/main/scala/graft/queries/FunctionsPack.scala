@@ -11,6 +11,31 @@ object FunctionsPack extends QueryPack {
 
   def queries: Map[String, QueryDef] = Map(
 
+    // Spark 4 VARIANT type: parse once into the binary semi-structured
+    // encoding, then typed variant_get paths — the open-schema sibling
+    // of q_from_json's fixed-schema struct (at 100 TB, VARIANT defers
+    // schema to read time and pushes shredded field access into the
+    // scan). Oracle = DuckDB's JSON path access, same semantics.
+    "q_variant_json" -> QueryDef(
+      "parse_json -> VARIANT -> variant_get typed path access, stats per type",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("v", parse_json(col("props")))
+          .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+          .groupBy("event_type")
+          .agg(
+            count(col("k")).as("n_k"),
+            sum("k").as("sum_k"),
+            sum(when(pmod(col("k"), lit(2)) === 1, 1L).otherwise(0L)).as("n_odd"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(k) AS n_k,
+             |  CAST(SUM(k) AS BIGINT) AS sum_k,
+             |  CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+             |FROM (SELECT event_type,
+             |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "q_date_functions" -> QueryDef(
       "Calendar function sweep: quarter, dow, last_day, add_months, datediff",
       (s, dir) =>

@@ -127,6 +127,56 @@ object SqlSurfacePack extends QueryPack {
              |  TRUE AS p50_ok, TRUE AS p95_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // WITH RECURSIVE (Spark 4 recursion surface): per-row iterative walk —
+    // every customer key halves until it reaches 1, depth histogram at
+    // the end. A genuine recursive CTE in BOTH engines (DuckDB's
+    // recursion is the oracle), exercising the UnionLoop execution path
+    // a hierarchy/BOM walk would use. The recursion depth is
+    // log2(max key) — each iteration is one distributed step, rows
+    // shrink as walks terminate.
+    "q_recursive_cte" -> QueryDef(
+      "WITH RECURSIVE halving walk over customer keys; depth histogram",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_rec")
+        s.sql("""WITH RECURSIVE walk(root, cur, d) AS (
+                |  SELECT c_custkey, c_custkey, 0 FROM customer_rec
+                |  UNION ALL
+                |  SELECT root, cur DIV 2, d + 1 FROM walk WHERE cur > 1)
+                |SELECT depth, COUNT(*) AS n FROM (
+                |  SELECT root, MAX(d) AS depth FROM walk GROUP BY root)
+                |GROUP BY depth ORDER BY depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE walk(root, cur, d) AS (
+             |  SELECT c_custkey, c_custkey, 0 FROM customer
+             |  UNION ALL
+             |  SELECT root, cur // 2, d + 1 FROM walk WHERE cur > 1)
+             |SELECT depth, COUNT(*) AS n FROM (
+             |  SELECT root, MAX(d) AS depth FROM walk GROUP BY root)
+             |GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: per-group top-k
+    // expressed the SQL-standard way (the DataFrame twin is the rank
+    // window in q_window_rank). Catalyst decorrelates this into a
+    // partitioned window/limit — no per-row re-execution.
+    "q_lateral_topk" -> QueryDef(
+      "LATERAL (ORDER BY LIMIT 2): top-2 customers by balance per nation",
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("nation_lat")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+        s.sql("""SELECT n_name, t.c_custkey, t.c_acctbal
+                |FROM nation_lat,
+                |LATERAL (SELECT c_custkey, c_acctbal FROM customer_lat
+                |         WHERE c_nationkey = n_nationkey
+                |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+                |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+      },
+      Some("""SELECT n_name, t.c_custkey, t.c_acctbal
+             |FROM nation,
+             |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+             |         WHERE c_nationkey = n_nationkey
+             |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+             |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)),
+
     // Explicit GROUPING SETS (beyond rollup/cube) with GROUPING() markers —
     // SQL-text path, since the DataFrame API only exposes rollup/cube.
     "q_grouping_sets" -> QueryDef(

@@ -337,6 +337,40 @@ object CorePack extends QueryPack {
              |  MAX(n_events) AS max_session_events, CAST(SUM(n_events) AS BIGINT) AS n_events
              |FROM sized GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // The BUILT-IN gap-session operator (same 30-min sessions as
+    // q_sessionize's manual LAG+running-SUM islands, one native
+    // SessionWindow aggregate instead of two windows + two aggregates;
+    // also the batch twin of the streaming state-store session). An
+    // event exactly gap seconds after the previous one starts a NEW
+    // session (window is [start, last+gap)), hence >= in the oracle's
+    // island flag where q_sessionize's contract is >.
+    "q_session_window" -> QueryDef(
+      "Native session_window(30 min) per user: session start, size, value sum",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |           OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+             |), sessions AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+             |  ROUND(SUM(value), 2) AS sum_value
+             |FROM sessions GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // O1 + top-k — global sort + limit with a total tie-break order.
     "q_topk_orders" -> QueryDef(
       "Top-100 orders by price desc (TakeOrderedAndProject, no full sort at scale)",

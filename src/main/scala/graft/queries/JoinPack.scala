@@ -78,7 +78,12 @@ object JoinPack extends QueryPack {
         val sml = Tables.orders(s, dir)
           .select(col("o_orderkey").as("k"), col("o_orderpriority"))
           .withColumn("_salt", graft.ops.Salting.explodeSalts(salts))
-        big.join(sml, Seq("k", "_salt"))
+        // shuffle_hash, explicitly: Catalyst sizes the join from the
+        // PRE-explode file stats, so at larger SFs it would broadcast
+        // the ×salts-replicated side (measured at ×16: a 9.8 GiB
+        // broadcast attempt / 15-26 s; the hinted shuffle join runs in
+        // 2.7 s with the hot key spread across the salt buckets).
+        big.join(sml.hint("shuffle_hash"), Seq("k", "_salt"))
           .groupBy("o_orderpriority")
           .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_items"))
           .orderBy("o_orderpriority")

@@ -41,7 +41,12 @@ object BandJoin {
       // in EXACTLY one bucket — no post-join dedup needed
       .select(col("k_b"), col("v_b"),
         explode(array(b0 - 1, b0, b0 + 1)).as("bucket"))
-    a.join(b, Seq("bucket"))
+    // shuffle_hash, explicitly: Catalyst sizes b from its PRE-explode
+    // stats, so a mid-sized input under the broadcast threshold would
+    // have its 3×-replicated form broadcast (the q_skew_join_salted
+    // mis-broadcast, measured in SCALING.md). The designed plan is a
+    // bucket-keyed shuffle join on both sides.
+    a.join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("k_a") < col("k_b") && abs(col("v_a") - col("v_b")) <= width)
       .select("k_a", "k_b", "v_a", "v_b")
   }
@@ -80,7 +85,9 @@ object BandJoin {
       .select(col("k_b"), col("v_b"),
         explode(array(b0 - 1, b0, b0 + 1)).as("bucket"))
       .withColumn("_salt", Salting.explodeSalts(salts))
-    a.join(b, Seq("bucket", "_salt"))
+    // same pre-explode-stats guard as selfPairs, and more acute: this
+    // side is replicated 3·salts× past what Catalyst sized it at
+    a.join(b.hint("shuffle_hash"), Seq("bucket", "_salt"))
       .filter(col("k_a") < col("k_b") && abs(col("v_a") - col("v_b")) <= width)
       .select("k_a", "k_b", "v_a", "v_b")
   }

@@ -132,6 +132,76 @@ object CurationPack extends QueryPack {
              |  ROUND(AVG(ROUND(CAST(n_rare AS DOUBLE) / n_tok, 4)), 4) AS avg_rare_share,
              |  CAST(SUM(CASE WHEN CAST(n_rare AS DOUBLE) / n_tok > 0.2 THEN 1 ELSE 0 END)
              |       AS BIGINT) AS n_noisy
-             |FROM per GROUP BY source ORDER BY source""".stripMargin))
+             |FROM per GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Domain-rank weighting (the link-authority curation signal, PageRank
+    // shape): 3 damped iterations over the nation→nation trade graph
+    // (edge s→d when a customer in s ordered from a supplier in d).
+    // ALL-INTEGER arithmetic — rank×85 DIV 100 DIV outdeg — so every
+    // engine computes bit-identical ranks (float PageRank would drift in
+    // the last ulp across engines and break the hash gate). Scale shape:
+    // the EDGE LIST is built once from the fact tables (the only
+    // fact-sized work, a star join + distinct); each iteration is then a
+    // node-cardinality join — at 100 TB the domain graph is millions of
+    // rows while the corpus is billions, so iterating is cheap and the
+    // iteration count is fixed, not data-dependent.
+    "train_domain_rank" -> QueryDef(
+      "3-iteration integer PageRank over the nation trade graph (edge = customer->supplier)",
+      (s, dir) => {
+        val edges = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .distinct()
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nodes = Tables.nation(s, dir).select(col("n_nationkey").as("node"), col("n_name"))
+        val r0 = nodes.withColumn("rank", lit(1000000L))
+        val finalRank = (1 to 3).foldLeft(r0) { (r, _) =>
+          val contrib = r
+            .join(edges, col("node") === col("src"))
+            .join(outdeg, Seq("src"))
+            .select(col("dst"),
+              expr("(rank * 85) DIV 100 DIV deg").as("c"))
+            .groupBy("dst").agg(sum("c").as("in_mass"))
+          nodes.join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"), col("n_name"),
+              (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        }
+        finalRank.select(col("n_name"), col("rank"))
+          .orderBy(col("rank").desc, col("n_name").asc)
+      },
+      Some("""WITH edges AS (
+             |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+             |  FROM customer
+             |  JOIN orders   ON c_custkey  = o_custkey
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |  JOIN supplier ON l_suppkey  = s_suppkey),
+             |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+             |r0 AS (SELECT n_nationkey AS node, n_name, CAST(1000000 AS BIGINT) AS rank
+             |       FROM nation),
+             |r1 AS (
+             |  SELECT n.node, n.n_name,
+             |    150000 + COALESCE(m.in_mass, 0) AS rank
+             |  FROM r0 n LEFT JOIN (
+             |    SELECT e.dst, SUM((r.rank * 85 // 100) // o.deg) AS in_mass
+             |    FROM r0 r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
+             |    GROUP BY e.dst) m ON n.node = m.dst),
+             |r2 AS (
+             |  SELECT n.node, n.n_name,
+             |    150000 + COALESCE(m.in_mass, 0) AS rank
+             |  FROM r1 n LEFT JOIN (
+             |    SELECT e.dst, SUM((r.rank * 85 // 100) // o.deg) AS in_mass
+             |    FROM r1 r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
+             |    GROUP BY e.dst) m ON n.node = m.dst),
+             |r3 AS (
+             |  SELECT n.node, n.n_name,
+             |    150000 + COALESCE(m.in_mass, 0) AS rank
+             |  FROM r2 n LEFT JOIN (
+             |    SELECT e.dst, SUM((r.rank * 85 // 100) // o.deg) AS in_mass
+             |    FROM r2 r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
+             |    GROUP BY e.dst) m ON n.node = m.dst)
+             |SELECT n_name, CAST(rank AS BIGINT) AS rank
+             |FROM r3 ORDER BY rank DESC, n_name ASC""".stripMargin))
   )
 }

@@ -75,6 +75,63 @@ object TextPack extends QueryPack {
               |  ROUND(AVG(len(regexp_split_to_array(lower(text), '\\s+'))), 4) AS avg_ws_tokens
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // BPE merge induction — the actual tokenizer-TRAINING step, two
+    // rounds of the merge loop run for real: count adjacent symbol
+    // pairs over all token instances, merge the winning pair into one
+    // symbol ('¤', absent from the corpus) corpus-wide, recount. Round 2
+    // counts genuinely differ (pairs overlapping the merged span are
+    // consumed), which is what makes this BPE and not a static n-gram
+    // count. Each round is one map-only explode + one pair-keyed count;
+    // the winning pair travels by broadcast — at 100 TB each merge
+    // round is one aggregation pass, the standard distributed-BPE shape.
+    "text_bpe_merge" -> QueryDef(
+      "Two BPE merge rounds: top pair, merge corpus-wide, top-10 recount",
+      (s, dir) => {
+        def pairsOf(df: org.apache.spark.sql.DataFrame) =
+          df.filter(length(col("tok")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+              .as("pair"))
+            .groupBy("pair").agg(count(lit(1)).as("n"))
+        val toks = Tables.documents(s, dir)
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+        val p1 = pairsOf(toks)
+        val top1 = p1.orderBy(col("n").desc, col("pair").asc).limit(1)
+        val merged = toks
+          .crossJoin(broadcast(top1.select(col("pair").as("mp"))))
+          .select(expr("replace(tok, mp, '¤')").as("tok"))
+        val top10r2 = pairsOf(merged)
+          .orderBy(col("n").desc, col("pair").asc).limit(10)
+          .select(lit(2).as("round"), col("pair"), col("n"))
+        top1.select(lit(1).as("round"), col("pair"), col("n"))
+          .unionAll(top10r2)
+          .orderBy(col("round").asc, col("n").desc, col("pair").asc)
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |p1 AS (
+             |  SELECT pair, COUNT(*) AS n FROM (
+             |    SELECT unnest(list_transform(range(1, length(tok)),
+             |             i -> substring(tok, i, 2))) AS pair
+             |    FROM toks WHERE length(tok) >= 2)
+             |  GROUP BY pair),
+             |top1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
+             |merged AS (
+             |  SELECT replace(tok, (SELECT pair FROM top1), '¤') AS tok FROM toks),
+             |p2 AS (
+             |  SELECT pair, COUNT(*) AS n FROM (
+             |    SELECT unnest(list_transform(range(1, length(tok)),
+             |             i -> substring(tok, i, 2))) AS pair
+             |    FROM merged WHERE length(tok) >= 2)
+             |  GROUP BY pair),
+             |t2 AS (SELECT 2 AS round, pair, n FROM p2 ORDER BY n DESC, pair ASC LIMIT 10)
+             |SELECT round, pair, CAST(n AS BIGINT) AS n FROM (
+             |  SELECT 1 AS round, pair, n FROM top1
+             |  UNION ALL
+             |  SELECT round, pair, n FROM t2)
+             |ORDER BY round, n DESC, pair ASC""".stripMargin)),
+
     "text_quality" -> QueryDef(
       "Heuristic quality score (length, punctuation, stopword fluency) per language",
       (s, dir) =>

@@ -79,6 +79,31 @@ object Curation {
       .withColumn("share", col("n_rare").cast("double") / col("n_tok"))
   }
 
+  /** Fixed-iteration integer PageRank (domain-rank weighting): ranks
+    * start at 1,000,000 per node; each round every node keeps a 150,000
+    * base and receives `(rank × 85 DIV 100) DIV outdeg` from each
+    * in-edge. ALL arithmetic is integral, so any engine replays it
+    * bit-identically (float PageRank drifts in the last ulp and cannot
+    * be hash-gated). `edges` must carry (src, dst); nodes with no
+    * in-edges settle at the base. Each iteration is a node-cardinality
+    * join — the edge list is the only potentially large input, and it
+    * is built once by the caller.
+    */
+  def domainRank(nodes: DataFrame, edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val r0 = nodes.withColumn("rank", lit(1000000L))
+    (1 to iterations).foldLeft(r0) { (r, _) =>
+      val contrib = r
+        .join(edges, col("node") === col("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), expr("(rank * 85) DIV 100 DIV deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_mass"))
+      nodes.join(contrib, col("node") === col("dst"), "left")
+        .select((nodes.columns.map(col) :+
+          (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("rank")): _*)
+    }
+  }
+
   /** Chunk duplication profile: each (doc, chunk) instance annotated with
     * the chunk's cross-corpus document frequency. One shuffle keyed by
     * chunk — at 100 TB the key would be the chunk's md5 (fixed 16 bytes)

@@ -154,21 +154,9 @@ object CurationPack extends QueryPack {
           .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
           .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
           .distinct()
-        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         val nodes = Tables.nation(s, dir).select(col("n_nationkey").as("node"), col("n_name"))
-        val r0 = nodes.withColumn("rank", lit(1000000L))
-        val finalRank = (1 to 3).foldLeft(r0) { (r, _) =>
-          val contrib = r
-            .join(edges, col("node") === col("src"))
-            .join(outdeg, Seq("src"))
-            .select(col("dst"),
-              expr("(rank * 85) DIV 100 DIV deg").as("c"))
-            .groupBy("dst").agg(sum("c").as("in_mass"))
-          nodes.join(contrib, col("node") === col("dst"), "left")
-            .select(col("node"), col("n_name"),
-              (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("rank"))
-        }
-        finalRank.select(col("n_name"), col("rank"))
+        Curation.domainRank(nodes, edges, iterations = 3)
+          .select(col("n_name"), col("rank"))
           .orderBy(col("rank").desc, col("n_name").asc)
       },
       Some("""WITH edges AS (

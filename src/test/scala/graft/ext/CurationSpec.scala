@@ -58,6 +58,17 @@ class CurationSpec extends AnyFunSuite {
     assert(per(3L) == ((3L, 0L)))
   }
 
+  test("domain rank: hand-computed 3-node graph, integer truncation included") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    // by hand: i1 = (150000, 575000, 1425000); i2 = (150000, 213750,
+    // 702500); i3 keeps node2 at 213750 and node3 gets
+    // 150000 + 63750 + (213750*85 DIV 100 = 181687, the DIV truncation)
+    val got = Curation.domainRank(nodes, edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 150000L, 2L -> 213750L, 3L -> 395437L))
+  }
+
   test("chunking: repeated chunk within ONE doc is a single instance, not a dup") {
     val rep = Seq((1L, "a b c d e f g h a b c d e f g h", "s"))
       .toDF("doc_id", "text", "source")

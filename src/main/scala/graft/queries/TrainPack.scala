@@ -170,6 +170,38 @@ object TrainPack extends QueryPack {
              |  ROUND(CAST(SUM(kept) AS BIGINT) * 100.0 / COUNT(*), 2) AS kept_pct
              |FROM d GROUP BY source, w ORDER BY source""".stripMargin)),
 
+    // The UPSAMPLING half of mixture construction (train_mixture is the
+    // downsampling half): rare/high-value sources get an integer repeat
+    // factor and each doc is replicated that many times with a copy
+    // index — deterministic (no RNG), and the copy index makes each
+    // replica addressable downstream (epoch-varying shuffles key on it).
+    // Map-only: posexplode of a per-row sequence, no shuffle until the
+    // audit aggregate.
+    "train_upsample" -> QueryDef(
+      "Weighted upsampling: per-source repeat factor with addressable copy ids",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("r", pmod(substring(col("source"), 4, 10).cast("long"), lit(3L)) + 1L)
+        d.select(col("source"), col("r"), col("doc_id"),
+            posexplode(expr("array_repeat(doc_id, CAST(r AS INT))")))
+          .groupBy("source", "r")
+          .agg(
+            countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_replicas"),
+            sum(col("pos")).as("sum_copy_ids"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id,
+             |    CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS r
+             |  FROM documents),
+             |rep AS (
+             |  SELECT source, r, doc_id, unnest(range(r)) AS pos FROM d)
+             |SELECT source, r, COUNT(DISTINCT doc_id) AS n_docs,
+             |  COUNT(*) AS n_replicas,
+             |  CAST(SUM(pos) AS BIGINT) AS sum_copy_ids
+             |FROM rep GROUP BY source, r ORDER BY source""".stripMargin)),
+
     "sample_stratified" -> QueryDef(
       "Deterministic ~10% hash sample per language stratum",
       (s, dir) => {

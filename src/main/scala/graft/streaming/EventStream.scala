@@ -80,6 +80,22 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
   }
 
+  /** Native gap-session aggregation over the stream — the streaming form
+    * of the batch q_session_window query: state-store session windows
+    * merge as events arrive and close when the watermark passes the
+    * session's end (last event + gap). State is bounded by ACTIVE
+    * sessions, the same contract as the flatMapGroupsWithState
+    * sessionizer but expressed through the built-in operator.
+    */
+  def sessionWindowAgg(spark: SparkSession, eventsDir: String, gap: String = "30 minutes"): DataFrame = {
+    source(spark, eventsDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Idempotent micro-batch write: each batch lands in a DETERMINISTIC
     * `batch_id=<id>` directory with overwrite semantics, so a RETRIED
     * batch (failure after write, before checkpoint commit) replaces its

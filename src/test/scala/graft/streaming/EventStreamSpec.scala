@@ -191,6 +191,24 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamView == batchView && streamView.nonEmpty)
   }
 
+  test("streaming session_window == batch session_window on a bounded source") {
+    val q = EventStream.sessionWindowAgg(spark, eventsDir)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_sessions").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_sessions")
+      .orderBy("user_id", "session_start").collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
   test("idempotent foreachBatch sink: retried batch overwrites, never duplicates") {
     val out = java.nio.file.Files.createTempDirectory("idem-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("idem-ckpt").toString

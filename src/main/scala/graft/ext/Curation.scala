@@ -69,13 +69,22 @@ object Curation {
   def rareTokenProfile(docs: DataFrame, dfMax: Long = 2L): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val dfTbl = toks.select("doc_id", "tok").distinct()
+    // build the df table ONLY for the rare tail: the distinct shuffles on
+    // the skew-free (doc_id, tok) pair and the count partial-aggregates,
+    // so no hot-token straggler; the surviving df<=dfMax tokens are by
+    // definition near-singletons — a tiny set that broadcasts. Joining
+    // the corpus against the FULL vocab instead would hash-shuffle every
+    // instance of every stopword to one reducer per token.
+    val rare = toks.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("tdf"))
-    toks.join(dfTbl, Seq("tok"))
-      .groupBy("doc_id", "source")
-      .agg(
-        count(lit(1)).as("n_tok"),
-        sum(when(col("tdf") <= dfMax, 1L).otherwise(0L)).as("n_rare"))
+      .filter(col("tdf") <= dfMax)
+      .select("tok")
+    val perDoc = toks.groupBy("doc_id", "source").agg(count(lit(1)).as("n_tok"))
+    val rareHits = toks.join(broadcast(rare), Seq("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    perDoc.join(rareHits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
       .withColumn("share", col("n_rare").cast("double") / col("n_tok"))
   }
 

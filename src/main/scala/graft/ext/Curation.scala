@@ -123,4 +123,25 @@ object Curation {
     val df = inst.groupBy("chunk").agg(countDistinct("doc_id").as("cdf"))
     inst.join(df, Seq("chunk"))
   }
+
+  /** Per-source chunk-duplication stats, SKEW-SAFE: instead of joining
+    * every instance against the chunk-df table (a boilerplate chunk
+    * shared by millions of docs would pile its instances onto one
+    * reducer), aggregate to (chunk, source) counts first — map-side
+    * partials absorb the hot chunk — then resolve the global df with a
+    * window over chunk whose per-key row count is bounded by |sources|,
+    * not by document count. Same result as aggregating
+    * [[chunkDupInstances]] (spec-asserted), no per-chunk straggler.
+    */
+  def chunkDupProfile(docs: DataFrame, width: Int = 8): DataFrame = {
+    val perSrcChunk = chunkInstances(docs, width)
+      .groupBy("chunk", "source").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk")
+    perSrcChunk
+      .withColumn("cdf", sum("c").over(w))
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_chunks"),
+        sum(when(col("cdf") >= 2, col("c")).otherwise(0L)).as("n_dup_chunks"))
+  }
 }

@@ -72,11 +72,7 @@ object CurationPack extends QueryPack {
     "text_chunk_dedup" -> QueryDef(
       "8-token chunk duplication profile per source (paragraph-dedup shape)",
       (s, dir) =>
-        Curation.chunkDupInstances(Tables.documents(s, dir), width = 8)
-          .groupBy("source")
-          .agg(
-            count(lit(1)).as("n_chunks"),
-            sum(when(col("cdf") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        Curation.chunkDupProfile(Tables.documents(s, dir), width = 8)
           .withColumn("dup_pct",
             round(col("n_dup_chunks") * 100.0 / col("n_chunks"), 2))
           .orderBy("source"),

@@ -42,6 +42,10 @@ class CurationSpec extends AnyFunSuite {
     val dup = Curation.chunkDupInstances(two, width = 8)
       .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
     assert(dup(1L) == 2L && dup(2L) == 2L && dup(3L) == 1L)
+    // the skew-safe aggregate path must agree with aggregating instances
+    val prof = Curation.chunkDupProfile(two, width = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof == Map("s" -> ((3L, 2L))))
   }
 
   test("rare-token profile: df counts docs not instances; share = rare/total") {

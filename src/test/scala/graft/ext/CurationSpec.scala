@@ -62,6 +62,15 @@ class CurationSpec extends AnyFunSuite {
     assert(per(3L) == ((3L, 0L)))
   }
 
+  test("degenerate corners: empty eval set means all-clean; all-short corpus means no chunks") {
+    val per = Curation.contaminationPerDoc(docs, lit(false), n = 5)
+      .collect().map(r => (r.getLong(3), r.getDouble(4)))
+    assert(per.length == 4 && per.forall(_ == ((0L, 0.0))),
+      "no eval docs -> every train doc profiles clean, none dropped")
+    val short = Seq((1L, "a b c", "s"), (2L, "x", "s")).toDF("doc_id", "text", "source")
+    assert(Curation.chunkDupProfile(short, width = 8).collect().isEmpty)
+  }
+
   test("domain rank: hand-computed 3-node graph, integer truncation included") {
     val nodes = Seq(1L, 2L, 3L).toDF("node")
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")

@@ -50,7 +50,9 @@ object Curation {
     val chunkArr =
       when(size(col("t")) < width, array().cast("array<string>"))
         .otherwise(transform(
-          sequence(lit(0), (size(col("t")) / width).cast("int") - 1),
+          // explicit integer division (floor) — structurally the oracle's
+          // `len(t) // width`, not a double division that happens to agree
+          sequence(lit(0), floor(size(col("t")) / lit(width)).cast("int") - 1),
           i => concat_ws(" ", slice(col("t"), i * width + 1, lit(width)))))
     toked.select(col("doc_id"), col("source"), explode(chunkArr).as("chunk"))
       .distinct()
@@ -71,16 +73,19 @@ object Curation {
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
     // build the df table ONLY for the rare tail: the distinct shuffles on
     // the skew-free (doc_id, tok) pair and the count partial-aggregates,
-    // so no hot-token straggler; the surviving df<=dfMax tokens are by
-    // definition near-singletons — a tiny set that broadcasts. Joining
-    // the corpus against the FULL vocab instead would hash-shuffle every
-    // instance of every stopword to one reducer per token.
+    // so no hot-token straggler. The rare-tail join is UNHINTED on
+    // purpose: at test scale AQE converts it to broadcast at runtime; at
+    // 100 TB hapax-heavy vocabularies make the rare tail itself huge (a
+    // large fraction of all types), so a forced broadcast would OOM —
+    // the shuffle form plus AQE skew-split handles the hot-token probe
+    // partitions instead. Joining the corpus against the FULL vocab
+    // would be strictly worse: every stopword instance to one reducer.
     val rare = toks.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("tdf"))
       .filter(col("tdf") <= dfMax)
       .select("tok")
     val perDoc = toks.groupBy("doc_id", "source").agg(count(lit(1)).as("n_tok"))
-    val rareHits = toks.join(broadcast(rare), Seq("tok"))
+    val rareHits = toks.join(rare, Seq("tok"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
     perDoc.join(rareHits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_tok"),

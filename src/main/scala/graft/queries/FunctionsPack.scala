@@ -26,7 +26,9 @@ object FunctionsPack extends QueryPack {
           .agg(
             count(col("k")).as("n_k"),
             sum("k").as("sum_k"),
-            sum(when(pmod(col("k"), lit(2)) === 1, 1L).otherwise(0L)).as("n_odd"))
+            // `%` (not pmod): matches the oracle's `k % 2 = 1` for any
+            // sign — pmod(-3,2)=1 but -3%2=-1
+            sum(when(col("k") % lit(2) === 1, 1L).otherwise(0L)).as("n_odd"))
           .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(k) AS n_k,
              |  CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -317,18 +317,23 @@ object JoinPack extends QueryPack {
       "CDC classify (insert/update/delete/unchanged) between two revenue snapshots",
       (s, dir) => {
         val o = Tables.orders(s, dir)
+        // classification compares EXACT decimal sums (order-independent in
+        // both engines); the rounded-double rev is display-only, so a sum
+        // landing on a rounding boundary can't flip update vs unchanged
         def snap(pred: org.apache.spark.sql.Column) =
           o.filter(pred).groupBy("o_custkey")
-            .agg(round(sum("o_totalprice"), 2).as("rev"))
+            .agg(
+              round(sum("o_totalprice"), 2).as("rev"),
+              sum(col("o_totalprice").cast("decimal(12,2)")).as("revx"))
         val a = snap(year(col("o_orderdate")) < 1997)
-          .select(col("o_custkey").as("k"), col("rev").as("rev_a"))
+          .select(col("o_custkey").as("k"), col("rev").as("rev_a"), col("revx").as("revx_a"))
         val b = snap(year(col("o_orderdate")) < 1999 && col("o_orderstatus") =!= "F")
-          .select(col("o_custkey").as("k"), col("rev").as("rev_b"))
+          .select(col("o_custkey").as("k"), col("rev").as("rev_b"), col("revx").as("revx_b"))
         a.join(b, Seq("k"), "full_outer")
           .withColumn("op",
-            when(col("rev_a").isNull, "insert")
-              .when(col("rev_b").isNull, "delete")
-              .when(col("rev_a") =!= col("rev_b"), "update")
+            when(col("revx_a").isNull, "insert")
+              .when(col("revx_b").isNull, "delete")
+              .when(col("revx_a") =!= col("revx_b"), "update")
               .otherwise("unchanged"))
           .groupBy("op")
           .agg(
@@ -337,18 +342,20 @@ object JoinPack extends QueryPack {
           .orderBy("op")
       },
       Some("""WITH a AS (
-             |  SELECT o_custkey AS k, ROUND(SUM(o_totalprice), 2) AS rev_a
+             |  SELECT o_custkey AS k, ROUND(SUM(o_totalprice), 2) AS rev_a,
+             |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revx_a
              |  FROM orders WHERE year(o_orderdate) < 1997 GROUP BY o_custkey),
              |b AS (
-             |  SELECT o_custkey AS k, ROUND(SUM(o_totalprice), 2) AS rev_b
+             |  SELECT o_custkey AS k, ROUND(SUM(o_totalprice), 2) AS rev_b,
+             |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revx_b
              |  FROM orders
              |  WHERE year(o_orderdate) < 1999 AND o_orderstatus <> 'F'
              |  GROUP BY o_custkey),
              |d AS (
              |  SELECT COALESCE(a.k, b.k) AS k, rev_a, rev_b,
-             |    CASE WHEN rev_a IS NULL THEN 'insert'
-             |         WHEN rev_b IS NULL THEN 'delete'
-             |         WHEN rev_a <> rev_b THEN 'update'
+             |    CASE WHEN revx_a IS NULL THEN 'insert'
+             |         WHEN revx_b IS NULL THEN 'delete'
+             |         WHEN revx_a <> revx_b THEN 'update'
              |         ELSE 'unchanged' END AS op
              |  FROM a FULL OUTER JOIN b ON a.k = b.k)
              |SELECT op, COUNT(*) AS n_keys,

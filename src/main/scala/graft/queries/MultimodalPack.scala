@@ -103,8 +103,13 @@ object MultimodalPack extends QueryPack {
              |FROM r GROUP BY kind ORDER BY kind""".stripMargin)),
 
     // The batched decode path itself (typed mapPartitions → feature rows).
-    // Rows-only driver check: per-byte decode isn't SQL-expressible in the
-    // oracle; MultimodalSpec asserts the feature math on known payloads.
+    // Fully oracle-checked: the stub decode's outputs are deterministic
+    // per-byte stats of the payload, and DuckDB can recover each byte from
+    // the hex dump (two hex digits → strpos arithmetic), so the whole
+    // mapPartitions pipeline — batching, decode, per-kind rollup — gets a
+    // rows+schema+hash gate. Bins 1 (bytes 32..63) and 3 (96..127) are the
+    // checked histogram cells because they carry real mass in this corpus
+    // (punctuation/digits and lowercase letters respectively).
     "mm_decode_features" -> QueryDef(
       "Decode-stub features via batched mapPartitions: per-kind byte stats",
       (s, dir) => {
@@ -117,9 +122,36 @@ object MultimodalPack extends QueryPack {
             count(lit(1)).as("n_assets"),
             sum("n_bytes").as("total_bytes"),
             round(avg("mean_byte"), 4).as("avg_mean_byte"),
-            round(sum(element_at(col("histogram"), 3)), 4).as("hist_bin2_mass"))
+            round(sum(element_at(col("histogram"), 2)), 4).as("hist_bin1_mass"),
+            round(sum(element_at(col("histogram"), 4)), 4).as("hist_bin3_mass"))
           .orderBy("kind")
       },
-      None)
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |    hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS n
+             |  FROM documents),
+             |x AS (
+             |  SELECT doc_id, kind, n, h, unnest(generate_series(1, n)) AS i FROM b),
+             |y AS (
+             |  SELECT doc_id, kind,
+             |    16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i-1 AS INT), 1)) - 1)
+             |       + (strpos('0123456789ABCDEF', substring(h, CAST(2*i   AS INT), 1)) - 1) AS byte
+             |  FROM x),
+             |perdoc AS (
+             |  SELECT b.doc_id, b.kind, b.n,
+             |    COALESCE(AVG(y.byte), 0.0) AS mean_byte,
+             |    COALESCE(AVG(CASE WHEN y.byte // 32 = 1 THEN 1.0 ELSE 0.0 END), 0.0) AS h1,
+             |    COALESCE(AVG(CASE WHEN y.byte // 32 = 3 THEN 1.0 ELSE 0.0 END), 0.0) AS h3
+             |  FROM b LEFT JOIN y ON b.doc_id = y.doc_id
+             |  GROUP BY b.doc_id, b.kind, b.n)
+             |SELECT kind, COUNT(*) AS n_assets,
+             |  CAST(SUM(n) AS BIGINT) AS total_bytes,
+             |  ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
+             |  ROUND(SUM(h1), 4) AS hist_bin1_mass,
+             |  ROUND(SUM(h3), 4) AS hist_bin3_mass
+             |FROM perdoc GROUP BY kind ORDER BY kind""".stripMargin))
   )
 }

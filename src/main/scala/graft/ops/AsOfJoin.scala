@@ -66,13 +66,9 @@ object AsOfJoin {
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
 
-  /** Broadcast-build native form of [[leftAsOf]] — identical semantics,
-    * planned through the engine's own Catalyst operator
-    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.BroadcastAsOfJoinExec]]).
-    * The left side never moves (no shuffle, no sort); the right side is
-    * collected into per-key sorted arrays and broadcast, so use this when
-    * the right side is dimension-sized and [[leftAsOf]] when both sides
-    * are fact-sized.
+  /** Broadcast-build native form of [[leftAsOf]]: the left side never
+    * moves (no shuffle, no sort); the right side is collected into per-key
+    * sorted arrays and broadcast. For dimension-sized right sides.
     */
   def leftAsOfBroadcast(
       left: DataFrame,
@@ -80,7 +76,38 @@ object AsOfJoin {
       keyCol: String,
       tsCol: String,
       valueCols: Seq[String],
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String): DataFrame =
+    leftAsOfNative(left, right, keyCol, tsCol, valueCols, rightTieBreak, impl = "broadcast")
+
+  /** Partitioned (sort-merge) native form of [[leftAsOf]]: both sides
+    * hash-partitioned on the key and merged per partition — no driver
+    * collect, task memory bounded by one right key group. For fact-sized
+    * right sides.
+    */
+  def leftAsOfPartitioned(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      rightTieBreak: String): DataFrame =
+    leftAsOfNative(left, right, keyCol, tsCol, valueCols, rightTieBreak, impl = "partitioned")
+
+  /** Native as-of join through the engine's own Catalyst operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinStrategy]]) —
+    * identical semantics to [[leftAsOf]]. With `impl = "auto"` (default)
+    * the planner broadcasts when the right side's size estimate fits
+    * `spark.sql.autoBroadcastJoinThreshold` and sort-merges otherwise —
+    * the same rule Spark's equi-join planning applies.
+    */
+  def leftAsOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      rightTieBreak: String,
+      impl: String = "auto"): DataFrame = {
     import org.apache.spark.sql.GraftShims
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
@@ -107,6 +134,6 @@ object AsOfJoin {
       lplan, rplan,
       lAttr(keyCol), lAttr(tsCol),
       rAttr(keyCol), rAttr(tsCol), rAttr(rightTieBreak),
-      rightValues, outValues))
+      rightValues, outValues, impl))
   }
 }

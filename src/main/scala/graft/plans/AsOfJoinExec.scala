@@ -2,11 +2,12 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.Partitioning
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Native whole-operator as-of join: the (c) tier of the custom-operator
@@ -21,14 +22,19 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZ
   * values (the theta condition is never true), null right key/ts rows are
   * dropped from the build side.
   *
-  * Scale shape: the right side is collected and broadcast as per-key
-  * sorted arrays; each probe is a binary search. The left side is NEVER
-  * moved — no shuffle, no sort, `outputPartitioning`/`outputOrdering`
-  * pass straight through, so downstream operators can reuse the probe
-  * side's layout. This is the dimension-sized-build path (reference
-  * point-in-time lookups join a fact stream against a small slowly-
-  * changing table); for fact-sized right sides use the composed
-  * [[graft.ops.AsOfJoin.leftAsOf]], which shuffle-sorts both sides once.
+  * Two physical shapes, chosen by `impl`:
+  *  - `broadcast` ([[BroadcastAsOfJoinExec]]): right side collected and
+  *    broadcast as per-key sorted arrays, probe is a binary search, left
+  *    side NEVER moves. The dimension-sized-build path.
+  *  - `partitioned` ([[SortMergeAsOfJoinExec]]): both sides hash-
+  *    partitioned on the key and sorted (key, ts) within partitions; a
+  *    streaming per-partition merge probes each left row against the
+  *    current right key group. The fact-fact path — no driver collect,
+  *    memory bounded by one right key group per task.
+  *  - `auto` (default): broadcast when the right side's optimizer size
+  *    estimate fits `spark.sql.autoBroadcastJoinThreshold`, else
+  *    partitioned — the same decision rule Spark's own equi-join
+  *    planning uses.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -39,7 +45,8 @@ case class AsOfJoinPlan(
     rightTs: Attribute,
     rightTie: Attribute,
     rightValues: Seq[Attribute],
-    outValues: Seq[AttributeReference])
+    outValues: Seq[AttributeReference],
+    impl: String = "auto")
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ outValues
@@ -53,19 +60,40 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] to [[BroadcastAsOfJoinExec]]. Injected via
-  * `GraftExtensions` (builder path) or `spark.experimental
+/** Plans [[AsOfJoinPlan]] to the broadcast or sort-merge physical form.
+  * Injected via `GraftExtensions` (builder path) or `spark.experimental
   * .extraStrategies` (live-session path, `GraftShims.addStrategy`).
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
-      BroadcastAsOfJoinExec(
-        planLater(p.left), planLater(p.right),
-        p.leftKey, p.leftTs, p.rightKey, p.rightTs, p.rightTie,
-        p.rightValues, p.output) :: Nil
+      val broadcastable = {
+        val threshold = SQLConf.get.autoBroadcastJoinThreshold
+        threshold >= 0 && p.right.stats.sizeInBytes <= threshold
+      }
+      val exec = p.impl match {
+        case "broadcast" => broadcastExec(p)
+        case "partitioned" => sortMergeExec(p)
+        case "auto" if broadcastable => broadcastExec(p)
+        case "auto" => sortMergeExec(p)
+        case other => throw new IllegalArgumentException(
+          s"unknown as-of impl '$other' (expected auto | broadcast | partitioned)")
+      }
+      exec :: Nil
     case _ => Nil
   }
+
+  private def broadcastExec(p: AsOfJoinPlan): SparkPlan =
+    BroadcastAsOfJoinExec(
+      planLater(p.left), planLater(p.right),
+      p.leftKey, p.leftTs, p.rightKey, p.rightTs, p.rightTie,
+      p.rightValues, p.output)
+
+  private def sortMergeExec(p: AsOfJoinPlan): SparkPlan =
+    SortMergeAsOfJoinExec(
+      planLater(p.left), planLater(p.right),
+      p.leftKey, p.leftTs, p.rightKey, p.rightTs, p.rightTie,
+      p.rightValues, p.output)
 }
 
 /** Broadcast-build as-of join.
@@ -87,11 +115,13 @@ case class BroadcastAsOfJoinExec(
     output: Seq[Attribute])
   extends SparkPlan {
 
-  /** Refuse to build beyond dimension scale — the composed form is the
+  /** Refuse to build beyond dimension scale — the partitioned form is the
     * right operator there, and a silent multi-GB broadcast is the failure
-    * mode this guard exists to surface early.
+    * mode this guard exists to surface early. Tunable (and spec-testable)
+    * via `spark.graft.asof.maxBuildRows`.
     */
-  private val maxBuildRows = 10 * 1000 * 1000
+  private def maxBuildRows: Int =
+    conf.getConfString("spark.graft.asof.maxBuildRows", "10000000").toInt
 
   override def children: Seq[SparkPlan] = Seq(left, right)
 
@@ -121,7 +151,8 @@ case class BroadcastAsOfJoinExec(
     }.collect()
     require(collected.length <= maxBuildRows,
       s"as-of build side has ${collected.length} rows (> $maxBuildRows); " +
-        "use graft.ops.AsOfJoin.leftAsOf (shuffle form) for fact-sized right sides")
+        "use the partitioned native form (AsOfJoin.leftAsOfPartitioned) or the " +
+        "composed shuffle form (AsOfJoin.leftAsOf) for fact-sized right sides")
 
     val valueTypes = rightValues.map(_.dataType)
     val byKey = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[InternalRow]]()
@@ -183,6 +214,126 @@ case class BroadcastAsOfJoinExec(
               if (tsArr(mid) <= t) { found = mid; lo = mid + 1 } else hi = mid - 1
             }
             if (found >= 0) matched = valArr(found)
+          }
+        }
+        proj(joined(lrow, matched))
+      }
+    }
+  }
+}
+
+/** Partitioned (sort-merge) as-of join — the fact-fact path.
+  *
+  * Both children are hash-partitioned on the key (one exchange each, or
+  * zero when a child is already clustered on it) and sorted within
+  * partitions: left by (key, ts), right by (key, ts, tie). Execution is a
+  * streaming merge per co-partition: right rows are consumed once, in
+  * order; the rows of the right key group currently under probe are the
+  * only buffered state, so task memory is bounded by the largest single
+  * key group, never by partition size. Each left row then binary-searches
+  * the group's ts array — identical probe logic (and identical
+  * semantics, tie-break and null handling included) to the broadcast
+  * form, without the driver collect.
+  */
+case class SortMergeAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    leftTs: Attribute,
+    rightKey: Attribute,
+    rightTs: Attribute,
+    rightTie: Attribute,
+    rightValues: Seq[Attribute],
+    output: Seq[Attribute])
+  extends SparkPlan {
+
+  override def children: Seq[SparkPlan] = Seq(left, right)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SortMergeAsOfJoinExec =
+    copy(left = newChildren(0), right = newChildren(1))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  // probe side's clustering and (key, ts) order survive the merge — the
+  // same reuse contract the broadcast form gives downstream operators
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  import BroadcastAsOfJoinExec.tsToLong
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val nValues = rightValues.size
+    val keyType = leftKey.dataType
+    val leftTsType = leftTs.dataType
+    val rightTsType = rightTs.dataType
+    val valueTypes = rightValues.map(_.dataType)
+    val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+    val buildExprs: Seq[Attribute] = Seq(rightKey, rightTs) ++ rightValues
+    val rightOutput = right.output
+    val leftOutput = left.output
+    val keyIdx = leftOutput.indexWhere(_.exprId == leftKey.exprId)
+    val tsIdx = leftOutput.indexWhere(_.exprId == leftTs.exprId)
+    val probeSchema = leftOutput ++ output.drop(leftOutput.size)
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // projected right stream: (key, ts, values...); null key/ts rows
+      // can never match and are dropped here. The projection's result
+      // row is REUSED, so group rows are frozen with copy() on buffer.
+      val rProj = UnsafeProjection.create(buildExprs, rightOutput)
+      val rs = rIter.map(rProj.apply)
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .buffered
+
+      // the one right key group under probe (left keys are non-decreasing,
+      // so groups are consumed forward, each at most once)
+      var curKey: Any = null
+      var curTs: Array[Long] = Array.emptyLongArray
+      var curVals: Array[InternalRow] = Array.empty
+      val tsBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val valBuf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+
+      def loadGroup(k: Any): Unit = {
+        if (curKey == null || keyOrd.compare(curKey, k) != 0) {
+          while (rs.hasNext && keyOrd.compare(rs.head.get(0, keyType), k) < 0) rs.next()
+          tsBuf.clear(); valBuf.clear()
+          while (rs.hasNext && keyOrd.compare(rs.head.get(0, keyType), k) == 0) {
+            val frozen = rs.next().copy()
+            tsBuf += tsToLong(frozen, 1, rightTsType)
+            val vals = new GenericInternalRow(nValues)
+            var j = 0
+            while (j < nValues) { vals.update(j, frozen.get(2 + j, valueTypes(j))); j += 1 }
+            valBuf += vals
+          }
+          curKey = InternalRow.copyValue(k)
+          curTs = tsBuf.toArray
+          curVals = valBuf.toArray
+        }
+      }
+
+      val joined = new JoinedRow
+      val nullRow = new GenericInternalRow(nValues)
+      val proj = UnsafeProjection.create(outAttrs, probeSchema)
+      lIter.map { lrow =>
+        var matched: InternalRow = nullRow
+        if (!lrow.isNullAt(keyIdx) && !lrow.isNullAt(tsIdx)) {
+          loadGroup(lrow.get(keyIdx, keyType))
+          if (curTs.length > 0) {
+            val t = tsToLong(lrow, tsIdx, leftTsType)
+            // rightmost index with curTs(i) <= t
+            var lo = 0; var hi = curTs.length - 1; var found = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (curTs(mid) <= t) { found = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (found >= 0) matched = curVals(found)
           }
         }
         proj(joined(lrow, matched))

@@ -229,6 +229,33 @@ object JoinPack extends QueryPack {
              |  ON a.user_id = b.user_id AND b.ts <= a.ts
              |ORDER BY a.event_id""".stripMargin)),
 
+    // Same as-of semantics through the PARTITIONED native operator:
+    // AsOfJoinPlan → SortMergeAsOfJoinExec. Both sides hash-partition on
+    // user_id and merge per partition — the fact-fact path with no driver
+    // collect, proving the non-broadcast native operator end-to-end
+    // against the same DuckDB ASOF oracle.
+    "q_asof_partitioned" -> QueryDef(
+      "As-of join via the native partitioned (sort-merge) operator",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.ops.AsOfJoin.leftAsOfPartitioned(
+          errors, clicks,
+          keyCol = "user_id", tsCol = "ts",
+          valueCols = Seq("click_id"), rightTieBreak = "click_id")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_click_id").as("prev_click_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, a.user_id, a.ts, b.event_id AS prev_click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'error') a
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+             |  ON a.user_id = b.user_id AND b.ts <= a.ts
+             |ORDER BY a.event_id""".stripMargin)),
+
     // Non-equi (range) theta join on a bounded slice: pairs of orders by
     // the same customer placed within 7 days of each other.
     "q_join_range" -> QueryDef(

@@ -76,6 +76,79 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!physical.contains("Sort"))
   }
 
+  test("native partitioned form matches the composed form on skewed data") {
+    import spark.implicits._
+    // hot key 0 holds ~half of both sides — the shape where a per-key
+    // group must buffer many rows inside one merge task
+    val gen = for {
+      hot <- Gen.prob(0.5)
+      key <- if (hot) Gen.const(0L) else Gen.chooseNum(1L, 9L)
+      ts <- Gen.chooseNum(0L, 300L)
+      id <- Gen.chooseNum(0L, 100000L)
+    } yield (key, ts, id)
+    val sample = Gen.listOfN(800, gen).apply(Gen.Parameters.default, Seed(23L)).get.distinct
+    val (leftRows, rightRows) = sample.splitAt(sample.size / 2)
+    val left = leftRows.toDF("k", "ts", "left_id")
+    val right = rightRows.toDF("k", "ts", "right_id")
+
+    val composed = AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("right_id"), "right_id")
+    val part = AsOfJoin.leftAsOfPartitioned(left, right, "k", "ts", Seq("right_id"), "right_id")
+    assert(part.columns.toSeq == composed.columns.toSeq)
+    val c = composed.collect().map(_.toSeq).sortBy(_.toString)
+    val p = part.collect().map(_.toSeq).sortBy(_.toString)
+    assert(p.toSeq == c.toSeq)
+  }
+
+  test("partitioned form plans to SortMergeAsOfJoin: one exchange per side, no collect") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "ts", "left_id")
+    val right = Seq((1L, 5L, 100L)).toDF("k", "ts", "right_id")
+    val df = AsOfJoin.leftAsOfPartitioned(left, right, "k", "ts", Seq("right_id"), "right_id")
+    df.collect()
+    // AQE's toString renders Final and Initial plans; count the final only
+    val physical = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(physical.contains("SortMergeAsOfJoin"))
+    assert(!physical.contains("BroadcastAsOfJoin"))
+    val nExchanges = "Exchange hashpartitioning".r.findAllMatchIn(physical).size
+    assert(nExchanges == 2, s"expected one exchange per side, plan:\n$physical")
+  }
+
+  test("auto impl picks broadcast under the threshold and partitioned when broadcast is off") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "ts", "left_id")
+    val right = Seq((1L, 5L, 100L)).toDF("k", "ts", "right_id")
+    def planOf(impl: String): String = {
+      val df = AsOfJoin.leftAsOfNative(left, right, "k", "ts", Seq("right_id"), "right_id", impl)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(planOf("auto").contains("BroadcastAsOfJoin")) // tiny right side
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(planOf("auto").contains("SortMergeAsOfJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("oversized broadcast build side fails fast with a clear error, partitioned handles it") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1L)).toDF("k", "ts", "left_id")
+    val right = (1L to 50L).map(i => (1L, i, i * 100)).toDF("k", "ts", "right_id")
+    try {
+      spark.conf.set("spark.graft.asof.maxBuildRows", "10")
+      val e = intercept[Exception] {
+        AsOfJoin.leftAsOfBroadcast(left, right, "k", "ts", Seq("right_id"), "right_id").collect()
+      }
+      def msgs(t: Throwable): Iterator[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      assert(msgs(e).exists(m => m.contains("build side has") && m.contains("leftAsOfPartitioned")))
+      // same inputs, same conf: the partitioned form is the escape hatch
+      val out = AsOfJoin.leftAsOfPartitioned(left, right, "k", "ts", Seq("right_id"), "right_id")
+        .collect()
+      assert(out.length == 1 && out(0).getLong(3) == 1000L)
+    } finally spark.conf.unset("spark.graft.asof.maxBuildRows")
+  }
+
   test("native form: empty right side yields all-null matches; null keys never match") {
     import spark.implicits._
     val left = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "ts", "left_id")

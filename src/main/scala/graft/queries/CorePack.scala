@@ -371,6 +371,42 @@ object CorePack extends QueryPack {
              |FROM sessions GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Batch twin of EventStream.dedupedEvents (streaming
+    // dropDuplicatesWithinWatermark): the rollup touches only the dedup
+    // key columns, so the surviving-row choice — arbitrary in batch,
+    // first-arrival in streaming — cannot affect the result, and
+    // EventStreamSpec can assert stream ≡ this twin row-for-row.
+    "q_stream_dedup_twin" -> QueryDef(
+      "Exact dedup on (user_id, event_type, value), per-type rollup (streaming twin)",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .dropDuplicates("user_id", "event_type", "value")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_distinct"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n_distinct,
+             |  ROUND(SUM(value), 2) AS sum_value
+             |FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Batch twin of EventStream.userActivity. The batch form counts
+    // distinct types EXACTLY (streaming aggregation can't — distinct
+    // aggregates aren't supported over state, hence approx_count_distinct
+    // there); EventStreamSpec asserts the stream matches this twin, which
+    // also pins the HLL sketch to the exact answer at fixture cardinality.
+    "q_user_activity" -> QueryDef(
+      "Per-user daily activity: event count + distinct types (streaming twin)",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), window(col("ts"), "1 day"))
+          .agg(count(lit(1)).as("n_events"), countDistinct("event_type").as("n_types"))
+          .select(col("user_id"), col("window.start").as("day"),
+            col("n_events"), col("n_types"))
+          .orderBy("user_id", "day"),
+      Some("""SELECT user_id, date_trunc('day', ts) AS day,
+             |  COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types
+             |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin)),
+
     // O1 + top-k — global sort + limit with a total tie-break order.
     "q_topk_orders" -> QueryDef(
       "Top-100 orders by price desc (TakeOrderedAndProject, no full sort at scale)",

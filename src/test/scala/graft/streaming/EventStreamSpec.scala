@@ -48,7 +48,7 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
-  test("streaming dedup matches batch dropDuplicates on a bounded source") {
+  test("streaming dedup matches the oracled batch twin (q_stream_dedup_twin) row-for-row") {
     val q = EventStream.dedupedEvents(spark, eventsDir)
       .writeStream
       .outputMode("append")
@@ -57,10 +57,17 @@ class EventStreamSpec extends AnyFunSuite {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    val streamed = spark.table("stream_dedup").count()
-    val batch = graft.Tables.events(spark, sf)
-      .dropDuplicates("user_id", "event_type", "value").count()
-    assert(streamed == batch)
+    // roll the streamed survivors up exactly like the driver-gated twin:
+    // the rollup touches only dedup-key columns, so survivor choice
+    // (first-arrival here, arbitrary in batch) cannot matter
+    val streamed = spark.table("stream_dedup")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_distinct"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq).toSeq
+    val twin = graft.Catalog.all("q_stream_dedup_twin").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == twin && streamed.nonEmpty)
   }
 
   test("flatMapGroupsWithState sessionization: closed sessions == batch sessions minus open ones") {
@@ -276,7 +283,7 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch && batch > 0)
   }
 
-  test("streaming user activity emits per-user daily rows") {
+  test("streaming user activity matches the oracled batch twin (q_user_activity)") {
     val q = EventStream.userActivity(spark, eventsDir)
       .writeStream
       .outputMode("complete")
@@ -286,7 +293,15 @@ class EventStreamSpec extends AnyFunSuite {
     try q.processAllAvailable()
     finally q.stop()
     val rows = spark.table("stream_users")
-    assert(rows.count() > 0)
     assert(rows.columns.toSeq == Seq("user_id", "day", "n_events", "n_types"))
+    val streamed = rows.orderBy("user_id", "day").collect().map(_.toSeq).toSeq
+    // the twin counts distinct types EXACTLY (countDistinct); the stream
+    // must use approx_count_distinct (distinct aggs unsupported over
+    // streaming state) — at fixture cardinality (≤ a handful of event
+    // types per user-day) the HLL sketch is exact, so full row equality
+    // both proves stream ≡ batch and pins the sketch to the true count
+    val twin = graft.Catalog.all("q_user_activity").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == twin && streamed.nonEmpty)
   }
 }

@@ -102,19 +102,28 @@ object Curation {
     * in-edges settle at the base. Each iteration is a node-cardinality
     * join — the edge list is the only potentially large input, and it
     * is built once by the caller.
+    *
+    * Deep runs: every `checkpointEvery` iterations the rank frame is
+    * `localCheckpoint`ed, truncating lineage the way
+    * [[Dedup.connectedComponents]] does — without it a 20-iteration run
+    * re-optimizes a 20-deep join tree each pass. The oracled 3-iteration
+    * query never hits the knob, so its plan (and result) is unchanged.
     */
-  def domainRank(nodes: DataFrame, edges: DataFrame, iterations: Int = 3): DataFrame = {
+  def domainRank(
+      nodes: DataFrame, edges: DataFrame, iterations: Int = 3,
+      checkpointEvery: Int = 5): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val r0 = nodes.withColumn("rank", lit(1000000L))
-    (1 to iterations).foldLeft(r0) { (r, _) =>
+    (1 to iterations).foldLeft(r0) { (r, i) =>
       val contrib = r
         .join(edges, col("node") === col("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst"), expr("(rank * 85) DIV 100 DIV deg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_mass"))
-      nodes.join(contrib, col("node") === col("dst"), "left")
+      val next = nodes.join(contrib, col("node") === col("dst"), "left")
         .select((nodes.columns.map(col) :+
           (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("rank")): _*)
+      if (i % checkpointEvery == 0 && i < iterations) next.localCheckpoint() else next
     }
   }
 

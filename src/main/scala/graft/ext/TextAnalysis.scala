@@ -74,6 +74,56 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** N-round BPE merge induction over a token-instance frame — the
+    * general form of the 2-round oracled `text_bpe_merge` query.
+    *
+    * Each round is one aggregation pass (the standard distributed-BPE
+    * shape): count adjacent symbol pairs across all token instances,
+    * pick the winner (max count, ties by lexicographically-least pair),
+    * merge it corpus-wide into a fresh private-use-area symbol
+    * (U+E000+round — absent from real text, one distinct symbol per
+    * round so later rounds can merge ACROSS earlier merges), then
+    * `localCheckpoint` the merged corpus so plan depth and
+    * re-optimization cost stay constant per round instead of growing
+    * with the merge table. Only the 1-row winner is collected per round.
+    * At persistent-cluster scale the checkpoint becomes a
+    * `checkpoint`/parquet spill; the loop shape is identical.
+    *
+    * @param toks one column `tok`, one row per token instance
+    * @return merge table (round, pair, n), one row per induced merge;
+    *         stops early when no pair occurs twice
+    */
+  def bpeMerges(toks: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    var cur = toks
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur.filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((r, pair, top(0).getLong(1)))
+        val sym = (0xE000 + r).toChar.toString
+        cur = cur
+          .select(org.apache.spark.sql.functions.replace(col("tok"), lit(pair), lit(sym)).as("tok"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.result().toDF("round", "pair", "n")
+  }
+
   /** 64-bit-ish (60-bit) polynomial rolling hash of the normalized token
     * stream: h = sum_i x(t_i) * 31^(n-1-i) mod 2^60, computed with
     * `aggregate` so it stays an expression. Library-only (not

@@ -84,6 +84,9 @@ object TextPack extends QueryPack {
     // count. Each round is one map-only explode + one pair-keyed count;
     // the winning pair travels by broadcast — at 100 TB each merge
     // round is one aggregation pass, the standard distributed-BPE shape.
+    // Two rounds keeps the oracle tractable; the N-round operator (fresh
+    // merge symbol per round, localCheckpoint-truncated lineage) is
+    // TextAnalysis.bpeMerges, spec-proven to round 10.
     "text_bpe_merge" -> QueryDef(
       "Two BPE merge rounds: top pair, merge corpus-wide, top-10 recount",
       (s, dir) => {

@@ -82,6 +82,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> 150000L, 2L -> 213750L, 3L -> 395437L))
   }
 
+  test("domain rank: deep (20-iteration) run completes with truncated lineage, same math") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    // checkpointEvery=5 (default) truncates 3 times in 20 iterations;
+    // checkpointEvery=100 never fires, so this also proves the knob
+    // cannot change the arithmetic (integer rank is replay-exact)
+    val deep = Curation.domainRank(nodes, edges, iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unchecked = Curation.domainRank(nodes, edges, iterations = 20, checkpointEvery = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deep == unchecked && deep(1L) == 150000L && deep.values.forall(_ > 0L))
+  }
+
   test("chunking: repeated chunk within ONE doc is a single instance, not a dup") {
     val rep = Seq((1L, "a b c d e f g h a b c d e f g h", "s"))
       .toDF("doc_id", "text", "source")

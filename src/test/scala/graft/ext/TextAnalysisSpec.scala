@@ -33,6 +33,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(h("a b c") >= 0L)
   }
 
+  test("bpeMerges: N rounds with cross-round merges, deterministic prefix, early exhaustion") {
+    import spark.implicits._
+    // 'ab' dominates; after merging ab -> U+E001, the doubled symbol pair
+    // (U+E001 U+E001) inside 'abab...' becomes the next-round candidate —
+    // merges ACROSS earlier merges are what make this BPE
+    val toks = Seq.fill(6)("ababab") ++ Seq.fill(4)("abcd") ++ Seq.fill(3)("cdcd")
+    val merges = TextAnalysis.bpeMerges(toks.toDF("tok"), rounds = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(merges.head == ((1, "ab", 6 * 3 + 4)))
+    val round2 = merges(1)
+    assert(round2._1 == 2 && round2._2.contains('\uE001'))
+    // ten rounds requested; the tiny corpus exhausts earlier — the loop
+    // must stop, not merge singleton pairs forever
+    assert(merges.length < 10 && merges.map(_._1).toSeq == (1 to merges.length))
+    // determinism: a shorter run is a strict prefix of the longer one
+    val three = TextAnalysis.bpeMerges(toks.toDF("tok"), rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(three.toSeq == merges.take(3).toSeq)
+  }
+
   test("quality score stays in [0,1] and rewards fluent mid-length text") {
     val docs = Seq(
       "the cat sat on the mat and it was a good day in the sun " * 3, // fluent, long enough

@@ -15,6 +15,9 @@ final case class QueryDef(
 /** A themed group of queries contributed to [[SparkEntry]]. */
 trait QueryPack {
   def queries: Map[String, QueryDef]
+
+  /** Family name for the generated operator index (object name sans `$`). */
+  def name: String = getClass.getSimpleName.stripSuffix("$")
 }
 
 /** Aggregates every pack; [[SparkEntry]] is a thin view over this. */

@@ -264,13 +264,45 @@ object Similarity {
     * codegen OOM). The centroids ride along as literals, so assignment
     * is a single scan pass with zero shuffle.
     */
-  private def cellArgmax(centroids: Array[(Long, Array[Double])], vec: Column): Column = {
+  private[graft] def cellArgmax(centroids: Array[(Long, Array[Double])], vec: Column): Column = {
     val scored = centroids.map { case (cid, w) =>
       struct(dot(vec, typedLit(w)).as("cdot"), lit(-cid).as("negid"))
     }
     // greatest() requires >= 2 args; one centroid means one cell
     if (scored.length == 1) -scored.head.getField("negid")
     else -greatest(scored.toIndexedSeq: _*).getField("negid")
+  }
+
+  /** Above this many centroids the literal-argmax expression leaves
+    * whole-stage codegen (method size) and interpretation makes the
+    * map-side assignment the bottleneck — measured 7× WORSE than the
+    * fixed-k artifact it was meant to fix at k=128. The join form below
+    * takes over there.
+    */
+  private[graft] val LiteralArgmaxMaxK = 64
+
+  /** Cell assignment for LARGE centroid sets (k > [[LiteralArgmaxMaxK]]):
+    * the centroids become a broadcast TABLE instead of literals — corpus
+    * crossJoin(broadcast(centroids)) scores one native codegen dot per
+    * (vector, centroid) and a `max_by` aggregate keyed by the vector id
+    * picks the cell. The k-fold row expansion exists only BEFORE the
+    * partial aggregate (map-side combine collapses it to one row per
+    * vector, so the shuffle carries corpus cardinality, never corpus×k).
+    * Tie-break identical to [[cellArgmax]]: highest dot, then lowest
+    * centroid id (spec-asserted equal on the same model).
+    */
+  private[graft] def assignCellsJoin(
+      c: DataFrame, centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(centroids.toSeq).toDF("cent_id", "centv")
+    c.crossJoin(broadcast(cents))
+      .select(col("vid"), col("nv"), col("cent_id"),
+        struct(dot(col("nv"), col("centv")).as("cdot"),
+          (-col("cent_id")).as("negid")).as("score"))
+      .groupBy("vid")
+      .agg(first(col("nv")).as("nv"), max_by(col("cent_id"), col("score")).as("cell"))
+      .select(col("vid"), col("nv"), col("cell"))
   }
 
   /** SemDeDup-style semantic deduplication: embeddings are assigned
@@ -306,7 +338,10 @@ object Similarity {
       import c.sparkSession.implicits._
       return Seq.empty[(Long, Long, Long, Double)].toDF("vec_a", "vec_b", "cell", "cosine")
     }
-    val assigned = c.withColumn("cell", cellArgmax(centroids, col("nv")))
+    val assigned =
+      if (centroids.length <= LiteralArgmaxMaxK)
+        c.withColumn("cell", cellArgmax(centroids, col("nv")))
+      else assignCellsJoin(c, centroids)
     val a = assigned.select(col("vid").as("vec_a"), col("nv").as("nv_a"), col("cell"))
     val b = assigned.select(col("vid").as("vec_b"), col("nv").as("nv_b"), col("cell"))
     a.hint("shuffle_hash").join(b, Seq("cell"))

@@ -109,6 +109,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("large-k cell assignment (broadcast + max_by) equals the literal argmax, incl. ties") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val c = Similarity.withNormalized(
+      e.select(col("vec_id"), col("embedding")), "embedding", "nv")
+      .select(col("vec_id").as("vid"), col("nv"))
+    // k = 80 > LiteralArgmaxMaxK: the size semanticDupPairs would route
+    // to the join form; compare both paths on the same trained model
+    val model = Similarity.ivfModel(e, nCentroids = 80, lloydIters = 2, trainCap = 256L)
+    val viaLiteral = c.withColumn("cell", Similarity.cellArgmax(model, col("nv")))
+      .select("vid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJoin = Similarity.assignCellsJoin(c, model)
+      .select("vid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin == viaLiteral && viaJoin.size == 300)
+    // and the whole operator takes the join path above the threshold:
+    // no giant literal chain, a max_by aggregate in the plan instead
+    val p = Similarity.semanticDupPairs(e, 0.45, nCentroids = 80, trainCap = 320L)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("max_by"), p.take(2000))
+  }
+
   test("IVF degenerate inputs: single-vector corpus works, bad ids fail loudly") {
     val e = Tables.embeddings(spark, sf)
     // exactly one centroid (greatest() needs >= 2 args — single cell path)

@@ -292,17 +292,18 @@ object Similarity {
     * centroid id (spec-asserted equal on the same model).
     */
   private[graft] def assignCellsJoin(
-      c: DataFrame, centroids: Array[(Long, Array[Double])]): DataFrame = {
+      c: DataFrame, centroids: Array[(Long, Array[Double])],
+      idName: String = "vid", vecName: String = "nv"): DataFrame = {
     val spark = c.sparkSession
     import spark.implicits._
     val cents = spark.createDataset(centroids.toSeq).toDF("cent_id", "centv")
     c.crossJoin(broadcast(cents))
-      .select(col("vid"), col("nv"), col("cent_id"),
-        struct(dot(col("nv"), col("centv")).as("cdot"),
+      .select(col(idName), col(vecName), col("cent_id"),
+        struct(dot(col(vecName), col("centv")).as("cdot"),
           (-col("cent_id")).as("negid")).as("score"))
-      .groupBy("vid")
-      .agg(first(col("nv")).as("nv"), max_by(col("cent_id"), col("score")).as("cell"))
-      .select(col("vid"), col("nv"), col("cell"))
+      .groupBy(idName)
+      .agg(first(col(vecName)).as(vecName), max_by(col("cent_id"), col("score")).as("cell"))
+      .select(col(idName), col(vecName), col("cell"))
   }
 
   /** SemDeDup-style semantic deduplication: embeddings are assigned
@@ -397,7 +398,12 @@ object Similarity {
         .toDF("query_id", "rank", "neighbor_id", "cosine")
     }
 
-    val assigned = c.withColumn("cell", cellArgmax(centroids, col("cv")))
+    // same large-k switchover as semanticDupPairs: literal argmax while
+    // the expression stays codegen-sized, broadcast-table + max_by above
+    val assigned =
+      if (centroids.length <= LiteralArgmaxMaxK)
+        c.withColumn("cell", cellArgmax(centroids, col("cv")))
+      else assignCellsJoin(c, centroids, "neighbor_id", "cv")
 
     // probe list: nProbe nearest cells per query (queries are few — the
     // window runs over a broadcast-sized frame)

@@ -122,11 +122,16 @@ class SimilaritySpec extends AnyFunSuite {
     val viaJoin = Similarity.assignCellsJoin(c, model)
       .select("vid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaJoin == viaLiteral && viaJoin.size == 300)
-    // and the whole operator takes the join path above the threshold:
+    // and the whole operators take the join path above the threshold:
     // no giant literal chain, a max_by aggregate in the plan instead
     val p = Similarity.semanticDupPairs(e, 0.45, nCentroids = 80, trainCap = 320L)
       .queryExecution.sparkPlan.toString
     assert(p.contains("max_by"), p.take(2000))
+    val ivf = Similarity.ivfTopK(
+      e.filter(col("vec_id") < 4), e, k = 5, nCentroids = 80, nProbe = 16, trainCap = 320L)
+    assert(ivf.queryExecution.sparkPlan.toString.contains("max_by"))
+    val rows = ivf.collect()
+    assert(rows.length == 4 * 5 && rows.forall(_.getInt(1) <= 5))
   }
 
   test("IVF degenerate inputs: single-vector corpus works, bad ids fail loudly") {

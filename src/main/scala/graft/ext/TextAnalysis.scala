@@ -74,6 +74,56 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Per-doc bigram language-model score — the LM-perplexity quality
+    * signal of a curation pipeline: train add-one-smoothed bigram
+    * probabilities on the corpus itself, then score every doc by the
+    * average information content (bits per bigram) of its token stream.
+    * Fluent text re-uses the corpus's common transitions (low bits);
+    * OCR noise, shuffled text and boilerplate-free garbage score high.
+    *
+    * Exact and oracle-replayable: p(b|a) = (c(ab)+1) / (c(a)+V) with
+    * c(a) = Σ_b c(ab) and V = |vocab|; bits(doc) = Σ c_db·(−log2 p) / Σ
+    * c_db over the doc's bigram instances. Docs with < 2 tokens have no
+    * bigram and drop out (both engines agree).
+    *
+    * Scale shape: bigram instances aggregate per (doc, a, b) FIRST — a
+    * skew-free composite key whose partials absorb within-doc repeats —
+    * and the global model tables aggregate from that (partial-combined,
+    * so hot bigrams never pile up map-side). The model-attach joins are
+    * deliberately UNHINTED: per-key width is bounded by document count,
+    * and AQE's skew split handles a boilerplate bigram the same way the
+    * rare-token profiler relies on it. At 100 TB the model itself would
+    * be pruned + broadcast (top-M bigrams, backoff for the tail) — the
+    * exact join form here is the oracle baseline, like
+    * dedup_ngram_jaccard is for LSH.
+    *
+    * @return (doc_id, source, n_bg, bits)
+    */
+  def bigramLmProfile(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toked = docs.select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+    val bigrams =
+      when(size(col("t")) < 2, expr("array()").cast("array<struct<a:string,b:string>>"))
+        .otherwise(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS a, t[i] AS b))"))
+    val inst = toked
+      .select(col("doc_id"), col("source"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy("doc_id", "source", "a", "b").agg(count(lit(1)).as("c_db"))
+    val bg = inst.groupBy("a", "b").agg(sum("c_db").as("c_b"))
+    val ctx = bg.groupBy("a").agg(sum("c_b").as("ca"))
+    val vsz = toked.select(explode(col("t")).as("tok"))
+      .agg(countDistinct("tok").as("vsz"))
+    inst.join(bg, Seq("a", "b")).join(ctx, Seq("a"))
+      .crossJoin(broadcast(vsz))
+      .groupBy("doc_id", "source")
+      .agg(
+        sum("c_db").as("n_bg"),
+        sum(col("c_db") *
+          -log2((col("c_b") + lit(1.0)) / (col("ca") + col("vsz")))).as("bits_sum"))
+      .select(col("doc_id"), col("source"), col("n_bg"),
+        (col("bits_sum") / col("n_bg")).as("bits"))
+  }
+
   /** N-round BPE merge induction over a token-instance frame — the
     * general form of the 2-round oracled `text_bpe_merge` query.
     *

@@ -135,6 +135,50 @@ object TextPack extends QueryPack {
              |  SELECT round, pair, n FROM t2)
              |ORDER BY round, n DESC, pair ASC""".stripMargin)),
 
+    // LM-perplexity quality scoring: train an add-one bigram model on
+    // the corpus, score each doc in bits/bigram, roll up per source.
+    // The integer n_bigrams column is hash-exact; the bit scores round
+    // to 4 decimals (log2 last-ulp differences between engines sit ten
+    // orders of magnitude below that).
+    "text_lm_bits" -> QueryDef(
+      "Bigram-LM quality score: avg/max bits-per-bigram per source (add-one smoothing)",
+      (s, dir) =>
+        graft.ext.TextAnalysis.bigramLmProfile(Tables.documents(s, dir))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_bg").as("n_bigrams"),
+            round(avg("bits"), 4).as("avg_bits"),
+            round(max("bits"), 4).as("max_bits"))
+          .orderBy("source"),
+      Some("""WITH toked AS (
+             |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, source, t,
+             |    unnest(generate_series(1, len(t) - 1)) AS i
+             |  FROM toked WHERE len(t) >= 2),
+             |inst AS (
+             |  SELECT doc_id, source, t[i] AS a, t[i + 1] AS b, COUNT(*) AS c_db
+             |  FROM pos GROUP BY 1, 2, 3, 4),
+             |bg AS (SELECT a, b, SUM(c_db) AS c_b FROM inst GROUP BY a, b),
+             |ctx AS (SELECT a, SUM(c_b) AS ca FROM bg GROUP BY a),
+             |v AS (
+             |  SELECT COUNT(DISTINCT tok) AS vsz
+             |  FROM (SELECT unnest(t) AS tok FROM toked)),
+             |perdoc AS (
+             |  SELECT i.doc_id, i.source, SUM(i.c_db) AS n_bg,
+             |    SUM(i.c_db * -log2((bg.c_b + 1.0) / (ctx.ca + v.vsz))) /
+             |      SUM(i.c_db) AS bits
+             |  FROM inst i
+             |  JOIN bg USING (a, b) JOIN ctx USING (a) CROSS JOIN v
+             |  GROUP BY 1, 2)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+             |  ROUND(AVG(bits), 4) AS avg_bits,
+             |  ROUND(MAX(bits), 4) AS max_bits
+             |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)),
+
     "text_quality" -> QueryDef(
       "Heuristic quality score (length, punctuation, stopword fluency) per language",
       (s, dir) =>

@@ -53,6 +53,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(three.toSeq == merges.take(3).toSeq)
   }
 
+  test("bigram LM score: hand-computed add-one smoothing, short docs drop out") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a b c"; bigram counts ab=3, ba=1, bc=1;
+    // contexts ca=3 (a→·), cb=2 (b→·); V=4 — the bigram-less "x" doc
+    // still contributes its token to the vocabulary
+    val docs = Seq(
+      (1L, "a b a b", "s1"), (2L, "a b c", "s2"), (3L, "x", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.bigramLmProfile(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val pAb = 4.0 / 7.0  // (3+1)/(3+4)
+    val pBa = 2.0 / 6.0  // (1+1)/(2+4)
+    val pBc = 2.0 / 6.0
+    def l2(x: Double) = -math.log(x) / math.log(2.0)
+    assert(got.size == 2, "single-token doc must have no bigram row")
+    val (n1, bits1) = got(1L)
+    assert(n1 == 3L && math.abs(bits1 - (2 * l2(pAb) + l2(pBa)) / 3.0) < 1e-12)
+    val (n2, bits2) = got(2L)
+    assert(n2 == 2L && math.abs(bits2 - (l2(pAb) + l2(pBc)) / 2.0) < 1e-12)
+  }
+
   test("quality score stays in [0,1] and rewards fluent mid-length text") {
     val docs = Seq(
       "the cat sat on the mat and it was a good day in the sun " * 3, // fluent, long enough

@@ -29,6 +29,40 @@ object DedupPack extends QueryPack {
              |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Cross-source content-overlap matrix — which crawls/sources share
+    // text. Works on distinct (source, 5-gram shingle) pairs, so the
+    // self-join's per-shingle width is bounded by |sources| (never by
+    // how often a source repeats the shingle) — a boilerplate phrase
+    // duplicated a million times inside one crawl contributes ONE row
+    // per source. Output is the upper triangle of a (sources×sources)
+    // matrix: bounded at any corpus size.
+    "dedup_source_overlap" -> QueryDef(
+      "Cross-source overlap matrix: distinct shared 5-gram shingles per source pair",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(graft.ext.Dedup.shingles(col("text"), 5)).as("g"))
+          .distinct()
+        val a = sh.select(col("g"), col("source").as("src_a"))
+        val b = sh.select(col("g"), col("source").as("src_b"))
+        a.join(b, Seq("g")).filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT source, g FROM (
+             |    SELECT source, unnest(
+             |      CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+             |           ELSE list_transform(range(1, len(t) - 3),
+             |                  i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]) END) AS g
+             |    FROM d))
+             |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+             |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)),
+
     // Incremental (batch-vs-corpus) dedup — the daily-ingest shape: the
     // standing corpus participates ONLY as its fingerprint index (16
     // bytes/doc), never as text, so admitting a batch costs one fp join

@@ -434,6 +434,34 @@ object TextPack extends QueryPack {
              |SELECT doc_a AS doc_id, doc_b AS nn_id, cosine
              |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Token frequency spectrum (frequency-of-frequencies): how many
+    // token types occur exactly k times — the Zipf/Good-Turing view a
+    // curation pipeline reads to size rare-token filters and estimate
+    // unseen mass. Two partial-combined aggregations (tok, then count):
+    // the first absorbs hot tokens map-side, the second's key space is
+    // bounded by the max frequency. Output = the 20 rarest frequencies
+    // (the Good-Turing head), bounded at any corpus size.
+    "text_freq_spectrum" -> QueryDef(
+      "Token frequency-of-frequencies: types per occurrence count, 20 rarest ks",
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("k"))
+        counts
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_types"), sum("k").as("n_instances"))
+          .orderBy("k")
+          .limit(20)
+      },
+      Some("""WITH counts AS (
+             |  SELECT tok, COUNT(*) AS k FROM (
+             |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |    FROM documents)
+             |  GROUP BY tok)
+             |SELECT k, COUNT(*) AS n_types, CAST(SUM(k) AS BIGINT) AS n_instances
+             |FROM counts
+             |GROUP BY k ORDER BY k LIMIT 20""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       "md5 content fingerprint of normalized text (exact-dedup key), first 20 docs",
       (s, dir) =>

@@ -49,7 +49,9 @@ object ScaleBench {
     "q_except", "q_intersect",
     "q_asof_join", "q_asof_partitioned",
     "train_pack_sequences", "train_mixture", "train_upsample",
-    "q_user_activity")
+    "q_user_activity",
+    // round-6 curation additions (documents)
+    "text_lm_bits", "dedup_source_overlap", "text_freq_spectrum")
 
   /** Bench-only variants (no oracle, so not in the catalog) measuring a
     * production scale dial the oracled form must keep fixed.

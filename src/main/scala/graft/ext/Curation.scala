@@ -21,8 +21,13 @@ object Curation {
     * per-doc hit count keyed by doc_id.
     */
   def contaminationPerDoc(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("source"),
-      Dedup.shingles(col("text"), n).as("sh"), isEval.as("is_eval"))
+    // explode(array(...)) barrier: the token split materializes once per
+    // doc before the shingle lambda touches it (see Dedup.shinglesFromTokens)
+    val toked = docs.select(col("doc_id"), col("source"),
+      isEval.as("is_eval"),
+      explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
+    val sh = toked.select(col("doc_id"), col("source"),
+      Dedup.shinglesFromTokens(col("toks"), n).as("sh"), col("is_eval"))
     val evalGrams = sh.filter(col("is_eval"))
       .select(explode(col("sh")).as("g")).distinct()
     val train = sh.filter(!col("is_eval"))

@@ -23,8 +23,14 @@ object Dedup {
     * element_at is 1-based, matching the DuckDB list indexing its oracle
     * uses; docs shorter than n yield an empty set.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Shingle set from an ALREADY-MATERIALIZED token array column.
+    * Callers must bind `toks` to a real column (project it, or use the
+    * `explode(array(...))` barrier like [[shingleRows]]): if `toks` is
+    * the split expression itself, the interpreted higher-order lambda
+    * re-evaluates the whole split once per element_at — measured 13 s
+    * vs 1 s over the sf0.1 corpus for the same logical result.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     // Guarded: sequence(1, 0) would generate a DESCENDING sequence in
     // Spark, so short docs must short-circuit to an empty set.
     when(size(toks) < n, array().cast("array<string>"))
@@ -32,7 +38,14 @@ object Dedup {
         transform(
           sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
-  }
+
+  /** Column-form shingle set straight from text — convenient for specs
+    * and single-doc fixtures; for corpus-scale scans prefer
+    * [[shingleRows]] (see the re-evaluation warning on
+    * [[shinglesFromTokens]]).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), n)
 
   /** Exact-duplicate groups: fingerprint → (n copies, keeper = min id). */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -89,14 +102,14 @@ object Dedup {
     * whole-stage-codegen but paid two full shuffles of the token stream;
     * this one pays zero. Short docs (< n tokens) produce no rows.
     */
-  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toked = docs.select(col("doc_id"),
+  def shingleRows(docs: DataFrame, n: Int = 3, keyCol: String = "doc_id"): DataFrame = {
+    // the explode(array(...)) barrier materializes the token split ONCE
+    // per doc: a transform lambda that references the split SUBTREE
+    // instead of a bound column re-evaluates the whole split per
+    // element_at — measured 13 s vs 1 s on the sf0.1 corpus
+    val toked = docs.select(col(keyCol),
       explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
-    val sh = when(size(col("toks")) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(col("toks")) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
-    toked.select(col("doc_id"), explode(sh).as("sh"))
+    toked.select(col(keyCol), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
   }
 
   /** Jaccard of two docs' shingle sets from per-doc set sizes and the

@@ -39,28 +39,42 @@ object DedupPack extends QueryPack {
     "dedup_source_overlap" -> QueryDef(
       "Cross-source overlap matrix: distinct shared 5-gram shingles per source pair",
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("source"),
-            explode(graft.ext.Dedup.shingles(col("text"), 5)).as("g"))
+        // shingleRows' explode-barrier keeps the token split single-eval
+        // (13 s → ~1 s on sf0.1 by itself); shingles collapse to the
+        // portable 60-bit md5 hash immediately (8-byte keys through
+        // every shuffle instead of ~30-byte strings; both engines hash
+        // identically, so the oracle stays bit-exact); and instead of a
+        // self-join the per-shingle source SET is aggregated once and
+        // expanded map-side into its s(s-1)/2 pairs — the pair stream
+        // partial-aggregates into at most |sources|² rows per task.
+        val sh = graft.ext.Dedup.shingleRows(
+            Tables.documents(s, dir), n = 5, keyCol = "source")
+          .select(col("source"), graft.ext.Hashing.portableTokenHash60(col("sh")).as("h"))
           .distinct()
-        val a = sh.select(col("g"), col("source").as("src_a"))
-        val b = sh.select(col("g"), col("source").as("src_b"))
-        a.join(b, Seq("g")).filter(col("src_a") < col("src_b"))
-          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        sh.groupBy("h").agg(array_sort(collect_set(col("source"))).as("srcs"))
+          .filter(size(col("srcs")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(srcs, (x, i) ->
+              |  transform(slice(srcs, i + 2, size(srcs) - i - 1),
+              |            y -> struct(x AS src_a, y AS src_b))))""".stripMargin)).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
           .orderBy("src_a", "src_b")
       },
       Some("""WITH d AS (
              |  SELECT source, regexp_split_to_array(lower(text), '\s+') AS t
              |  FROM documents),
              |sh AS (
-             |  SELECT DISTINCT source, g FROM (
+             |  SELECT DISTINCT source,
+             |    CAST(('0x'||substring(md5(g),1,15)) AS BIGINT) AS h
+             |  FROM (
              |    SELECT source, unnest(
              |      CASE WHEN len(t) < 5 THEN []::VARCHAR[]
              |           ELSE list_transform(range(1, len(t) - 3),
              |                  i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]) END) AS g
              |    FROM d))
              |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
-             |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+             |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
              |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)),
 
     // Incremental (batch-vs-corpus) dedup — the daily-ingest shape: the

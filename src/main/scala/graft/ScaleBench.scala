@@ -51,7 +51,8 @@ object ScaleBench {
     "train_pack_sequences", "train_mixture", "train_upsample",
     "q_user_activity",
     // round-6 curation additions (documents)
-    "text_lm_bits", "dedup_source_overlap", "text_freq_spectrum")
+    "text_lm_bits", "dedup_source_overlap", "text_freq_spectrum",
+    "text_bm25_topk")
 
   /** Bench-only variants (no oracle, so not in the catalog) measuring a
     * production scale dial the oracled form must keep fixed.

@@ -462,6 +462,81 @@ object TextPack extends QueryPack {
              |FROM counts
              |GROUP BY k ORDER BY k LIMIT 20""".stripMargin)),
 
+    // BM25 retrieval over the corpus — query-based corpus filtering, the
+    // retrieval primitive of targeted data curation. Queries are the
+    // leading 8 tokens of the first 3 docs (data-derived, so both
+    // engines replay them). Scale shape: tf aggregates on the skew-free
+    // (doc, tok) key; the corpus joins a BROADCAST query vocabulary
+    // (map-side kill of non-matching tokens); df/len attach to the
+    // surviving slice only; and the per-query top-5 rank filter rides
+    // WindowGroupLimit (partial top-k below the shuffle), so a stopword
+    // query cannot single-task the window. Scores round to 6 decimals
+    // BEFORE ranking so cross-engine ln() ulp noise cannot flip ranks;
+    // ties break on doc_id.
+    "text_bm25_topk" -> QueryDef(
+      "BM25 (k1=1.2, b=0.75) top-5 docs per query; queries from first 3 docs",
+      (s, dir) => {
+        val toked = Tables.documents(s, dir).select(col("doc_id"),
+          explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
+        val tf = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dlen = toked.select(col("doc_id"), size(col("toks")).as("len"))
+        val stats = dlen.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
+        val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val qtoks = toked.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"),
+            explode(expr("slice(toks, 1, 8)")).as("tok"))
+          .distinct()
+        val perDoc = tf.join(broadcast(qtoks), Seq("tok"))
+          .join(dfTab, Seq("tok"))
+          .join(dlen, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("s",
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+              col("tf") / (col("tf") +
+                lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avg_len"))))
+          .groupBy("query_id", "doc_id")
+          .agg(round(sum("s"), 6).as("score"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        perDoc.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH toked AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, unnest(toks) AS tok FROM toked)
+             |  GROUP BY doc_id, tok),
+             |dlen AS (SELECT doc_id, len(toks) AS len FROM toked),
+             |stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avg_len FROM dlen),
+             |dftab AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+             |qtoks AS (
+             |  SELECT DISTINCT doc_id AS query_id, tok FROM (
+             |    SELECT doc_id, unnest(toks[1:8]) AS tok FROM toked WHERE doc_id < 3)),
+             |perdoc AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    ROUND(SUM(
+             |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+             |      tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))), 6) AS score
+             |  FROM tf
+             |  JOIN qtoks q USING (tok)
+             |  JOIN dftab d USING (tok)
+             |  JOIN dlen l ON tf.doc_id = l.doc_id
+             |  CROSS JOIN stats s
+             |  GROUP BY q.query_id, tf.doc_id),
+             |ranked AS (
+             |  SELECT query_id, doc_id, score,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |                       ORDER BY score DESC, doc_id ASC) AS rank
+             |  FROM perdoc)
+             |SELECT query_id, rank, doc_id, score FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       "md5 content fingerprint of normalized text (exact-dedup key), first 20 docs",
       (s, dir) =>

@@ -54,6 +54,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Partial") && p.contains("Final"))
   }
 
+  test("BM25 top-5 rides WindowGroupLimit and broadcasts the query vocabulary") {
+    // a stopword-heavy query matches much of the corpus; the rank filter
+    // must prune map-side and the tiny query vocab must broadcast so the
+    // corpus tf stream is filtered without shuffling on tok
+    val p = plan("text_bm25_topk")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
   test("partitioned read-back prunes partitions at the source") {
     val p = plan("q_partition_prune")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")

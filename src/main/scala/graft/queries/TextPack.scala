@@ -179,6 +179,66 @@ object TextPack extends QueryPack {
              |  ROUND(MAX(bits), 4) AS max_bits
              |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)),
 
+    // The APPLY side of BPE: train 2 merge rounds (TextAnalysis.bpeMerges
+    // — only the 2-row merge table is collected), then encode the corpus
+    // with the learned merges and report per-language compression. The
+    // encode pass is a map-only replace chain — the production tokenizer
+    // shape (small learned model, one codegen scan); the oracle re-derives
+    // the same merges in SQL and replays the chain, so train AND apply are
+    // both hash-gated. Integer char counts; the ratio is a division of
+    // exact ints, identical in both engines.
+    "text_bpe_encode" -> QueryDef(
+      "Apply 2 learned BPE merges corpus-wide: per-language char compression",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("lang"),
+          explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+        val merges = graft.ext.TextAnalysis.bpeMerges(
+          toks.select("tok"), rounds = 2).collect()
+        val encoded = merges.sortBy(_.getInt(0)).foldLeft(col("tok")) { (c, m) =>
+          org.apache.spark.sql.functions.replace(
+            c, lit(m.getString(1)), lit((0xE000 + m.getInt(0)).toChar.toString))
+        }
+        toks.select(col("lang"), length(col("tok")).as("raw"),
+            length(encoded).as("enc"))
+          .groupBy("lang")
+          .agg(
+            sum("raw").as("chars_raw"),
+            sum("enc").as("chars_enc"))
+          .withColumn("ratio", round(col("chars_enc") / col("chars_raw"), 4))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |p1 AS (
+             |  SELECT pair, COUNT(*) AS n FROM (
+             |    SELECT unnest(list_transform(range(1, length(tok)),
+             |             i -> substring(tok, i, 2))) AS pair
+             |    FROM toks WHERE length(tok) >= 2)
+             |  GROUP BY pair HAVING COUNT(*) >= 2),
+             |t1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
+             |m1 AS (
+             |  SELECT lang, replace(tok, (SELECT pair FROM t1), chr(57345)) AS tok
+             |  FROM toks),
+             |p2 AS (
+             |  SELECT pair, COUNT(*) AS n FROM (
+             |    SELECT unnest(list_transform(range(1, length(tok)),
+             |             i -> substring(tok, i, 2))) AS pair
+             |    FROM m1 WHERE length(tok) >= 2)
+             |  GROUP BY pair HAVING COUNT(*) >= 2),
+             |t2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair ASC LIMIT 1),
+             |m2 AS (
+             |  SELECT lang, replace(tok, (SELECT pair FROM t2), chr(57346)) AS tok
+             |  FROM m1),
+             |raw AS (SELECT lang, SUM(length(tok)) AS chars_raw FROM toks GROUP BY lang),
+             |enc AS (SELECT lang, SUM(length(tok)) AS chars_enc FROM m2 GROUP BY lang)
+             |SELECT r.lang, CAST(r.chars_raw AS BIGINT) AS chars_raw,
+             |  CAST(e.chars_enc AS BIGINT) AS chars_enc,
+             |  ROUND(1.0 * e.chars_enc / r.chars_raw, 4) AS ratio
+             |FROM raw r JOIN enc e ON r.lang = e.lang
+             |ORDER BY r.lang""".stripMargin)),
+
     "text_quality" -> QueryDef(
       "Heuristic quality score (length, punctuation, stopword fluency) per language",
       (s, dir) =>

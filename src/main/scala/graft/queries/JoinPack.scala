@@ -387,6 +387,59 @@ object JoinPack extends QueryPack {
              |  FROM a FULL OUTER JOIN b ON a.k = b.k)
              |SELECT op, COUNT(*) AS n_keys,
              |  ROUND(SUM(COALESCE(rev_b, 0.0)), 2) AS sum_rev_new
-             |FROM d GROUP BY op ORDER BY op""".stripMargin))
+             |FROM d GROUP BY op ORDER BY op""".stripMargin)),
+
+    // Bucketed co-located fact-fact join. Both fact slices are written as
+    // bucketed tables on the join key (same bucket count, one file per
+    // bucket via repartition-before-write, sortBy for on-disk clustering),
+    // then joined table-to-table: the per-query Exchange a plain fact-fact
+    // join pays vanishes — PlanSpec asserts the join subtree has zero
+    // shuffle. This is the pay-once pattern for 100 TB:
+    // bucket at ingest, and every later join/agg on the key reads
+    // co-located buckets instead of reshuffling the fact table each
+    // query. The oracle is the plain join over the original parquet —
+    // bucketing must be invisible in the result.
+    "q_bucketed_join" -> QueryDef(
+      "Fact-fact join over same-bucketed tables: shuffle-free below the join",
+      (s, dir) => {
+        val buckets = 8
+        val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .repartition(buckets, col("l_orderkey"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(buckets, col("o_orderkey"))
+        s.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
+        s.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+        l.write.mode("overwrite").option("path", s"$wh/lineitem")
+          .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_bucketed_lineitem")
+        o.write.mode("overwrite").option("path", s"$wh/orders")
+          .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_bucketed_orders")
+        val bl = s.table("graft_bucketed_lineitem")
+        val bo = s.table("graft_bucketed_orders")
+        // merge hint: at test SF both sides fit the broadcast threshold,
+        // but the pattern being demonstrated is the 100 TB fact-fact case
+        // where neither side broadcasts — force the sort-merge path the
+        // bucketing exists to serve.
+        bl.hint("merge").join(bo, bl("l_orderkey") === bo("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0)
+              .as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_orderkey % 4 = 0 AND o_orderkey % 4 = 0
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -112,6 +112,33 @@ class PlanSpec extends AnyFunSuite {
       s"metrics_view grew to ${exchanges("metrics_view")} exchanges")
   }
 
+  test("bucketed-to-bucketed join has zero shuffle below the join") {
+    // the whole point of q_bucketed_join: both tables are bucketed on the
+    // join key with the same bucket count, so the sort-merge join needs
+    // no Exchange on either side — the only shuffles in the plan are the
+    // post-join agg + order-by. (A per-partition SortExec remains: since
+    // Spark 3.0 bucketed scans don't claim sortBy output ordering —
+    // multiple files per bucket would break it — but that sort is local,
+    // spill-safe, and O(bucket), not a network shuffle.)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // AQE wraps the plan in AdaptiveSparkPlanExec before execution; turn
+    // it off here so executedPlan (post-EnsureRequirements, where
+    // exchanges materialize) is a plain traversable tree.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+      val joins = df.queryExecution.executedPlan.collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, "bucketed join should plan as sort-merge")
+      val below = joins.head.children.flatMap(_.collect { case n => n })
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "bucketed-to-bucketed join must not reshuffle either side")
+      val scans = df.queryExecution.executedPlan.toString
+      assert(scans.contains("Bucketed: true"),
+        "both scans must actually read as bucketed")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("the window in metrics_view partitions by event_type (no single-partition window)") {
     // executedPlan, not sparkPlan: exchanges appear only after
     // EnsureRequirements runs

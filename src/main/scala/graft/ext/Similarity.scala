@@ -487,6 +487,100 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** ANN top-k via product quantization (PQ): the vector space is split
+    * into `m` subspaces; each subspace has a 16-entry codebook (the
+    * sub-vectors of the first 16 corpus vectors — a sampled codebook,
+    * trained like [[ivfModel]]'s seeds are: driver-side, deterministic);
+    * every corpus vector compresses to `m` small codes chosen by nearest
+    * sub-centroid. Queries score candidates with asymmetric distance
+    * computation (ADC): approx dot = Σ_j dot(query_sub_j, codebook_j[code_j]),
+    * summed in fixed subspace order so the double result is reproducible.
+    * The top `rerank` per query re-score with full-precision vectors.
+    *
+    * Scale: codes are m bytes instead of dim floats (16× smaller at
+    * m=4/dim=64) — the candidate scan touches only codes plus a literal
+    * codebook, the memory-bound regime PQ exists for. Code assignment is
+    * one map-side pass (codebooks ride as literals, zero shuffle); the
+    * candidate scan is a broadcast-query cross join like [[bruteForceTopK]]
+    * but over compressed rows. Every step is order-pinned (argmin iterates
+    * codes in order keeping the first minimum; ADC sums left-to-right), so
+    * a DuckDB oracle replays the whole path — approximate operator,
+    * exactly checked.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 4,
+      dim: Int = 64,
+      rerank: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    // sampled codebooks: normalized sub-vectors of the first 16 corpus
+    // vectors, collected driver-side (16 rows) and embedded as literals
+    val seeds = normalizedVectors(corpus, 16L, idCol, vecCol)
+    val c = withNormalized(corpus.select(col(idCol), col(vecCol)), vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
+    if (seeds.isEmpty) {
+      require(c.isEmpty,
+        "pqTopK: corpus is non-empty but has no ids < 16 to seed codebooks")
+      import c.sparkSession.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "cosine")
+    }
+    // codebooks(j)(t) = subspace-j slice of seed vector t (code = t+1,
+    // 1-based to match array_position / SQL list_position)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      seeds.map { case (_, v) => v.slice(j * subDim, (j + 1) * subDim) }
+    }
+
+    // map-side code assignment: per subspace, argmin over the distance
+    // surrogate ||c||² - 2·(sv·c) (the sv self-dot is constant per row and
+    // dropped on BOTH engines), first minimum on ties = lowest code. The
+    // explode barrier materializes codes once, not re-inlined per query.
+    def codeCol(j: Int): Column = {
+      val sv = slice(col("cv"), j * subDim + 1, subDim)
+      val dists = array(codebooks(j).map { cw =>
+        lit(dotSeq(cw, cw)) - lit(2.0) * dot(sv, typedLit(cw))
+      }.toIndexedSeq: _*)
+      array_position(dists, array_min(dists))
+    }
+    val coded = c.select(col("neighbor_id"), explode(array(struct(
+        (0 until m).map(j => codeCol(j).as(s"code$j")): _*))).as("cd"))
+      .select(col("neighbor_id") +: (0 until m).map(j => col(s"cd.code$j")): _*)
+
+    // ADC scan: queries broadcast with pre-sliced subvectors; approx
+    // score = Σ_j dot(q_sub_j, codebook_j[code_j]) in fixed j order
+    val q = broadcast(
+      withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "qv")
+        .select(col("query_id") +: (0 until m).map(j =>
+          slice(col("qv"), j * subDim + 1, subDim).as(s"qs$j")): _*))
+    val ascore = (0 until m).map { j =>
+      dot(col(s"qs$j"), element_at(typedLit(codebooks(j).map(_.toSeq).toSeq), col(s"code$j").cast("int")))
+    }.reduceLeft(_ + _)
+    val wApprox = Window.partitionBy("query_id").orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val cand = coded.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), ascore.as("ascore"))
+      .withColumn("rk", row_number().over(wApprox))
+      .filter(col("rk") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // full-precision re-rank of the candidate slice
+    val qv = broadcast(
+      withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "qv")
+        .select("query_id", "qv"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .join(c, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** All-pairs cosine near-duplicates ≥ threshold — the exact verification
     * variant, deliberately bounded to ids &lt; `idCap` (O(n²) pairs do not
     * scale; the slice keeps the oracle meaningful at every SF while LSH

@@ -440,6 +440,54 @@ object JoinPack extends QueryPack {
              |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_orderkey % 4 = 0 AND o_orderkey % 4 = 0
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Runtime bloom-filter join: Catalyst's InjectRuntimeFilter builds a
+    // bloom filter over the selectively-filtered build side's join keys
+    // and pre-filters the probe-side SCAN with might_contain BEFORE the
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling only the ~1/5 of rows that can
+    // possibly match. The thresholds that gate injection are sized for
+    // clusters (10 GB probe scan), so they're lowered HERE, scoped to
+    // this query: the plan is forced eagerly inside the try, then every
+    // conf is restored so no other query's plan is affected. PlanSpec
+    // asserts both halves (bloom_filter_agg build, might_contain probe).
+    "q_bloom_join" -> QueryDef(
+      "Fact-fact join with runtime bloom filter pre-filtering the probe scan",
+      (s, dir) => {
+        val keys = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          "spark.sql.autoBroadcastJoinThreshold")
+        val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        // injection skips joins that would broadcast; at 100 TB neither
+        // fact side broadcasts, so model that here
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val l = Tables.lineitem(s, dir)
+          val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+          val df = l
+            .join(o, l("l_orderkey") === o("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+              round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+              count(lit(1)).as("n_items"))
+            .orderBy("o_orderpriority")
+          // pin analysis->physical planning while the scoped confs hold
+          df.queryExecution.executedPlan
+          df
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT o_orderpriority,
+             |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -225,6 +225,65 @@ object SimilarityPack extends QueryPack {
               |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Memory-scale path #2: product quantization. Vectors compress to 4
+    // codes (one per 16-dim subspace, 16-entry sampled codebooks = the
+    // first 16 corpus vectors' sub-slices); the candidate scan scores
+    // with ADC (sum of query-sub · chosen-codebook-entry dots, fixed
+    // subspace order) and the top-50 re-rank at full precision. The
+    // oracle replays codebook construction, per-subspace argmin
+    // assignment (first-min tie-break = lowest code), the ADC sum in the
+    // same association order, and the re-rank — approximate operator,
+    // hash-checked exactly.
+    "sim_topk_pq" -> QueryDef(
+      "ANN top-5 via product quantization (4×16-dim sampled codebooks, ADC scan) + exact re-rank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.pqTopK(e.filter(col("vec_id") < 8), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${normCte("")},
+              |subs AS (
+              |  SELECT vec_id, j AS sub, list_slice(nv, j*16 + 1, j*16 + 16) AS sv
+              |  FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)),
+              |cb AS (SELECT sub, vec_id + 1 AS code, sv AS cv FROM subs WHERE vec_id < 16),
+              |assign AS (
+              |  SELECT vec_id, sub, code, cv FROM (
+              |    SELECT s.vec_id, s.sub, c.code, c.cv,
+              |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+              |        ORDER BY list_dot_product(c.cv, c.cv) - 2 * list_dot_product(s.sv, c.cv) ASC,
+              |                 c.code ASC) AS rk
+              |    FROM subs s JOIN cb c ON c.sub = s.sub)
+              |  WHERE rk = 1),
+              |approx AS (
+              |  SELECT query_id, neighbor_id, ascore,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY ascore DESC, neighbor_id ASC) AS rk
+              |  FROM (
+              |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+              |      (((list_dot_product(list_slice(q.nv, 1, 16),  a0.cv)
+              |       + list_dot_product(list_slice(q.nv, 17, 32), a1.cv))
+              |       + list_dot_product(list_slice(q.nv, 33, 48), a2.cv))
+              |       + list_dot_product(list_slice(q.nv, 49, 64), a3.cv)) AS ascore
+              |    FROM e x
+              |    JOIN assign a0 ON a0.vec_id = x.vec_id AND a0.sub = 0
+              |    JOIN assign a1 ON a1.vec_id = x.vec_id AND a1.sub = 1
+              |    JOIN assign a2 ON a2.vec_id = x.vec_id AND a2.sub = 2
+              |    JOIN assign a3 ON a3.vec_id = x.vec_id AND a3.sub = 3
+              |    JOIN e q ON q.vec_id < 8 AND q.vec_id <> x.vec_id)),
+              |cand AS (SELECT query_id, neighbor_id FROM approx WHERE rk <= 50),
+              |scored AS (
+              |  SELECT query_id, neighbor_id, list_dot_product(eq.nv, ec.nv) AS cos
+              |  FROM cand
+              |  JOIN e eq ON eq.vec_id = query_id
+              |  JOIN e ec ON ec.vec_id = neighbor_id),
+              |r AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Scale path: sign-LSH candidate buckets + exact re-rank. The
     // hyperplanes are pure functions of (table, plane, dim), so the oracle
     // embeds the identical weights as SQL array literals and replays the

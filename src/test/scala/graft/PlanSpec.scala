@@ -139,6 +139,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("bloom join injects a runtime filter: bloom build on dims, might_contain on probe") {
+    // both halves of InjectRuntimeFilter must be present: the build side
+    // aggregates the filtered orders keys into a bloom filter
+    // (bloom_filter_agg over xxhash64) and the lineitem probe side gains
+    // a might_contain predicate that runs BEFORE its shuffle — the probe
+    // scan is pre-filtered to rows that can possibly match
+    val p = SparkEntry.queries("q_bloom_join")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("bloom_filter_agg"), "no bloom filter build aggregate")
+    assert(p.contains("might_contain"), "probe side not pre-filtered")
+  }
+
   test("the window in metrics_view partitions by event_type (no single-partition window)") {
     // executedPlan, not sparkPlan: exchanges appear only after
     // EnsureRequirements runs

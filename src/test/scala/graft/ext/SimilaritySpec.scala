@@ -90,6 +90,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
   }
 
+  test("PQ top-k achieves reasonable recall@5 against brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, k = 5))
+    val pq = pairs(Similarity.pqTopK(q, e, k = 5))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // 4 subspaces x 16 sampled (untrained) codes is a coarse quantizer on
+    // random data; the top-50 re-rank does the heavy lifting
+    assert(recall >= 0.3, s"PQ recall@5 = $recall")
+  }
+
+  test("PQ on an empty corpus returns the contract-schema empty frame") {
+    val e = Tables.embeddings(spark, sf)
+    val none = e.filter(col("vec_id") < 0)
+    val out = Similarity.pqTopK(none, none, k = 5)
+    assert(out.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "cosine"))
+    assert(out.count() == 0)
+  }
+
   test("semantic dedup: no false positives vs the exact all-pairs form") {
     val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 500)
     val exact = Similarity.cosineNearDupPairs(e, threshold = 0.45)

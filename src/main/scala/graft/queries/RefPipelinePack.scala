@@ -321,6 +321,31 @@ object RefPipelinePack extends QueryPack {
              |FROM lineitem WHERE l_orderkey % 25 = 0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Globally range-sorted write (RangeSortedSink): repartitionByRange
+    // samples balanced boundaries — a distributed total sort with no
+    // driver involvement — so file N's keys all precede file N+1's and
+    // parquet zone maps become perfectly selective for the sort key.
+    // GlobalSortSpec proves the per-file ranges are disjoint + sorted;
+    // the oracle proves the sorted layout is invisible in results.
+    "q_global_sort" -> QueryDef(
+      "Globally range-sorted parquet write + integrity read-back per ship-year",
+      (s, dir) => {
+        val slice = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+            col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-rangesort").toString
+        graft.io.RangeSortedSink.write(slice, tmp, numFiles = 8,
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        s.read.schema(slice.schema).parquet(tmp)
+          .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+          .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+          .orderBy("ship_year")
+      },
+      Some("""SELECT EXTRACT(year FROM l_shipdate) AS ship_year, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ship_year ORDER BY ship_year""".stripMargin)),
+
     // Partitioned-layout round trip: write a slice partitioned by
     // priority, read it back with a partition predicate. At 100 TB this
     // layout turns the filter into directory pruning — the scan never

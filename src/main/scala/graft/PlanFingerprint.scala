@@ -38,6 +38,11 @@ object PlanFingerprint {
       // graft.ext.Multimodal$$Lambda$1234/0x00007f…@6b3e2a
       .replaceAll("\\$\\$Lambda[^,\\s\\)]*", "\\$\\$Lambda<_>")
       .replaceAll("@[0-9a-f]{4,}", "@_")
+      // higher-order-function variables (`lambda x_15#123`) number from a
+      // GLOBAL counter: registering a new query shifts every later
+      // query's variables, churning hashes with no plan change. After the
+      // #id pass above they look like `x_15#_` — drop the counter too.
+      .replaceAll("x_\\d+#_", "x_#_")
 
   /** Tree-prefix + operator name per line: `  +- *(3) HashAggregate(...)`
     * → `  +- HashAggregate`. Codegen stage ids are dropped (they shift

@@ -538,16 +538,21 @@ object Similarity {
 
     // map-side code assignment: per subspace, argmin over the distance
     // surrogate ||c||² - 2·(sv·c) (the sv self-dot is constant per row and
-    // dropped on BOTH engines), first minimum on ties = lowest code. The
-    // explode barrier materializes codes once, not re-inlined per query.
+    // dropped on BOTH engines), first minimum on ties = lowest code. Two
+    // explode barriers: the first materializes each subvector slice ONCE
+    // (instead of 16 re-slices per subspace inside the interpreted dist
+    // expressions), the second materializes codes once, not re-inlined
+    // per query.
+    val sliced = c.select(col("neighbor_id"), explode(array(struct(
+        (0 until m).map(j => slice(col("cv"), j * subDim + 1, subDim).as(s"sv$j")): _*))).as("s"))
+      .select(col("neighbor_id") +: (0 until m).map(j => col(s"s.sv$j")): _*)
     def codeCol(j: Int): Column = {
-      val sv = slice(col("cv"), j * subDim + 1, subDim)
       val dists = array(codebooks(j).map { cw =>
-        lit(dotSeq(cw, cw)) - lit(2.0) * dot(sv, typedLit(cw))
+        lit(dotSeq(cw, cw)) - lit(2.0) * dot(col(s"sv$j"), typedLit(cw))
       }.toIndexedSeq: _*)
       array_position(dists, array_min(dists))
     }
-    val coded = c.select(col("neighbor_id"), explode(array(struct(
+    val coded = sliced.select(col("neighbor_id"), explode(array(struct(
         (0 until m).map(j => codeCol(j).as(s"code$j")): _*))).as("cd"))
       .select(col("neighbor_id") +: (0 until m).map(j => col(s"cd.code$j")): _*)
 

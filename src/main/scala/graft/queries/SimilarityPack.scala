@@ -225,6 +225,41 @@ object SimilarityPack extends QueryPack {
               |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // K-means as a first-class clustering operator (not just an ANN
+    // index): the trained 16-centroid model profiles the corpus — per
+    // cell, member count and mean cosine-to-centroid (cluster cohesion).
+    // The mean uses a DECIMAL(20,14) sum: float addition is
+    // order-sensitive and Spark's partial aggregation order differs from
+    // DuckDB's, but decimal addition is associative, so the aggregate is
+    // order-independent and replays exactly at any parallelism — the
+    // scalable alternative to ordered-fold tricks.
+    "sim_kmeans_profile" -> QueryDef(
+      "Per-cell cluster profile of the trained k-means model: size + mean cohesion",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val c = Similarity.withNormalized(
+          e.select(col("vec_id"), col("embedding")), "embedding", "nv")
+          .select(col("vec_id"), col("nv"))
+        val centroids = Similarity.ivfModel(e)
+        val centArr = typedLit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+        c.withColumn("cell", Similarity.cellArgmax(centroids, col("nv")))
+          .withColumn("cos",
+            Similarity.dot(col("nv"), element_at(centArr, (col("cell") + 1).cast("int"))))
+          .groupBy("cell")
+          .agg(
+            count(lit(1)).as("n_members"),
+            round(sum(col("cos").cast("decimal(20,14)")).cast("double") / count(lit(1)), 6)
+              .as("avg_cos"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH $trainedAssignCtes,
+              |j AS (
+              |  SELECT a.cell, list_dot_product(a.nv, c.centv) AS cos
+              |  FROM assign a JOIN cents c ON c.cent_id = a.cell)
+              |SELECT cell, COUNT(*) AS n_members,
+              |  ROUND(CAST(SUM(CAST(cos AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*), 6) AS avg_cos
+              |FROM j GROUP BY cell ORDER BY cell""".stripMargin)),
+
     // Memory-scale path #2: product quantization. Vectors compress to 4
     // codes (one per 16-dim subspace, 16-entry sampled codebooks = the
     // first 16 corpus vectors' sub-slices); the candidate scan scores

@@ -73,6 +73,33 @@ object TrainPack extends QueryPack {
              |  COUNT(CASE WHEN ratio > 0.1 THEN 1 END) AS n_repetitive
              |FROM per GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // each doc draws a deterministic uniform u from its md5 (portable —
+    // no RNG state), gets key ln(u)/w with weight w = n_chars, and the
+    // top-k keys are the sample: longer docs are proportionally more
+    // likely, yet the whole draw replays bit-for-bit on any engine. At
+    // 100 TB this is a map-only key computation + TakeOrderedAndProject
+    // top-k (each task keeps k rows — no global sort, no reservoir
+    // state), the standard shape for quality-weighted corpus draws.
+    "sample_weighted" -> QueryDef(
+      "Deterministic weighted sample (A-ES, weight = n_chars): top-25 by ln(u)/w",
+      (s, dir) => {
+        val u = (Hashing.portableTokenHash(col("doc_id").cast("string")) + lit(0.5)) /
+          lit(4294967296.0)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"), (log(u) / col("n_chars")).as("k"))
+          .orderBy(col("k").desc, col("doc_id").asc)
+          .limit(25)
+          .select(col("doc_id"), col("n_chars"), round(col("k"), 10).as("sample_key"))
+      },
+      Some("""SELECT doc_id, n_chars, ROUND(k, 10) AS sample_key
+             |FROM (
+             |  SELECT doc_id, n_chars,
+             |    ln((CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) + 0.5)
+             |        / 4294967296.0) / n_chars AS k
+             |  FROM documents)
+             |ORDER BY k DESC, doc_id ASC LIMIT 25""".stripMargin)),
+
     // Deterministic stratified sampling: md5-derived bucket of the doc id
     // (portable across engines and re-runs — no RNG state, no reservoir),
     // keep bucket 0 of 10 ⇒ ~10% per stratum. At 100 TB this is a

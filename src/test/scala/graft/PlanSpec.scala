@@ -44,6 +44,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("top-k plans as TakeOrderedAndProject, not global sort") {
     assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
+    // the weighted sample is the same shape: map-only key + bounded top-k
+    assert(plan("sample_weighted").contains("TakeOrderedAndProject"))
   }
 
   test("per-key top-k pushes a partial WindowGroupLimit below the shuffle") {

@@ -52,7 +52,11 @@ object ScaleBench {
     "q_user_activity",
     // round-6 curation additions (documents)
     "text_lm_bits", "dedup_source_overlap", "text_freq_spectrum",
-    "text_bm25_topk")
+    "text_bm25_topk",
+    // round-6 scale-pattern additions: co-located/bloom joins, sorted
+    // write, PQ ANN, k-means profile, weighted sampling
+    "q_bucketed_join", "q_bloom_join", "q_global_sort",
+    "sim_topk_pq", "sim_kmeans_profile", "sample_weighted")
 
   /** Bench-only variants (no oracle, so not in the catalog) measuring a
     * production scale dial the oracled form must keep fixed.

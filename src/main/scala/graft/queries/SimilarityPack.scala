@@ -242,7 +242,10 @@ object SimilarityPack extends QueryPack {
           .select(col("vec_id"), col("nv"))
         val centroids = Similarity.ivfModel(e)
         val centArr = typedLit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
-        c.withColumn("cell", Similarity.cellArgmax(centroids, col("nv")))
+        // explode barrier: the 16-dot argmax must evaluate once per row,
+        // not re-inline into the cosine's centroid lookup below
+        c.select(col("vec_id"), col("nv"),
+            explode(array(Similarity.cellArgmax(centroids, col("nv")))).as("cell"))
           .withColumn("cos",
             Similarity.dot(col("nv"), element_at(centArr, (col("cell") + 1).cast("int"))))
           .groupBy("cell")

@@ -325,6 +325,55 @@ object TextPack extends QueryPack {
              |FROM tc, top10
              |GROUP BY top10_mass""".stripMargin)),
 
+    // Per-doc token-distribution Shannon entropy (bits/token) — the
+    // quality signal that separates natural text (high entropy) from
+    // boilerplate/repetition (low). Both float sums — per-doc Σ p·log2 p
+    // and the per-lang mean — go through DECIMAL(20,14), so the
+    // aggregation is order-independent at any parallelism and replays
+    // exactly in DuckDB; every per-term double is a pure function of
+    // (n, N) computed identically by both engines.
+    "text_entropy" -> QueryDef(
+      "Per-lang mean token-entropy (bits/token) with low-entropy doc count",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("n"))
+        val wDoc = Window.partitionBy("doc_id")
+        val p = col("n").cast("double") / sum("n").over(wDoc).cast("double")
+        val perDoc = tf
+          .withColumn("term", (-(p * log2(p))).cast("decimal(20,14)"))
+          .groupBy("doc_id", "lang")
+          .agg(sum("term").cast("double").as("h"))
+        perDoc.groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(sum(col("h").cast("decimal(20,14)")).cast("double") / count(lit(1)), 6)
+              .as("avg_entropy"),
+            count(when(col("h") < 3.0, 1)).as("n_low_entropy"))
+          .orderBy("lang")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, lang, tok, COUNT(*) AS n
+             |  FROM (SELECT doc_id, lang,
+             |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY doc_id, lang, tok),
+             |terms AS (
+             |  SELECT doc_id, lang,
+             |    CAST(-((CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY doc_id) AS DOUBLE))
+             |      * log2(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY doc_id) AS DOUBLE)))
+             |      AS DECIMAL(20,14)) AS term
+             |  FROM tf),
+             |per_doc AS (
+             |  SELECT doc_id, lang, CAST(SUM(term) AS DOUBLE) AS h
+             |  FROM terms GROUP BY doc_id, lang)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  ROUND(CAST(SUM(CAST(h AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*), 6) AS avg_entropy,
+             |  COUNT(CASE WHEN h < 3.0 THEN 1 END) AS n_low_entropy
+             |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)),
+
     "text_chargrams" -> QueryDef(
       "Top-20 character trigrams across the corpus (n-gram profile)",
       (s, dir) =>

@@ -241,19 +241,26 @@ object SimilarityPack extends QueryPack {
           e.select(col("vec_id"), col("embedding")), "embedding", "nv")
           .select(col("vec_id"), col("nv"))
         val centroids = Similarity.ivfModel(e)
-        val centArr = typedLit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
-        // explode barrier: the 16-dot argmax must evaluate once per row,
-        // not re-inline into the cosine's centroid lookup below
-        c.select(col("vec_id"), col("nv"),
-            explode(array(Similarity.cellArgmax(centroids, col("nv")))).as("cell"))
-          .withColumn("cos",
-            Similarity.dot(col("nv"), element_at(centArr, (col("cell") + 1).cast("int"))))
-          .groupBy("cell")
-          .agg(
-            count(lit(1)).as("n_members"),
-            round(sum(col("cos").cast("decimal(20,14)")).cast("double") / count(lit(1)), 6)
-              .as("avg_cos"))
-          .orderBy("cell")
+        if (centroids.isEmpty) {
+          // empty corpus (the only legitimate no-seed case): the
+          // contract-schema empty frame, like ivfTopK/pqTopK
+          import s.implicits._
+          Seq.empty[(Long, Long, Double)].toDF("cell", "n_members", "avg_cos")
+        } else {
+          val centArr = typedLit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+          // explode barrier: the 16-dot argmax must evaluate once per
+          // row, not re-inline into the cosine's centroid lookup below
+          c.select(col("vec_id"), col("nv"),
+              explode(array(Similarity.cellArgmax(centroids, col("nv")))).as("cell"))
+            .withColumn("cos",
+              Similarity.dot(col("nv"), element_at(centArr, (col("cell") + 1).cast("int"))))
+            .groupBy("cell")
+            .agg(
+              count(lit(1)).as("n_members"),
+              round(sum(col("cos").cast("decimal(20,14)")).cast("double") / count(lit(1)), 6)
+                .as("avg_cos"))
+            .orderBy("cell")
+        }
       },
       Some(s"""WITH $trainedAssignCtes,
               |j AS (

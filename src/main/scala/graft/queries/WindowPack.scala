@@ -18,6 +18,48 @@ object WindowPack extends QueryPack {
 
   def queries: Map[String, QueryDef] = Map(
 
+    // EWMA (exponential smoothing) per user over the trailing 8-event
+    // frame: s' = α·x + (1−α)·s seeded with the frame's first value.
+    // There is no closed-form window aggregate for EWMA, so the frame is
+    // collected in ORDER BY order and folded left — Spark's
+    // aggregate(slice, head, merge) and DuckDB's list_reduce are the
+    // SAME left fold (seed = first element), so the recursion replays
+    // bit-for-bit. The frame is 8 rows, so the per-row list is bounded
+    // (the reason a trailing-k EWMA scales where an unbounded one needs
+    // streaming state — EventStream owns that shape).
+    "q_ewma" -> QueryDef(
+      "Per-user EWMA (alpha=0.3) of event values over the trailing 8-event frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wFrame = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-7, Window.currentRow)
+        val wLast = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val ewma = aggregate(
+          slice(col("arr"), lit(2), size(col("arr")) - 1),
+          element_at(col("arr"), 1),
+          (acc, x) => lit(0.3) * x + lit(0.7) * acc)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("arr", collect_list(col("value")).over(wFrame))
+          .withColumn("rd", row_number().over(wLast))
+          .filter(col("rd") === 1)
+          .select(col("user_id"), size(col("arr")).cast("long").as("n_window"),
+            round(ewma, 6).as("ewma_last"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |                       ORDER BY ts DESC, event_id DESC) AS rd
+             |  FROM events)
+             |SELECT user_id, CAST(len(arr) AS BIGINT) AS n_window,
+             |  ROUND(list_reduce(arr, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma_last
+             |FROM o WHERE rd = 1 ORDER BY user_id""".stripMargin)),
+
     // W2 — global sequential id, parity mode (single-partition window).
     "q_seq_id" -> QueryDef(
       "row_number over a canonical total order = reference's 1..N id (main.py:696)",

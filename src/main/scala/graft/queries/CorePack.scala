@@ -19,6 +19,40 @@ object CorePack extends QueryPack {
 
   def queries: Map[String, QueryDef] = Map(
 
+    // Column profiling (data-quality surface): one scan stacks every
+    // column as (name, string value) rows, then a single grouped
+    // aggregate yields per-column row/null/distinct counts and
+    // lexicographic min/max of the string representation. One pass over
+    // the table regardless of column count — the scalable profile shape
+    // (4 separate per-column scans would read the table 4×).
+    "q_profile_columns" -> QueryDef(
+      "Per-column profile of documents: rows, nulls, distincts, lex min/max",
+      (s, dir) => {
+        val cols = Seq("doc_id", "lang", "source", "n_chars")
+        Tables.documents(s, dir)
+          .select(explode(array(cols.map(c =>
+            struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("e"))
+          .select(col("e.col_name"), col("e.v"))
+          .groupBy("col_name")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(when(col("v").isNull, 1)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"))
+          .orderBy("col_name")
+      },
+      Some("""WITH stacked AS (
+             |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+             |  UNION ALL SELECT 'lang', lang FROM documents
+             |  UNION ALL SELECT 'source', source FROM documents
+             |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+             |SELECT col_name, COUNT(*) AS n_rows,
+             |  COUNT(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+             |  COUNT(DISTINCT v) AS n_distinct,
+             |  MIN(v) AS min_v, MAX(v) AS max_v
+             |FROM stacked GROUP BY col_name ORDER BY col_name""".stripMargin)),
+
     // P6/P7/P8 — projection + predicate, pushed to the parquet scan.
     "q_filter_project" -> QueryDef(
       "Filter + project on lineitem; predicates reach PushedFilters (main.py:144 / README.md:144 analogue)",

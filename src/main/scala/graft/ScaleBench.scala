@@ -54,9 +54,11 @@ object ScaleBench {
     "text_lm_bits", "dedup_source_overlap", "text_freq_spectrum",
     "text_bm25_topk",
     // round-6 scale-pattern additions: co-located/bloom joins, sorted
-    // write, PQ ANN, k-means profile, weighted sampling
+    // write, PQ ANN, k-means profile, weighted sampling, entropy
+    // scoring, EWMA, column profiling
     "q_bucketed_join", "q_bloom_join", "q_global_sort",
-    "sim_topk_pq", "sim_kmeans_profile", "sample_weighted")
+    "sim_topk_pq", "sim_kmeans_profile", "sample_weighted",
+    "text_entropy", "q_ewma", "q_profile_columns")
 
   /** Bench-only variants (no oracle, so not in the catalog) measuring a
     * production scale dial the oracled form must keep fixed.

@@ -60,6 +60,40 @@ object WindowPack extends QueryPack {
              |  ROUND(list_reduce(arr, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma_last
              |FROM o WHERE rd = 1 ORDER BY user_id""".stripMargin)),
 
+    // Sliding DISTINCT count — no native windowed COUNT(DISTINCT) in
+    // either engine, so the trailing frame is collected and deduped per
+    // row (bounded: 10 values). Set size is order-insensitive, so unlike
+    // q_ewma no fold-order pinning is needed.
+    "q_window_distinct" -> QueryDef(
+      "Distinct event types per user over the trailing 10-event frame (last event per user)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wFrame = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-9, Window.currentRow)
+        val wLast = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("arr", collect_list(col("event_type")).over(wFrame))
+          .withColumn("rd", row_number().over(wLast))
+          .filter(col("rd") === 1)
+          .select(col("user_id"),
+            size(col("arr")).cast("long").as("n_window"),
+            size(array_distinct(col("arr"))).cast("long").as("n_distinct_types"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id,
+             |    list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |                       ORDER BY ts DESC, event_id DESC) AS rd
+             |  FROM events)
+             |SELECT user_id, CAST(len(arr) AS BIGINT) AS n_window,
+             |  CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct_types
+             |FROM o WHERE rd = 1 ORDER BY user_id""".stripMargin)),
+
     // W2 — global sequential id, parity mode (single-partition window).
     "q_seq_id" -> QueryDef(
       "row_number over a canonical total order = reference's 1..N id (main.py:696)",

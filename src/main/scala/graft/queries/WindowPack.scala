@@ -60,6 +60,36 @@ object WindowPack extends QueryPack {
              |  ROUND(list_reduce(arr, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma_last
              |FROM o WHERE rd = 1 ORDER BY user_id""".stripMargin)),
 
+    // Full-history EWMA per user — batch twin of the streaming
+    // EventStream.ewmaPerUser (EventStreamSpec proves stream ≡ batch).
+    // The batch form must collect each user's WHOLE ordered history to
+    // fold the recursion (bounded here: ≤ ~200 events/user; unbounded
+    // history is exactly why the streaming form with one (ewma, n) state
+    // pair per user is the scale path). Fold order is pinned by
+    // sort_array over (ts, event_id, value) structs = the oracle's
+    // list(value ORDER BY ts, event_id).
+    "q_ewma_all" -> QueryDef(
+      "Per-user full-history EWMA (alpha=0.3) — batch twin of the streaming state op",
+      (s, dir) => {
+        val ewma = aggregate(
+          slice(col("evs"), lit(2), size(col("evs")) - 1),
+          element_at(col("evs"), 1).getField("value"),
+          (acc, e) => lit(0.3) * e.getField("value") + lit(0.7) * acc)
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+          .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
+            round(ewma, 6).as("ewma"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, list(value ORDER BY ts, event_id) AS arr
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, CAST(len(arr) AS BIGINT) AS n_events,
+             |  ROUND(list_reduce(arr, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+             |FROM o ORDER BY user_id""".stripMargin)),
+
     // Sliding DISTINCT count — no native windowed COUNT(DISTINCT) in
     // either engine, so the trailing frame is collected and deduped per
     // row (bounded: 10 values). Set size is order-insensitive, so unlike

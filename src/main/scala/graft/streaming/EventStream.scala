@@ -182,6 +182,48 @@ object EventStream {
       }
   }
 
+  /** One running EWMA per user held as stream state. */
+  case class EwmaState(ewma: Double, n: Long)
+
+  /** A user's current smoothed value. */
+  case class UserEwma(user_id: Long, n_events: Long, ewma: Double)
+
+  // public: Catalyst's generated deserializer must instantiate it
+  case class ValueEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+  /** Full-history EWMA per user via `mapGroupsWithState`: state is ONE
+    * (ewma, n) pair per user regardless of stream length — the reason
+    * the unbounded recursion s' = α·x + (1−α)·s belongs to streaming
+    * while the batch twin (q_ewma_all) must collect each user's whole
+    * history to fold it. Events fold in (ts, event_id) order within a
+    * batch, the same total order the batch twin sorts by, so on a
+    * bounded source stream ≡ batch bit-for-bit (spec-asserted).
+    */
+  def ewmaPerUser(
+      spark: SparkSession,
+      eventsDir: String,
+      alpha: Double = 0.3): Dataset[UserEwma] = {
+    import spark.implicits._
+    source(spark, eventsDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[ValueEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, UserEwma](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[ValueEvent], state: GroupState[EwmaState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption
+          sorted.foreach { e =>
+            st = Some(st match {
+              case None    => EwmaState(e.value, 1L)
+              case Some(s) => EwmaState(alpha * e.value + (1 - alpha) * s.ewma, s.n + 1L)
+            })
+          }
+          val s = st.get // NoTimeout ⇒ invoked only with data or prior state
+          state.update(s)
+          UserEwma(userId, s.n, s.ewma)
+      }
+  }
+
   /** Per-user daily activity rollup (windowed aggregation shape; see
     * [[sessionized]] for the custom-state operator).
     */

@@ -70,6 +70,26 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == twin && streamed.nonEmpty)
   }
 
+  test("stateful EWMA matches the oracled batch twin (q_ewma_all) bit-for-bit") {
+    val q = EventStream.ewmaPerUser(spark, eventsDir)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stream_ewma")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // one batch covers the bounded source, so each user's single update
+    // row IS the full-history fold; round like the twin does
+    val streamed = spark.table("stream_ewma")
+      .select(col("user_id"), col("n_events"), round(col("ewma"), 6).as("ewma"))
+      .orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+    val twin = graft.Catalog.all("q_ewma_all").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == twin && streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions == batch sessions minus open ones") {
     val q = EventStream.sessionized(spark, eventsDir, gapSec = 1800)
       .writeStream

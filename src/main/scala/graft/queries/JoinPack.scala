@@ -462,6 +462,36 @@ object JoinPack extends QueryPack {
              |WHERE l_orderkey % 4 = 0 AND o_orderkey % 4 = 0
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    // each other instead of vanishing — the semantics joins on derived /
+    // sentinel-bearing keys need (a plain = join silently drops every
+    // NULL-keyed row from both sides). Still hash-joinable: <=> is an
+    // equi comparison, so it plans like any key join, no nested loop.
+    "q_join_nullsafe" -> QueryDef(
+      "Null-safe join of two rollups on a NULLIF-derived key (NULL matches NULL)",
+      (s, dir) => {
+        val k = nullif(col("o_orderpriority"), lit("1-URGENT"))
+        val a = Tables.orders(s, dir)
+          .groupBy(k.as("k")).agg(count(lit(1)).as("n_all"))
+        val b = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 150000)
+          .groupBy(k.as("k")).agg(count(lit(1)).as("n_big"))
+        a.join(b, a("k") <=> b("k"), "left")
+          .select(coalesce(a("k"), lit("(urgent)")).as("prio"),
+            col("n_all"), coalesce(col("n_big"), lit(0L)).as("n_big"))
+          .orderBy("prio")
+      },
+      Some("""WITH a AS (
+             |  SELECT NULLIF(o_orderpriority, '1-URGENT') AS k, COUNT(*) AS n_all
+             |  FROM orders GROUP BY 1),
+             |b AS (
+             |  SELECT NULLIF(o_orderpriority, '1-URGENT') AS k, COUNT(*) AS n_big
+             |  FROM orders WHERE o_totalprice > 150000 GROUP BY 1)
+             |SELECT COALESCE(a.k, '(urgent)') AS prio, n_all,
+             |  COALESCE(n_big, 0) AS n_big
+             |FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             |ORDER BY prio""".stripMargin)),
+
     // Runtime bloom-filter join: Catalyst's InjectRuntimeFilter builds a
     // bloom filter over the selectively-filtered build side's join keys
     // and pre-filters the probe-side SCAN with might_contain BEFORE the

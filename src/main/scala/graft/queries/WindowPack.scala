@@ -90,6 +90,48 @@ object WindowPack extends QueryPack {
              |  ROUND(list_reduce(arr, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
              |FROM o ORDER BY user_id""".stripMargin)),
 
+    // Exact sliding median — no native windowed percentile in a frame;
+    // the bounded trailing frame is collected, sorted, and the middle
+    // element(s) read out. The (n+1)/2 and n/2+1 indices coincide for
+    // odd n, so one expression covers both parities; sorting makes the
+    // result order-insensitive, no fold pinning needed.
+    "q_window_median" -> QueryDef(
+      "Exact median of event values over the trailing 9-event frame (last event per user)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wFrame = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-8, Window.currentRow)
+        val wLast = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val sorted = array_sort(col("arr"))
+        val n = size(col("arr"))
+        // explicit floor: Spark's `/` is double division and DuckDB's
+        // int cast ROUNDS, so `(n+1)/2` alone diverges between engines
+        val idx1 = floor((n + 1) / lit(2.0)).cast("int")
+        val idx2 = floor(n / lit(2.0)).cast("int") + 1
+        val median = (element_at(sorted, idx1) + element_at(sorted, idx2)) / 2.0
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("arr", collect_list(col("value")).over(wFrame))
+          .withColumn("rd", row_number().over(wLast))
+          .filter(col("rd") === 1)
+          .select(col("user_id"), n.cast("long").as("n_window"),
+            round(median, 6).as("median_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS arr,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |                       ORDER BY ts DESC, event_id DESC) AS rd
+             |  FROM events)
+             |SELECT user_id, CAST(len(arr) AS BIGINT) AS n_window,
+             |  ROUND((list_sort(arr)[CAST(floor((len(arr) + 1) / 2.0) AS INT)]
+             |       + list_sort(arr)[CAST(floor(len(arr) / 2.0) AS INT) + 1]) / 2.0, 6) AS median_value
+             |FROM o WHERE rd = 1 ORDER BY user_id""".stripMargin)),
+
     // Sliding DISTINCT count — no native windowed COUNT(DISTINCT) in
     // either engine, so the trailing frame is collected and deduped per
     // row (bounded: 10 values). Set size is order-insensitive, so unlike

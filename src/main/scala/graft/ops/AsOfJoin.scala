@@ -22,7 +22,13 @@ object AsOfJoin {
     *
     * @param valueCols right-side columns to carry (each appears in the
     *                  output as `asof_<name>`, null when no right row
-    *                  precedes the left row)
+    *                  precedes — or, with `direction = "forward"`,
+    *                  follows — the left row)
+    * @param direction "backward" (default): most recent right row with
+    *                  `right.ts <= left.ts`; "forward": earliest right
+    *                  row with `right.ts >= left.ts` (DuckDB
+    *                  `ASOF ... ON b.ts >= a.ts`). Same construction,
+    *                  mirrored scan order.
     */
   def leftAsOf(
       left: DataFrame,
@@ -30,7 +36,10 @@ object AsOfJoin {
       keyCol: String,
       tsCol: String,
       valueCols: Seq[String],
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns
     val l = left
       .withColumn("_side", lit(1))
@@ -53,10 +62,14 @@ object AsOfJoin {
           valueCols.map(c => col(s"asof_$c")): _*)
       .unionByName(rAligned, allowMissingColumns = true)
 
-    // right rows first at equal ts (inclusive <=); deterministic among
-    // equal-ts right rows via the tie-break column
+    // right rows first at equal ts (inclusive <= / >=); deterministic
+    // among equal-ts right rows via the tie-break column. Forward is the
+    // same running last() over the MIRRORED ts order: scanning ts
+    // descending, the last right row seen before a left row is the
+    // earliest right at-or-after it.
+    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .orderBy(tsOrder, col("_side").asc, col("_tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = valueCols.foldLeft(u) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))

@@ -238,6 +238,33 @@ object JoinPack extends QueryPack {
              |  ON a.user_id = b.user_id AND b.ts <= a.ts
              |ORDER BY a.event_id""".stripMargin)),
 
+    // Forward (look-ahead) as-of: earliest right row AT-OR-AFTER each
+    // left row — next-event attribution ("which click followed this
+    // error"). Same union+window construction as backward, scanning the
+    // mirrored ts order; oracle = DuckDB ASOF with b.ts >= a.ts.
+    "q_asof_forward" -> QueryDef(
+      "For each error event, the user's next click at-or-after it (forward as-of)",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.ops.AsOfJoin.leftAsOf(
+          errors, clicks,
+          keyCol = "user_id", tsCol = "ts",
+          valueCols = Seq("click_id"), rightTieBreak = "click_id",
+          direction = "forward")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_click_id").as("next_click_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, a.user_id, a.ts, b.event_id AS next_click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'error') a
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+             |  ON a.user_id = b.user_id AND b.ts >= a.ts
+             |ORDER BY a.event_id""".stripMargin)),
+
     // Same as-of semantics through the native whole-operator path:
     // AsOfJoinPlan → AsOfJoinStrategy → BroadcastAsOfJoinExec (the (c)
     // tier of the custom-operator ladder). Clicks are the broadcast-built

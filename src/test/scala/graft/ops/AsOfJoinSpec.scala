@@ -43,6 +43,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("forward direction matches the naive earliest-right-at-or-after computation") {
+    import spark.implicits._
+    val gen = for {
+      key <- Gen.chooseNum(0L, 5L)
+      ts <- Gen.chooseNum(0L, 1000L)
+      id <- Gen.chooseNum(0L, 100000L)
+    } yield (key, ts, id)
+    val sample = Gen.listOfN(400, gen).apply(Gen.Parameters.default, Seed(13L)).get.distinct
+    val (leftRows, rightRows) = sample.splitAt(sample.size / 2)
+    val left = leftRows.toDF("k", "ts", "left_id")
+    val right = rightRows.toDF("k", "ts", "right_id")
+
+    val got = AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("right_id"), "right_id",
+        direction = "forward")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+
+    leftRows.foreach { case (k, ts, id) =>
+      val candidates = rightRows.filter(r => r._1 == k && r._2 >= ts)
+      val expected =
+        if (candidates.isEmpty) None
+        else {
+          val minTs = candidates.map(_._2).min
+          Some(candidates.filter(_._2 == minTs).map(_._3).max) // last in _tie asc order
+        }
+      assert(got((k, ts, id)) == expected, s"key=$k ts=$ts")
+    }
+  }
+
   test("native broadcast form matches the composed form row-for-row") {
     import spark.implicits._
     val gen = for {

@@ -42,6 +42,29 @@ class RobustnessSpec extends AnyFunSuite {
     assert(Catalog.all("text_chargrams").fn(spark, dir).count() == 0)
   }
 
+  test("range-sorted write handles a single output file and an empty frame") {
+    import spark.implicits._
+    // numFiles=1: repartitionByRange(1) is legal (one global range)
+    val one = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    val d1 = java.nio.file.Files.createTempDirectory("gsort-one").toString
+    io.RangeSortedSink.write(one, d1, numFiles = 1, col("k"))
+    val back = spark.read.parquet(d1).orderBy("k").collect().map(_.getLong(0))
+    assert(back.toSeq == Seq(1L, 2L, 3L))
+    // empty frame: writes a valid (schema-only) dataset, read-back empty
+    val d2 = java.nio.file.Files.createTempDirectory("gsort-empty").toString
+    io.RangeSortedSink.write(one.filter(col("k") < 0), d2, numFiles = 4, col("k"))
+    assert(spark.read.schema(one.schema).parquet(d2).count() == 0)
+  }
+
+  test("forward as-of with no qualifying right rows yields nulls, not drops") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L)).toDF("k", "ts", "left_id")
+    val right = Seq((1L, 50L, 20L)).toDF("k", "ts", "right_id") // strictly before
+    val out = ops.AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("right_id"), "right_id",
+      direction = "forward").collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
   test("approx sketches stay within tolerance of exact (the 100TB substitutes)") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val row = li.agg(

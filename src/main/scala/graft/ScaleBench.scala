@@ -58,7 +58,9 @@ object ScaleBench {
     // scoring, EWMA, column profiling
     "q_bucketed_join", "q_bloom_join", "q_global_sort",
     "sim_topk_pq", "sim_kmeans_profile", "sample_weighted",
-    "text_entropy", "q_ewma", "q_profile_columns")
+    "text_entropy", "q_ewma", "q_profile_columns",
+    "q_asof_forward", "q_ewma_all", "q_window_median",
+    "q_window_distinct", "q_join_nullsafe")
 
   /** Bench-only variants (no oracle, so not in the catalog) measuring a
     * production scale dial the oracled form must keep fixed.

@@ -188,6 +188,43 @@ object RefPipelinePack extends QueryPack {
              |FROM lineitem WHERE l_orderkey % 20 = 0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Malformed-row tolerance: real CSV feeds carry broken lines (wrong
+    // arity, uncastable fields) and a 100 TB ingest cannot abort on one.
+    // A corrupt line is INJECTED after the write; the schema-bound
+    // DROPMALFORMED read must shed exactly that line, so the aggregate
+    // equals the clean original — which is what the oracle checks.
+    "q_csv_malformed" -> QueryDef(
+      "CSV ingest with an injected corrupt line: DROPMALFORMED sheds it, aggregate = clean",
+      (s, dir) => {
+        val slice = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-csvbad").toString
+        graft.io.CsvSink.write(slice, tmp, singleFile = true)
+        // re-home the file before appending: Hadoop's local FS keeps a
+        // .crc sidecar that a raw append invalidates (ChecksumException)
+        val written = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".csv")).get.toPath
+        val feedDir = java.nio.file.Files.createTempDirectory("graft-csvbad-feed")
+        val feed = feedDir.resolve("feed.csv")
+        java.nio.file.Files.copy(written, feed)
+        java.nio.file.Files.writeString(feed,
+          "not_a_number,BROKEN-LINE,also_not_a_number\n",
+          java.nio.file.StandardOpenOption.APPEND)
+        s.read
+          .schema("o_orderkey LONG, o_orderpriority STRING, price_cents LONG")
+          .option("header", "true").option("mode", "DROPMALFORMED")
+          .csv(feedDir.toString)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM orders WHERE o_orderkey % 50 = 0
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Encoding-fallback ingest, oracle-gated end-to-end: a latin-1 TSV
     // (bytes that are INVALID utf-8, so detection must fall through to
     // ISO-8859-1) built deterministically from the nation dim, read via

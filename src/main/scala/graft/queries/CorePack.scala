@@ -53,6 +53,82 @@ object CorePack extends QueryPack {
              |  MIN(v) AS min_v, MAX(v) AS max_v
              |FROM stacked GROUP BY col_name ORDER BY col_name""".stripMargin)),
 
+    // Data-validation report (data-quality surface, the companion to
+    // q_profile_columns): each rule is one distributed check — grouped
+    // HAVING for key uniqueness, LEFT ANTI join for referential
+    // integrity, predicate counts for ranges — unioned into a tiny
+    // (rule, n_violations) report. The per-rule passes are independent
+    // scans; at 100 TB each is a map-side-combined aggregate or an
+    // anti-join, never a collect.
+    "q_quality_report" -> QueryDef(
+      "Constraint-violation report: PK uniqueness, FK integrity, range rules",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val pkDupes = o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("orders_pk_unique").as("rule"), col("n_violations"))
+        val fkOrphans = l.join(o.select("o_orderkey"),
+            l("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("lineitem_fk_orders").as("rule"), col("n_violations"))
+        val pricePositive = o.filter(col("o_totalprice") <= 0)
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("orders_price_positive").as("rule"), col("n_violations"))
+        val qtyRange = l.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("lineitem_qty_range").as("rule"), col("n_violations"))
+        pkDupes.unionByName(fkOrphans).unionByName(pricePositive).unionByName(qtyRange)
+          .orderBy("rule")
+      },
+      Some("""SELECT 'orders_pk_unique' AS rule, COUNT(*) AS n_violations
+             |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+             |UNION ALL
+             |SELECT 'lineitem_fk_orders', COUNT(*)
+             |FROM lineitem l WHERE NOT EXISTS
+             |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+             |UNION ALL
+             |SELECT 'orders_price_positive', COUNT(*)
+             |FROM orders WHERE o_totalprice <= 0
+             |UNION ALL
+             |SELECT 'lineitem_qty_range', COUNT(*)
+             |FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+             |ORDER BY rule""".stripMargin)),
+
+    // Pseudonymization (PII-safe surrogate keys): user ids are replaced
+    // with a deterministic md5 surrogate, so datasets can leave the
+    // trusted boundary while JOINS STILL WORK — the same id maps to the
+    // same surrogate in every table. Demonstrated by pseudonymizing two
+    // event slices independently and joining them on the surrogate; a
+    // map-only transform per table, no shared state, no lookup table to
+    // protect.
+    "q_pseudonymize" -> QueryDef(
+      "md5 surrogate keys: two independently pseudonymized slices still join",
+      (s, dir) => {
+        val surrogate = substring(md5(col("user_id").cast("string")), 1, 16).as("user_token")
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(surrogate)
+          .groupBy("user_token").agg(count(lit(1)).as("n_errors"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(surrogate)
+          .groupBy("user_token").agg(count(lit(1)).as("n_clicks"))
+        errors.join(clicks, Seq("user_token"))
+          .orderBy("user_token")
+      },
+      Some("""WITH e AS (
+             |  SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
+             |         COUNT(*) AS n_errors
+             |  FROM events WHERE event_type = 'error' GROUP BY 1),
+             |c AS (
+             |  SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
+             |         COUNT(*) AS n_clicks
+             |  FROM events WHERE event_type = 'click' GROUP BY 1)
+             |SELECT e.user_token, n_errors, n_clicks
+             |FROM e JOIN c USING (user_token)
+             |ORDER BY user_token""".stripMargin)),
+
     // P6/P7/P8 — projection + predicate, pushed to the parquet scan.
     "q_filter_project" -> QueryDef(
       "Filter + project on lineitem; predicates reach PushedFilters (main.py:144 / README.md:144 analogue)",

@@ -42,7 +42,9 @@ object PlanFingerprint {
       // GLOBAL counter: registering a new query shifts every later
       // query's variables, churning hashes with no plan change. After the
       // #id pass above they look like `x_15#_` — drop the counter too.
-      .replaceAll("x_\\d+#_", "x_#_")
+      // Anchored so a real column merely ENDING in x_<digits> (idx_1,
+      // max_2) keeps its identity instead of collapsing to x_#_.
+      .replaceAll("(?<![A-Za-z0-9])x_\\d+#_", "x_#_")
 
   /** Tree-prefix + operator name per line: `  +- *(3) HashAggregate(...)`
     * → `  +- HashAggregate`. Codegen stage ids are dropped (they shift

@@ -22,6 +22,13 @@ object JoinPack extends QueryPack {
     */
   @volatile private var bucketedFor: Option[String] = None
 
+  /** One warehouse dir per JVM, overwritten on re-ingest — a fresh temp
+    * dir per dir-switch would orphan the previous bucketed copies
+    * (DROP TABLE on a path-based table leaves its files).
+    */
+  private lazy val bucketedWarehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+
   private def ensureBucketedTables(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     synchronized {
       val stale = !bucketedFor.contains(dir) ||
@@ -29,7 +36,7 @@ object JoinPack extends QueryPack {
         !s.catalog.tableExists("graft_bucketed_orders")
       if (stale) {
         val buckets = 8
-        val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+        val wh = bucketedWarehouse
         val l = Tables.lineitem(s, dir)
           .filter(col("l_orderkey") % 4 === 0)
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
@@ -525,40 +532,28 @@ object JoinPack extends QueryPack {
     // shuffle — at 100 TB this is the difference between shuffling the
     // whole fact table and shuffling only the ~1/5 of rows that can
     // possibly match. The thresholds that gate injection are sized for
-    // clusters (10 GB probe scan), so they're lowered HERE, scoped to
-    // this query: the plan is forced eagerly inside the try, then every
-    // conf is restored so no other query's plan is affected. PlanSpec
-    // asserts both halves (bloom_filter_agg build, might_contain probe).
+    // clusters (10 GB probe scan), so they're lowered on a CHILD SESSION
+    // (newSession: shared SparkContext/catalog, own SQLConf) — nothing
+    // outside this query can observe the changed confs, even under
+    // concurrent planning. PlanSpec asserts both halves
+    // (bloom_filter_agg build, might_contain probe).
     "q_bloom_join" -> QueryDef(
       "Fact-fact join with runtime bloom filter pre-filtering the probe scan",
       (s, dir) => {
-        val keys = Seq(
-          "spark.sql.optimizer.runtime.bloomFilter.enabled",
-          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-          "spark.sql.autoBroadcastJoinThreshold")
-        val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
-        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
         // injection skips joins that would broadcast; at 100 TB neither
         // fact side broadcasts, so model that here
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try {
-          val l = Tables.lineitem(s, dir)
-          val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
-          val df = l
-            .join(o, l("l_orderkey") === o("o_orderkey"))
-            .groupBy("o_orderpriority")
-            .agg(
-              round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-              count(lit(1)).as("n_items"))
-            .orderBy("o_orderpriority")
-          // pin analysis->physical planning while the scoped confs hold
-          df.queryExecution.executedPlan
-          df
-        } finally prev.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None)    => s.conf.unset(k)
-        }
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val l = Tables.lineitem(s2, dir)
+        val o = Tables.orders(s2, dir).filter(col("o_orderpriority") === "1-URGENT")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
       },
       Some("""SELECT o_orderpriority,
              |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -242,8 +242,12 @@ object SimilarityPack extends QueryPack {
           .select(col("vec_id"), col("nv"))
         val centroids = Similarity.ivfModel(e)
         if (centroids.isEmpty) {
-          // empty corpus (the only legitimate no-seed case): the
-          // contract-schema empty frame, like ivfTopK/pqTopK
+          // no centroid seeds: legitimate ONLY for an empty corpus — a
+          // populated corpus with no ids < 16 is caller misconfiguration
+          // and must fail loudly, not return an empty profile (same
+          // contract as ivfTopK/pqTopK)
+          require(c.isEmpty,
+            "sim_kmeans_profile: corpus is non-empty but has no ids < 16 to seed centroids")
           import s.implicits._
           Seq.empty[(Long, Long, Double)].toDF("cell", "n_members", "avg_cos")
         } else {

@@ -41,6 +41,7 @@ object WindowPack extends QueryPack {
           element_at(col("arr"), 1),
           (acc, x) => lit(0.3) * x + lit(0.7) * acc)
         Tables.events(s, dir)
+          .filter(col("value").isNotNull)
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
           .withColumn("arr", collect_list(col("value")).over(wFrame))
           .withColumn("rd", row_number().over(wLast))
@@ -55,7 +56,7 @@ object WindowPack extends QueryPack {
              |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr,
              |    ROW_NUMBER() OVER (PARTITION BY user_id
              |                       ORDER BY ts DESC, event_id DESC) AS rd
-             |  FROM events)
+             |  FROM events WHERE value IS NOT NULL)
              |SELECT user_id, CAST(len(arr) AS BIGINT) AS n_window,
              |  ROUND(list_reduce(arr, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma_last
              |FROM o WHERE rd = 1 ORDER BY user_id""".stripMargin)),
@@ -76,6 +77,7 @@ object WindowPack extends QueryPack {
           element_at(col("evs"), 1).getField("value"),
           (acc, e) => lit(0.3) * e.getField("value") + lit(0.7) * acc)
         Tables.events(s, dir)
+          .filter(col("value").isNotNull)
           .groupBy("user_id")
           .agg(sort_array(collect_list(
             struct(col("ts"), col("event_id"), col("value")))).as("evs"))
@@ -85,7 +87,7 @@ object WindowPack extends QueryPack {
       },
       Some("""WITH o AS (
              |  SELECT user_id, list(value ORDER BY ts, event_id) AS arr
-             |  FROM events GROUP BY user_id)
+             |  FROM events WHERE value IS NOT NULL GROUP BY user_id)
              |SELECT user_id, CAST(len(arr) AS BIGINT) AS n_events,
              |  ROUND(list_reduce(arr, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
              |FROM o ORDER BY user_id""".stripMargin)),
@@ -112,6 +114,7 @@ object WindowPack extends QueryPack {
         val idx2 = floor(n / lit(2.0)).cast("int") + 1
         val median = (element_at(sorted, idx1) + element_at(sorted, idx2)) / 2.0
         Tables.events(s, dir)
+          .filter(col("value").isNotNull)
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
           .withColumn("arr", collect_list(col("value")).over(wFrame))
           .withColumn("rd", row_number().over(wLast))
@@ -126,7 +129,7 @@ object WindowPack extends QueryPack {
              |                      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS arr,
              |    ROW_NUMBER() OVER (PARTITION BY user_id
              |                       ORDER BY ts DESC, event_id DESC) AS rd
-             |  FROM events)
+             |  FROM events WHERE value IS NOT NULL)
              |SELECT user_id, CAST(len(arr) AS BIGINT) AS n_window,
              |  ROUND((list_sort(arr)[CAST(floor((len(arr) + 1) / 2.0) AS INT)]
              |       + list_sort(arr)[CAST(floor(len(arr) / 2.0) AS INT) + 1]) / 2.0, 6) AS median_value
@@ -146,6 +149,7 @@ object WindowPack extends QueryPack {
         val wLast = Window.partitionBy("user_id")
           .orderBy(col("ts").desc, col("event_id").desc)
         Tables.events(s, dir)
+          .filter(col("event_type").isNotNull)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
           .withColumn("arr", collect_list(col("event_type")).over(wFrame))
           .withColumn("rd", row_number().over(wLast))
@@ -161,7 +165,7 @@ object WindowPack extends QueryPack {
              |                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr,
              |    ROW_NUMBER() OVER (PARTITION BY user_id
              |                       ORDER BY ts DESC, event_id DESC) AS rd
-             |  FROM events)
+             |  FROM events WHERE event_type IS NOT NULL)
              |SELECT user_id, CAST(len(arr) AS BIGINT) AS n_window,
              |  CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct_types
              |FROM o WHERE rd = 1 ORDER BY user_id""".stripMargin)),

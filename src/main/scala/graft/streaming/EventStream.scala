@@ -198,6 +198,8 @@ object EventStream {
     * history to fold it. Events fold in (ts, event_id) order within a
     * batch, the same total order the batch twin sorts by, so on a
     * bounded source stream ≡ batch bit-for-bit (spec-asserted).
+    * NULL values are excluded explicitly (the twin does the same): a
+    * NULL would poison the recursion forever after.
     */
   def ewmaPerUser(
       spark: SparkSession,
@@ -207,10 +209,15 @@ object EventStream {
     source(spark, eventsDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[ValueEvent]
+      .filter(col("value").isNotNull)
       .groupByKey(_.user_id)
       .mapGroupsWithState[EwmaState, UserEwma](GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[ValueEvent], state: GroupState[EwmaState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // getTime alone is MILLISECOND precision — two same-user events
+          // in one millisecond would fold in tie-break order while the
+          // batch twin orders by the full timestamp; getNanos carries the
+          // complete sub-second so the pair is a total order in micros
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var st = state.getOption
           sorted.foreach { e =>
             st = Some(st match {

@@ -41,4 +41,12 @@ object GraftShims {
       exp.extraStrategies = exp.extraStrategies :+ strategy
     }
   }
+
+  /** Drain the async listener bus so a just-finished job's task metrics
+    * have reached registered listeners (`listenerBus` is private[spark];
+    * this file lives in the org.apache.spark tree precisely for shims
+    * like this).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -261,8 +261,17 @@ object EventStream {
     * within [view, view + 1h] — both sides watermarked so join state is
     * bounded (views held 1h past the watermark, clicks dropped once no
     * future view can reach back to them).
+    *
+    * `joinType = "left_outer"` adds the stateful-cleanup semantics the
+    * inner join never exercises: a view with NO click in its window is
+    * held in state until the watermark proves no future click can match
+    * (wm past view_ts + 1h), then emits once with a null click — the
+    * streaming form of "sessions that never converted".
     */
-  def viewClickJoin(spark: SparkSession, eventsDir: String): DataFrame = {
+  def viewClickJoin(
+      spark: SparkSession,
+      eventsDir: String,
+      joinType: String = "inner"): DataFrame = {
     def src = source(spark, eventsDir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
@@ -273,7 +282,8 @@ object EventStream {
     views.join(clicks,
       col("user_id") === col("c_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select("user_id", "view_id", "click_id", "view_ts", "click_ts")
   }
 }

@@ -303,6 +303,58 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch && batch > 0)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched views only after the watermark closes them") {
+    import java.nio.file.{Files, StandardCopyOption}
+    val watched = Files.createTempDirectory("outer-join-events")
+    def hour(h: Int, m: Int = 0): Long =
+      java.time.LocalDate.of(2025, 3, 1).atStartOfDay(java.time.ZoneOffset.UTC)
+        .plusHours(h).plusMinutes(m).toEpochSecond * 1000000000L
+    var batchNo = 0
+    def writeBatch(rows: Seq[(Long, Long, String)]): Unit = {
+      val data = rows.zipWithIndex.map { case ((t, user, typ), i) =>
+        org.apache.spark.sql.Row(batchNo * 100L + i, t, user, typ, 1.0, "{}")
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), EventStream.RawSchema)
+      val tmp = Files.createTempDirectory("outer-batch")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      batchNo += 1
+      Files.copy(part, watched.resolve(s"batch-$batchNo.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    // user 1: view with a click 10 min later (matches);
+    // user 2: view with NO click — the outer row under test
+    writeBatch(Seq(
+      (hour(0), 1L, "view"), (hour(0, 10), 1L, "click"),
+      (hour(0), 2L, "view")))
+    val q = EventStream.viewClickJoin(spark, watched.toString, joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_vc_outer").start()
+    try {
+      q.processAllAvailable()
+      // matched row emits promptly; the unmatched view must NOT have
+      // emitted yet — its 1h click window is still open
+      val early = spark.table("stream_vc_outer").collect()
+      assert(early.count(_.getLong(0) == 1L) == 1)
+      assert(!early.exists(_.getLong(0) == 2L),
+        "unmatched view emitted before its window closed")
+
+      // advance both watermarks well past view_ts + 1h (+1h delay):
+      // user 2's view can no longer match and must emit with null click
+      writeBatch(Seq((hour(5), 9L, "view"), (hour(5), 9L, "click")))
+      q.processAllAvailable()
+      writeBatch(Seq((hour(7), 9L, "view"), (hour(7), 9L, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("stream_vc_outer").collect()
+    val unmatched = out.filter(_.getLong(0) == 2L)
+    assert(unmatched.length == 1, s"expected one outer row, got ${unmatched.length}")
+    assert(unmatched.head.isNullAt(2), "outer row must carry a null click_id")
+  }
+
   test("streaming user activity matches the oracled batch twin (q_user_activity)") {
     val q = EventStream.userActivity(spark, eventsDir)
       .writeStream

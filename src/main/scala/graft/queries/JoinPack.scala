@@ -496,6 +496,76 @@ object JoinPack extends QueryPack {
              |WHERE l_orderkey % 4 = 0 AND o_orderkey % 4 = 0
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Full MERGE application (the lakehouse MERGE INTO shape): one pass
+    // applies a change feed carrying updates, inserts, AND deletes to a
+    // target — FULL OUTER on the key, then per-row resolution: delete
+    // flag drops the row, a source row wins over the target, an
+    // unmatched target survives. The derived change feed is
+    // deterministic (key arithmetic), so the merged result is fully
+    // SQL-replayable. One shuffle on the merge key at any scale; the
+    // same resolution works as a foreachBatch upsert stage in streaming.
+    "q_merge_apply" -> QueryDef(
+      "MERGE with updates, inserts, and deletes applied in one full-outer pass",
+      (s, dir) => {
+        val target = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        // change feed: every 21st key is deleted, every other 14th key
+        // gets its price doubled, and shifted ids arrive as inserts
+        val deletes = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 21 === 0)
+          .select(col("o_orderkey").as("k"), lit(null).cast("string").as("prio"),
+            lit(null).cast("long").as("cents"), lit(true).as("is_delete"))
+        val upd = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 14 === 0 && col("o_orderkey") % 21 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            (round(col("o_totalprice") * 100, 0).cast("long") * 2).as("cents"),
+            lit(false).as("is_delete"))
+        val ins = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 35 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("k"),
+            col("o_orderpriority").as("prio"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+            lit(false).as("is_delete"))
+        val source = deletes.unionByName(upd).unionByName(ins)
+        val merged = target.as("t").join(source.as("src"),
+            col("t.k") === col("src.k"), "full_outer")
+          .filter(coalesce(col("src.is_delete"), lit(false)) === false)
+          .select(
+            coalesce(col("src.k"), col("t.k")).as("k"),
+            coalesce(col("src.prio"), col("t.prio")).as("prio"),
+            coalesce(col("src.cents"), col("t.cents")).as("cents"))
+        merged.groupBy("prio")
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .orderBy("prio")
+      },
+      Some("""WITH target AS (
+             |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderkey % 7 = 0),
+             |src AS (
+             |  SELECT o_orderkey AS k, CAST(NULL AS VARCHAR) AS prio,
+             |    CAST(NULL AS BIGINT) AS cents, TRUE AS is_delete
+             |  FROM orders WHERE o_orderkey % 21 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderpriority,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 2, FALSE
+             |  FROM orders WHERE o_orderkey % 14 = 0 AND o_orderkey % 21 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000000, o_orderpriority,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), FALSE
+             |  FROM orders WHERE o_orderkey % 35 = 0),
+             |merged AS (
+             |  SELECT COALESCE(s.k, t.k) AS k,
+             |    COALESCE(s.prio, t.prio) AS prio,
+             |    COALESCE(s.cents, t.cents) AS cents
+             |  FROM target t FULL OUTER JOIN src s ON t.k = s.k
+             |  WHERE COALESCE(s.is_delete, FALSE) = FALSE)
+             |SELECT prio, COUNT(*) AS n_rows,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM merged GROUP BY prio ORDER BY prio""".stripMargin)),
+
     // Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
     // each other instead of vanishing — the semantics joins on derived /
     // sentinel-bearing keys need (a plain = join silently drops every

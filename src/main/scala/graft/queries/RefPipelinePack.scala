@@ -188,6 +188,36 @@ object RefPipelinePack extends QueryPack {
              |FROM lineitem WHERE l_orderkey % 20 = 0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Gzip-compressed CSV ingest: the common interchange format for
+    // exported feeds. SCALE NOTE: gzip is NON-SPLITTABLE — one task per
+    // file regardless of size, so a 100 TB feed must arrive as many
+    // files (or be re-compressed to bzip2/zstd-seekable) or parallelism
+    // collapses to the file count; the write side here produces one
+    // .csv.gz per partition, which is exactly that many-files shape.
+    "q_csv_gzip" -> QueryDef(
+      "CSV + gzip codec round trip, aggregated per priority",
+      (s, dir) => {
+        val slice = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 30 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-csvgz").toString
+        slice.write.mode("overwrite")
+          .option("header", "true").option("compression", "gzip")
+          .csv(tmp)
+        s.read
+          .schema("o_orderkey LONG, o_orderpriority STRING, price_cents LONG")
+          .option("header", "true")
+          .csv(tmp)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM orders WHERE o_orderkey % 30 = 0
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Malformed-row tolerance: real CSV feeds carry broken lines (wrong
     // arity, uncastable fields) and a 100 TB ingest cannot abort on one.
     // A corrupt line is INJECTED after the write; the schema-bound

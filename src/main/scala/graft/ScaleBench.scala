@@ -60,7 +60,9 @@ object ScaleBench {
     "sim_topk_pq", "sim_kmeans_profile", "sample_weighted",
     "text_entropy", "q_ewma", "q_profile_columns",
     "q_asof_forward", "q_ewma_all", "q_window_median",
-    "q_window_distinct", "q_join_nullsafe")
+    "q_window_distinct", "q_join_nullsafe",
+    "q_merge_apply", "q_quality_report", "q_pseudonymize",
+    "q_csv_malformed", "q_csv_gzip")
 
   /** Bench-only variants (no oracle, so not in the catalog) measuring a
     * production scale dial the oracled form must keep fixed.

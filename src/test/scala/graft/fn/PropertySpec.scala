@@ -66,6 +66,58 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("EWMA of any value sequence stays within [min, max] (convex combination)") {
+    // the fold s' = 0.3x + 0.7s with s0 = first value is a convex
+    // combination at every step — the property a coefficient typo
+    // (0.3/0.8, reversed operands) would break on almost any input
+    val rows = samples(Gen.zip(Gen.chooseNum(0, 9), money), 400)
+      .zipWithIndex.map { case ((u, v), i) => (u.toLong, i.toLong, v) }
+    val df = rows.toDF("u", "seq", "v")
+      .groupBy("u")
+      .agg(sort_array(collect_list(struct(col("seq"), col("v")))).as("evs"))
+      .select(col("u"),
+        aggregate(
+          slice(col("evs"), lit(2), size(col("evs")) - 1),
+          element_at(col("evs"), 1).getField("v"),
+          (acc, e) => lit(0.3) * e.getField("v") + lit(0.7) * acc).as("ewma"),
+        aggregate(col("evs"), lit(Double.MaxValue),
+          (acc, e) => least(acc, e.getField("v"))).as("lo"),
+        aggregate(col("evs"), lit(Double.MinValue),
+          (acc, e) => greatest(acc, e.getField("v"))).as("hi"))
+    assert(df.filter(col("ewma") < col("lo") || col("ewma") > col("hi")).count() == 0)
+  }
+
+  test("merge resolution: deletes vanish, updates win, inserts appear, rest survives") {
+    // the q_merge_apply resolution (full outer + coalesce + delete
+    // filter) on generated target/change sets must reproduce the set
+    // algebra (target \ deleted) [keys updated from source] ∪ inserted
+    val keys = samples(Gen.chooseNum(0L, 400L), 300).distinct
+    val target = keys.map(k => (k, k * 10)).toDF("k", "v")
+    val deleted = keys.filter(_ % 5 == 0).toSet
+    val updated = keys.filter(k => k % 5 != 0 && k % 3 == 0).map(k => k -> (k * 10 + 1)).toMap
+    val inserted = (1000L to 1010L).map(k => k -> k).toMap
+    val source =
+      (deleted.toSeq.map(k => (k, Option.empty[Long], true)) ++
+        updated.toSeq.map { case (k, v) => (k, Some(v), false) } ++
+        inserted.toSeq.map { case (k, v) => (k, Some(v), false) })
+        .toDF("k", "sv", "is_delete")
+    val merged = target.as("t").join(source.as("s"), Seq("k"), "full_outer")
+      .filter(coalesce(col("is_delete"), lit(false)) === false)
+      .select(col("k"), coalesce(col("sv"), col("v")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = keys.filterNot(deleted).map(k => k -> updated.getOrElse(k, k * 10)).toMap ++ inserted
+    assert(merged == expected)
+  }
+
+  test("pseudonymization is stable and collision-free over a generated id domain") {
+    val ids = samples(Gen.chooseNum(0L, 5000000L), 500).distinct
+    val df = ids.toDF("id")
+      .select(substring(md5(col("id").cast("string")), 1, 16).as("tok"),
+        substring(md5(col("id").cast("string")), 1, 16).as("tok2"))
+    assert(df.filter(col("tok") =!= col("tok2")).count() == 0) // stable
+    assert(df.select("tok").distinct().count() == ids.size)    // injective here
+  }
+
   test("unpivot then pivot is the identity on a generated wide frame") {
     val rows = samples(Gen.zip(money, money, money), 100)
       .zipWithIndex.map { case ((a, b, c), i) => (i.toLong, a, b, c) }

@@ -19,7 +19,7 @@ object ShuffleAudit {
   private def mb(b: Long): String = f"${b / 1048576.0}%.1f"
 
   def main(args: Array[String]): Unit = {
-    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("SHUFFLE.md")
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -41,7 +41,9 @@ object ShuffleAudit {
         Some((name, m))
       } catch {
         case e: Exception =>
-          System.err.println(s"[shuffle] $name failed: ${e.getClass.getSimpleName}")
+          System.err.println(
+            s"[shuffle] $name failed: ${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(160))
           None
       }
     }
@@ -68,6 +70,10 @@ object ShuffleAudit {
         else f"${m.shuffleWriteRecords.toDouble / m.inputRecords}%.2f"
       sb ++= s"| $n | ${m.inputRecords} | ${m.shuffleWriteRecords} | ${mb(m.shuffleWriteBytes)} | $ratio |\n"
     }
+    val skipped = SparkEntry.queries.keySet -- rows.map(_._1).toSet
+    if (skipped.nonEmpty)
+      sb ++= s"\n${skipped.size} queries FAILED to run and are missing above: " +
+        skipped.toSeq.sorted.mkString(", ") + "\n"
     val totalIn = rows.map(_._2.inputRecords).sum
     val totalSw = rows.map(_._2.shuffleWriteRecords).sum
     val totalSb = rows.map(_._2.shuffleWriteBytes).sum

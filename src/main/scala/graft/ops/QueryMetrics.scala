@@ -56,7 +56,11 @@ object QueryMetrics {
     val t0 = System.nanoTime()
     try {
       val out = body
-      org.apache.spark.sql.GraftShims.drainListenerBus(spark)
+      // the no-arg waitUntilEmpty throws TimeoutException after ~10 s on
+      // a saturated bus — the body's result must survive that (metrics
+      // are then a slight undercount, which is the right failure mode)
+      try org.apache.spark.sql.GraftShims.drainListenerBus(spark)
+      catch { case _: java.util.concurrent.TimeoutException => }
       (out, Metrics(
         inBytes.sum(), inRecs.sum(), swBytes.sum(), swRecs.sum(),
         srBytes.sum(), peak.get(), (System.nanoTime() - t0) / 1000000L))

@@ -106,7 +106,7 @@ object CorePack extends QueryPack {
     "q_pseudonymize" -> QueryDef(
       "md5 surrogate keys: two independently pseudonymized slices still join",
       (s, dir) => {
-        val surrogate = substring(md5(col("user_id").cast("string")), 1, 16).as("user_token")
+        val surrogate = graft.fn.Pseudonym.token(col("user_id")).as("user_token")
         val ev = Tables.events(s, dir)
         val errors = ev.filter(col("event_type") === "error")
           .select(surrogate)

@@ -529,13 +529,7 @@ object JoinPack extends QueryPack {
             round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
             lit(false).as("is_delete"))
         val source = deletes.unionByName(upd).unionByName(ins)
-        val merged = target.as("t").join(source.as("src"),
-            col("t.k") === col("src.k"), "full_outer")
-          .filter(coalesce(col("src.is_delete"), lit(false)) === false)
-          .select(
-            coalesce(col("src.k"), col("t.k")).as("k"),
-            coalesce(col("src.prio"), col("t.prio")).as("prio"),
-            coalesce(col("src.cents"), col("t.cents")).as("cents"))
+        val merged = graft.ops.ChangeCapture.applyMerge(target, source, keyCol = "k")
         merged.groupBy("prio")
           .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
           .orderBy("prio")

@@ -36,10 +36,7 @@ object WindowPack extends QueryPack {
           .rowsBetween(-7, Window.currentRow)
         val wLast = Window.partitionBy("user_id")
           .orderBy(col("ts").desc, col("event_id").desc)
-        val ewma = aggregate(
-          slice(col("arr"), lit(2), size(col("arr")) - 1),
-          element_at(col("arr"), 1),
-          (acc, x) => lit(0.3) * x + lit(0.7) * acc)
+        val ewma = graft.ops.Folds.ewma(col("arr"), alpha = 0.3)
         Tables.events(s, dir)
           .filter(col("value").isNotNull)
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
@@ -72,17 +69,14 @@ object WindowPack extends QueryPack {
     "q_ewma_all" -> QueryDef(
       "Per-user full-history EWMA (alpha=0.3) — batch twin of the streaming state op",
       (s, dir) => {
-        val ewma = aggregate(
-          slice(col("evs"), lit(2), size(col("evs")) - 1),
-          element_at(col("evs"), 1).getField("value"),
-          (acc, e) => lit(0.3) * e.getField("value") + lit(0.7) * acc)
         Tables.events(s, dir)
           .filter(col("value").isNotNull)
           .groupBy("user_id")
-          .agg(sort_array(collect_list(
-            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
-          .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
-            round(ewma, 6).as("ewma"))
+          .agg(transform(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))),
+            e => e.getField("value")).as("vals"))
+          .select(col("user_id"), size(col("vals")).cast("long").as("n_events"),
+            round(graft.ops.Folds.ewma(col("vals"), alpha = 0.3), 6).as("ewma"))
           .orderBy("user_id")
       },
       Some("""WITH o AS (

@@ -49,4 +49,10 @@ object GraftShims {
     */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Number of listeners currently registered on the bus — lets specs
+    * prove scoped listeners (ops.QueryMetrics) detach.
+    */
+  def listenerCount(spark: SparkSession): Int =
+    spark.sparkContext.listenerBus.listeners.size()
 }

@@ -72,18 +72,16 @@ class PropertySpec extends AnyFunSuite {
     // (0.3/0.8, reversed operands) would break on almost any input
     val rows = samples(Gen.zip(Gen.chooseNum(0, 9), money), 400)
       .zipWithIndex.map { case ((u, v), i) => (u.toLong, i.toLong, v) }
+    // graft.ops.Folds.ewma is the PRODUCTION fold (q_ewma / q_ewma_all
+    // use it) — a coefficient typo there fails this property directly
     val df = rows.toDF("u", "seq", "v")
       .groupBy("u")
-      .agg(sort_array(collect_list(struct(col("seq"), col("v")))).as("evs"))
+      .agg(transform(sort_array(collect_list(struct(col("seq"), col("v")))),
+        e => e.getField("v")).as("vals"))
       .select(col("u"),
-        aggregate(
-          slice(col("evs"), lit(2), size(col("evs")) - 1),
-          element_at(col("evs"), 1).getField("v"),
-          (acc, e) => lit(0.3) * e.getField("v") + lit(0.7) * acc).as("ewma"),
-        aggregate(col("evs"), lit(Double.MaxValue),
-          (acc, e) => least(acc, e.getField("v"))).as("lo"),
-        aggregate(col("evs"), lit(Double.MinValue),
-          (acc, e) => greatest(acc, e.getField("v"))).as("hi"))
+        graft.ops.Folds.ewma(col("vals"), alpha = 0.3).as("ewma"),
+        array_min(col("vals")).as("lo"),
+        array_max(col("vals")).as("hi"))
     assert(df.filter(col("ewma") < col("lo") || col("ewma") > col("hi")).count() == 0)
   }
 
@@ -101,9 +99,9 @@ class PropertySpec extends AnyFunSuite {
         updated.toSeq.map { case (k, v) => (k, Some(v), false) } ++
         inserted.toSeq.map { case (k, v) => (k, Some(v), false) })
         .toDF("k", "sv", "is_delete")
-    val merged = target.as("t").join(source.as("s"), Seq("k"), "full_outer")
-      .filter(coalesce(col("is_delete"), lit(false)) === false)
-      .select(col("k"), coalesce(col("sv"), col("v")).as("v"))
+    // the PRODUCTION resolution (q_merge_apply uses it)
+    val merged = graft.ops.ChangeCapture.applyMerge(
+        target, source.withColumnRenamed("sv", "v"), keyCol = "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = keys.filterNot(deleted).map(k => k -> updated.getOrElse(k, k * 10)).toMap ++ inserted
     assert(merged == expected)
@@ -111,11 +109,15 @@ class PropertySpec extends AnyFunSuite {
 
   test("pseudonymization is stable and collision-free over a generated id domain") {
     val ids = samples(Gen.chooseNum(0L, 5000000L), 500).distinct
-    val df = ids.toDF("id")
-      .select(substring(md5(col("id").cast("string")), 1, 16).as("tok"),
-        substring(md5(col("id").cast("string")), 1, 16).as("tok2"))
-    assert(df.filter(col("tok") =!= col("tok2")).count() == 0) // stable
-    assert(df.select("tok").distinct().count() == ids.size)    // injective here
+    // stability across INDEPENDENT evaluations (two separate jobs over
+    // the production expression — same projection twice would be
+    // vacuously equal): both runs must produce the identical mapping
+    def tokens() = ids.toDF("id")
+      .select(col("id"), graft.fn.Pseudonym.token(col("id")).as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (a, b) = (tokens(), tokens())
+    assert(a == b)                          // stable across evaluations
+    assert(a.values.toSet.size == ids.size) // injective here
   }
 
   test("unpivot then pivot is the identity on a generated wide frame") {

@@ -12,6 +12,24 @@ class EventStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  /** Write `df` as one parquet part and land it in `watched` under
+    * `name` ATOMICALLY (tmp-name copy + ATOMIC_MOVE): the running file
+    * stream must never list a half-copied file.
+    */
+  private def stagePart(df: org.apache.spark.sql.DataFrame,
+      watched: java.nio.file.Path, name: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = Files.createTempDirectory("stage-batch")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part = try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+    finally listing.close()
+    val landing = watched.resolve(name + ".tmp")
+    Files.copy(part, landing, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(landing, watched.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** The file-stream source watches a directory; stage the single events
     * parquet file into a temp dir (testdata itself is read-only).
     */
@@ -156,12 +174,8 @@ class EventStreamSpec extends AnyFunSuite {
       }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(data, 1), EventStream.RawSchema)
-      val tmp = Files.createTempDirectory("late-batch")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
       batchNo += 1
-      Files.copy(part, watched.resolve(s"batch-$batchNo.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stagePart(df, watched, s"batch-$batchNo.parquet")
     }
 
     // APPEND mode: a window emits exactly once, when the watermark passes
@@ -316,12 +330,8 @@ class EventStreamSpec extends AnyFunSuite {
       }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(data, 1), EventStream.RawSchema)
-      val tmp = Files.createTempDirectory("outer-batch")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
       batchNo += 1
-      Files.copy(part, watched.resolve(s"batch-$batchNo.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stagePart(df, watched, s"batch-$batchNo.parquet")
     }
 
     // user 1: view with a click 10 min later (matches);

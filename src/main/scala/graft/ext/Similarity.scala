@@ -586,6 +586,120 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** ANN top-k via IVF-PQ: [[ivfTopK]]'s trained-cell pruning composed in
+    * front of [[pqTopK]]'s ADC scan — the standard large-batch ANN shape.
+    * Plain PQ's candidate scan is corpus × queries (fine for small query
+    * batches over compressed rows); here each query scores only the
+    * corpus vectors in its `nProbe` nearest cells, so candidate cost is
+    * per-cell (Σ probed-cell sizes ≈ corpus·nProbe/nCentroids per query)
+    * and the two compression levers stack: cells bound WHICH rows are
+    * touched, codes bound what each touched row COSTS (m bytes + a
+    * literal codebook lookup, no full vector).
+    *
+    * Codes quantize the raw normalized vector (faiss's
+    * `by_residual=false` regime), so the codebooks are exactly
+    * [[pqTopK]]'s and the oracle replays cells AND codebooks unchanged.
+    * Every step is order-pinned the same way (argmin keeps the first
+    * minimum, ADC sums left-to-right, probe/rank ties break on ascending
+    * id) — approximate operator, hash-checked exactly.
+    */
+  def ivfpqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      dim: Int = 64,
+      rerank: Int = 50,
+      lloydIters: Int = 2,
+      trainCap: Long = 256L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    require(trainCap >= nCentroids, "training slice must cover the centroid seeds")
+    val subDim = dim / m
+    val c = withNormalized(corpus.select(col(idCol), col(vecCol)), vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
+
+    val centroids = ivfModel(corpus, nCentroids, lloydIters, trainCap, idCol, vecCol)
+    val seeds = normalizedVectors(corpus, 16L, idCol, vecCol)
+    if (centroids.isEmpty || seeds.isEmpty) {
+      // no low-id seed vectors: legitimate ONLY for an empty corpus
+      // (same contract as ivfTopK/pqTopK — fail loudly otherwise)
+      require(c.isEmpty,
+        "ivfpqTopK: corpus is non-empty but lacks the low ids that seed centroids/codebooks")
+      import c.sparkSession.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "cosine")
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      seeds.map { case (_, v) => v.slice(j * subDim, (j + 1) * subDim) }
+    }
+
+    // map-side cell assignment + PQ code assignment in ONE corpus pass:
+    // the cell rides through pqTopK's two explode barriers, so the index
+    // build (cell + m codes per vector) never shuffles the corpus.
+    val assigned =
+      if (centroids.length <= LiteralArgmaxMaxK)
+        c.withColumn("cell", cellArgmax(centroids, col("cv")))
+      else assignCellsJoin(c, centroids, "neighbor_id", "cv")
+    val sliced = assigned.select(col("neighbor_id"), col("cell"), explode(array(struct(
+        (0 until m).map(j => slice(col("cv"), j * subDim + 1, subDim).as(s"sv$j")): _*))).as("s"))
+      .select(col("neighbor_id") +: col("cell") +: (0 until m).map(j => col(s"s.sv$j")): _*)
+    def codeCol(j: Int): Column = {
+      val dists = array(codebooks(j).map { cw =>
+        lit(dotSeq(cw, cw)) - lit(2.0) * dot(col(s"sv$j"), typedLit(cw))
+      }.toIndexedSeq: _*)
+      array_position(dists, array_min(dists))
+    }
+    val coded = sliced.select(col("neighbor_id"), col("cell"), explode(array(struct(
+        (0 until m).map(j => codeCol(j).as(s"code$j")): _*))).as("cd"))
+      .select(col("neighbor_id") +: col("cell") +: (0 until m).map(j => col(s"cd.code$j")): _*)
+
+    // probe list: nProbe nearest cells per query, sub-sliced query
+    // vectors riding along for the ADC scan (queries are few — the
+    // window runs over a broadcast-sized frame)
+    val q = withNormalized(queries.select(col(idCol), col(vecCol)), vecCol, "qv")
+      .select(col(idCol).as("query_id"), col("qv"))
+    val cents = broadcast(q.sparkSession.createDataFrame(
+      centroids.map { case (cid, w) => (cid, w) }.toSeq).toDF("cent_id", "centv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("cent_id").asc)
+    val probes = broadcast(
+      broadcast(q).crossJoin(cents)
+        .withColumn("qdot", dot(col("qv"), col("centv")))
+        .withColumn("prk", row_number().over(wProbe))
+        .filter(col("prk") <= nProbe)
+        .select(col("query_id") +: col("cent_id").as("cell") +:
+          (0 until m).map(j => slice(col("qv"), j * subDim + 1, subDim).as(s"qs$j")): _*))
+
+    // ADC scan over probed cells only: each corpus vector lives in
+    // exactly one cell, so the cell join yields each (query, candidate)
+    // pair at most once — no distinct needed (unlike LSH buckets)
+    val ascore = (0 until m).map { j =>
+      dot(col(s"qs$j"), element_at(typedLit(codebooks(j).map(_.toSeq).toSeq), col(s"code$j").cast("int")))
+    }.reduceLeft(_ + _)
+    val wApprox = Window.partitionBy("query_id").orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val cand = coded.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), ascore.as("ascore"))
+      .withColumn("rk", row_number().over(wApprox))
+      .filter(col("rk") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // full-precision re-rank of the candidate slice
+    val qv = broadcast(q.select(col("query_id"), col("qv")))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .join(c, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** All-pairs cosine near-duplicates ≥ threshold — the exact verification
     * variant, deliberately bounded to ids &lt; `idCap` (O(n²) pairs do not
     * scale; the slice keeps the oracle meaningful at every SF while LSH

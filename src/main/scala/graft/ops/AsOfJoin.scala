@@ -47,7 +47,13 @@ object AsOfJoin {
     val lAligned = valueCols.foldLeft(l) { (df, c) =>
       df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType))
     }
+    // null key/ts right rows can never be a well-defined as-of match —
+    // drop them up front, exactly as both native forms do (without this,
+    // backward's ascending scan would let a null-ts right row sort first
+    // and "match" every left row). Alignment across all three forms is
+    // spec-asserted (AsOfJoinSpec).
     val r0 = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .withColumn("_side", lit(0))
       .withColumn("_tie", col(rightTieBreak))
     val rAligned = valueCols.foldLeft(r0) { (df, c) =>
@@ -66,10 +72,12 @@ object AsOfJoin {
     // among equal-ts right rows via the tie-break column. Forward is the
     // same running last() over the MIRRORED ts order: scanning ts
     // descending, the last right row seen before a left row is the
-    // earliest right at-or-after it.
+    // earliest right at-or-after it. Ties order asc NULLS FIRST — the
+    // same SortOrder the native sort-merge form declares — so a NULL
+    // tie-break loses to any non-null one in every form.
     val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keyCol)
-      .orderBy(tsOrder, col("_side").asc, col("_tie").asc_nulls_last)
+      .orderBy(tsOrder, col("_side").asc, col("_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = valueCols.foldLeft(u) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))

@@ -5,17 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** MERGE-style change application (the lakehouse MERGE INTO shape) as a
   * reusable operator: one FULL OUTER join on the key, then per-row
-  * resolution — a delete flag drops the row, a source row wins over the
-  * target, an unmatched target survives. One shuffle on the merge key
-  * at any scale. Used by q_merge_apply; the resolution algebra
-  * ((target \ deleted) with source-wins updates, plus inserts) is
-  * property-tested on generated change sets.
+  * resolution — a delete flag drops the row, a matched source row wins
+  * WHOLE-ROW (an update that legitimately sets a column to NULL nulls
+  * the target's value, exactly MERGE INTO ... UPDATE SET semantics —
+  * matched-ness is tracked by an explicit marker column, never by value
+  * nullness), an unmatched target survives. One shuffle on the merge
+  * key at any scale. Used by q_merge_apply; the resolution algebra
+  * ((target \ deleted) with whole-row source-wins updates, plus
+  * inserts) is property-tested on generated change sets, including
+  * NULL-setting updates.
   */
 object ChangeCapture {
 
   /** Apply `source` (same value columns as `target`, plus a boolean
-    * `deleteFlag` column) to `target` on `keyCol`. Output columns =
-    * target's, resolved.
+    * `deleteFlag` column — must be non-null on every source row) to
+    * `target` on `keyCol`. Output columns = target's, resolved.
     */
   def applyMerge(
       target: DataFrame,
@@ -24,11 +28,16 @@ object ChangeCapture {
       deleteFlag: String = "is_delete"): DataFrame = {
     val valueCols = target.columns.filterNot(_ == keyCol)
     val t = target.as("t")
-    val s = source.as("src")
+    // the marker — not the key, which may be NULL-bearing, and not value
+    // nullness — is what distinguishes "matched by a source row" from
+    // "target-only row" after the full outer join
+    val s = source.withColumn("_src_present", lit(true)).as("src")
     t.join(s, col(s"t.$keyCol") === col(s"src.$keyCol"), "full_outer")
       .filter(coalesce(col(s"src.$deleteFlag"), lit(false)) === false)
       .select(
         coalesce(col(s"src.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
-          valueCols.map(c => coalesce(col(s"src.$c"), col(s"t.$c")).as(c)): _*)
+          valueCols.map(c =>
+            when(col("src._src_present"), col(s"src.$c"))
+              .otherwise(col(s"t.$c")).as(c)): _*)
   }
 }

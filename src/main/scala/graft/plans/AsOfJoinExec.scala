@@ -169,7 +169,15 @@ case class BroadcastAsOfJoinExec(
       val sorted = buf.sortWith { (a, b) =>
         val ta = tsToLong(a, 1, tsType); val tb = tsToLong(b, 1, tsType)
         if (ta != tb) ta < tb
-        else tieOrd.compare(a.get(2, tieType), b.get(2, tieType)) < 0
+        else {
+          // null-safe: NULL ties sort FIRST (lose to any non-null tie),
+          // matching the sort-merge form's SortOrder(tie, Ascending)
+          // and the composed form's asc_nulls_first — the interpreted
+          // ordering alone would NPE on a null tie
+          val (na, nb) = (a.isNullAt(2), b.isNullAt(2))
+          if (na || nb) na && !nb
+          else tieOrd.compare(a.get(2, tieType), b.get(2, tieType)) < 0
+        }
       }
       val tsArr = new Array[Long](sorted.length)
       val valArr = new Array[InternalRow](sorted.length)

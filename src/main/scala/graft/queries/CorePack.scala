@@ -97,16 +97,20 @@ object CorePack extends QueryPack {
              |ORDER BY rule""".stripMargin)),
 
     // Pseudonymization (PII-safe surrogate keys): user ids are replaced
-    // with a deterministic md5 surrogate, so datasets can leave the
-    // trusted boundary while JOINS STILL WORK — the same id maps to the
-    // same surrogate in every table. Demonstrated by pseudonymizing two
-    // event slices independently and joining them on the surrogate; a
-    // map-only transform per table, no shared state, no lookup table to
-    // protect.
+    // with a KEYED sha-256 surrogate (secret || id — the secret stays at
+    // the trusted boundary; unkeyed hashes of small enumerable ids are
+    // brute-force invertible), so datasets can leave the boundary while
+    // JOINS STILL WORK — the same id maps to the same surrogate in every
+    // table tokenized under the same secret. Demonstrated by
+    // pseudonymizing two event slices independently and joining them on
+    // the surrogate; a map-only transform per table, no shared state, no
+    // lookup table to protect. The literal secret here is a test
+    // stand-in — production callers inject theirs from a vault.
     "q_pseudonymize" -> QueryDef(
-      "md5 surrogate keys: two independently pseudonymized slices still join",
+      "keyed sha-256 surrogate keys: two independently pseudonymized slices still join",
       (s, dir) => {
-        val surrogate = graft.fn.Pseudonym.token(col("user_id")).as("user_token")
+        val surrogate = graft.fn.Pseudonym.token(col("user_id"), "graft-test-secret")
+          .as("user_token")
         val ev = Tables.events(s, dir)
         val errors = ev.filter(col("event_type") === "error")
           .select(surrogate)
@@ -118,11 +122,11 @@ object CorePack extends QueryPack {
           .orderBy("user_token")
       },
       Some("""WITH e AS (
-             |  SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
+             |  SELECT substring(sha256('graft-test-secret' || CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
              |         COUNT(*) AS n_errors
              |  FROM events WHERE event_type = 'error' GROUP BY 1),
              |c AS (
-             |  SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
+             |  SELECT substring(sha256('graft-test-secret' || CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
              |         COUNT(*) AS n_clicks
              |  FROM events WHERE event_type = 'click' GROUP BY 1)
              |SELECT e.user_token, n_errors, n_clicks
@@ -498,6 +502,41 @@ object CorePack extends QueryPack {
              |  ROUND(SUM(value), 2) AS sum_value
              |FROM (SELECT DISTINCT user_id, event_type, value FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Batch twin of EventStream.viewClickJoin (stream-stream theta join,
+    // left_outer): every view left-joined to same-user clicks within
+    // [view_ts, view_ts + 1h]. The left-outer form subsumes the inner
+    // one (matched rows are exactly those with a non-null click_id), so
+    // one twin gates both join types; EventStreamSpec proves the
+    // streaming output — incl. watermark-gated null emission — matches
+    // this batch semantics, and the DuckDB oracle closes the loop to the
+    // driver's hash gate. Null click_ids order NULLS LAST on both sides.
+    "q_stream_join_twin" -> QueryDef(
+      "Views left-joined to same-user clicks within 1h (stream-stream join twin)",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        views.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("click_ts") >= col("view_ts") &&
+              col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            col("view_ts"), col("click_ts"))
+          .orderBy(col("user_id"), col("view_id"), col("click_id").asc_nulls_last)
+      },
+      Some("""SELECT v.user_id, v.view_id, c.click_id, v.view_ts, c.click_ts
+             |FROM (SELECT user_id, event_id AS view_id, ts AS view_ts
+             |      FROM events WHERE event_type = 'view') v
+             |LEFT JOIN (SELECT user_id, event_id AS click_id, ts AS click_ts
+             |           FROM events WHERE event_type = 'click') c
+             |  ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
+             | AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+             |ORDER BY v.user_id, v.view_id, c.click_id NULLS LAST""".stripMargin)),
 
     // Batch twin of EventStream.userActivity. The batch form counts
     // distinct types EXACTLY (streaming aggregation can't — distinct

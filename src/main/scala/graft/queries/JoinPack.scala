@@ -499,8 +499,9 @@ object JoinPack extends QueryPack {
     // Full MERGE application (the lakehouse MERGE INTO shape): one pass
     // applies a change feed carrying updates, inserts, AND deletes to a
     // target — FULL OUTER on the key, then per-row resolution: delete
-    // flag drops the row, a source row wins over the target, an
-    // unmatched target survives. The derived change feed is
+    // flag drops the row, a matched source row wins whole-row (NULLs
+    // included — MERGE INTO ... UPDATE SET semantics), an unmatched
+    // target survives. The derived change feed is
     // deterministic (key arithmetic), so the merged result is fully
     // SQL-replayable. One shuffle on the merge key at any scale; the
     // same resolution works as a foreachBatch upsert stage in streaming.
@@ -552,8 +553,8 @@ object JoinPack extends QueryPack {
              |  FROM orders WHERE o_orderkey % 35 = 0),
              |merged AS (
              |  SELECT COALESCE(s.k, t.k) AS k,
-             |    COALESCE(s.prio, t.prio) AS prio,
-             |    COALESCE(s.cents, t.cents) AS cents
+             |    CASE WHEN s.is_delete IS NOT NULL THEN s.prio ELSE t.prio END AS prio,
+             |    CASE WHEN s.is_delete IS NOT NULL THEN s.cents ELSE t.cents END AS cents
              |  FROM target t FULL OUTER JOIN src s ON t.k = s.k
              |  WHERE COALESCE(s.is_delete, FALSE) = FALSE)
              |SELECT prio, COUNT(*) AS n_rows,

@@ -333,6 +333,72 @@ object SimilarityPack extends QueryPack {
               |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // The composed large-batch shape: IVF cell pruning in FRONT of the
+    // PQ ADC scan (faiss IndexIVFPQ with by_residual=false). Cells bound
+    // which corpus rows each query touches (nProbe/nCentroids of the
+    // corpus), codes bound what each touched row costs — plain PQ's
+    // corpus × queries candidate scan becomes per-cell. The oracle
+    // composes the two existing replays verbatim: sim_topk_ivf's trained
+    // cells + sim_topk_pq's codebooks, then probes, ADC over probed
+    // cells only, and the full-precision re-rank.
+    "sim_topk_ivfpq" -> QueryDef(
+      "ANN top-5 via IVF-PQ (trained cells, probe 4; 4×16-dim codebook ADC) + exact re-rank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.ivfpqTopK(e.filter(col("vec_id") < 8), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $trainedAssignCtes,
+              |subs AS (
+              |  SELECT vec_id, j AS sub, list_slice(nv, j*16 + 1, j*16 + 16) AS sv
+              |  FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) mm(j)),
+              |cb AS (SELECT sub, vec_id + 1 AS code, sv AS cv FROM subs WHERE vec_id < 16),
+              |pcode AS (
+              |  SELECT vec_id, sub, code, cv FROM (
+              |    SELECT s.vec_id, s.sub, c.code, c.cv,
+              |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+              |        ORDER BY list_dot_product(c.cv, c.cv) - 2 * list_dot_product(s.sv, c.cv) ASC,
+              |                 c.code ASC) AS rk
+              |    FROM subs s JOIN cb c ON c.sub = s.sub)
+              |  WHERE rk = 1),
+              |probes AS (
+              |  SELECT query_id, qv, cell FROM (
+              |    SELECT q.vec_id AS query_id, q.nv AS qv, ct.cent_id AS cell,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |                         ORDER BY list_dot_product(q.nv, ct.centv) DESC,
+              |                                  ct.cent_id ASC) AS prk
+              |    FROM e q CROSS JOIN cents ct WHERE q.vec_id < 8)
+              |  WHERE prk <= 4),
+              |approx AS (
+              |  SELECT query_id, neighbor_id, ascore,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY ascore DESC, neighbor_id ASC) AS rk
+              |  FROM (
+              |    SELECT p.query_id, a.vec_id AS neighbor_id,
+              |      (((list_dot_product(list_slice(p.qv, 1, 16),  a0.cv)
+              |       + list_dot_product(list_slice(p.qv, 17, 32), a1.cv))
+              |       + list_dot_product(list_slice(p.qv, 33, 48), a2.cv))
+              |       + list_dot_product(list_slice(p.qv, 49, 64), a3.cv)) AS ascore
+              |    FROM probes p
+              |    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+              |    JOIN pcode a0 ON a0.vec_id = a.vec_id AND a0.sub = 0
+              |    JOIN pcode a1 ON a1.vec_id = a.vec_id AND a1.sub = 1
+              |    JOIN pcode a2 ON a2.vec_id = a.vec_id AND a2.sub = 2
+              |    JOIN pcode a3 ON a3.vec_id = a.vec_id AND a3.sub = 3)),
+              |cand AS (SELECT query_id, neighbor_id FROM approx WHERE rk <= 50),
+              |scored AS (
+              |  SELECT query_id, neighbor_id, list_dot_product(eq.nv, ec.nv) AS cos
+              |  FROM cand
+              |  JOIN e eq ON eq.vec_id = query_id
+              |  JOIN e ec ON ec.vec_id = neighbor_id),
+              |r AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Scale path: sign-LSH candidate buckets + exact re-rank. The
     // hyperplanes are pure functions of (table, plane, dim), so the oracle
     // embeds the identical weights as SQL array literals and replays the

@@ -100,8 +100,7 @@ object SqlSurfacePack extends QueryPack {
     // VALUE bound) — and the oracle expects literal TRUE. A broken
     // sketch flips the boolean and fails the driver's hash compare, so
     // the approx path is gated without pretending DuckDB can replay it
-    // (same pattern as q_approx_distinct's rel_err gate, but
-    // hash-checkable).
+    // (q_approx_distinct gates its HLL sketch the same way).
     "q_approx_quantile" -> QueryDef(
       "percentile_approx gated within +/-1% rank of exact interpolated quantiles",
       (s, dir) =>
@@ -345,14 +344,16 @@ object SqlSurfacePack extends QueryPack {
              |      FROM documents WHERE doc_id < 5)
              |ORDER BY doc_id, pos""".stripMargin)),
 
-    // HLL sketch: approximate distinct vs exact, relative error in-row.
-    // No DuckDB oracle on purpose (different HLL implementations) — but
-    // the rows-only check is still a GATE: the final filter keeps only
-    // rows within the 5% error bound, so a sketch regression shrinks the
-    // row count and the driver flags it (plus SketchSpec asserts the
-    // bound and that all 5 priorities survive).
+    // HLL sketch: approximate distinct vs exact. The raw sketch value
+    // isn't SQL-reproducible (HLL implementations differ per engine), so
+    // the query projects the exact count plus the boolean VERDICT that
+    // the sketch landed within 5% relative error — and the oracle
+    // expects literal TRUE (same pattern as q_approx_quantile). A sketch
+    // regression flips the boolean and fails the driver's hash compare,
+    // so the approx path is fully hash-gated; SketchSpec keeps the
+    // tighter numeric bound on the raw values.
     "q_approx_distinct" -> QueryDef(
-      "approx_count_distinct(custkey) per order priority vs exact, gated rel_err < 5%",
+      "approx_count_distinct(custkey) per order priority gated within 5% of exact",
       (s, dir) =>
         Tables.orders(s, dir)
           .groupBy("o_orderpriority")
@@ -360,12 +361,14 @@ object SqlSurfacePack extends QueryPack {
             // rsd 2%: the default 5% leaves no headroom under a 5% gate
             approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
             countDistinct(col("o_custkey")).as("exact_customers"))
-          .withColumn("rel_err",
-            round(abs(col("approx_customers") - col("exact_customers")) /
-              col("exact_customers"), 4))
-          .filter(col("rel_err") < 0.05)
+          .select(col("o_orderpriority"), col("exact_customers"),
+            (abs(col("approx_customers") - col("exact_customers")) /
+              col("exact_customers") < 0.05).as("within_bound"))
           .orderBy("o_orderpriority"),
-      None),
+      Some("""SELECT o_orderpriority,
+             |  COUNT(DISTINCT o_custkey) AS exact_customers,
+             |  TRUE AS within_bound
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // ANSI-safe casting: try_cast yields NULL on malformed input instead
     // of failing the job — the posture a 100 TB ingest of dirty text

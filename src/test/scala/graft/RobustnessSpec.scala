@@ -81,12 +81,14 @@ class RobustnessSpec extends AnyFunSuite {
       s"percentile_approx err: $approxM vs $exactM")
   }
 
-  test("q_approx_distinct's in-query error gate keeps every priority (rel_err < 5%)") {
-    // The query filters out any group whose HLL estimate misses by >= 5%,
-    // so the driver's rows-only check becomes a real bound: all 5 order
-    // priorities must survive the gate.
+  test("q_approx_distinct's error-bound verdict is TRUE for every priority") {
+    // The query projects the boolean verdict (HLL estimate within 5% of
+    // exact) which the oracle expects as literal TRUE — so the driver's
+    // hash compare fails if the sketch regresses. Assert the same here,
+    // plus that every priority is present.
     val out = Catalog.all("q_approx_distinct").fn(spark, "/root/testdata/sf0.01").collect()
-    assert(out.length == 5, s"expected 5 priorities within the 5% bound, got ${out.length}")
-    out.foreach(r => assert(r.getDouble(r.fieldIndex("rel_err")) < 0.05))
+    assert(out.length == 5, s"expected 5 priorities, got ${out.length}")
+    out.foreach(r => assert(r.getBoolean(r.fieldIndex("within_bound")),
+      s"HLL estimate outside 5% bound for ${r.get(0)}"))
   }
 }

@@ -111,6 +111,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("IVF-PQ achieves reasonable recall@5 and returns well-formed ranks") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, k = 5))
+    val got = Similarity.ivfpqTopK(q, e, k = 5).collect()
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+      assert(rows.forall(_.getLong(2) != qid))
+    }
+    val recall = (exact intersect got.map(r => (r.getLong(0), r.getLong(2))).toSet)
+      .size.toDouble / exact.size
+    // cell pruning (probe 4 of 16) stacked on the coarse sampled
+    // codebooks — the intersection of IVF's and PQ's recall losses
+    assert(recall >= 0.25, s"IVF-PQ recall@5 = $recall")
+  }
+
+  test("IVF-PQ scans only probed cells: every neighbor lies in a probed cell of its query") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 8)
+    val centroids = Similarity.ivfModel(e)
+    // replicate the operator's own assignment + probe math
+    val cellOf: Map[Long, Long] =
+      Similarity.withNormalized(e.select(col("vec_id"), col("embedding")), "embedding", "nv")
+        .select(col("vec_id"), Similarity.cellArgmax(centroids, col("nv")).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed: Map[Long, Set[Long]] =
+      Similarity.normalizedVectors(q, Long.MaxValue).map { case (qid, qv) =>
+        qid -> centroids
+          .map { case (cid, w) => (cid, w.zip(qv).map { case (a, b) => a * b }.sum) }
+          .sortBy { case (cid, d) => (-d, cid) }.take(4).map(_._1).toSet
+      }.toMap
+    val out = Similarity.ivfpqTopK(q, e, k = 5).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      assert(probed(qid).contains(cellOf(nid)),
+        s"neighbor $nid (cell ${cellOf(nid)}) returned for query $qid outside probed ${probed(qid)}")
+    }
+  }
+
   test("semantic dedup: no false positives vs the exact all-pairs form") {
     val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 500)
     val exact = Similarity.cosineNearDupPairs(e, threshold = 0.45)

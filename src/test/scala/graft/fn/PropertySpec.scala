@@ -83,12 +83,18 @@ class PropertySpec extends AnyFunSuite {
         array_min(col("vals")).as("lo"),
         array_max(col("vals")).as("hi"))
     assert(df.filter(col("ewma") < col("lo") || col("ewma") > col("hi")).count() == 0)
+    // degenerate contract: an empty observation array yields NULL, not a
+    // runtime error from the negative-length slice
+    val empty = Seq(Tuple1(Seq.empty[Double])).toDF("vals")
+      .select(graft.ops.Folds.ewma(col("vals"), alpha = 0.3).as("ewma"))
+      .collect()
+    assert(empty.head.isNullAt(0))
   }
 
   test("merge resolution: deletes vanish, updates win, inserts appear, rest survives") {
-    // the q_merge_apply resolution (full outer + coalesce + delete
-    // filter) on generated target/change sets must reproduce the set
-    // algebra (target \ deleted) [keys updated from source] ∪ inserted
+    // the q_merge_apply resolution (full outer + whole-row winner +
+    // delete filter) on generated target/change sets must reproduce the
+    // set algebra (target \ deleted) [keys updated from source] ∪ inserted
     val keys = samples(Gen.chooseNum(0L, 400L), 300).distinct
     val target = keys.map(k => (k, k * 10)).toDF("k", "v")
     val deleted = keys.filter(_ % 5 == 0).toSet
@@ -105,19 +111,33 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = keys.filterNot(deleted).map(k => k -> updated.getOrElse(k, k * 10)).toMap ++ inserted
     assert(merged == expected)
+
+    // a matched source row wins WHOLE-ROW: an update that legitimately
+    // sets v to NULL must null the target's value (MERGE INTO ...
+    // UPDATE SET semantics), not silently keep the old one
+    val tgt = Seq((1L, Some(10L)), (2L, Some(20L))).toDF("k", "v")
+    val nullUpd = Seq((1L, Option.empty[Long], false)).toDF("k", "v", "is_delete")
+    val out = graft.ops.ChangeCapture.applyMerge(tgt, nullUpd, keyCol = "k")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(20L)))
   }
 
-  test("pseudonymization is stable and collision-free over a generated id domain") {
+  test("pseudonymization is stable, collision-free, and unlinkable across secrets") {
     val ids = samples(Gen.chooseNum(0L, 5000000L), 500).distinct
     // stability across INDEPENDENT evaluations (two separate jobs over
     // the production expression — same projection twice would be
     // vacuously equal): both runs must produce the identical mapping
-    def tokens() = ids.toDF("id")
-      .select(col("id"), graft.fn.Pseudonym.token(col("id")).as("tok"))
+    def tokens(secret: String) = ids.toDF("id")
+      .select(col("id"), graft.fn.Pseudonym.token(col("id"), secret).as("tok"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val (a, b) = (tokens(), tokens())
+    val (a, b) = (tokens("k1"), tokens("k1"))
     assert(a == b)                          // stable across evaluations
     assert(a.values.toSet.size == ids.size) // injective here
+    // a different secret yields a disjoint token space — rotating the
+    // secret unlinks releases (the property unkeyed hashing lacks)
+    val c = tokens("k2")
+    assert((a.values.toSet intersect c.values.toSet).isEmpty)
   }
 
   test("unpivot then pivot is the identity on a generated wide frame") {

@@ -195,4 +195,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out2(1L) == Some(100L))
     assert(out2(null) == None)
   }
+
+  test("all three forms agree on null-bearing right sides (null ts dropped, null tie loses)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "ts", "left_id")
+    // right side: a null-ts row (must be dropped — NOT matched by every
+    // left row via the ascending scan), plus two equal-ts rows where one
+    // carries a NULL tie-break (must lose to the non-null tie, and must
+    // not NPE the broadcast build sort)
+    val right = Seq(
+      (Some(1L), Option.empty[Long], Some(666L)),
+      (Some(1L), Some(5L), Option.empty[Long]),
+      (Some(1L), Some(5L), Some(100L)),
+      (Some(2L), Some(15L), Some(200L))).toDF("k", "ts", "right_id")
+    def resolve(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val expected = Map(1L -> Some(100L), 2L -> Some(200L))
+    val composed = resolve(AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("right_id"), "right_id"))
+    val bcast = resolve(AsOfJoin.leftAsOfBroadcast(left, right, "k", "ts", Seq("right_id"), "right_id"))
+    val part = resolve(AsOfJoin.leftAsOfPartitioned(left, right, "k", "ts", Seq("right_id"), "right_id"))
+    assert(composed == expected, s"composed: $composed")
+    assert(bcast == expected, s"broadcast: $bcast")
+    assert(part == expected, s"partitioned: $part")
+  }
 }

@@ -315,6 +315,11 @@ class EventStreamSpec extends AnyFunSuite {
         col("click_ts") >= col("view_ts") &&
         col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR")).count()
     assert(streamed == batch && batch > 0)
+    // the oracled catalog twin (left-outer) must agree on its matched
+    // subset — ties the stream to the driver's DuckDB-gated query
+    val twinMatched = graft.Catalog.all("q_stream_join_twin").fn(spark, sf)
+      .filter(col("click_id").isNotNull).count()
+    assert(twinMatched == streamed)
   }
 
   test("stream-stream LEFT OUTER join emits unmatched views only after the watermark closes them") {

@@ -24,17 +24,22 @@ import org.apache.spark.sql.functions._
   *  - dimensions are copied unchanged — at 100 TB the facts grow while
   *    dims stay dimension-sized, so that is the honest scaling shape.
   *
-  * Usage: runMain graft.ScaleBench [baseSfDir] [scalesCsv]
-  * Output: one JSON line per (scale, query) plus a final markdown
-  * table (pasted into SCALING.md) with the ×N/×1 time ratios.
+  * Usage: runMain graft.ScaleBench [baseSfDir] [scalesCsv] [subsetCsv|families]
+  * (default subset: the ENTIRE catalog; "families" = curated
+  * representatives). Output: one JSON line per (scale, query) plus a
+  * final markdown table (pasted into SCALING.md) with the time ratios
+  * against the first scale run.
   */
 object ScaleBench {
 
-  /** Expensive queries whose input is the full (un-sliced) corpus or
-    * fact tables — the ones whose cost can actually track the scale.
-    * One representative per family: dedup, text, similarity, joins,
-    * windows/sessionization, set ops, as-of (composed AND native
-    * partitioned), training-pipeline, streaming batch twins.
+  /** Family representatives whose input is the full (un-sliced) corpus
+    * or fact tables — the ones whose cost can actually track the scale.
+    * Retained as the CHEAP sweep (`--families` / 3rd arg `families`);
+    * since round 7 the DEFAULT sweep is the entire catalog, so every
+    * new query joins the trend without editing this file. Slice-bounded
+    * queries (doc_id/vec_id caps, fixture round trips) measure FLAT by
+    * design — a flat trend is the empirical proof of their boundedness,
+    * which is exactly what SCALING.md wants pinned.
     */
   val ScaleQueries: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
@@ -162,13 +167,17 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val catalogQueries = SparkEntry.queries.filter { case (n, _) => ScaleQueries.contains(n) }
-      .toSeq.sortBy(_._1)
-    require(catalogQueries.map(_._1) == ScaleQueries.sorted,
-      s"missing scale queries: ${ScaleQueries.diff(catalogQueries.map(_._1)).mkString(",")}")
-    // optional 3rd arg: comma-separated subset (rerun one family cheaply)
-    val only: Option[Set[String]] = args.lift(2).map(_.split(",").map(_.trim).toSet)
-    val queries = (catalogQueries ++ ExtraQueries).sortBy(_._1)
+    // DEFAULT: the whole catalog — every query (new ones included) gets
+    // a trend row without registration. 3rd arg: "families" = the
+    // curated representative list (cheap sweep), or a comma-separated
+    // subset (rerun one family cheaply).
+    require(ScaleQueries.forall(SparkEntry.queries.contains),
+      s"stale family list: ${ScaleQueries.filterNot(SparkEntry.queries.contains).mkString(",")}")
+    val only: Option[Set[String]] = args.lift(2).map {
+      case "families" => ScaleQueries.toSet
+      case csv => csv.split(",").map(_.trim).toSet
+    }
+    val queries = (SparkEntry.queries.toSeq ++ ExtraQueries).sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
     val dirs: Seq[(Int, String)] = scales.map { k =>

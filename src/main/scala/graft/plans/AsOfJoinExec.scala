@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
@@ -123,6 +124,15 @@ case class BroadcastAsOfJoinExec(
   private def maxBuildRows: Int =
     conf.getConfString("spark.graft.asof.maxBuildRows", "10000000").toInt
 
+  // observable in the Spark UI like the built-in joins: how big the
+  // broadcast build really was, and what fraction of probes matched —
+  // the two numbers that diagnose a mis-sized build or a key mismatch
+  // at cluster scale
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "number of build-side rows"),
+    "matchedRows" -> SQLMetrics.createMetric(sparkContext, "number of probe rows with a match"))
+
   override def children: Seq[SparkPlan] = Seq(left, right)
 
   override protected def withNewChildrenInternal(
@@ -156,14 +166,17 @@ case class BroadcastAsOfJoinExec(
 
     val valueTypes = rightValues.map(_.dataType)
     val byKey = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+    var keptBuildRows = 0L
     collected.foreach { row =>
       if (!row.isNullAt(0) && !row.isNullAt(1)) {
         val k = row.get(0, rightKey.dataType)
         var buf = byKey.get(k)
         if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; byKey.put(k, buf) }
         buf += row
+        keptBuildRows += 1
       }
     }
+    longMetric("buildRows").add(keptBuildRows)
     val built = new java.util.HashMap[Any, (Array[Long], Array[InternalRow])](byKey.size())
     byKey.forEach { (k, buf) =>
       val sorted = buf.sortWith { (a, b) =>
@@ -203,6 +216,8 @@ case class BroadcastAsOfJoinExec(
     val probeSchema = leftOutput ++ output.drop(leftOutput.size)
     val outAttrs = output
 
+    val numOutputRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("matchedRows")
     left.execute().mapPartitions { iter =>
       val joined = new JoinedRow
       val nullRow = new GenericInternalRow(nValues)
@@ -221,9 +236,10 @@ case class BroadcastAsOfJoinExec(
               val mid = (lo + hi) >>> 1
               if (tsArr(mid) <= t) { found = mid; lo = mid + 1 } else hi = mid - 1
             }
-            if (found >= 0) matched = valArr(found)
+            if (found >= 0) { matched = valArr(found); matchedRows += 1 }
           }
         }
+        numOutputRows += 1
         proj(joined(lrow, matched))
       }
     }
@@ -254,6 +270,15 @@ case class SortMergeAsOfJoinExec(
     rightValues: Seq[Attribute],
     output: Seq[Attribute])
   extends SparkPlan {
+
+  // same observability contract as the broadcast form: buildRows here
+  // counts right rows actually consumed into probe groups, so a skewed
+  // key group or an unexpectedly fact-sized right side shows up in the
+  // UI instead of only in task memory
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "number of build-side rows buffered"),
+    "matchedRows" -> SQLMetrics.createMetric(sparkContext, "number of probe rows with a match"))
 
   override def children: Seq[SparkPlan] = Seq(left, right)
 
@@ -290,6 +315,9 @@ case class SortMergeAsOfJoinExec(
     val tsIdx = leftOutput.indexWhere(_.exprId == leftTs.exprId)
     val probeSchema = leftOutput ++ output.drop(leftOutput.size)
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val buildRows = longMetric("buildRows")
+    val matchedRows = longMetric("matchedRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // projected right stream: (key, ts, values...); null key/ts rows
@@ -314,6 +342,7 @@ case class SortMergeAsOfJoinExec(
           tsBuf.clear(); valBuf.clear()
           while (rs.hasNext && keyOrd.compare(rs.head.get(0, keyType), k) == 0) {
             val frozen = rs.next().copy()
+            buildRows += 1
             tsBuf += tsToLong(frozen, 1, rightTsType)
             val vals = new GenericInternalRow(nValues)
             var j = 0
@@ -341,9 +370,10 @@ case class SortMergeAsOfJoinExec(
               val mid = (lo + hi) >>> 1
               if (curTs(mid) <= t) { found = mid; lo = mid + 1 } else hi = mid - 1
             }
-            if (found >= 0) matched = curVals(found)
+            if (found >= 0) { matched = curVals(found); matchedRows += 1 }
           }
         }
+        numOutputRows += 1
         proj(joined(lrow, matched))
       }
     }

@@ -402,14 +402,17 @@ object TextPack extends QueryPack {
     // N-gram-profile language ID: top-50 char trigrams per labeled
     // language form the profile; docs classify to the profile with the
     // largest distinct-trigram overlap (ties: lang asc). Two-pass: the
-    // profile pass is relational (explode → partial-agg → top-k); the
-    // ~|langs|×50-row profile is then COLLECTED (the standard
-    // train-then-broadcast shape, like k-means centroids) and the
-    // classify pass scores each doc with codegen'd instr() presence
-    // checks — no second explode, no doc×gram shuffle, no per-doc
-    // window. At 100 TB the classify pass is a single map-only scan.
+    // profile pass is relational (explode → partial-agg → top-k) over a
+    // BOUNDED training slice (doc_id < 500 — same trainCap shape as the
+    // k-means/PQ models: profiles converge on a sample, and exploding
+    // every trigram of a 100 TB corpus just to pick 50 per language is
+    // wasted work); the ~|langs|×50-row profile is then COLLECTED (the
+    // standard train-then-broadcast shape) and the classify pass scores
+    // EVERY doc with codegen'd instr() presence checks — no second
+    // explode, no doc×gram shuffle, no per-doc window. At 100 TB the
+    // classify pass is a single map-only scan.
     "text_langid_ngram" -> QueryDef(
-      "Char-trigram profile language ID; confusion counts vs labels",
+      "Char-trigram profile language ID (500-doc training slice); confusion counts vs labels",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
@@ -419,6 +422,7 @@ object TextPack extends QueryPack {
         val positions = when(length(col("t")) >= 3, sequence(lit(1), length(col("t")) - 2))
           .otherwise(array().cast("array<int>"))
         val grams = docs
+          .filter(col("doc_id") < 500)
           .select(col("lang"), lower(col("text")).as("t"))
           .select(col("lang"), explode(positions).as("i"), col("t"))
           .select(col("lang"), substr(col("t"), col("i"), lit(3)).as("gram"))
@@ -454,7 +458,7 @@ object TextPack extends QueryPack {
              |  SELECT DISTINCT doc_id, lang, gram FROM grams
              |), profile_counts AS (
              |  SELECT lang AS p_lang, gram, COUNT(*) AS n
-             |  FROM grams GROUP BY lang, gram
+             |  FROM grams WHERE doc_id < 500 GROUP BY lang, gram
              |), profiles AS (
              |  SELECT p_lang, gram FROM (
              |    SELECT p_lang, gram,

@@ -196,6 +196,45 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out2(null) == None)
   }
 
+  test("both native physical forms populate SQLMetrics (output/build/matched rows)") {
+    import spark.implicits._
+    // 3 left rows: two with a match, one keyed past any right row
+    val left = Seq((1L, 10L, 1L), (1L, 3L, 2L), (9L, 10L, 3L)).toDF("k", "ts", "left_id")
+    // 2 usable right rows + 1 null-ts row that must NOT count as build
+    val right = Seq(
+      (Some(1L), Some(5L), 100L), (Some(1L), Some(9L), 101L),
+      (Some(1L), Option.empty[Long], 666L)).toDF("k", "ts", "right_id")
+    def metricsOf(df: org.apache.spark.sql.DataFrame, nodeName: String): Map[String, Long] = {
+      df.collect() // run the job so the accumulators populate
+      // AQE wraps the final plan — descend through it before collecting
+      def find(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(s.plan)
+        case _ if p.nodeName.contains(nodeName) => Some(p)
+        case _ => p.children.view.flatMap(find(_)).headOption
+      }
+      val node = find(df.queryExecution.executedPlan)
+        .getOrElse(fail(s"no $nodeName in the executed plan"))
+      node.metrics.map { case (name, m) => name -> m.value }
+    }
+    val b = metricsOf(
+      AsOfJoin.leftAsOfBroadcast(left, right, "k", "ts", Seq("right_id"), "right_id"),
+      "BroadcastAsOfJoin")
+    // only (k=1, ts=10) matches (-> tie 101); ts=3 predates every right
+    // row and k=9 has no right group; the null-ts build row is excluded
+    assert(b("numOutputRows") == 3, s"broadcast: $b")
+    assert(b("buildRows") == 2, s"broadcast: $b")
+    assert(b("matchedRows") == 1, s"broadcast: $b")
+    val p = metricsOf(
+      AsOfJoin.leftAsOfPartitioned(left, right, "k", "ts", Seq("right_id"), "right_id"),
+      "SortMergeAsOfJoin")
+    assert(p("numOutputRows") == 3, s"partitioned: $p")
+    assert(p("buildRows") == 2, s"partitioned: $p")
+    assert(p("matchedRows") == 1, s"partitioned: $p")
+  }
+
   test("all three forms agree on null-bearing right sides (null ts dropped, null tie loses)") {
     import spark.implicits._
     val left = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "ts", "left_id")

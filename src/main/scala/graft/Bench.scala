@@ -42,6 +42,25 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.zip(p2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
+    // Host-speed calibration: the same jar + protocol measured 57.4 s
+    // and 86.8 s TOTAL on two boots of the same box (median per-query
+    // ratio 1.51, uniform — zero plan changes between the runs), so a
+    // round-over-round total is only interpretable alongside the host's
+    // own speed. This probe times a fixed single-threaded CPU loop
+    // (pure JVM arithmetic, no Spark, no IO — the same work every run
+    // by construction); divide query seconds by (calib_sec / the
+    // baseline's calib_sec) before calling a delta a regression.
+    // BENCH_BASELINE.json records the probe for its own run.
+    val calib = {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        var (x, i) = (0x9E3779B97F4A7C15L, 0)
+        while (i < 200000000) { x = x * 6364136223846793005L + 1442695040888963407L; x ^= x >>> 33; i += 1 }
+        if (x == 42L) println("") // keep the loop live
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass(); math.min(pass(), pass()) // warm JIT, then min-of-2
+    }
     // Keep the line compact (3-decimal seconds, numeric sf): the driver
     // captures only a bounded TAIL of stdout, and with 100+ queries the
     // line exceeds that window — so the headline total/unit/sf go LAST,
@@ -52,7 +71,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
-    println(s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum}""")
+    println(s"""{"queries":$qs,"calib_sec":${fmt(calib)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum}""")
     spark.stop()
   }
 }

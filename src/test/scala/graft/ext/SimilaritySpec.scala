@@ -129,6 +129,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, s"IVF-PQ recall@5 = $recall")
   }
 
+  test("IVF-PQ with nProbe = nCentroids degenerates to plain PQ exactly") {
+    // probing every cell removes the pruning, leaving codes + ADC +
+    // re-rank — which must be bit-identical to pqTopK (same sampled
+    // codebooks, same order-pinned argmin/sum/tie-breaks). Pins the
+    // composition against its parent: a drift in either the cell join
+    // or the shared code path breaks equality, not just recall.
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 8)
+    val full = Similarity.ivfpqTopK(q, e, k = 5, nCentroids = 16, nProbe = 16)
+      .collect().map(_.toSeq).toSet
+    val pq = Similarity.pqTopK(q, e, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(full == pq)
+  }
+
   test("IVF-PQ scans only probed cells: every neighbor lies in a probed cell of its query") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 8)

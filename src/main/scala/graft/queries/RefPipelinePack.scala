@@ -413,6 +413,72 @@ object RefPipelinePack extends QueryPack {
              |FROM lineitem
              |GROUP BY ship_year ORDER BY ship_year""".stripMargin)),
 
+    // Morton (z-order) routing key: the bit math behind ZOrderSink,
+    // oracled value-by-value. The magic-mask spreading is plain integer
+    // arithmetic on codegen'd built-ins, so DuckDB replays the identical
+    // 8-4-2-1 shift cascade with `<<`, `&`, `|` and integer division —
+    // the clustered-layout write (q_zorder_layout) then rides on a key
+    // the driver has already hash-checked.
+    "q_zorder_key" -> QueryDef(
+      "Morton z-values of (user bucket, day index) — ZOrderSink's routing key",
+      (s, dir) => {
+        val u = graft.io.ZOrderSink.boundedBucket(col("user_id"), 1L << 20)
+        val d = datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long")
+        Tables.events(s, dir)
+          .filter(col("event_id") < 2000)
+          .select(col("event_id"), u.as("u16"), d.as("d16"),
+            graft.io.ZOrderSink.zValue(u, d).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id,
+             |    (user_id * 65536) // 1048576 AS u16,
+             |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d16
+             |  FROM events WHERE event_id < 2000),
+             |s1 AS (SELECT event_id, u16, d16,
+             |  ((u16 & 65535) | ((u16 & 65535) << 8)) & 16711935 AS ua,
+             |  ((d16 & 65535) | ((d16 & 65535) << 8)) & 16711935 AS da FROM b),
+             |s2 AS (SELECT event_id, u16, d16,
+             |  ((ua | (ua << 4)) & 252645135) AS ub,
+             |  ((da | (da << 4)) & 252645135) AS db FROM s1),
+             |s3 AS (SELECT event_id, u16, d16,
+             |  ((ub | (ub << 2)) & 858993459) AS uc,
+             |  ((db | (db << 2)) & 858993459) AS dc FROM s2),
+             |s4 AS (SELECT event_id, u16, d16,
+             |  ((uc | (uc << 1)) & 1431655765) AS ud,
+             |  ((dc | (dc << 1)) & 1431655765) AS dd FROM s3)
+             |SELECT event_id, u16, d16, ud | (dd << 1) AS z
+             |FROM s4 ORDER BY event_id""".stripMargin)),
+
+    // Z-order clustered write (ZOrderSink): range-partition + sort on
+    // the Morton value of (user bucket, day), so per-file min/max stats
+    // stay narrow on BOTH columns and a 2-D box predicate prunes files
+    // on either dimension — the multi-column complement to
+    // q_global_sort's 1-D total sort. ZOrderSpec proves the pruning
+    // property on the actual footer stats; the oracle proves the
+    // clustered layout is invisible in results (identity round trip).
+    "q_zorder_layout" -> QueryDef(
+      "Z-order clustered parquet write + 2-D box read-back vs original",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+              .cast("long").as("day"),
+            col("value"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+        graft.io.ZOrderSink.write(ev, tmp, numFiles = 8,
+          graft.io.ZOrderSink.boundedBucket(col("user_id"), 1L << 20), col("day"))
+        s.read.schema(ev.schema).parquet(tmp)
+          .filter(col("user_id").between(3, 60) && col("day").between(5, 12))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+            min("event_id").as("min_event"), max("event_id").as("max_event"))
+      },
+      Some("""SELECT COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value,
+             |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
+             |FROM events
+             |WHERE user_id BETWEEN 3 AND 60
+             |  AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 5 AND 12""".stripMargin)),
+
     // Partitioned-layout round trip: write a slice partitioned by
     // priority, read it back with a partition predicate. At 100 TB this
     // layout turns the filter into directory pruning — the scan never

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryPack, Tables}
+import graft.ops.IncrementalAgg
 
 /** Core scan/filter/project/aggregate/set operators (SURVEY.md §2.1-§2.2,
   * §2.4, §2.6-§2.8) re-expressed over the harness tables.
@@ -177,6 +178,41 @@ object CorePack extends QueryPack {
              |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Incremental aggregate maintenance (ops/IncrementalAgg): a
+    // historical snapshot's mergeable state (count/sum/min/max in
+    // integer cents) merged with the remaining days' delta must equal
+    // the single-shot aggregate over the whole table — so the oracle IS
+    // the full recompute, and any drift in the merge algebra
+    // (double-count, lost key, min/max fold) is a hash failure. At
+    // 100 TB the daily refresh touches |delta| + |state|, never the
+    // fact history; avg derives from the state at read time to stay
+    // mergeable.
+    "q_incremental_agg" -> QueryDef(
+      "Snapshot state + delta batch merged == full recompute (count/sum/min/max per priority)",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+            col("o_orderdate"))
+        val cut = lit("1996-01-01").cast("timestamp")
+        val keys = Seq("o_orderpriority")
+        val ms = Seq("cents")
+        val state = IncrementalAgg.toState(orders.filter(col("o_orderdate") < cut), keys, ms)
+        val delta = IncrementalAgg.toState(orders.filter(col("o_orderdate") >= cut), keys, ms)
+        IncrementalAgg.merge(state, delta, keys, ms)
+          .select(col("o_orderpriority"), col("n"),
+            col("sum_cents"), col("min_cents"), col("max_cents"),
+            round(col("sum_cents") / col("n") / 100.0, 2).as("avg_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS min_cents,
+             |  MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS max_cents,
+             |  ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / COUNT(*) / 100.0, 2) AS avg_price
+             |FROM orders
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // A4 — COUNT(DISTINCT) beside other aggs + HAVING (README.md:211).
     "q_having_distinct" -> QueryDef(

@@ -325,6 +325,58 @@ object TextPack extends QueryPack {
              |FROM tc, top10
              |GROUP BY top10_mass""".stripMargin)),
 
+    // Count-min-sketch heavy hitters (ext/Sketches): the exact top-15
+    // tokens estimated from a FIXED 4×1024-counter summary of the whole
+    // token stream. The sketch's md5-derived universal hashes are the
+    // MinHash family's rows 0..3, so DuckDB replays every counter and
+    // every min-over-rows estimate exactly — the overcount column is
+    // the sketch's actual collision error, hash-gated, not a tolerance.
+    // At 100 TB: the sketch builds map-side (shuffle ≤ 4096 rows after
+    // partial agg), merges bucket-wise across batches, broadcasts to
+    // estimate any candidate set from 16 KB.
+    "text_heavy_hitters" -> QueryDef(
+      "Count-min sketch estimates of the exact top-15 tokens, with per-token overcount",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+        val sketch = graft.ext.Sketches.cmsBuild(tok, "tok")
+        val top = tok.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok").asc).limit(15)
+        graft.ext.Sketches.cmsEstimate(sketch, top, "tok")
+          .select(col("tok"), col("exact_n"), col("cms_n"),
+            (col("cms_n") - col("exact_n")).as("overcount"))
+          .orderBy(col("exact_n").desc, col("tok").asc)
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents),
+             |hx AS (
+             |  SELECT tok, CAST(('0x'||substring(md5(tok),1,8)) AS BIGINT) AS hx FROM tok),
+             |buckets AS (
+             |  SELECT r.row,
+             |    ((CASE r.row WHEN 0 THEN 387412301*hx + 12097
+             |                 WHEN 1 THEN 204209821*hx + 29063
+             |                 WHEN 2 THEN 918273647*hx + 40213
+             |                 ELSE 536870923*hx + 17389 END) % 4294967311) % 1024 AS bucket
+             |  FROM hx CROSS JOIN (VALUES (0), (1), (2), (3)) r(row)),
+             |cms AS (
+             |  SELECT row, bucket, COUNT(*) AS cnt FROM buckets GROUP BY row, bucket),
+             |top AS (
+             |  SELECT tok, COUNT(*) AS exact_n FROM tok GROUP BY tok
+             |  ORDER BY exact_n DESC, tok ASC LIMIT 15),
+             |est AS (
+             |  SELECT t.tok, t.exact_n, MIN(c.cnt) AS cms_n
+             |  FROM (SELECT tok, exact_n,
+             |          CAST(('0x'||substring(md5(tok),1,8)) AS BIGINT) AS hx FROM top) t
+             |  CROSS JOIN (VALUES (0), (1), (2), (3)) r(row)
+             |  JOIN cms c ON c.row = r.row AND c.bucket =
+             |    ((CASE r.row WHEN 0 THEN 387412301*t.hx + 12097
+             |                 WHEN 1 THEN 204209821*t.hx + 29063
+             |                 WHEN 2 THEN 918273647*t.hx + 40213
+             |                 ELSE 536870923*t.hx + 17389 END) % 4294967311) % 1024
+             |  GROUP BY t.tok, t.exact_n)
+             |SELECT tok, exact_n, cms_n, cms_n - exact_n AS overcount
+             |FROM est ORDER BY exact_n DESC, tok ASC""".stripMargin)),
+
     // Per-doc token-distribution Shannon entropy (bits/token) — the
     // quality signal that separates natural text (high entropy) from
     // boilerplate/repetition (low). Both float sums — per-doc Σ p·log2 p

@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Count-min guarantees, checked on the real corpus: one-sided error
+  * for EVERY token (not just the queried top-k), bucket-wise
+  * mergeability across a corpus split, and the fixed sketch size.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tokenRows = Tables.documents(spark, sf)
+    .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+
+  test("CMS estimate >= exact count for every token in the corpus; sketch size is fixed") {
+    val tok = tokenRows.select("tok")
+    val sketch = Sketches.cmsBuild(tok, "tok")
+    assert(sketch.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
+    val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    val est = Sketches.cmsEstimate(sketch, exact, "tok")
+    val under = est.filter(col("cms_n") < col("exact_n")).count()
+    assert(under == 0, s"count-min must never undercount; $under tokens did")
+    // collision overcount stays in the expected regime: E[over] per row
+    // is n/width, min over depth rows only helps — allow 4x slack on
+    // the single-row expectation before calling the hashing broken
+    val stats = est.agg(
+      avg(col("cms_n") - col("exact_n")).as("avg_over"),
+      sum("exact_n").as("n")).collect().head
+    val bound = 4.0 * stats.getLong(1) / Sketches.CmsWidth
+    assert(stats.getDouble(0) <= bound,
+      s"avg overcount ${stats.getDouble(0)} exceeds $bound — hash family degenerated")
+  }
+
+  test("CMS merges bucket-wise across a corpus split (decomposable build)") {
+    val parts = tokenRows.withColumn("p", col("doc_id") % 2)
+    val whole = Sketches.cmsBuild(tokenRows.select("tok"), "tok")
+    val merged = Sketches.cmsBuild(parts.filter(col("p") === 0).select("tok"), "tok")
+      .unionByName(Sketches.cmsBuild(parts.filter(col("p") === 1).select("tok"), "tok"))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("row", "bucket").collect().map(_.toSeq).toSeq
+    assert(canon(merged) == canon(whole))
+  }
+}

@@ -378,26 +378,7 @@ object WindowPack extends QueryPack {
     // customer key partitions the work; nothing is global.
     "q_scd2_history" -> QueryDef(
       "Type-2 effective-dated priority history per customer (islands + LEAD)",
-      (s, dir) => {
-        val w = Window.partitionBy("o_custkey")
-          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-        val versioned = Tables.orders(s, dir)
-          .filter(col("o_custkey") % 50 === 0)
-          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-            col("o_orderpriority"))
-          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
-          .withColumn("chg",
-            when(col("prev").isNull || col("prev") =!= col("o_orderpriority"), 1L)
-              .otherwise(0L))
-          .withColumn("version", sum("chg").over(w))
-        val wv = Window.partitionBy("o_custkey").orderBy("version")
-        versioned
-          .groupBy("o_custkey", "version", "o_orderpriority")
-          .agg(min("o_orderdate").as("eff_from"), count(lit(1)).as("n_orders"))
-          .withColumn("eff_to", lead(col("eff_from"), 1).over(wv))
-          .withColumn("is_current", col("eff_to").isNull)
-          .orderBy("o_custkey", "version")
-      },
+      (s, dir) => scd2History(s, dir).orderBy("o_custkey", "version"),
       Some("""WITH v AS (
              |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
              |    CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
@@ -418,6 +399,90 @@ object WindowPack extends QueryPack {
              |  LEAD(eff_from) OVER (PARTITION BY o_custkey ORDER BY version) AS eff_to,
              |  LEAD(eff_from) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL
              |    AS is_current
-             |FROM g ORDER BY o_custkey, version""".stripMargin))
+             |FROM g ORDER BY o_custkey, version""".stripMargin)),
+
+    // Temporal (point-in-time) join: every order of the sliced customers
+    // looked up against the SCD2 history at its own order date — the
+    // consumption side of q_scd2_history's build, driven through the
+    // NATIVE partitioned as-of operator (backward on eff_from, version
+    // as the tie-break so a same-day flip resolves to the latest
+    // version, exactly the row_number-DESC pick the oracle makes).
+    // n_self counts lookups whose resolved dimension value equals the
+    // fact's own attribute — the reconciliation number a warehouse
+    // backfill audit watches. At 100 TB both sides hash-partition on
+    // the customer key; the history is version-compressed, so the
+    // as-of build side is orders-of-magnitude smaller than the facts.
+    "q_temporal_join" -> QueryDef(
+      "Point-in-time lookup of facts against SCD2 validity ranges (native as-of)",
+      (s, dir) => {
+        val hist = scd2History(s, dir)
+          .select(col("o_custkey"), col("version"),
+            col("o_orderpriority").as("dim_priority"),
+            col("eff_from").as("pit"))
+        val facts = Tables.orders(s, dir)
+          .filter(col("o_custkey") % 50 === 0)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderdate").as("pit"))
+        graft.ops.AsOfJoin.leftAsOfPartitioned(
+          facts, hist,
+          keyCol = "o_custkey", tsCol = "pit",
+          valueCols = Seq("dim_priority"), rightTieBreak = "version")
+          .groupBy(col("asof_dim_priority").as("dim_priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("asof_dim_priority") === col("o_orderpriority"), 1L)
+              .otherwise(0L)).as("n_self"))
+          .orderBy("dim_priority")
+      },
+      Some("""WITH v AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             |    CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM orders WHERE o_custkey % 50 = 0
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)),
+             |n AS (
+             |  SELECT o_custkey, o_orderdate, o_orderpriority,
+             |    CAST(SUM(chg) OVER (PARTITION BY o_custkey
+             |                        ORDER BY o_orderdate ASC, o_orderkey ASC
+             |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+             |  FROM v),
+             |hist AS (
+             |  SELECT o_custkey, version, o_orderpriority AS dim_priority,
+             |    MIN(o_orderdate) AS eff_from
+             |  FROM n GROUP BY o_custkey, version, dim_priority),
+             |pick AS (
+             |  SELECT o.o_orderkey, o.o_orderpriority, h.dim_priority,
+             |    ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+             |                       ORDER BY h.eff_from DESC, h.version DESC) AS rk
+             |  FROM (SELECT * FROM orders WHERE o_custkey % 50 = 0) o
+             |  JOIN hist h ON h.o_custkey = o.o_custkey AND h.eff_from <= o.o_orderdate)
+             |SELECT dim_priority, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN dim_priority = o_orderpriority THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_self
+             |FROM pick WHERE rk = 1
+             |GROUP BY dim_priority ORDER BY dim_priority""".stripMargin))
   )
+
+  /** Shared SCD2 build for q_scd2_history and q_temporal_join: collapse
+    * each customer's order stream into effective-dated priority versions
+    * (gaps-and-islands; both windows ride ONE custkey exchange).
+    */
+  private def scd2History(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val versioned = Tables.orders(s, dir)
+      .filter(col("o_custkey") % 50 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("o_orderpriority"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum("chg").over(w))
+    val wv = Window.partitionBy("o_custkey").orderBy("version")
+    versioned
+      .groupBy("o_custkey", "version", "o_orderpriority")
+      .agg(min("o_orderdate").as("eff_from"), count(lit(1)).as("n_orders"))
+      .withColumn("eff_to", lead(col("eff_from"), 1).over(wv))
+      .withColumn("is_current", col("eff_to").isNull)
+  }
 }

@@ -160,4 +160,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
     assert(p.contains("hashpartitioning(event_type"))
   }
+
+  test("q_temporal_join resolves through the native partitioned as-of operator") {
+    // the point-in-time lookup must actually hit SortMergeAsOfJoinExec —
+    // a silent fallback to a generic join would still pass the oracle
+    // but lose the operator's bounded-buffer merge at scale
+    assert(plan("q_temporal_join").contains("SortMergeAsOfJoin"))
+  }
+
+  test("text_heavy_hitters broadcasts the fixed-size sketch to the estimate join") {
+    // the CMS is <= depth x width rows by construction; estimating
+    // candidates must be a broadcast join, never a shuffle of the sketch
+    // side per candidate batch
+    assert(plan("text_heavy_hitters").contains("BroadcastHashJoin"))
+  }
 }

@@ -18,9 +18,16 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Catalog.all.map { case (name, q) => name -> q.fn } +
-      ("metrics_view" -> ((s: SparkSession, dir: String) => ops.MetricsView(Tables.events(s, dir))))
+      ("metrics_view" -> ((s: SparkSession, dir: String) => ops.MetricsView(Tables.events(s, dir)))) +
+      // Two-pass dynamic-pivot form (the engine-API entry point users
+      // call when the group list is not known up front). The testdata's
+      // event_type domain equals MetricsView.eventTypes, so the collected
+      // list — and therefore the result — matches the fixed-list oracle.
+      ("metrics_view_dynamic" -> ((s: SparkSession, dir: String) =>
+        ops.MetricsView.dynamic(Tables.events(s, dir))))
 
   def oracleSql: Map[String, String] =
     Catalog.all.collect { case (name, QueryDef(_, _, Some(sql))) => name -> sql } +
-      ("metrics_view" -> ops.MetricsView.oracle)
+      ("metrics_view" -> ops.MetricsView.oracle) +
+      ("metrics_view_dynamic" -> ops.MetricsView.oracle)
 }

@@ -24,7 +24,143 @@ object RefPipelinePack extends QueryPack {
     System.setProperty("derby.stream.error.file",
       java.nio.file.Files.createTempDirectory("graft-derby").resolve("derby.log").toString)
 
+  // ---- q_ida_e2e fixture: the raw spreadsheet shapes of FIXTURES.md §A1 ----
+
+  private val Ida = "Indicador de Desempenho no Atendimento (IDA)"
+
+  /** SMP file: metadata preamble + blank row + header buried at index 3,
+    * timestamp-formatted month names, pt-BR decimals, trailing zeros,
+    * invalid markers (ND, -), a lossy multi-dot cell, null cells, and one
+    * exact duplicate data row (main.py:202-257, 398-428, 450-474,
+    * 531-582, 647).
+    */
+  private def idaFileSmp: Seq[Seq[String]] = {
+    val claro = Seq("CLARO", Ida, "80,00", "88.00", "110", "99,0", "90,00")
+    Seq(
+      Seq("ÍNDICE DE DESEMPENHO NO ATENDIMENTO (IDA)", null, null, null, null, null, null),
+      Seq("SERVIÇO: SMP", "PERÍODO: 2015", "FONTE: ANATEL", null, null, null, null),
+      Seq(null, null, null, null, null, null, null),
+      Seq("GRUPO ECONÔMICO", "VARIAVEL", "2015-01-01 00:00:00", "2015-02-01 00:00:00",
+        "2015-03-01 00:00:00", "2015-04-01 00:00:00", "2015-05-01 00:00:00"),
+      Seq("ALGAR", Ida, "0,00", "10", "12,00", "ND", null),
+      claro,
+      claro, // exact duplicate — consolidation must drop_duplicates it
+      Seq("OI", Ida, "1.000,00", "1.250,00", "1.500,00", "ND", null),
+      Seq("TIM", Ida, "300,00", "345.00", "293,25", null, null),
+      Seq("VIVO", Ida, null, "50", "60,00", null, null),
+      Seq("TIM", "Taxa de Resolvidas em 5 dias úteis", "1.234.56", "95,5", "-", null, null))
+  }
+
+  /** STFC file: header at index 0, already-normalized month names, a
+    * blank row and a metadata row INSIDE the data (exercising
+    * dropAllNullRows / dropMetadataRows after header promotion), and an
+    * empty-string invalid cell.
+    */
+  private def idaFileStfc: Seq[Seq[String]] = Seq(
+    Seq("GRUPO ECONÔMICO", "VARIAVEL", "2015-02", "2015-03", "2015-04"),
+    Seq("CLARO", Ida, "40,00", "50.00", "45,0"),
+    Seq("CLARO", "Quantidade de Sollicitações", "1.234.56", "-", ""),
+    Seq(null, null, null, null, null),
+    Seq("PARA MAIORES INFORMAÇÕES, ACESSE WWW.ANATEL.GOV.BR", null, null, null, null))
+
+  /** The q_ida_e2e oracle replays the fixture's post-unpivot long rows as
+    * a VALUES table and pushes them through the SAME SQL stages the
+    * engine runs: whole-row DISTINCT, the locale parse
+    * (invalid-markers → NULL; '1.234,56' → 1234.56; '1234,56' → 1234.56;
+    * multi-dot → digit concat), month-date cast, per-(month, group) AVG,
+    * LAG pct-change with NULLIF, dynamic pivot, HAVING ≥ 2 groups.
+    */
+  private def idaOracle: String = {
+    def rows(g: String, s: String, months: Seq[String], raws: Seq[String], tipo: String) =
+      months.zip(raws).map { case (m, r) =>
+        val rv = Option(r).map(v => s"'$v'").getOrElse("NULL")
+        s"('$g', '$s', '$m', $rv, '$tipo')"
+      }
+    val mA = Seq("2015-01", "2015-02", "2015-03", "2015-04", "2015-05")
+    val mB = Seq("2015-02", "2015-03", "2015-04")
+    val values = (
+      rows("ALGAR", Ida, mA, Seq("0,00", "10", "12,00", "ND", null), "SMP") ++
+      rows("CLARO", Ida, mA, Seq("80,00", "88.00", "110", "99,0", "90,00"), "SMP") ++
+      rows("CLARO", Ida, mA, Seq("80,00", "88.00", "110", "99,0", "90,00"), "SMP") ++
+      rows("OI", Ida, mA, Seq("1.000,00", "1.250,00", "1.500,00", "ND", null), "SMP") ++
+      rows("TIM", Ida, mA, Seq("300,00", "345.00", "293,25", null, null), "SMP") ++
+      rows("VIVO", Ida, mA, Seq(null, "50", "60,00", null, null), "SMP") ++
+      rows("TIM", "Taxa de Resolvidas em 5 dias úteis",
+        mA, Seq("1.234.56", "95,5", "-", null, null), "SMP") ++
+      rows("CLARO", Ida, mB, Seq("40,00", "50.00", "45,0"), "STFC") ++
+      rows("CLARO", "Quantidade de Sollicitações", mB, Seq("1.234.56", "-", ""), "STFC")
+    ).mkString(",\n    ")
+    val pivot = Seq("ALGAR", "CLARO", "OI", "TIM", "VIVO").map { g =>
+      s"""COALESCE(ROUND(AVG(CASE WHEN grupo_economico = '$g' THEN taxa_var END), 1), 0.0) AS "taxa_$g""""
+    }.mkString(",\n  ")
+    s"""WITH raw(grupo_economico, servico, mes, valor_raw, tipo_servico) AS (
+       |  VALUES
+       |    $values
+       |), dedup AS (
+       |  SELECT DISTINCT * FROM raw
+       |), stripped AS (
+       |  SELECT *, regexp_replace(valor_raw, '[^0-9.,]', '', 'g') AS s FROM dedup
+       |), parsed AS (
+       |  SELECT grupo_economico, servico,
+       |    CAST(mes || '-01' AS DATE) AS mes_referencia,
+       |    CASE
+       |      WHEN valor_raw IS NULL THEN NULL
+       |      WHEN trim(valor_raw) IN ('-', '--', '---', 'ND', 'N/D', 'nan', 'NaN', '') THEN NULL
+       |      WHEN s = '' THEN NULL
+       |      WHEN contains(s, ',') AND contains(s, '.')
+       |        THEN CAST(replace(replace(s, '.', ''), ',', '.') AS DOUBLE)
+       |      WHEN contains(s, ',') THEN CAST(replace(s, ',', '.') AS DOUBLE)
+       |      WHEN length(s) - length(replace(s, '.', '')) > 1
+       |        THEN CAST(replace(s, '.', '') AS DOUBLE)
+       |      ELSE CAST(s AS DOUBLE)
+       |    END AS valor,
+       |    tipo_servico
+       |  FROM stripped
+       |), monthly AS (
+       |  SELECT mes_referencia, grupo_economico, AVG(valor) AS valor_atual
+       |  FROM parsed WHERE servico = '$Ida'
+       |  GROUP BY 1, 2
+       |), lagged AS (
+       |  SELECT *, LAG(valor_atual) OVER (PARTITION BY grupo_economico ORDER BY mes_referencia) AS valor_anterior
+       |  FROM monthly
+       |), taxa AS (
+       |  SELECT mes_referencia, grupo_economico,
+       |    ROUND((valor_atual - valor_anterior) / NULLIF(valor_anterior, 0) * 100, 1) AS taxa_var
+       |  FROM lagged WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
+       |)
+       |SELECT mes_referencia, ROUND(AVG(taxa_var), 1) AS taxa_variacao_media,
+       |  $pivot
+       |FROM taxa
+       |GROUP BY mes_referencia
+       |HAVING COUNT(DISTINCT grupo_economico) >= 2
+       |ORDER BY mes_referencia DESC""".stripMargin
+  }
+
   def queries: Map[String, QueryDef] = Map(
+
+    // The WHOLE reference system as one hash-gated query
+    // (/root/reference/main.py:719-751 + README.md:119-219): two raw
+    // spreadsheets (metadata preamble, buried header, timestamped month
+    // columns, pt-BR numbers, lossy multi-dot, invalid markers,
+    // duplicates) written as real .ods zips, read back via format("ods"),
+    // cleaned per-file, consolidated, and fed to the consolidacao view in
+    // its ORIGINAL shape (dynamic group list, month granularity). Every
+    // stage was already individually oracled; this row gates the
+    // COMPOSITION. Fixture is scale-invariant by design: spreadsheets are
+    // driver-side reference data, the view runs distributed.
+    "q_ida_e2e" -> QueryDef(
+      "Reference system e2e: raw ODS files -> cleanFile -> consolidate -> consolidacao view",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ida-e2e").toString
+        graft.io.OdsWriter.write(idaFileSmp, s"$tmp/smp_2015.ods")
+        graft.io.OdsWriter.write(idaFileStfc, s"$tmp/stfc_2015.ods")
+        val cleaned = Seq("SMP" -> s"$tmp/smp_2015.ods", "STFC" -> s"$tmp/stfc_2015.ods")
+          .map { case (servico, path) =>
+            graft.ops.IdaPipeline.cleanFile(s.read.format("ods").load(path), servico)
+          }
+        graft.ops.MetricsView.overIda(graft.ops.IdaPipeline.consolidate(cleaned))
+      },
+      Some(idaOracle)),
 
     // F5 — locale parse across all its branches: pt-BR thousands+comma,
     // bare comma-decimal, lossy multi-dot concat, invalid markers.

@@ -37,7 +37,7 @@ object GraftSession {
 
   /** Install the engine on a LIVE session (the builder path can't change
     * an already-started JVM-wide session): registers every harness table
-    * as a temp view (`events` through the nanos-timestamp fix), the SQL
+    * as a temp view (`events` through Tables.normalizeTs), the SQL
     * functions, and the as-of planner strategy. Idempotent.
     */
   def attach(spark: SparkSession, sfDir: String): Unit = {

@@ -12,8 +12,9 @@ object OperatorIndex {
 
   def render: String = {
     val sb = new StringBuilder
-    val total = Catalog.all.size + 1 // + metrics_view (flagship, SparkEntry)
-    val oracled = Catalog.all.values.count(_.oracle.isDefined) + 1
+    // + metrics_view and metrics_view_dynamic (flagship pair, SparkEntry)
+    val total = Catalog.all.size + 2
+    val oracled = Catalog.all.values.count(_.oracle.isDefined) + 2
     sb ++= "# Operator index\n\n"
     sb ++= "One line per query in the engine's driver-checked surface — what it\n"
     sb ++= "computes and whether the driver gate hash-compares it against a DuckDB\n"
@@ -24,7 +25,10 @@ object OperatorIndex {
     sb ++= "## Flagship (SparkEntry.entry)\n\n"
     sb ++= "| query | check | what it computes |\n|---|---|---|\n"
     sb ++= "| `metrics_view` | oracle | The reference's consolidacao_de_metricas view: " +
-      "month-over-month % variation of average IDA per group (LAG + pivot + HAVING) |\n\n"
+      "month-over-month % variation of average IDA per group (LAG + pivot + HAVING) |\n"
+    sb ++= "| `metrics_view_dynamic` | oracle | The flagship with the pivot group list " +
+      "collected from the data (two-pass dynamic pivot), the reference's original " +
+      "dynamic-column shape |\n\n"
     Catalog.packs.foreach { pack =>
       sb ++= s"## ${pack.name} (${pack.queries.size})\n\n"
       sb ++= "| query | check | what it computes |\n|---|---|---|\n"

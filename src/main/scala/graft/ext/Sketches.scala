@@ -38,34 +38,44 @@ object Sketches {
     * (row, bucket, cnt), at most depth × width rows. The explode
     * barrier materializes the md5 hash ONCE per token (house rule for
     * re-evaluated subtrees); the row fan-out happens after, on the
-    * 64-bit hash, inside codegen.
+    * 64-bit hash, inside codegen. Internal working columns carry a
+    * `__cms_` prefix so they can never collide with a caller column;
+    * (row, bucket, cnt) is the sketch's public schema.
     */
   def cmsBuild(tokenRows: DataFrame, tokCol: String): DataFrame = {
     val hashed = tokenRows.select(
-      explode(array(Hashing.portableTokenHash(col(tokCol)))).as("hx"))
+      explode(array(Hashing.portableTokenHash(col(tokCol)))).as("__cms_hx"))
     hashed
       .select(explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("row"), cmsBucket(i)(col("hx")).as("bucket"))): _*)).as("rb"))
-      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+        struct(lit(i).as("r"), cmsBucket(i)(col("__cms_hx")).as("b"))): _*)).as("__cms_rb"))
+      .groupBy(col("__cms_rb.r").as("row"), col("__cms_rb.b").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
   /** Point-estimate every row of `candidates`: min over the sketch rows
     * of the candidate's bucket counter, appended as `cms_n`. The sketch
-    * (≤ depth × width rows) broadcasts; candidate columns pass through.
-    * Every estimated token must have streamed into the sketch at least
-    * once (inner join keeps the min over exactly `CmsDepth` rows).
+    * (≤ depth × width rows) broadcasts; candidate columns pass through
+    * untouched — all join/working columns are `__cms_`-prefixed, so a
+    * candidate frame may itself contain `row`/`bucket`/`cnt`/`hx`.
+    * The explode barrier materializes the candidate hash once (not once
+    * per sketch row). Every estimated token must have streamed into the
+    * sketch at least once (inner join keeps the min over exactly
+    * `CmsDepth` rows).
     */
   def cmsEstimate(sketch: DataFrame, candidates: DataFrame, tokCol: String): DataFrame = {
     val passThrough = candidates.columns.map(col).toSeq
+    val sk = sketch.select(col("row").as("__cms_row"), col("bucket").as("__cms_bucket"),
+      col("cnt").as("__cms_cnt"))
     val withBuckets = candidates
-      .withColumn("hx", Hashing.portableTokenHash(col(tokCol)))
+      .select(passThrough :+ explode(array(
+        Hashing.portableTokenHash(col(tokCol)))).as("__cms_hx"): _*)
       .select(passThrough :+ explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("row"), cmsBucket(i)(col("hx")).as("bucket"))): _*)).as("rb"): _*)
-      .select(passThrough :+ col("rb.row").as("row") :+ col("rb.bucket").as("bucket"): _*)
+        struct(lit(i).as("r"), cmsBucket(i)(col("__cms_hx")).as("b"))): _*)).as("__cms_rb"): _*)
+      .select(passThrough :+ col("__cms_rb.r").as("__cms_row") :+
+        col("__cms_rb.b").as("__cms_bucket"): _*)
     withBuckets
-      .join(broadcast(sketch), Seq("row", "bucket"))
+      .join(broadcast(sk), Seq("__cms_row", "__cms_bucket"))
       .groupBy(passThrough: _*)
-      .agg(min(col("cnt")).as("cms_n"))
+      .agg(min(col("__cms_cnt")).as("cms_n"))
   }
 }

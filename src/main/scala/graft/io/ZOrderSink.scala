@@ -54,15 +54,20 @@ object ZOrderSink {
     * exact integer arithmetic (`(c * 65536) DIV domain`) — monotone, so
     * range predicates on the original column survive bucketing, and
     * replayable in any SQL engine (no floating point). Values outside
-    * the declared domain would fold into the wrong bucket; callers own
-    * the domain bound the way they own a partition-column's hygiene.
+    * the declared domain CLAMP to the edge buckets (0 / 65535): without
+    * the clamp a value ≥ domain spreads past 16 bits and the Morton
+    * mask silently wraps it near bucket 0 — out-of-range rows would
+    * cluster with the SMALLEST keys and quietly widen every file's
+    * zone map at scale. Clamping keeps monotonicity and keeps stragglers
+    * in the edge file where they only hurt themselves.
     */
   def boundedBucket(c: Column, domain: Long): Column = {
     require(domain > 0, s"domain must be positive, got $domain")
+    val clamped = least(greatest(c.cast("long"), lit(0L)), lit(domain - 1L))
     // IntegralDivide (SQL DIV), not floor(a / b): the double division's
     // 2^-52 relative error exceeds 1/domain for domains past ~2^20, so
     // floor could land one bucket off on exact boundaries
-    call_function("div", c.cast("long") * lit(65536L), lit(domain))
+    call_function("div", clamped * lit(65536L), lit(domain))
   }
 
   /** Write `df` to `path` as `numFiles` parquet files clustered on the

@@ -39,11 +39,20 @@ object MetricsView {
   def apply(events: DataFrame): DataFrame = buildView(events, eventTypes)
 
   /** Dynamic variant (SURVEY.md §7.4 #5): pivot groups collected from the
-    * data (two-pass) — the engine-API form.
+    * data (two-pass) — the engine-API form. NULL groups are excluded (a
+    * null can't name a pivot column), and a collected set that differs
+    * from the fixed [[eventTypes]] list is logged loudly: the
+    * metrics_view_dynamic driver gate shares metrics_view's oracle, which
+    * is only sound while the data's type domain equals the fixed list.
     */
   def dynamic(events: DataFrame): DataFrame = {
-    val types = events.select("event_type").distinct()
+    val types = events.select("event_type")
+      .filter(col("event_type").isNotNull).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
+    if (types != eventTypes)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dynamic pivot collected event_type domain $types != fixed $eventTypes; " +
+          "the shared metrics_view oracle no longer applies to this data")
     buildView(events, types)
   }
 

@@ -423,7 +423,7 @@ object CorePack extends QueryPack {
           .join(purchases, Seq("user_id"), "left_outer")
           .withColumn("within_1h",
             col("p_ts").isNotNull && col("p_ts") >= col("first_click") &&
-              col("p_ts").cast("long") - col("first_click").cast("long") <= 3600)
+              Tables.epochSeconds(col("p_ts")) - Tables.epochSeconds(col("first_click")) <= 3600)
           .groupBy("user_id", "first_click")
           .agg(max(when(col("within_1h"), 1).otherwise(0)).as("converted"),
             count(when(col("within_1h"), 1)).as("n_purchases_1h"))
@@ -457,7 +457,7 @@ object CorePack extends QueryPack {
           .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
           .withColumn("new_session",
             when(col("prev_ts").isNull ||
-              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+              Tables.epochSeconds(col("ts")) - Tables.epochSeconds(col("prev_ts")) > 1800, 1L).otherwise(0L))
           .withColumn("session_id", sum(col("new_session")).over(wRun))
           .groupBy("user_id", "session_id")
           .agg(count(lit(1)).as("n_events"))

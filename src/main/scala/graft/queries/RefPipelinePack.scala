@@ -26,6 +26,29 @@ object RefPipelinePack extends QueryPack {
 
   // ---- q_ida_e2e fixture: the raw spreadsheet shapes of FIXTURES.md §A1 ----
 
+  /** The two .ods fixture files, written ONCE per JVM (lazy val): the
+    * spreadsheets are immutable reference data, so bench iterations and
+    * plan dumps re-read the same files instead of leaking a temp dir and
+    * redoing driver-side zip writes on every invocation.
+    */
+  /** q_zorder_layout's clustered-write target per sfDir (see the query). */
+  private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val idaFixtureDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ida-e2e").toString
+    graft.io.OdsWriter.write(idaFileSmp, s"$tmp/smp_2015.ods")
+    graft.io.OdsWriter.write(idaFileStfc, s"$tmp/stfc_2015.ods")
+    // the SCM file arrives as a latin-1 TSV (the reference's other ingest
+    // path, main.py:306-344): the Ô/ç/õ bytes are NOT valid UTF-8, so
+    // CsvEncodingReader's strict-decode probe must fall through to
+    // ISO-8859-1 for the header even to be found
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/scm_2015.tsv"),
+      idaFileScm.map(_.map(c => Option(c).getOrElse("")).mkString("\t")).mkString("\n")
+        .getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+    tmp
+  }
+
   private val Ida = "Indicador de Desempenho no Atendimento (IDA)"
 
   /** SMP file: metadata preamble + blank row + header buried at index 3,
@@ -63,6 +86,27 @@ object RefPipelinePack extends QueryPack {
     Seq(null, null, null, null, null),
     Seq("PARA MAIORES INFORMAÇÕES, ACESSE WWW.ANATEL.GOV.BR", null, null, null, null))
 
+  /** SCM file: the TSV/latin-1 ingest sibling — metadata row above the
+    * header, already-normalized month names, an invalid marker, and a
+    * non-IDA variable row with latin-1 accents in the data; one trailing
+    * metadata row inside the data (dropMetadataRows on the CSV path).
+    */
+  private def idaFileScm: Seq[Seq[String]] = Seq(
+    Seq("SERVIÇO: SCM", "PERÍODO: 2015", "FONTE: ANATEL", null, null),
+    Seq("GRUPO ECONÔMICO", "VARIAVEL", "2015-03", "2015-04", "2015-05"),
+    Seq("CLARO", Ida, "55,00", "66.00", "60,5"),
+    Seq("SERCOMTEL", Ida, "120,00", "150,00", "ND"),
+    Seq("SERCOMTEL", "Quantidade de Reclamações", "10", "20", "30"),
+    Seq("PARA MAIORES INFORMAÇÕES, ACESSE WWW.ANATEL.GOV.BR", null, null, null, null))
+
+  /** Post-unpivot long rows of the SCM TSV fixture. */
+  private def scmOracleRows: Seq[String] = {
+    val mC = Seq("2015-03", "2015-04", "2015-05")
+    oracleRows("CLARO", Ida, mC, Seq("55,00", "66.00", "60,5"), "SCM") ++
+    oracleRows("SERCOMTEL", Ida, mC, Seq("120,00", "150,00", "ND"), "SCM") ++
+    oracleRows("SERCOMTEL", "Quantidade de Reclamações", mC, Seq("10", "20", "30"), "SCM")
+  }
+
   /** The q_ida_e2e oracle replays the fixture's post-unpivot long rows as
     * a VALUES table and pushes them through the SAME SQL stages the
     * engine runs: whole-row DISTINCT, the locale parse
@@ -70,27 +114,34 @@ object RefPipelinePack extends QueryPack {
     * multi-dot → digit concat), month-date cast, per-(month, group) AVG,
     * LAG pct-change with NULLIF, dynamic pivot, HAVING ≥ 2 groups.
     */
-  private def idaOracle: String = {
-    def rows(g: String, s: String, months: Seq[String], raws: Seq[String], tipo: String) =
-      months.zip(raws).map { case (m, r) =>
-        val rv = Option(r).map(v => s"'$v'").getOrElse("NULL")
-        s"('$g', '$s', '$m', $rv, '$tipo')"
-      }
+  private def oracleRows(g: String, s: String, months: Seq[String], raws: Seq[String], tipo: String) =
+    months.zip(raws).map { case (m, r) =>
+      val rv = Option(r).map(v => s"'$v'").getOrElse("NULL")
+      s"('$g', '$s', '$m', $rv, '$tipo')"
+    }
+
+  /** Post-unpivot long rows of the two ODS fixture files. */
+  private def odsOracleRows: Seq[String] = {
     val mA = Seq("2015-01", "2015-02", "2015-03", "2015-04", "2015-05")
     val mB = Seq("2015-02", "2015-03", "2015-04")
-    val values = (
-      rows("ALGAR", Ida, mA, Seq("0,00", "10", "12,00", "ND", null), "SMP") ++
-      rows("CLARO", Ida, mA, Seq("80,00", "88.00", "110", "99,0", "90,00"), "SMP") ++
-      rows("CLARO", Ida, mA, Seq("80,00", "88.00", "110", "99,0", "90,00"), "SMP") ++
-      rows("OI", Ida, mA, Seq("1.000,00", "1.250,00", "1.500,00", "ND", null), "SMP") ++
-      rows("TIM", Ida, mA, Seq("300,00", "345.00", "293,25", null, null), "SMP") ++
-      rows("VIVO", Ida, mA, Seq(null, "50", "60,00", null, null), "SMP") ++
-      rows("TIM", "Taxa de Resolvidas em 5 dias úteis",
-        mA, Seq("1.234.56", "95,5", "-", null, null), "SMP") ++
-      rows("CLARO", Ida, mB, Seq("40,00", "50.00", "45,0"), "STFC") ++
-      rows("CLARO", "Quantidade de Sollicitações", mB, Seq("1.234.56", "-", ""), "STFC")
-    ).mkString(",\n    ")
-    val pivot = Seq("ALGAR", "CLARO", "OI", "TIM", "VIVO").map { g =>
+    oracleRows("ALGAR", Ida, mA, Seq("0,00", "10", "12,00", "ND", null), "SMP") ++
+    oracleRows("CLARO", Ida, mA, Seq("80,00", "88.00", "110", "99,0", "90,00"), "SMP") ++
+    oracleRows("CLARO", Ida, mA, Seq("80,00", "88.00", "110", "99,0", "90,00"), "SMP") ++
+    oracleRows("OI", Ida, mA, Seq("1.000,00", "1.250,00", "1.500,00", "ND", null), "SMP") ++
+    oracleRows("TIM", Ida, mA, Seq("300,00", "345.00", "293,25", null, null), "SMP") ++
+    oracleRows("VIVO", Ida, mA, Seq(null, "50", "60,00", null, null), "SMP") ++
+    oracleRows("TIM", "Taxa de Resolvidas em 5 dias úteis",
+      mA, Seq("1.234.56", "95,5", "-", null, null), "SMP") ++
+    oracleRows("CLARO", Ida, mB, Seq("40,00", "50.00", "45,0"), "STFC") ++
+    oracleRows("CLARO", "Quantidade de Sollicitações", mB, Seq("1.234.56", "-", ""), "STFC")
+  }
+
+  private def idaOracle: String =
+    idaOracleFor(odsOracleRows, Seq("ALGAR", "CLARO", "OI", "TIM", "VIVO"))
+
+  private def idaOracleFor(valueRows: Seq[String], groups: Seq[String]): String = {
+    val values = valueRows.mkString(",\n    ")
+    val pivot = groups.map { g =>
       s"""COALESCE(ROUND(AVG(CASE WHEN grupo_economico = '$g' THEN taxa_var END), 1), 0.0) AS "taxa_$g""""
     }.mkString(",\n  ")
     s"""WITH raw(grupo_economico, servico, mes, valor_raw, tipo_servico) AS (
@@ -151,9 +202,7 @@ object RefPipelinePack extends QueryPack {
     "q_ida_e2e" -> QueryDef(
       "Reference system e2e: raw ODS files -> cleanFile -> consolidate -> consolidacao view",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-ida-e2e").toString
-        graft.io.OdsWriter.write(idaFileSmp, s"$tmp/smp_2015.ods")
-        graft.io.OdsWriter.write(idaFileStfc, s"$tmp/stfc_2015.ods")
+        val tmp = idaFixtureDir
         val cleaned = Seq("SMP" -> s"$tmp/smp_2015.ods", "STFC" -> s"$tmp/stfc_2015.ods")
           .map { case (servico, path) =>
             graft.ops.IdaPipeline.cleanFile(s.read.format("ods").load(path), servico)
@@ -161,6 +210,27 @@ object RefPipelinePack extends QueryPack {
         graft.ops.MetricsView.overIda(graft.ops.IdaPipeline.consolidate(cleaned))
       },
       Some(idaOracle)),
+
+    // The same composed pipeline with the OTHER ingest path in the mix:
+    // a latin-1 TSV (S5 encoding-fallback reader) joins the two ODS files
+    // through the identical clean/consolidate/view flow — proving the
+    // consolidation is source-format-agnostic and gating the CSV reader
+    // inside the composition, not just in isolation (q_csv_latin1).
+    "q_ida_e2e_csv" -> QueryDef(
+      "Reference e2e with mixed ingest: 2 ODS + 1 latin-1 TSV -> consolidate -> view",
+      (s, dir) => {
+        val tmp = idaFixtureDir
+        val odsCleaned = Seq("SMP" -> s"$tmp/smp_2015.ods", "STFC" -> s"$tmp/stfc_2015.ods")
+          .map { case (servico, path) =>
+            graft.ops.IdaPipeline.cleanFile(s.read.format("ods").load(path), servico)
+          }
+        val csvCleaned = graft.ops.IdaPipeline.cleanFile(
+          graft.io.CsvEncodingReader.read(s, s"$tmp/scm_2015.tsv"), "SCM")
+        graft.ops.MetricsView.overIda(
+          graft.ops.IdaPipeline.consolidate(odsCleaned :+ csvCleaned))
+      },
+      Some(idaOracleFor(odsOracleRows ++ scmOracleRows,
+        Seq("ALGAR", "CLARO", "OI", "SERCOMTEL", "TIM", "VIVO")))),
 
     // F5 — locale parse across all its branches: pt-BR thousands+comma,
     // bare comma-decimal, lossy multi-dot concat, invalid markers.
@@ -601,7 +671,12 @@ object RefPipelinePack extends QueryPack {
             datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
               .cast("long").as("day"),
             col("value"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+        // one STABLE layout dir per sfDir for the JVM's lifetime: the
+        // clustered write (mode overwrite) still runs on every invocation
+        // — it IS the operator under test — but bench/plan-dump repeats
+        // rewrite in place instead of leaking a directory per pass
+        val tmp = zorderDirs.computeIfAbsent(dir,
+          _ => java.nio.file.Files.createTempDirectory("graft-zorder").toString)
         graft.io.ZOrderSink.write(ev, tmp, numFiles = 8,
           graft.io.ZOrderSink.boundedBucket(col("user_id"), 1L << 20), col("day"))
         s.read.schema(ev.schema).parquet(tmp)

@@ -421,7 +421,7 @@ object TrainPack extends QueryPack {
         Tables.events(s, dir)
           .withColumn("nxt", lead(col("ts"), 1).over(w))
           .filter(col("nxt").isNotNull)
-          .withColumn("dwell_ms", unix_millis(col("nxt")) - unix_millis(col("ts")))
+          .withColumn("dwell_ms", Tables.epochMillis(col("nxt")) - Tables.epochMillis(col("ts")))
           .groupBy("event_type")
           .agg(
             count(lit(1)).as("n_gaps"),

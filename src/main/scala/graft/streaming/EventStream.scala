@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema for the streaming source (streams require an
-    * explicit schema). ts arrives as nano-long (see Tables.events).
+  /** events.parquet schema fixture writers use for the nanos-as-long
+    * encoding (the harness has also shipped TIMESTAMP_NTZ micros; the
+    * source below handles either — see Tables.normalizeTs).
     */
   val RawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -27,16 +28,19 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The shared streaming source: schema'd parquet file stream with the
-    * nano-long ts converted to a timestamp (same truncation as
-    * Tables.events). ONE place for the ts handling rule.
+  /** The shared streaming source. File streams require an explicit schema,
+    * and the harness testdata has flipped ts encodings across
+    * regenerations (nanos-long vs TIMESTAMP_NTZ micros), so take the
+    * schema from the files already present (one driver-side footer read —
+    * later-arriving files must match, the standard file-stream contract)
+    * and route ts through the SAME normalization as the batch reader.
+    * ONE place for the ts handling rule: [[graft.Tables.normalizeTs]].
     */
   private def source(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(RawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val fileSchema = spark.read.parquet(eventsDir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(fileSchema).parquet(eventsDir))
   }
 
   /** Streaming daily (event-time) counts/sums per event_type with a 1-day

@@ -174,4 +174,16 @@ class PlanSpec extends AnyFunSuite {
     // side per candidate batch
     assert(plan("text_heavy_hitters").contains("BroadcastHashJoin"))
   }
+
+  test("q_ida_e2e's view stage carries the flagship's Window + HashAggregate skeleton") {
+    // the composed reference pipeline must END in the same physical shape
+    // as metrics_view: a partitioned Window (LAG) feeding partial+final
+    // HashAggregates — not some accidental sort-based or single-partition
+    // variant introduced by the spreadsheet-side plumbing
+    val p = SparkEntry.queries("q_ida_e2e")(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(grupo_economico"),
+      "LAG window must partition by grupo_economico")
+    assert(p.contains("HashAggregate"))
+  }
 }

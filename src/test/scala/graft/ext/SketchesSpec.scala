@@ -34,6 +34,30 @@ class SketchesSpec extends AnyFunSuite {
       s"avg overcount ${stats.getDouble(0)} exceeds $bound — hash family degenerated")
   }
 
+  test("CMS estimate survives candidate columns named row/bucket/cnt/hx (internal-name isolation)") {
+    val tok = tokenRows.select("tok")
+    val sketch = Sketches.cmsBuild(tok, "tok")
+    val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    // a candidate frame that collides with every pre-hardening internal
+    // name; the estimate must pass them through untouched
+    val hostile = exact
+      .withColumn("row", lit(7L)).withColumn("bucket", lit(9L))
+      .withColumn("cnt", lit(-1L)).withColumn("hx", lit("decoy"))
+    val est = Sketches.cmsEstimate(sketch, hostile, "tok")
+    assert(est.columns.toSeq ==
+      Seq("tok", "exact_n", "row", "bucket", "cnt", "hx", "cms_n"))
+    val bad = est.filter(
+      col("row") =!= 7L || col("bucket") =!= 9L || col("cnt") =!= -1L ||
+        col("hx") =!= "decoy" || col("cms_n") < col("exact_n")).count()
+    assert(bad == 0, "caller columns clobbered or estimate undercounted")
+    // same estimates as the collision-free frame
+    val clean = Sketches.cmsEstimate(sketch, exact, "tok")
+      .orderBy("tok").collect().map(_.toSeq).toSeq
+    val hostileProj = est.select("tok", "exact_n", "cms_n")
+      .orderBy("tok").collect().map(_.toSeq).toSeq
+    assert(hostileProj == clean)
+  }
+
   test("CMS merges bucket-wise across a corpus split (decomposable build)") {
     val parts = tokenRows.withColumn("p", col("doc_id") % 2)
     val whole = Sketches.cmsBuild(tokenRows.select("tok"), "tok")

@@ -52,6 +52,20 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got.toSeq == got.toSeq.sorted)
   }
 
+  test("boundedBucket clamps out-of-domain values to the edge buckets (no Morton wrap)") {
+    import spark.implicits._
+    // pre-clamp, id = domain spread past 16 bits and the 0xFFFF Morton
+    // mask wrapped it to bucket 0 — clustering it with the SMALLEST keys
+    val ids = Seq(-5L, -1L, 0L, 1048575L, 1048576L, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(ZOrderSink.boundedBucket(col("id"), 1L << 20).as("bk"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 0L, 0L, 65535L, 65535L, 65535L))
+    // monotone across the clamp boundary: the sort order of buckets never
+    // inverts the sort order of keys
+    assert(got.toSeq == got.toSeq.sorted)
+  }
+
   test("z-order layout: a 2-D box touches a strict subset of files; that subset is exact") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"),

@@ -170,6 +170,99 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** Banded MinHash signatures from shingle ROWS: (doc_id, band, key) —
+    * the standing LSH INDEX a 100 TB deployment keeps materialized
+    * between ingest runs (a few dozen bytes per doc, text never kept).
+    * Signature via hash + 16 min-aggregates, every step whole-stage
+    * codegen, md5 evaluated once per shingle.
+    */
+  def bandedSignatures(shingleRows: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val nBands = Hashing.MinHashParams.size / rowsPerBand
+    val sig = shingleRows
+      .withColumn("x", Hashing.portableTokenHash(col("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min(Hashing.minHashFn(0)(col("x"))).as("h0"),
+        Hashing.MinHashParams.indices.drop(1)
+          .map(i => min(Hashing.minHashFn(i)(col("x"))).as(s"h$i")): _*)
+    sig.select(
+      col("doc_id"),
+      explode(array((0 until nBands).map { bIdx =>
+        struct(
+          lit(bIdx).as("band"),
+          concat_ws("_",
+            (0 until rowsPerBand).map(r => col(s"h${bIdx * rowsPerBand + r}")): _*)
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Incremental (batch-vs-corpus) NEAR-dup — [[incrementalDedup]]'s
+    * fuzzy sibling, the shape that matters at 100 TB: the standing
+    * corpus participates only through its materialized LSH artifacts —
+    * [[bandedSignatures]] (the candidate filter) and hashed shingle rows
+    * (8 bytes/shingle, the verifier) — so admitting a batch costs one
+    * (band, key) join + exact-Jaccard verification of the candidates,
+    * and the corpus TEXT is never rescanned. Each incoming doc returns
+    * with its best verified corpus match (highest Jaccard, smallest
+    * corpus_id on ties) as `status` 'near_dup', or 'novel' when no
+    * corpus doc reaches `threshold` (including short docs that shingle
+    * to nothing). Jaccard is computed over hashed shingles — a 60-bit
+    * space whose collisions are both negligible and replayed exactly by
+    * the DuckDB oracle.
+    */
+  def incrementalNearDup(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      threshold: Double,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    // one shingle pass per side feeds BOTH artifacts (in production both
+    // are read back materialized; here the demo builds them inline)
+    val corpusShRows = shingleRows(corpus, shingleN)
+    val corpusSh = corpusShRows
+      .select(col("doc_id").as("corpus_id"), Hashing.portableTokenHash60(col("sh")).as("h"))
+    val corpusBands = bandedSignatures(corpusShRows, rowsPerBand)
+      .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
+
+    val incShRows = shingleRows(incoming, shingleN)
+    val incSh = incShRows
+      .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("h"))
+    val incBands = bandedSignatures(incShRows, rowsPerBand)
+
+    val candidates = incBands
+      .join(corpusBands, Seq("band", "key"))
+      .select("doc_id", "corpus_id")
+      .dropDuplicates("doc_id", "corpus_id")
+
+    val incCounts = incSh.groupBy("doc_id").agg(count(lit(1)).as("n_inc"))
+    val corpusCounts = corpusSh.groupBy("corpus_id").agg(count(lit(1)).as("n_cor"))
+    val nInter = candidates
+      .join(incSh, Seq("doc_id"))
+      .join(corpusSh, Seq("corpus_id", "h"))
+      .groupBy("doc_id", "corpus_id")
+      .agg(count(lit(1)).as("n_inter"))
+    val verified = nInter
+      .join(incCounts, Seq("doc_id"))
+      .join(corpusCounts, Seq("corpus_id"))
+      .withColumn("jac", jaccardFromCounts(col("n_inter"), col("n_inc"), col("n_cor")))
+      .filter(col("jac") >= threshold)
+    // best match per incoming doc: highest Jaccard, then smallest id —
+    // ordered on the UNROUNDED value so rounding can't reorder ties
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("jac").desc, col("corpus_id").asc)
+    val best = verified
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("corpus_id").as("match_id"),
+        round(col("jac"), 4).as("jaccard"))
+
+    incoming.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("status", when(col("match_id").isNotNull, "near_dup").otherwise("novel"))
+      .select("doc_id", "status", "match_id", "jaccard")
+  }
+
   /** MinHash-LSH near-duplicate detection over n-gram SHINGLE sets:
     * signature → bands → bucket self-join on ids only → exact-Jaccard
     * verification of candidate pairs. Returns verified pairs
@@ -190,29 +283,8 @@ object Dedup {
       threshold: Double,
       rowsPerBand: Int = 4,
       shingleN: Int = 3): DataFrame = {
-    val nBands = Hashing.MinHashParams.size / rowsPerBand
     val s = shingleRows(docs, shingleN)
-
-    // Signature via hash + 16 min-aggregates over the shingle ROWS:
-    // every step is whole-stage-codegen, md5 evaluated once per shingle.
-    val sig = s
-      .withColumn("x", Hashing.portableTokenHash(col("sh")))
-      .groupBy("doc_id")
-      .agg(
-        min(Hashing.minHashFn(0)(col("x"))).as("h0"),
-        Hashing.MinHashParams.indices.drop(1)
-          .map(i => min(Hashing.minHashFn(i)(col("x"))).as(s"h$i")): _*)
-
-    val banded = sig.select(
-      col("doc_id"),
-      explode(array((0 until nBands).map { bIdx =>
-        struct(
-          lit(bIdx).as("band"),
-          concat_ws("_",
-            (0 until rowsPerBand).map(r => col(s"h${bIdx * rowsPerBand + r}")): _*)
-            .as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val banded = bandedSignatures(s, rowsPerBand)
 
     val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))

@@ -117,6 +117,68 @@ object DedupPack extends QueryPack {
              |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM cls GROUP BY source ORDER BY source""".stripMargin)),
 
+    // The fuzzy sibling of dedup_incremental — batch-vs-corpus NEAR-dup
+    // through the standing LSH artifacts (banded signatures + 8-byte
+    // hashed shingle rows), corpus text never rescanned. Same %5 batch
+    // split; per incoming doc: best verified corpus match or 'novel'.
+    "dedup_minhash_incremental" -> QueryDef(
+      "Incoming batch vs corpus LSH index: best Jaccard>=0.3 corpus match per doc, else novel",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = pmod(col("doc_id"), lit(5L)) === 4
+        Dedup.incrementalNearDup(docs.filter(!isNew), docs.filter(isNew), threshold = 0.3)
+          .orderBy("doc_id")
+      },
+      Some {
+        val H60 = "CAST(('0x'||substring(md5(g),1,15)) AS BIGINT)"
+        val sigEntries = Hashing.MinHashParams.map { case (a, b) =>
+          s"list_min(list_transform(sh, t -> ($a * $H + $b) % ${Hashing.MinHashPrime}))"
+        }.mkString(",\n    ")
+        val bandKeys = (0 until 4).map { b =>
+          val parts = (1 to 4).map(r => s"sig[${b * 4 + r}]").mkString(", ")
+          s"WHEN $b THEN concat_ws('_', $parts)"
+        }.mkString(" ")
+        s"""WITH raw AS (
+           |  SELECT doc_id, doc_id % 5 = 4 AS is_new,
+           |    regexp_split_to_array(lower(text), '\\s+') AS t
+           |  FROM documents),
+           |d AS (
+           |  SELECT doc_id, is_new,
+           |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+           |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+           |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+           |  FROM raw),
+           |hs AS (
+           |  SELECT doc_id, is_new, list_transform(sh, g -> $H60) AS hsh FROM d),
+           |h AS (
+           |  SELECT doc_id, is_new, [
+           |    $sigEntries] AS sig
+           |  FROM d),
+           |b AS (
+           |  SELECT doc_id, is_new, band, CASE band $bandKeys END AS key
+           |  FROM h, (SELECT unnest(range(4)) AS band)),
+           |cand AS (
+           |  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
+           |  FROM b i JOIN b c ON i.band = c.band AND i.key = c.key
+           |  WHERE i.is_new AND NOT c.is_new),
+           |v AS (
+           |  SELECT cand.doc_id, cand.corpus_id,
+           |    len(list_intersect(hi.hsh, hc.hsh))::DOUBLE /
+           |      (len(hi.hsh) + len(hc.hsh) - len(list_intersect(hi.hsh, hc.hsh))) AS jac
+           |  FROM cand
+           |  JOIN hs hi ON hi.doc_id = cand.doc_id
+           |  JOIN hs hc ON hc.doc_id = cand.corpus_id),
+           |best AS (
+           |  SELECT doc_id, corpus_id AS match_id, ROUND(jac, 4) AS jaccard,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jac DESC, corpus_id ASC) AS rk
+           |  FROM v WHERE jac >= 0.3)
+           |SELECT r.doc_id,
+           |  CASE WHEN best.match_id IS NOT NULL THEN 'near_dup' ELSE 'novel' END AS status,
+           |  best.match_id, best.jaccard
+           |FROM raw r LEFT JOIN best ON best.doc_id = r.doc_id AND best.rk = 1
+           |WHERE r.is_new ORDER BY r.doc_id""".stripMargin
+      }),
+
     "dedup_ngram_jaccard" -> QueryDef(
       "3-gram shingle Jaccard >= 0.3 via inverted-index similarity join (exact)",
       (s, dir) =>

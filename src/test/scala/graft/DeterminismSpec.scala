@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Double-run determinism audit: the queries most exposed to hidden
+  * nondeterminism — hash/sampling-driven (LSH bands, weighted/exact-k
+  * sampling, SimHash pairs), partition-order-driven (zipWithIndex
+  * sequential ids, driver union-find CC, trained ANN codebooks), and
+  * tie-break-driven (top-k ranks, BPE winner selection) — must return
+  * IDENTICAL rows on two fresh invocations in the same session.
+  *
+  * The driver's oracle gate would catch cross-engine drift, but a query
+  * that is nondeterministic between ITS OWN runs can pass the gate on a
+  * lucky draw and flake at scale (a re-run after a lost executor
+  * produces a different answer — poison for an incremental pipeline).
+  * Every md5-derived hash, capped-slice model train, and
+  * TakeOrderedAndProject in the engine exists to make these stable;
+  * this spec pins that property end-to-end.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val audited = Seq(
+    "dedup_minhash_lsh",    // banded md5 minhash join
+    "dedup_minhash_incremental", // batch-vs-index banding + best-match window
+    "dedup_simhash_pairs",  // hamming-band self-join
+    "dedup_cc_clusters",    // union-find / large-star cluster ids
+    "dedup_survivors",      // survivor pick within clusters
+    "sample_weighted",      // A-ES keys from md5
+    "sample_exact_k",       // deterministic reservoir
+    "sim_topk_ivfpq",       // trained codebooks from capped slices
+    "sim_topk_lsh",         // hyperplane buckets
+    "q_seq_id",             // zipWithIndex partition offsets
+    "q_seq_id_scale",
+    "text_bpe_encode",      // merge-winner tie-breaks
+    "train_pipeline_e2e",   // composition of several of the above
+    "q_ida_e2e_csv")        // mixed-ingest composition (file order, header collect)
+
+  test("hash/sample/rank-driven queries return identical rows on a double run") {
+    val diffs = audited.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      def run() = fn(spark, sf).collect().map(_.toSeq).toSeq
+      val (a, b) = (run(), run())
+      if (a == b) None else Some(s"$name: run1=${a.size} rows, run2=${b.size} rows, differ")
+    }
+    assert(diffs.isEmpty, s"nondeterministic queries:\n${diffs.mkString("\n")}")
+  }
+}

@@ -66,6 +66,33 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact) || (lsh -- exact).isEmpty)
   }
 
+  test("incremental near-dup agrees with the full-corpus LSH on cross-set pairs") {
+    val docs = Tables.documents(spark, sf)
+    val isNew = pmod(col("doc_id"), lit(5L)) === 4
+    val inc = Dedup.incrementalNearDup(docs.filter(!isNew), docs.filter(isNew), threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(inc.map(_._1).distinct.size == inc.size, "one row per incoming doc")
+    // cross-set truth from the full-corpus LSH: same banding, so the
+    // candidate sets agree; jaccard over 60-bit hashes equals jaccard
+    // over shingles absent a collision
+    val crossPairs = Dedup.minHashLshPairs(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 4) != (b % 5 == 4) }
+      .map { case (a, b) => if (a % 5 == 4) (a, b) else (b, a) }
+      .groupBy(_._1)
+    inc.foreach {
+      case (id, "near_dup", matchId) =>
+        assert(crossPairs.get(id).exists(_.exists(_._2 == matchId)),
+          s"doc $id matched $matchId but the full-corpus LSH has no such pair")
+      case (id, "novel", _) =>
+        assert(!crossPairs.contains(id),
+          s"doc $id marked novel but the full-corpus LSH pairs it cross-set")
+      case other => fail(s"unexpected status row $other")
+    }
+    assert(inc.exists(_._2 == "near_dup"), "fixture should surface cross-set near-dups")
+  }
+
   test("Column-form minhash signature equals the relational min-aggregate path") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
     val viaColumn = docs

@@ -42,8 +42,8 @@ object ScaleBench {
     * which is exactly what SCALING.md wants pinned.
     */
   val ScaleQueries: Seq[String] = Seq(
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_edit_banded", "dedup_semantic",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_incremental",
+    "dedup_ngram_jaccard", "dedup_edit_banded", "dedup_semantic",
     "text_chargrams", "text_langid_ngram", "text_vocab_stats",
     "text_contamination", "text_chunk_dedup", "text_rare_tokens",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_sq8",

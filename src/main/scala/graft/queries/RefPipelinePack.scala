@@ -232,6 +232,37 @@ object RefPipelinePack extends QueryPack {
       Some(idaOracleFor(odsOracleRows ++ scmOracleRows,
         Seq("ALGAR", "CLARO", "OI", "SERCOMTEL", "TIM", "VIVO")))),
 
+    // The reference system INCLUDING its load stage (connect_postgre.py:
+    // 240-294 DROP+CREATE, typed DDL, batched executemany): the
+    // consolidated table lands in an embedded-Derby JDBC database with
+    // engine-generated column types, is read BACK through JDBC, and the
+    // consolidacao view runs over the read-back frame — so the S8/S9
+    // load path is gated inside the composition, and the round trip must
+    // be value-exact for the view to hash-match the same oracle as
+    // q_ida_e2e_csv (dates, doubles, accented strings all survive DDL
+    // mapping + batch insert + read-back).
+    "q_ida_e2e_load" -> QueryDef(
+      "Reference e2e incl. load: consolidate -> typed JDBC table -> read back -> view",
+      (s, dir) => {
+        derbyLogInit
+        val tmp = idaFixtureDir
+        val odsCleaned = Seq("SMP" -> s"$tmp/smp_2015.ods", "STFC" -> s"$tmp/stfc_2015.ods")
+          .map { case (servico, path) =>
+            graft.ops.IdaPipeline.cleanFile(s.read.format("ods").load(path), servico)
+          }
+        val csvCleaned = graft.ops.IdaPipeline.cleanFile(
+          graft.io.CsvEncodingReader.read(s, s"$tmp/scm_2015.tsv"), "SCM")
+        val consolidated = graft.ops.IdaPipeline.consolidate(odsCleaned :+ csvCleaned)
+        val url = "jdbc:derby:memory:graftdb;create=true"
+        graft.io.JdbcSink.ensureDatabase(url)
+        graft.io.JdbcSink.write(consolidated, url, "ida_consolidada",
+          stringSql = "VARCHAR(255)")
+        graft.ops.MetricsView.overIda(
+          s.read.jdbc(url, "ida_consolidada", new java.util.Properties()))
+      },
+      Some(idaOracleFor(odsOracleRows ++ scmOracleRows,
+        Seq("ALGAR", "CLARO", "OI", "SERCOMTEL", "TIM", "VIVO")))),
+
     // F5 — locale parse across all its branches: pt-BR thousands+comma,
     // bare comma-decimal, lossy multi-dot concat, invalid markers.
     "q_locale_number" -> QueryDef(

@@ -61,6 +61,29 @@ object Bench {
       }
       pass(); math.min(pass(), pass()) // warm JIT, then min-of-2
     }
+    // Parallel complement to the single-thread probe: the same loop on
+    // every core at once. Round 9 measured a uniform 1.34× query-time
+    // swing between two runs at near-IDENTICAL single-thread calib —
+    // multicore contention (co-tenants, thermal clamp-down under
+    // all-core load) is invisible to a 1-thread probe. Whichever probe
+    // moved explains a total's move: calib_sec → per-core speed,
+    // calib_mt_sec → parallel capacity.
+    val calibMt = {
+      val n = Runtime.getRuntime.availableProcessors()
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        val threads = (0 until n).map { _ =>
+          new Thread(() => {
+            var (x, i) = (0x9E3779B97F4A7C15L, 0)
+            while (i < 200000000) { x = x * 6364136223846793005L + 1442695040888963407L; x ^= x >>> 33; i += 1 }
+            if (x == 42L) println("")
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass(); math.min(pass(), pass())
+    }
     // Keep the line compact (3-decimal seconds, numeric sf): the driver
     // captures only a bounded TAIL of stdout, and with 100+ queries the
     // line exceeds that window — so the headline total/unit/sf go LAST,
@@ -71,7 +94,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
-    println(s"""{"queries":$qs,"calib_sec":${fmt(calib)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum}""")
+    println(s"""{"queries":$qs,"calib_sec":${fmt(calib)},"calib_mt_sec":${fmt(calibMt)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -124,6 +124,37 @@ object EventStream {
       .foreachBatch((b: DataFrame, id: Long) => writeBatchIdempotent(b, id, outDir))
       .start()
 
+  /** Streaming document ingest classified against a STANDING corpus LSH
+    * index — the streaming form of the batch
+    * [[graft.ext.Dedup.incrementalNearDup]] ingest gate, wired through
+    * `foreachBatch`: each micro-batch of new documents runs the SAME
+    * batch operator against the corpus (so batch and stream can never
+    * drift semantically), and the classified rows land via
+    * [[writeBatchIdempotent]] (deterministic batch_id target +
+    * overwrite = effectively-once). This is the standard Spark shape
+    * for "complex batch logic on a stream": stateless per batch, the
+    * corpus artifacts stay static/broadcast, no stream state at all —
+    * at 100 TB the corpus index is a materialized table and each
+    * trigger admits one arriving batch of documents.
+    */
+  def nearDupIngest(
+      spark: SparkSession,
+      docsDir: String,
+      corpus: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fileSchema = spark.read.parquet(docsDir).schema
+    val incoming = spark.readStream.schema(fileSchema).parquet(docsDir)
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatchIdempotent(
+          graft.ext.Dedup.incrementalNearDup(corpus, batch, threshold), id, outDir)
+      }
+      .start()
+  }
+
   /** One in-flight session per user held as explicit stream state. */
   case class SessionState(start: Long, lastTs: Long, nEvents: Long)
 

@@ -370,6 +370,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(unmatched.head.isNullAt(2), "outer row must carry a null click_id")
   }
 
+  test("streaming near-dup ingest == the oracled batch classification (dedup_minhash_incremental)") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf)
+    val isNew = pmod(col("doc_id"), lit(5L)) === 4
+    val corpus = docs.filter(!isNew)
+    // stage the incoming batch as a watched parquet dir
+    val watched = Files.createTempDirectory("neardup-stream")
+    stagePart(docs.filter(isNew), watched, "batch-1.parquet")
+    val out = Files.createTempDirectory("neardup-out").toString
+    val ckpt = Files.createTempDirectory("neardup-ckpt").toString
+    val q = EventStream.nearDupIngest(spark, watched.toString, corpus, out, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "status", "match_id", "jaccard")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val twin = graft.Catalog.all("dedup_minhash_incremental").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == twin && streamed.nonEmpty)
+    assert(streamed.exists(_(1) == "near_dup"), "fixture should surface near-dups")
+  }
+
   test("streaming user activity matches the oracled batch twin (q_user_activity)") {
     val q = EventStream.userActivity(spark, eventsDir)
       .writeStream

@@ -33,14 +33,21 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Unit-normalize `vecCol` (as array&lt;double&gt;) into `outCol` in two
-    * steps so the norm is evaluated once per ROW, not once per element.
-    * Higher-order array expressions are CodegenFallback (interpreted), so
-    * pairwise ops must touch each vector pair ONCE: normalize up front,
-    * then cosine(pair) = one dot.
+  /** Unit-normalize `vecCol` (as array&lt;double&gt;) into `outCol` with the
+    * norm evaluated once per ROW, not once per element. The plain
+    * two-`withColumn` spelling does NOT guarantee that: CollapseProject
+    * inlines a once-referenced alias into the transform lambda, and the
+    * interpreted higher-order transform then re-evaluates
+    * `sqrt(dot(v,v))` PER ELEMENT — a d× blow-up (measured 38 s of a
+    * 44 s query at the ×32 corpus, where the same work bound to a real
+    * attribute is ~1 s). The explode(array(...)) barrier is the house
+    * rule for exactly this hazard (see Dedup.shingleRows): a Generate
+    * node materializes `_nrm` as an attribute no optimizer rule will
+    * substitute back into the lambda. array(norm) always has one
+    * element (possibly null), so the row count is preserved.
     */
   def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
-    df.withColumn("_nrm", norm(col(vecCol).cast("array<double>")))
+    df.withColumn("_nrm", explode(array(norm(col(vecCol).cast("array<double>")))))
       .withColumn(outCol, transform(col(vecCol).cast("array<double>"), x => x / col("_nrm")))
       .drop("_nrm")
 
@@ -281,6 +288,25 @@ object Similarity {
     */
   private[graft] val LiteralArgmaxMaxK = 64
 
+  /** Cell-assignment column behind the same explode(array(...)) barrier
+    * as [[withNormalized]]: a downstream equi join on `cell` infers
+    * `isnotnull(cell)` and, without the barrier, pushes it below the
+    * projection by SUBSTITUTING the whole argmax(+normalize) subtree
+    * into a scan-level Filter — every vector then pays assignment (and
+    * the lambda normalize) twice per side. With the Generate node the
+    * null filter lands on the materialized attribute instead. Literal
+    * chain while it stays codegen-sized, the native
+    * [[graft.plans.CellArgmaxExpr]] loop beyond (bit-equal by
+    * construction; spec-asserted).
+    */
+  private[graft] def withCell(
+      c: DataFrame, centroids: Array[(Long, Array[Double])], vecName: String): DataFrame = {
+    val cellExpr =
+      if (centroids.length <= LiteralArgmaxMaxK) cellArgmax(centroids, col(vecName))
+      else graft.plans.VectorExpressions.cellArgmax(col(vecName), centroids)
+    c.withColumn("cell", explode(array(cellExpr)))
+  }
+
   /** Cell assignment for LARGE centroid sets (k > [[LiteralArgmaxMaxK]]):
     * the centroids become a broadcast TABLE instead of literals — corpus
     * crossJoin(broadcast(centroids)) scores one native codegen dot per
@@ -297,12 +323,19 @@ object Similarity {
     val spark = c.sparkSession
     import spark.implicits._
     val cents = spark.createDataset(centroids.toSeq).toDF("cent_id", "centv")
-    c.crossJoin(broadcast(cents))
-      .select(col(idName), col(vecName), col("cent_id"),
+    // the k-fold expansion carries ONLY (id, cent_id, score) — the
+    // vector is consumed by the dot and dropped before the aggregate
+    // (an earlier first(vec) carry pushed the full embedding through
+    // every expanded row and a wide aggregate state: ~20× the bytes
+    // for k=250/d=64); the winning cell re-attaches to the vector by
+    // one id-keyed join of two corpus-cardinality sides
+    val cells = c.crossJoin(broadcast(cents))
+      .select(col(idName), col("cent_id"),
         struct(dot(col(vecName), col("centv")).as("cdot"),
           (-col("cent_id")).as("negid")).as("score"))
       .groupBy(idName)
-      .agg(first(col(vecName)).as(vecName), max_by(col("cent_id"), col("score")).as("cell"))
+      .agg(max_by(col("cent_id"), col("score")).as("cell"))
+    c.join(cells, idName)
       .select(col(idName), col(vecName), col("cell"))
   }
 
@@ -339,10 +372,7 @@ object Similarity {
       import c.sparkSession.implicits._
       return Seq.empty[(Long, Long, Long, Double)].toDF("vec_a", "vec_b", "cell", "cosine")
     }
-    val assigned =
-      if (centroids.length <= LiteralArgmaxMaxK)
-        c.withColumn("cell", cellArgmax(centroids, col("nv")))
-      else assignCellsJoin(c, centroids)
+    val assigned = withCell(c, centroids, "nv")
     val a = assigned.select(col("vid").as("vec_a"), col("nv").as("nv_a"), col("cell"))
     val b = assigned.select(col("vid").as("vec_b"), col("nv").as("nv_b"), col("cell"))
     a.hint("shuffle_hash").join(b, Seq("cell"))
@@ -400,10 +430,7 @@ object Similarity {
 
     // same large-k switchover as semanticDupPairs: literal argmax while
     // the expression stays codegen-sized, broadcast-table + max_by above
-    val assigned =
-      if (centroids.length <= LiteralArgmaxMaxK)
-        c.withColumn("cell", cellArgmax(centroids, col("cv")))
-      else assignCellsJoin(c, centroids, "neighbor_id", "cv")
+    val assigned = withCell(c, centroids, "cv")
 
     // probe list: nProbe nearest cells per query (queries are few — the
     // window runs over a broadcast-sized frame)
@@ -640,10 +667,7 @@ object Similarity {
     // map-side cell assignment + PQ code assignment in ONE corpus pass:
     // the cell rides through pqTopK's two explode barriers, so the index
     // build (cell + m codes per vector) never shuffles the corpus.
-    val assigned =
-      if (centroids.length <= LiteralArgmaxMaxK)
-        c.withColumn("cell", cellArgmax(centroids, col("cv")))
-      else assignCellsJoin(c, centroids, "neighbor_id", "cv")
+    val assigned = withCell(c, centroids, "cv")
     val sliced = assigned.select(col("neighbor_id"), col("cell"), explode(array(struct(
         (0 until m).map(j => slice(col("cv"), j * subDim + 1, subDim).as(s"sv$j")): _*))).as("s"))
       .select(col("neighbor_id") +: col("cell") +: (0 until m).map(j => col(s"s.sv$j")): _*)

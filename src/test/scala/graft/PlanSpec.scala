@@ -175,6 +175,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("text_heavy_hitters").contains("BroadcastHashJoin"))
   }
 
+  test("incremental near-dup joins stay equi-keyed: no cartesian, no nested loop") {
+    // the batch-vs-index banding join and both verification joins must
+    // plan as hash/sort-merge equi joins — a NestedLoop or Cartesian
+    // here would mean the batch is being compared against the whole
+    // corpus pairwise, exactly what the LSH index exists to avoid
+    val p = SparkEntry.queries("dedup_minhash_incremental")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "banding degenerated to a cross product")
+    assert(!p.contains("NestedLoopJoin"), "a join fell back to nested loop")
+  }
+
   test("q_ida_e2e's view stage carries the flagship's Window + HashAggregate skeleton") {
     // the composed reference pipeline must END in the same physical shape
     // as metrics_view: a partitioned Window (LAG) feeding partial+final

@@ -187,27 +187,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  test("large-k cell assignment (broadcast + max_by) equals the literal argmax, incl. ties") {
+  test("large-k cell assignment: literal argmax ≡ broadcast+max_by join ≡ native expression, incl. ties") {
     val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
     val c = Similarity.withNormalized(
       e.select(col("vec_id"), col("embedding")), "embedding", "nv")
       .select(col("vec_id").as("vid"), col("nv"))
-    // k = 80 > LiteralArgmaxMaxK: the size semanticDupPairs would route
-    // to the join form; compare both paths on the same trained model
+    // k = 80 > LiteralArgmaxMaxK: the size the operators route to the
+    // native CellArgmaxExpr; compare all three paths on one model
     val model = Similarity.ivfModel(e, nCentroids = 80, lloydIters = 2, trainCap = 256L)
     val viaLiteral = c.withColumn("cell", Similarity.cellArgmax(model, col("nv")))
       .select("vid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaJoin = Similarity.assignCellsJoin(c, model)
       .select("vid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaNative = c.withColumn("cell",
+        graft.plans.VectorExpressions.cellArgmax(col("nv"), model))
+      .select("vid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaJoin == viaLiteral && viaJoin.size == 300)
-    // and the whole operators take the join path above the threshold:
-    // no giant literal chain, a max_by aggregate in the plan instead
+    assert(viaNative == viaLiteral)
+    // and the whole operators take the native path above the threshold:
+    // no giant literal chain, no k-fold expansion aggregate — one
+    // generated k×d loop per row
     val p = Similarity.semanticDupPairs(e, 0.45, nCentroids = 80, trainCap = 320L)
       .queryExecution.sparkPlan.toString
-    assert(p.contains("max_by"), p.take(2000))
+    assert(p.contains("cellargmaxexpr"), p.take(2000))
+    assert(!p.contains("max_by"), p.take(2000))
     val ivf = Similarity.ivfTopK(
       e.filter(col("vec_id") < 4), e, k = 5, nCentroids = 80, nProbe = 16, trainCap = 320L)
-    assert(ivf.queryExecution.sparkPlan.toString.contains("max_by"))
+    assert(ivf.queryExecution.sparkPlan.toString.contains("cellargmaxexpr"))
     val rows = ivf.collect()
     assert(rows.length == 4 * 5 && rows.forall(_.getInt(1) <= 5))
   }

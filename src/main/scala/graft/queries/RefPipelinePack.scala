@@ -625,6 +625,41 @@ object RefPipelinePack extends QueryPack {
              |FROM lineitem WHERE l_orderkey % 25 = 0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Avro round trip through the engine's OWN DataSource V2
+    // (io/AvroDataSource.scala — the spark-avro connector module is not
+    // shipped in this distribution, so read AND write are implemented
+    // directly on the Avro container-file library): an events slice
+    // incl. its timestamp goes parquet -> snappy Avro (one file per
+    // task, the many-files layout a 1000-executor write produces) ->
+    // DSv2 read with embedded-writer-schema inference -> aggregation.
+    // The oracle aggregates the ORIGINAL parquet, so string / long /
+    // double / timestamp-micros values must survive both conversions
+    // bit-exact. AvroSpec covers the remaining type surface (arrays,
+    // decimal, binary, date, nulls).
+    "q_avro_roundtrip" -> QueryDef(
+      "Parquet -> Avro (own DSv2, write+read) -> read-back identity per event_type",
+      (s, dir) => {
+        graft.io.AvroDataSource.enable(s)
+        val slice = Tables.events(s, dir)
+          .filter(col("event_id") % 7 === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-avro").toString
+        slice.write.format("avro").mode("overwrite").save(tmp)
+        s.read.format("avro").load(tmp)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("value_cents"),
+            max(Tables.epochSeconds(col("ts"))).as("max_ts_s"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+             |  MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS max_ts_s
+             |FROM events WHERE event_id % 7 = 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Globally range-sorted write (RangeSortedSink): repartitionByRange
     // samples balanced boundaries — a distributed total sort with no
     // driver involvement — so file N's keys all precede file N+1's and

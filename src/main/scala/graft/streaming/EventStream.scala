@@ -84,6 +84,18 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
   }
 
+  /** Watermark-less exact streaming dedup: the dedup keys live in the
+    * state store FOREVER (no eviction), so a duplicate is caught no
+    * matter how far apart its copies arrive — including across a query
+    * RESTART, which is what the checkpoint-recovery spec drives through
+    * this. Production streams bound state with the watermark form
+    * ([[dedupedEvents]]); this form is for corpora where the key set
+    * itself is the bounded thing (e.g. document ids), and it is the
+    * streaming twin of the batch exact-dedup stage.
+    */
+  def dedupedEventsExact(spark: SparkSession, eventsDir: String): DataFrame =
+    source(spark, eventsDir).dropDuplicates("user_id", "event_type", "value")
+
   /** Native gap-session aggregation over the stream — the streaming form
     * of the batch q_session_window query: state-store session windows
     * merge as events arrive and close when the watermark passes the

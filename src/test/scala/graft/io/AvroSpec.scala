@@ -1,0 +1,90 @@
+package graft.io
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The engine's own Avro DSv2 (io/AvroDataSource.scala): write + read
+  * over the full supported type surface, nullability, many-files
+  * parallel layout, and overwrite semantics.
+  */
+class AvroSpec extends AnyFunSuite {
+  private lazy val spark = { val s = TestSpark.spark; AvroDataSource.enable(s); s }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("i", IntegerType),
+    StructField("f", FloatType),
+    StructField("d", DoubleType),
+    StructField("b", BooleanType),
+    StructField("s", StringType),
+    StructField("bin", BinaryType),
+    StructField("day", DateType),
+    StructField("ts", TimestampType),
+    StructField("dec", DecimalType(12, 4)),
+    StructField("vec", ArrayType(FloatType, containsNull = false)),
+    StructField("tags", ArrayType(StringType))))
+
+  private val rows = Seq(
+    Row(1L, 7, 1.5f, math.Pi, true, "héllo ✓", Array[Byte](0, 1, -1, 127),
+      Date.valueOf("2024-02-29"), Timestamp.valueOf("2024-02-29 12:34:56.789012"),
+      BigDecimal("12345678.9012").bigDecimal, Seq(0.1f, -2.5f), Seq("a", null, "b")),
+    Row(2L, null, null, null, null, null, null, null, null, null,
+      Seq.empty[Float], null),
+    Row(3L, -1, Float.MinPositiveValue, -0.0, false, "", Array[Byte](),
+      Date.valueOf("1969-12-31"), Timestamp.valueOf("1969-12-31 23:59:59.999999"),
+      BigDecimal("-0.0001").bigDecimal, Seq(Float.MaxValue), Seq.empty[String]))
+
+  private def df = spark.createDataFrame(
+    spark.sparkContext.parallelize(rows, 2), schema)
+
+  test("Avro DSv2 round trip preserves every supported type incl. nulls") {
+    val dir = Files.createTempDirectory("avro-spec").toString
+    df.write.format("avro").mode("overwrite").save(dir)
+    val back = spark.read.format("avro").load(dir)
+    // embedded writer schema drives inference; names + types must survive
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val got = back.orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      schema.fields.indices.foreach { i =>
+        (g.get(i), w.get(i)) match {
+          case (a: Array[Byte], b: Array[Byte]) => assert(a.toSeq === b.toSeq, schema(i).name)
+          case (a, b) => assert(a === b, schema(i).name)
+        }
+      }
+    }
+  }
+
+  test("write produces one snappy container file per task; read parallelizes per file") {
+    val dir = Files.createTempDirectory("avro-files").toString
+    df.repartition(2).write.format("avro").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length === 2)
+    val back = spark.read.format("avro").load(dir)
+    assert(back.rdd.getNumPartitions === 2)
+    assert(back.count() === 3)
+  }
+
+  test("overwrite truncates the previous contents; append-less rewrite is clean") {
+    val dir = Files.createTempDirectory("avro-ow").toString
+    df.write.format("avro").mode("overwrite").save(dir)
+    df.limit(1).coalesce(1).write.format("avro").mode("overwrite").save(dir)
+    assert(spark.read.format("avro").load(dir).count() === 1)
+  }
+
+  test("timestamp-micros survives to the microsecond across the format") {
+    val dir = Files.createTempDirectory("avro-ts").toString
+    df.filter("id = 1").write.format("avro").mode("overwrite").save(dir)
+    val ts = spark.read.format("avro").load(dir)
+      .selectExpr("cast(ts as string) s").collect().head.getString(0)
+    assert(ts === "2024-02-29 12:34:56.789012")
+  }
+}

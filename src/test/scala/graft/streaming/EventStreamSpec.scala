@@ -413,4 +413,51 @@ class EventStreamSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(streamed == twin && streamed.nonEmpty)
   }
+
+  test("checkpoint recovery: restarted query resumes dedup state, stays exactly-once") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("ckpt-in")
+    val out = Files.createTempDirectory("ckpt-out").toString
+    val ckpt = Files.createTempDirectory("ckpt-dir").toString
+    val all = Tables.events(spark, sf)
+
+    // phase 1: even event_ids only
+    stagePart(all.filter(col("event_id") % 2 === 0), in, "a.parquet")
+    val q1 = EventStream.idempotentFileSink(
+      EventStream.dedupedEventsExact(spark, in.toString), out, ckpt)
+    try q1.processAllAvailable()
+    finally q1.stop()
+    val phase1 = spark.read.parquet(out).count()
+    val expect1 = all.filter(col("event_id") % 2 === 0)
+      .dropDuplicates("user_id", "event_type", "value").count()
+    assert(phase1 == expect1)
+
+    // phase 2: odd event_ids PLUS a replay of phase-1 rows (event_id % 4 == 0).
+    // Catching those replays requires the dedup keys persisted in the
+    // RECOVERED state store — a fresh query would re-emit them.
+    stagePart(
+      all.filter(col("event_id") % 2 === 1)
+        .unionAll(all.filter(col("event_id") % 4 === 0)),
+      in, "b.parquet")
+    val q2 = EventStream.idempotentFileSink(
+      EventStream.dedupedEventsExact(spark, in.toString), out, ckpt)
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val total = spark.read.parquet(out)
+    val expectAll = all.dropDuplicates("user_id", "event_type", "value").count()
+    assert(total.count() == expectAll,
+      "restart lost or duplicated dedup state across the checkpoint")
+    // the second run processed only batch 1 (no batch-0 reprocessing)
+    val ids = total.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L), s"unexpected micro-batch ids $ids")
+    // and every key emitted in batch 1 is genuinely new vs batch 0
+    val b0 = total.filter(col("batch_id") === 0)
+      .select("user_id", "event_type", "value")
+    val b1 = total.filter(col("batch_id") === 1)
+      .select("user_id", "event_type", "value")
+    assert(b1.join(b0, Seq("user_id", "event_type", "value"), "inner").count() == 0,
+      "recovered state failed to filter a replayed key")
+  }
 }

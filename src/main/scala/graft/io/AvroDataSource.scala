@@ -107,14 +107,23 @@ private class AvroTable(tableSchema: StructType, path: String)
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with SupportsPushDownRequiredColumns with Scan with Batch {
+      // Column-pruning pushdown: Avro is row-major, so pruning can't skip
+      // bytes on disk (unlike parquet), but it skips the per-field
+      // Avro->Catalyst conversion and keeps every downstream exchange at
+      // the projected width — the part of scan cost that matters once
+      // the bytes are local. Catalyst hands the required schema here and
+      // the reader converts ONLY those fields (recordToRow maps by name).
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = tableSchema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
         AvroDataSource.listFiles(path).map(AvroInputPartition.apply).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new AvroReaderFactory(tableSchema)
+        new AvroReaderFactory(required)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -80,6 +80,19 @@ class AvroSpec extends AnyFunSuite {
     assert(spark.read.format("avro").load(dir).count() === 1)
   }
 
+  test("column pruning reaches the Avro scan: readSchema is the projection") {
+    val dir = Files.createTempDirectory("avro-prune").toString
+    df.write.format("avro").mode("overwrite").save(dir)
+    val pruned = spark.read.format("avro").load(dir).select("id", "s")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScan in the plan")
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("id", "s"))
+    assert(pruned.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "héllo ✓"), (2L, null), (3L, "")))
+  }
+
   test("timestamp-micros survives to the microsecond across the format") {
     val dir = Files.createTempDirectory("avro-ts").toString
     df.filter("id = 1").write.format("avro").mode("overwrite").save(dir)

@@ -414,6 +414,54 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == twin && streamed.nonEmpty)
   }
 
+  test("RocksDB state store: stateful streams produce identical results off-heap") {
+    // The default HDFSBackedStateStoreProvider keeps every version of
+    // every key in executor HEAP — at 100 TB (billions of dedup keys /
+    // sessions) that's an OOM, and production turns on the RocksDB
+    // provider (state on local disk, bounded memtable). Same queries,
+    // same answers: run the stateful dedup AND the session-window agg
+    // under RocksDB and compare against the batch truths the default-
+    // provider tests already pin.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = java.nio.file.Files.createTempDirectory("rocks-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("rocks-ckpt").toString
+      val q = EventStream.idempotentFileSink(
+        EventStream.dedupedEventsExact(spark, eventsDir), out, ckpt)
+      try q.processAllAvailable()
+      finally q.stop()
+      // the checkpoint really ran RocksDB (provider writes its own layout)
+      val stateDir = java.nio.file.Paths.get(ckpt, "state", "0", "0")
+      assert(java.nio.file.Files.exists(stateDir), "no state dir under checkpoint")
+      val expect = Tables.events(spark, sf)
+        .dropDuplicates("user_id", "event_type", "value").count()
+      assert(spark.read.parquet(out).count() == expect)
+
+      val q2 = EventStream.sessionWindowAgg(spark, eventsDir)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("rocks_sessions").start()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val twin = Tables.events(spark, sf)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      val got = spark.table("rocks_sessions")
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      assert(got == twin && got.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("checkpoint recovery: restarted query resumes dedup state, stays exactly-once") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("ckpt-in")

@@ -104,7 +104,7 @@ private class AvroTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns with Scan with Batch {
@@ -124,6 +124,9 @@ private class AvroTable(tableSchema: StructType, path: String)
         AvroDataSource.listFiles(path).map(AvroInputPartition.apply).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new AvroReaderFactory(required)
+      override def toMicroBatchStream(checkpointLocation: String):
+          org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new AvroMicroBatchStream(path, required)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -142,6 +145,63 @@ private class AvroTable(tableSchema: StructType, path: String)
 }
 
 private case class AvroInputPartition(file: String) extends InputPartition
+
+/** Streaming (micro-batch) read over a WATCHED directory of Avro files —
+  * `spark.readStream.format("avro")`. An offset is the sorted set of
+  * files already admitted (container files are immutable once written —
+  * the same append-only contract as Spark's built-in file stream), so
+  * each micro-batch is exactly the newly-arrived files and recovery
+  * replays deterministically from the checkpointed offset JSON. File
+  * sets here are data-lake directory listings (thousands, not billions);
+  * a production deployment compacts the listing the same way the
+  * built-in source's file log does.
+  */
+private class AvroMicroBatchStream(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FilesOffset(files: Seq[String]) extends Offset {
+    override def json: String =
+      files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+  }
+
+  override def initialOffset(): Offset = FilesOffset(Seq.empty)
+  override def latestOffset(): Offset = FilesOffset(AvroDataSource.listFiles(path))
+
+  override def deserializeOffset(json: String): Offset = {
+    // inverse of FilesOffset.json: a flat JSON string array
+    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) FilesOffset(Seq.empty)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var inStr = false
+      var escape = false
+      body.foreach { c =>
+        if (escape) { cur.append(c); escape = false }
+        else if (inStr && c == '\\') escape = true
+        else if (c == '"') { if (inStr) { out += cur.result(); cur.clear() }; inStr = !inStr }
+        else if (inStr) cur.append(c)
+      }
+      FilesOffset(out.toSeq)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FilesOffset].files.toSet
+    end.asInstanceOf[FilesOffset].files
+      .filterNot(seen)
+      .map(AvroInputPartition.apply)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -93,6 +93,34 @@ class AvroSpec extends AnyFunSuite {
       === Seq((1L, "héllo ✓"), (2L, null), (3L, "")))
   }
 
+  test("streaming micro-batch read: newly arrived files form exactly the next batch") {
+    val dir = Files.createTempDirectory("avro-streamsrc").toString
+    df.filter("id = 1").coalesce(1).write.format("avro").mode("append").save(dir)
+
+    val ckpt = Files.createTempDirectory("avro-streamckpt").toString
+    val batches = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    val q = spark.readStream.format("avro").load(dir)
+      .select("id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized {
+          batches(id) = b.collect().map(_.getLong(0)).sorted.toSeq
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // second file lands AFTER the first trigger: the offset (the set of
+      // admitted files) must hand the stream only the delta
+      df.filter("id > 1").coalesce(1).write.format("avro").mode("append").save(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val nonEmpty = batches.toSeq.sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    assert(nonEmpty == Seq(Seq(1L), Seq(2L, 3L)))
+  }
+
   test("timestamp-micros survives to the microsecond across the format") {
     val dir = Files.createTempDirectory("avro-ts").toString
     df.filter("id = 1").write.format("avro").mode("overwrite").save(dir)

@@ -217,14 +217,68 @@ object Dedup {
       threshold: Double,
       rowsPerBand: Int = 4,
       shingleN: Int = 3): DataFrame = {
-    // one shingle pass per side feeds BOTH artifacts (in production both
-    // are read back materialized; here the demo builds them inline)
+    // one shingle pass feeds BOTH corpus artifacts; the production
+    // serving shape reads them back materialized instead — see
+    // [[writeNearDupIndex]] / [[incrementalNearDupIndexed]]
     val corpusShRows = shingleRows(corpus, shingleN)
     val corpusSh = corpusShRows
       .select(col("doc_id").as("corpus_id"), Hashing.portableTokenHash60(col("sh")).as("h"))
     val corpusBands = bandedSignatures(corpusShRows, rowsPerBand)
       .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
+    classifyAgainstIndex(corpusSh, corpusBands, incoming, threshold, rowsPerBand, shingleN)
+  }
 
+  /** Materialize the standing corpus's LSH serving artifacts as parquet
+    * tables: `bands/` — the (band, key, corpus_id) candidate filter —
+    * and `shingles/` — the (corpus_id, h) 8-byte hashed shingle rows
+    * the verifier joins. Built ONCE per corpus (rebuilt on compaction),
+    * then every arriving batch is classified against the files without
+    * ever rescanning corpus text: this is the 100 TB serving shape the
+    * inline [[incrementalNearDup]] demos. Both tables are written
+    * bucket-friendly small-and-wide; at cluster scale `bands` would be
+    * bucketed by (band, key) so batch admission joins shuffle only the
+    * batch side.
+    */
+  def writeNearDupIndex(
+      corpus: DataFrame,
+      dir: String,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3): Unit = {
+    val corpusShRows = shingleRows(corpus, shingleN)
+    corpusShRows
+      .select(col("doc_id").as("corpus_id"), Hashing.portableTokenHash60(col("sh")).as("h"))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    bandedSignatures(corpusShRows, rowsPerBand)
+      .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
+  /** Classify an arriving batch against a MATERIALIZED corpus index
+    * ([[writeNearDupIndex]]) — identical verdicts to
+    * [[incrementalNearDup]], but the corpus side is two parquet scans
+    * of the standing artifacts, so the measured cost is what a
+    * production ingest pays per batch: shingle the batch, join the
+    * band files, verify against the shingle files.
+    */
+  def incrementalNearDupIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      incoming: DataFrame,
+      threshold: Double,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3): DataFrame =
+    classifyAgainstIndex(
+      spark.read.parquet(s"$indexDir/shingles"),
+      spark.read.parquet(s"$indexDir/bands"),
+      incoming, threshold, rowsPerBand, shingleN)
+
+  private def classifyAgainstIndex(
+      corpusSh: DataFrame,
+      corpusBands: DataFrame,
+      incoming: DataFrame,
+      threshold: Double,
+      rowsPerBand: Int,
+      shingleN: Int): DataFrame = {
     val incShRows = shingleRows(incoming, shingleN)
     val incSh = incShRows
       .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("h"))

@@ -234,4 +234,24 @@ class DedupSpec extends AnyFunSuite {
     assert(asMap(Dedup.connectedComponents(pairs)) == expected)
     assert(asMap(Dedup.connectedComponents(pairs, driverEdgeLimit = -1L)) == expected)
   }
+
+  test("materialized near-dup index serves identical verdicts to the inline form") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, sf)
+    val isNew = pmod(col("doc_id"), lit(5L)) === 4
+    val idx = java.nio.file.Files.createTempDirectory("neardup-idx-spec").toString
+    Dedup.writeNearDupIndex(docs.filter(!isNew), idx)
+    // the artifacts really are the standing tables
+    assert(spark.read.parquet(s"$idx/bands").columns.sorted.toSeq ==
+      Seq("band", "corpus_id", "key"))
+    assert(spark.read.parquet(s"$idx/shingles").columns.sorted.toSeq ==
+      Seq("corpus_id", "h"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val inline = rows(
+      Dedup.incrementalNearDup(docs.filter(!isNew), docs.filter(isNew), 0.3))
+    val indexed = rows(
+      Dedup.incrementalNearDupIndexed(spark, idx, docs.filter(isNew), 0.3))
+    assert(indexed == inline && indexed.nonEmpty)
+  }
 }

@@ -431,7 +431,22 @@ object Similarity {
     // same large-k switchover as semanticDupPairs: literal argmax while
     // the expression stays codegen-sized, broadcast-table + max_by above
     val assigned = withCell(c, centroids, "cv")
+    ivfProbe(assigned, centroids, queries, k, nProbe, idCol, vecCol)
+  }
 
+  /** The probe stage shared by [[ivfTopK]] (inline assignment) and
+    * [[ivfTopKIndexed]] (assignment read from the materialized index):
+    * nProbe nearest cells per query, then exact re-rank of the probed
+    * cells' members.
+    */
+  private def ivfProbe(
+      assigned: DataFrame,
+      centroids: Array[(Long, Array[Double])],
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     // probe list: nProbe nearest cells per query (queries are few — the
     // window runs over a broadcast-sized frame)
     val q = broadcast(
@@ -456,6 +471,75 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Materialize the IVF index: `centroids/` (the trained model, tiny)
+    * and `cells/` — the corpus's normalized vectors PARTITIONED BY their
+    * cell assignment, so a probe of `nProbe` cells is a partition-pruned
+    * scan touching only those directories. Built once per corpus (the
+    * train + assign cost [[ivfTopK]] pays inline on every call);
+    * serving then pays only the probe: this is the offline-build /
+    * online-serve split every production ANN deployment runs.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      dir: String,
+      nCentroids: Int = 16,
+      lloydIters: Int = 2,
+      trainCap: Long = 256L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(trainCap >= nCentroids, "training slice must cover the centroid seeds")
+    val centroids = ivfModel(corpus, nCentroids, lloydIters, trainCap, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // centroids.toSeq through the encoder keeps the (cent_id, centv)
+    // schema even when the corpus — and therefore the model — is empty
+    spark.createDataset(centroids.toSeq).toDF("cent_id", "centv")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    if (centroids.isEmpty) {
+      val c = withNormalized(corpus.select(col(idCol), col(vecCol)), vecCol, "cv")
+      require(c.isEmpty,
+        s"writeIvfIndex: corpus is non-empty but has no ids < $nCentroids to seed centroids")
+      return // empty model: no cells to write, probes return empty
+    }
+    val c = withNormalized(corpus.select(col(idCol), col(vecCol)), vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
+    withCell(c, centroids, "cv")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Probe a MATERIALIZED IVF index ([[writeIvfIndex]]) — identical
+    * results to [[ivfTopK]] on the same parameters (the centroid model
+    * is persisted, not retrained), but the measured cost is the online
+    * serving path only: rank cells for each query against the tiny
+    * centroid table, then scan just the probed cell partitions.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids: Array[(Long, Array[Double])] =
+      spark.read.parquet(s"$indexDir/centroids")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    if (centroids.isEmpty) {
+      // empty index (built over an empty corpus): contract-schema empty
+      // frame, same degrade as ivfTopK
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "cosine")
+    }
+    // partition-column inference reads cell=N directories as int —
+    // restore the assignment's long type for the probe join
+    val assigned = spark.read.parquet(s"$indexDir/cells")
+      .withColumn("cell", col("cell").cast("long"))
+    ivfProbe(assigned, centroids, queries, k, nProbe, idCol, vecCol)
   }
 
   /** ANN top-k via SQ8 scalar quantization: the candidate scan runs over

@@ -11,6 +11,36 @@ import graft.{QueryDef, QueryPack, Tables}
   */
 object SimilarityPack extends QueryPack {
 
+  /** One materialized IVF index per sfDir (offline build on first use;
+    * the indexed query then measures the online probe only).
+    */
+  private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shared oracle for sim_topk_ivf AND sim_topk_ivf_indexed — the
+    * persisted index holds the same trained model, so both forms must
+    * hash to the same result.
+    */
+  private lazy val ivfTopKOracle: String =
+    s"""WITH $trainedAssignCtes,
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.nv AS qv, ct.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY list_dot_product(q.nv, ct.centv) DESC,
+       |                                  ct.cent_id ASC) AS prk
+       |    FROM e q CROSS JOIN cents ct WHERE q.vec_id < 8)
+       |  WHERE prk <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, list_dot_product(p.qv, a.nv) AS cos
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Unit-normalization CTE shared by the oracles: identical arithmetic to
     * Similarity.withNormalized (norm once per row, x/nrm per element, then
     * a single left-to-right double dot per pair) so doubles — and ranks —
@@ -144,25 +174,26 @@ object SimilarityPack extends QueryPack {
         Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, k = 5)
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH $trainedAssignCtes,
-              |probes AS (
-              |  SELECT query_id, qv, cell FROM (
-              |    SELECT q.vec_id AS query_id, q.nv AS qv, ct.cent_id AS cell,
-              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-              |                         ORDER BY list_dot_product(q.nv, ct.centv) DESC,
-              |                                  ct.cent_id ASC) AS prk
-              |    FROM e q CROSS JOIN cents ct WHERE q.vec_id < 8)
-              |  WHERE prk <= 4),
-              |cand AS (
-              |  SELECT p.query_id, a.vec_id AS neighbor_id, list_dot_product(p.qv, a.nv) AS cos
-              |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
-              |r AS (
-              |  SELECT query_id, neighbor_id, cos,
-              |    ROW_NUMBER() OVER (PARTITION BY query_id
-              |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
-              |  FROM cand)
-              |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
-              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(ivfTopKOracle)),
+
+    // The SERVING shape of the same index: centroids + cell-partitioned
+    // corpus persisted once per corpus (Similarity.writeIvfIndex — the
+    // offline build), probes scan ONLY the probed cell partitions.
+    // Shared oracle with sim_topk_ivf: the persisted model is the same
+    // trained model, so results are identical by construction.
+    "sim_topk_ivf_indexed" -> QueryDef(
+      "ANN top-5 via a MATERIALIZED IVF index (cell-partitioned parquet): results identical to sim_topk_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = ivfIndexDirs.computeIfAbsent(dir, d => {
+          val t = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+          Similarity.writeIvfIndex(Tables.embeddings(s, d), t)
+          t
+        })
+        Similarity.ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 8), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfTopKOracle)),
 
     // SemDeDup-style semantic dedup: pairs form ONLY within a trained
     // centroid cell (the cells play LSH bands' role), so the all-pairs

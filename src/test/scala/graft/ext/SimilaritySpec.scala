@@ -231,6 +231,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("materialized IVF index serves identical top-k to the inline form") {
+    val e = Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-idx-spec").toString
+    Similarity.writeIvfIndex(e, idx)
+    // cells/ really is cell-partitioned: probe scans prune to directories
+    val cellDirs = new java.io.File(s"$idx/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val queries = e.filter(col("vec_id") < 8)
+    val inline = rows(Similarity.ivfTopK(queries, e, k = 5))
+    val indexed = rows(Similarity.ivfTopKIndexed(spark, idx, queries, k = 5))
+    assert(indexed == inline && indexed.nonEmpty)
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = Tables.embeddings(spark, sf).limit(20)
     val b1 = e.select(Similarity.lshBucket(col("embedding"), 64).as("b")).collect().map(_.getLong(0))

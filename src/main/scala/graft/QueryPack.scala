@@ -34,7 +34,9 @@ object Catalog {
     queries.SqlSurfacePack,
     queries.FunctionsPack,
     queries.TrainPack,
-    queries.CurationPack)
+    queries.CurationPack,
+    queries.QualityPack,
+    queries.GraphPack)
 
   lazy val all: Map[String, QueryDef] = {
     val merged = packs.flatMap(_.queries)

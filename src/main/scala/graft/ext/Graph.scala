@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics beyond the PageRank ([[Curation.domainRank]])
+  * and connected-components ([[Dedup.connectedComponents]]) ops: exact
+  * triangle counting with degree orientation — the MapReduce-classic bound
+  * (Suri & Vassilvitskii, WWW'11): orient every undirected edge from its
+  * lower-(degree, id) endpoint to the higher, enumerate wedges only at the
+  * LOW-rank center, and close them with one equi-join. Out-degrees are
+  * bounded by O(√m), so the wedge join is O(m^1.5) total work spread across
+  * the cluster — never the Θ(Σ deg²) of an unoriented self-join on a hub.
+  * Each triangle is found exactly once (at its minimum-rank vertex), so the
+  * count needs no /3 or /6 correction.
+  */
+object Graph {
+
+  /** Encode the orientation rank (degree, then node id as the tie-break)
+    * into one sortable BIGINT: deg·10¹² + id. Exact while ids stay below
+    * 10¹² and degrees below ~9.2·10⁶ — both hold for any per-batch graph
+    * this engine materializes; the encoding (vs a struct compare) keeps the
+    * join keys primitive-typed for codegen and lets the DuckDB oracle
+    * replay the identical arithmetic.
+    */
+  private val RankBase = 1000000000000L
+
+  /** Per-node degree of an undirected, deduplicated (s < d) edge list. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("s").as("v"))
+      .unionAll(edges.select(col("d").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  /** Orient each (s, d) edge from its lower-rank endpoint `u` to the
+    * higher-rank `w`; carries `wr` (= rank of `w`) so wedge enumeration can
+    * order the two far endpoints without another join.
+    */
+  def orient(edges: DataFrame): DataFrame = {
+    val rk = degrees(edges)
+      .select(col("v"), (col("deg") * RankBase + col("v")).as("r"))
+    edges
+      .join(rk.select(col("v").as("s"), col("r").as("sr")), "s")
+      .join(rk.select(col("v").as("d"), col("r").as("dr")), "d")
+      .select(
+        when(col("sr") < col("dr"), col("s")).otherwise(col("d")).as("u"),
+        when(col("sr") < col("dr"), col("d")).otherwise(col("s")).as("w"),
+        greatest(col("sr"), col("dr")).as("wr"))
+  }
+
+  /** One-row whole-graph summary: nodes, edges, max oriented out-degree
+    * (the √m bound made visible), wedge count, exact triangle count, and
+    * the global clustering coefficient 3·Δ/wedges. Wedges are enumerated
+    * by the oriented self-join on the center `u` and closed by ONE
+    * equi-join: rank(x) < rank(y) means a closing edge can only be
+    * oriented x→y, so no symmetric OR-join is needed.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    // no .cache(): the repeated `o` subtree re-plans to the same exchange
+    // and Spark's ReuseExchange serves it from the shuffle files; a cache
+    // here would pin executor memory across bench iterations for no win
+    val o = orient(edges)
+    val a = o.select(col("u"), col("w").as("x"), col("wr").as("xr"))
+    val b = o.select(col("u"), col("w").as("y"), col("wr").as("yr"))
+    val wedges = a.join(b, "u").filter(col("xr") < col("yr"))
+    val closed = wedges.join(
+      o.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"), "left_semi")
+    val deg = degrees(edges)
+    val wedgeTotal = deg.agg(
+      // deg·(deg−1) is even, so integer DIV is exact — and the sum stays
+      // in BIGINT instead of accumulating a double that loses integer
+      // precision past 2^53 on a large graph
+      sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"),
+      max("deg").as("max_degree"), count(lit(1)).as("n_nodes"))
+    val outdeg = o.groupBy("u").agg(count(lit(1)).as("od"))
+      .agg(max("od").as("max_outdeg"))
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    val e = edges.agg(count(lit(1)).as("n_edges"))
+    wedgeTotal.crossJoin(outdeg).crossJoin(tri).crossJoin(e)
+      .select(
+        col("n_nodes"), col("n_edges"), col("max_degree"), col("max_outdeg"),
+        col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering"))
+  }
+
+  /** Degree histogram `(deg, n_nodes)` — two narrow aggregates, both
+    * map-side combinable; the standard first look at any new graph.
+    */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    degrees(edges).groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+}

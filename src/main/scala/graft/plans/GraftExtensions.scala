@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductExpr(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }

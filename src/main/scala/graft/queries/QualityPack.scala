@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.Quality
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Data-quality validation and profiling — the checks a 100 TB ingest runs
+  * before letting a batch into the corpus. Everything compiles to one
+  * aggregate pass per table (constraints and the profiler share a single
+  * partial+final HashAggregate each); referential integrity adds the one
+  * unavoidable key join. The reference pipeline (/root/reference/main.py)
+  * validates by crashing mid-transform; here validation is first-class
+  * relational output an orchestrator can gate on.
+  */
+object QualityPack extends QueryPack {
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // Deequ-style constraint suite: five checks over `orders` in ONE
+    // aggregate pass (completeness / key uniqueness / accepted values /
+    // numeric bounds / min-bound), plus the lineitem→orders referential-
+    // integrity fraction as a left-semi count. The report is the long
+    // (check_name, metric, passed) table a data-contract gate consumes.
+    // At 100 TB: one scan for the five metrics, one shuffle join on the
+    // key for RI — never a pass per check.
+    "quality_constraints" -> QueryDef(
+      "One-pass constraint suite over orders + lineitem referential integrity",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val checks = Seq(
+          Quality.Check("completeness(o_custkey)",
+            Quality.completeness(col("o_custkey")), _ >= 1.0),
+          Quality.Check("uniqueness(o_orderkey)",
+            Quality.uniqueness(col("o_orderkey")), _ >= 1.0),
+          Quality.Check("accepted_values(o_orderstatus)",
+            Quality.compliance(col("o_orderstatus").isin("O", "F", "P")), _ >= 1.0),
+          Quality.Check("bounds(o_totalprice)",
+            Quality.compliance(col("o_totalprice") > 0 && col("o_totalprice") < 600000),
+            _ >= 1.0),
+          Quality.Check("min(o_totalprice)",
+            min(col("o_totalprice")), _ > 0))
+        Quality.constraintReport(orders, checks)
+          .unionAll(Quality.referentialIntegrity(
+            "ri(lineitem.l_orderkey)", Tables.lineitem(s, dir), "l_orderkey",
+            orders, "o_orderkey", minFraction = 1.0))
+          .orderBy("check_name")
+      },
+      Some("""WITH m AS (
+             |  SELECT
+             |    COUNT(o_custkey) * 1.0 / COUNT(*) AS completeness,
+             |    COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(o_orderkey) AS uniq,
+             |    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) * 1.0
+             |      / COUNT(*) AS accepted,
+             |    SUM(CASE WHEN o_totalprice > 0 AND o_totalprice < 600000
+             |             THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS bounds,
+             |    MIN(o_totalprice) AS minprice
+             |  FROM orders),
+             |ri AS (
+             |  SELECT SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             |           / COUNT(*) AS frac
+             |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |    ON l.l_orderkey = o.o_orderkey)
+             |SELECT * FROM (
+             |  SELECT 'completeness(o_custkey)' AS check_name,
+             |         ROUND(completeness, 6) AS metric, completeness >= 1.0 AS passed FROM m
+             |  UNION ALL
+             |  SELECT 'uniqueness(o_orderkey)', ROUND(uniq, 6), uniq >= 1.0 FROM m
+             |  UNION ALL
+             |  SELECT 'accepted_values(o_orderstatus)', ROUND(accepted, 6),
+             |         accepted >= 1.0 FROM m
+             |  UNION ALL
+             |  SELECT 'bounds(o_totalprice)', ROUND(bounds, 6), bounds >= 1.0 FROM m
+             |  UNION ALL
+             |  SELECT 'min(o_totalprice)', ROUND(minprice, 6), minprice > 0 FROM m
+             |  UNION ALL
+             |  SELECT 'ri(lineitem.l_orderkey)', ROUND(frac, 6), frac >= 1.0 FROM ri)
+             |ORDER BY check_name""".stripMargin)),
+
+    // Single-pass column profiler: nulls / distinct / min / max for every
+    // customer column in one scan (count_distinct over 5 columns plans one
+    // bounded Expand — row multiplier |cols|, map-side). Fractional
+    // numerics render through DECIMAL(18,2) so both engines print the
+    // same digits; min/max aggregate on the NATIVE type, never on strings.
+    "quality_profile" -> QueryDef(
+      "One-scan per-column profile (nulls/distinct/min/max) of customer",
+      (s, dir) =>
+        Quality.profile(Tables.customer(s, dir),
+            Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+          .withColumnRenamed("column", "col_name")
+          .orderBy("col_name"),
+      Some("""SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT(c_custkey) AS n_null,
+             |  COUNT(DISTINCT c_custkey) AS n_distinct,
+             |  CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+             |  CAST(MAX(c_custkey) AS VARCHAR) AS max_value FROM customer
+             |UNION ALL
+             |SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
+             |  COUNT(DISTINCT c_name), MIN(c_name), MAX(c_name) FROM customer
+             |UNION ALL
+             |SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+             |  COUNT(DISTINCT c_nationkey),
+             |  CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+             |  COUNT(DISTINCT c_acctbal),
+             |  CAST(CAST(MIN(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR),
+             |  CAST(CAST(MAX(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR) FROM customer
+             |UNION ALL
+             |SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+             |  COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment), MAX(c_mktsegment)
+             |FROM customer
+             |ORDER BY col_name""".stripMargin)),
+
+    // Mergeable-cardinality rollup: per-event-type DataSketches HLL
+    // sketches of user_id, UNIONED up to the global count — the canonical
+    // 100 TB distinct pattern (per-partition sketches merge associatively;
+    // a naive per-type sum would say 750 where the true global is 150).
+    // Self-checking: the query emits the EXACT distinct next to a boolean
+    // asserting the sketch estimate lands within 5%; the oracle replays
+    // the exact counts and expects every flag TRUE, so an HLL drift past
+    // the bound fails the hash gate. At 100 TB the exact column is
+    // dropped and the sketch IS the answer.
+    "sketch_hll_rollup" -> QueryDef(
+      "Per-type HLL user cardinality sketches merged to the global count",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val perType = ev.groupBy(col("event_type").as("scope"))
+          .agg(
+            count_distinct(col("user_id")).as("n_exact"),
+            hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = perType.agg(hll_union_agg(col("sk")).as("sk"))
+          .crossJoin(ev.agg(count_distinct(col("user_id")).as("n_exact")))
+          .select(lit("ALL").as("scope"), col("n_exact"), col("sk"))
+        perType.select(col("scope"), col("n_exact"), col("sk"))
+          .unionAll(merged)
+          .select(col("scope"), col("n_exact"),
+            (abs(hll_sketch_estimate(col("sk")).cast("double") - col("n_exact"))
+              <= col("n_exact") * 0.05).as("hll_ok"))
+          .orderBy("scope")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT event_type AS scope, COUNT(DISTINCT user_id) AS n_exact,
+             |         TRUE AS hll_ok
+             |  FROM events GROUP BY event_type
+             |  UNION ALL
+             |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
+             |ORDER BY scope""".stripMargin)),
+
+    // Optimizer-rule approximate query processing: COUNT(DISTINCT
+    // approx_hint(c)) is rewritten AT OPTIMIZATION TIME into the native
+    // HyperLogLog++ aggregate (graft.plans.ApproxDistinctRewrite, a
+    // Rule[LogicalPlan]) — per-expression opt-in, so exact queries
+    // sharing the session are untouched. The exact side is computed
+    // distinct-first (no Count(DISTINCT) node, immune to the rewrite)
+    // and the output asserts the approximation landed within 5% — the
+    // oracle expects TRUE, so a rewrite that breaks semantics fails the
+    // hash gate. At 100 TB: sketches merge map-side; the shuffle carries
+    // |groups| × sketch_size instead of every distinct pair.
+    "q_approx_rewrite" -> QueryDef(
+      "Catalyst rule rewrites hinted COUNT(DISTINCT) to HLL++; 5% bound checked",
+      (s, dir) => {
+        graft.plans.ApproxDistinct.install(s)
+        val ev = Tables.events(s, dir)
+        val approx = ev.groupBy("event_type")
+          .agg(count_distinct(graft.plans.ApproxDistinct.hint(col("user_id")))
+            .as("n_approx"))
+        val exact = ev.select("event_type", "user_id").distinct()
+          .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+        exact.join(approx, "event_type")
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.05)
+              .as("approx_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+             |       TRUE AS approx_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+}

@@ -258,6 +258,36 @@ object TrainPack extends QueryPack {
              |  avg_chars_sampled
              |FROM t LEFT JOIN m USING (lang) ORDER BY lang""".stripMargin)),
 
+    // Group-aware (leakage-free) train/val/test split: the md5 bucket of
+    // the SOURCE decides the split, so every doc from a domain lands in
+    // exactly one split — near-duplicates within a domain can never
+    // straddle train and eval, the standard guard against eval
+    // contamination by sibling pages. Deterministic (md5 arithmetic both
+    // engines replay), map-only classification + one small aggregate; at
+    // 100 TB this is a scan with no shuffle beyond the 3-row rollup.
+    "train_split_grouped" -> QueryDef(
+      "Leakage-free 90/5/5 split keyed on source-domain hash",
+      (s, dir) => {
+        val bucket = pmod(Hashing.portableTokenHash(col("source")), lit(20L))
+        val split = when(bucket < 18, "train")
+          .when(bucket === 18, "val").otherwise("test")
+        Tables.documents(s, dir)
+          .groupBy(split.as("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count_distinct(col("source")).as("n_sources"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("split")
+      },
+      Some("""SELECT CASE WHEN b < 18 THEN 'train' WHEN b = 18 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM (SELECT source, n_chars,
+             |        CAST(('0x'||substring(md5(source),1,8)) AS BIGINT) % 20 AS b
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // Time-series gap fill: dense (event_type × day) grid generated from
     // the observed span, missing days forward-filled with the last
     // observed daily average (rounded BEFORE the fill, so filled values

@@ -42,6 +42,20 @@ object GraftShims {
     }
   }
 
+  /** Idempotently add an optimizer rule to a LIVE session via the public
+    * `ExperimentalMethods` hook (runs in the "User Provided Optimizers"
+    * batch, after the built-in batches); the builder-time path is
+    * `withExtensions(new graft.plans.GraftExtensions)`.
+    */
+  def addOptimizerRule(
+      spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
+
   /** Drain the async listener bus so a just-finished job's task metrics
     * have reached registered listeners (`listenerBus` is private[spark];
     * this file lives in the org.apache.spark tree precisely for shims

@@ -175,5 +175,49 @@ object QualityPack extends QueryPack {
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
              |       TRUE AS approx_ok
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Batch twin of the STREAMING quality gate (streaming/QualityGate):
+    // the same row-level rule set the gate enforces per micro-batch —
+    // range, domain, presence — classified and rolled up over the whole
+    // events table, plus the `__any__` quarantine row. Pinning the twin
+    // under the driver's oracle pins the rule semantics the stream runs
+    // with; QualityGateSpec proves stream == batch on the same files.
+    // One codegen projection + one aggregate pass — no shuffle before
+    // the single-row rollup.
+    "q_stream_quality_twin" -> QueryDef(
+      "Batch twin of the streaming row-quality gate: per-rule violation counts",
+      (s, dir) => {
+        import graft.streaming.QualityGate
+        QualityGate.report(
+            QualityGate.classify(Tables.events(s, dir), QualityGate.eventChecks),
+            QualityGate.eventChecks)
+          .orderBy("check_name")
+      },
+      Some("""WITH c AS (
+             |  SELECT
+             |    CASE WHEN value >= 0 AND value <= 400 THEN 0 ELSE 1 END AS v_range,
+             |    CASE WHEN event_type IN ('click','view','purchase','signup','error')
+             |         THEN 0 ELSE 1 END AS v_type,
+             |    CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END AS v_user
+             |  FROM events),
+             |m AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(v_range) AS BIGINT) AS nv_range,
+             |    CAST(SUM(v_type) AS BIGINT) AS nv_type,
+             |    CAST(SUM(v_user) AS BIGINT) AS nv_user,
+             |    CAST(SUM(CASE WHEN v_range + v_type + v_user > 0 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS nv_any
+             |  FROM c)
+             |SELECT * FROM (
+             |  SELECT 'value_in_range' AS check_name, n AS n_rows,
+             |         nv_range AS n_violations,
+             |         ROUND(nv_range * 1.0 / n, 6) AS violation_rate FROM m
+             |  UNION ALL
+             |  SELECT 'known_type', n, nv_type, ROUND(nv_type * 1.0 / n, 6) FROM m
+             |  UNION ALL
+             |  SELECT 'user_present', n, nv_user, ROUND(nv_user * 1.0 / n, 6) FROM m
+             |  UNION ALL
+             |  SELECT '__any__', n, nv_any, ROUND(nv_any * 1.0 / n, 6) FROM m)
+             |ORDER BY check_name""".stripMargin)))
 }

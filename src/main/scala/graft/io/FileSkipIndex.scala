@@ -1,0 +1,62 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping: a standing min/max/count index over the files
+  * of a parquet table — the same metadata a table format (Iceberg/Delta)
+  * keeps in its manifest, built here as a tiny relational table the engine
+  * owns. A range predicate consults the index FIRST (the index is
+  * thousands of rows where the table is billions), then reads only the
+  * files whose [min,max] envelope intersects — on a 100 TB range-sorted
+  * or Z-ordered table that turns a full scan into a handful of file
+  * reads, entirely driver-cheap.
+  *
+  * Complements the engine's other layout ops: `q_partition_prune`
+  * (directory-level pruning), [[RangeSortedSink]] (1-D clustering that
+  * makes the envelopes tight), [[ZOrderSink]] (multi-dim). Parquet's own
+  * row-group stats filter WITHIN a file after it is opened; this index
+  * skips files without opening them — at cluster scale that is the
+  * difference between listing+footer-reading a million objects and
+  * reading a 4 MB index.
+  */
+object FileSkipIndex {
+
+  /** Build the index with ONE distributed pass over the table: group by
+    * `input_file_name()` and aggregate min/max/count of each key column.
+    * The shuffle is |files| rows wide — negligible. Result schema:
+    * `file, n_rows, <k>_min, <k>_max` per key.
+    */
+  def build(table: DataFrame, keys: Seq[String]): DataFrame = {
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"${k}_min"), max(col(k)).as(s"${k}_max"))) :+
+      count(lit(1)).as("n_rows")
+    table
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose [min,max] envelope intersects [lo, hi] on `key`. The
+    * index is small: this runs as a local filter + collect of file paths.
+    */
+  def candidateFiles(index: DataFrame, key: String, lo: Any, hi: Any): Seq[String] =
+    index
+      .filter(col(s"${key}_max") >= lit(lo) && col(s"${key}_min") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range-read through the index: prune to candidate files, read only
+    * those, and re-apply the predicate exactly (the envelope test is
+    * necessary, not sufficient — boundary files carry rows outside the
+    * range). Returns an empty frame with the right schema when nothing
+    * intersects.
+    */
+  def prunedRead(
+      spark: SparkSession, index: DataFrame, schema: org.apache.spark.sql.types.StructType,
+      key: String, lo: Any, hi: Any): DataFrame = {
+    val files = candidateFiles(index, key, lo, hi)
+    val base =
+      if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    base.filter(col(key) >= lit(lo) && col(key) <= lit(hi))
+  }
+}

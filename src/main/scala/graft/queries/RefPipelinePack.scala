@@ -33,6 +33,7 @@ object RefPipelinePack extends QueryPack {
     */
   /** q_zorder_layout's clustered-write target per sfDir (see the query). */
   private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val fileskipDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private lazy val idaFixtureDir: String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ida-e2e").toString
@@ -785,6 +786,42 @@ object RefPipelinePack extends QueryPack {
              |WHERE o_orderkey % 10 = 0
              |  AND o_orderpriority IN ('1-URGENT', '5-LOW')
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // File-level data skipping (io/FileSkipIndex): a range-sorted layout
+    // plus a standing min/max/count index per file — the manifest-stats
+    // pattern of a lake table format, owned by the engine. The read path
+    // consults the tiny index, opens ONLY the files whose envelope
+    // intersects the predicate (FileSkipIndexSpec proves the file-list
+    // shrinkage), and re-applies the exact predicate. Complements
+    // q_partition_prune (directory-level) and q_zorder_layout
+    // (multi-dim): at 100 TB this skips objects WITHOUT reading footers.
+    "q_fileskip_prune" -> QueryDef(
+      "Range-sorted layout + min/max file index: pruned range read vs original",
+      (s, dir) => {
+        val idx = fileskipDirs.computeIfAbsent(dir, _ => {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-fileskip").toString
+          val slice = Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_partkey"),
+              col("l_quantity").cast("long").as("qty"))
+          graft.io.RangeSortedSink.write(slice, s"$tmp/data", numFiles = 16,
+            col("l_orderkey"))
+          graft.io.FileSkipIndex.build(s.read.parquet(s"$tmp/data"), Seq("l_orderkey"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/index")
+          tmp
+        })
+        val schema = s.read.parquet(s"$idx/data").schema
+        graft.io.FileSkipIndex.prunedRead(
+            s, s.read.parquet(s"$idx/index"), schema, "l_orderkey", 1000L, 3000L)
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("l_orderkey")).as("n_orders"),
+            sum("qty").as("sum_qty"),
+            min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+      },
+      Some("""SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+             |FROM lineitem
+             |WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin)),
 
     // Incremental upsert — the scale-friendly alternative to the
     // reference's DROP-and-recreate load (connect_postgre.py:240): new

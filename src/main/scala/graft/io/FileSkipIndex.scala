@@ -23,13 +23,16 @@ import org.apache.spark.sql.functions._
 object FileSkipIndex {
 
   /** Build the index with ONE distributed pass over the table: group by
-    * `input_file_name()` and aggregate min/max/count of each key column.
+    * `input_file_name()` and aggregate min/max/count of each key column —
+    * plus, optionally, per-file SUMS of integral measure columns, which
+    * turn the index into an aggregation source (see [[metadataRangeAgg]]).
     * The shuffle is |files| rows wide — negligible. Result schema:
-    * `file, n_rows, <k>_min, <k>_max` per key.
+    * `file, n_rows, <k>_min, <k>_max [, <m>_sum...]`.
     */
-  def build(table: DataFrame, keys: Seq[String]): DataFrame = {
+  def build(table: DataFrame, keys: Seq[String], measures: Seq[String] = Nil): DataFrame = {
     val aggs = keys.flatMap(k =>
-      Seq(min(col(k)).as(s"${k}_min"), max(col(k)).as(s"${k}_max"))) :+
+      Seq(min(col(k)).as(s"${k}_min"), max(col(k)).as(s"${k}_max"))) ++
+      measures.map(m => sum(col(m)).as(s"${m}_sum")) :+
       count(lit(1)).as("n_rows")
     table
       .groupBy(input_file_name().as("file"))
@@ -43,6 +46,40 @@ object FileSkipIndex {
     index
       .filter(col(s"${key}_max") >= lit(lo) && col(s"${key}_min") <= lit(hi))
       .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Metadata-only range aggregation (the manifest-aggregation trick):
+    * COUNT and SUM(measure) over `key BETWEEN lo AND hi` answered from
+    * the INDEX for every file whose envelope lies fully inside the range
+    * — zero data reads — and from the data only for the BOUNDARY files
+    * that straddle an edge. On a range-sorted layout the boundary is at
+    * most two files regardless of table size, so a 100 TB range rollup
+    * costs a driver-side index filter plus two file reads. Exact by
+    * construction (integral measures only — per-file long sums compose
+    * associatively; never use this with doubles, where per-file partial
+    * order would change the rounding).
+    */
+  def metadataRangeAgg(
+      spark: SparkSession, index: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      key: String, lo: Any, hi: Any, measure: String): DataFrame = {
+    val inRange = index.filter(col(s"${key}_max") >= lit(lo) && col(s"${key}_min") <= lit(hi))
+    val covered = inRange.filter(col(s"${key}_min") >= lit(lo) && col(s"${key}_max") <= lit(hi))
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("n"),
+        coalesce(sum(s"${measure}_sum"), lit(0L)).as("s"))
+    val boundaryFiles = inRange
+      .filter(col(s"${key}_min") < lit(lo) || col(s"${key}_max") > lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+    val boundary =
+      if (boundaryFiles.isEmpty)
+        covered.select(lit(0L).as("n"), lit(0L).as("s")).limit(1)
+      else
+        spark.read.schema(schema).parquet(boundaryFiles: _*)
+          .filter(col(key) >= lit(lo) && col(key) <= lit(hi))
+          .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+            coalesce(sum(measure), lit(0L)).as("s"))
+    covered.unionAll(boundary)
+      .agg(sum("n").as("n_rows"), sum("s").as(s"sum_$measure"))
+  }
 
   /** Range-read through the index: prune to candidate files, read only
     * those, and re-apply the predicate exactly (the envelope test is

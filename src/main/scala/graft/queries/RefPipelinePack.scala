@@ -805,7 +805,8 @@ object RefPipelinePack extends QueryPack {
               col("l_quantity").cast("long").as("qty"))
           graft.io.RangeSortedSink.write(slice, s"$tmp/data", numFiles = 16,
             col("l_orderkey"))
-          graft.io.FileSkipIndex.build(s.read.parquet(s"$tmp/data"), Seq("l_orderkey"))
+          graft.io.FileSkipIndex.build(s.read.parquet(s"$tmp/data"),
+              Seq("l_orderkey"), measures = Seq("qty"))
             .coalesce(1).write.mode("overwrite").parquet(s"$tmp/index")
           tmp
         })
@@ -822,6 +823,38 @@ object RefPipelinePack extends QueryPack {
              |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
              |FROM lineitem
              |WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin)),
+
+    // Metadata-only range aggregation over the SAME standing index:
+    // COUNT/SUM answered from per-file index rows for every file whose
+    // envelope sits fully inside the range; only the (≤2 on a sorted
+    // layout) boundary files are read and residual-filtered. The oracle
+    // is the plain full-scan SQL — so the driver hash-gate proves the
+    // metadata path computes the identical answer while touching almost
+    // no data. The lake-format "aggregate from manifests" trick as an
+    // engine primitive.
+    "q_fileskip_agg" -> QueryDef(
+      "Manifest-style COUNT/SUM: index rows for covered files + boundary-file residual",
+      (s, dir) => {
+        val idx = fileskipDirs.computeIfAbsent(dir, _ => {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-fileskip").toString
+          val slice = Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_partkey"),
+              col("l_quantity").cast("long").as("qty"))
+          graft.io.RangeSortedSink.write(slice, s"$tmp/data", numFiles = 16,
+            col("l_orderkey"))
+          graft.io.FileSkipIndex.build(s.read.parquet(s"$tmp/data"),
+              Seq("l_orderkey"), measures = Seq("qty"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/index")
+          tmp
+        })
+        val schema = s.read.parquet(s"$idx/data").schema
+        graft.io.FileSkipIndex.metadataRangeAgg(
+          s, s.read.parquet(s"$idx/index"), schema, "l_orderkey", 500L, 20000L, "qty")
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |WHERE l_orderkey BETWEEN 500 AND 20000""".stripMargin)),
 
     // Incremental upsert — the scale-friendly alternative to the
     // reference's DROP-and-recreate load (connect_postgre.py:240): new

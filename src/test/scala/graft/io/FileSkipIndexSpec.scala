@@ -45,6 +45,37 @@ class FileSkipIndexSpec extends AnyFunSuite {
     assert(pruned.map(_.toSeq).toSeq == brute.map(_.toSeq).toSeq)
   }
 
+  test("metadataRangeAgg: covered files answered from the index, boundary ≤ 2, exact") {
+    val data = spark.read.parquet(s"$layout/data")
+    val idx = FileSkipIndex.build(data, Seq("l_orderkey"), measures = Seq("qty"))
+    val keys = data.agg(min("l_orderkey"), max("l_orderkey")).first()
+    val span = keys.getLong(1) - keys.getLong(0)
+    val (lo, hi) = (keys.getLong(0) + span / 8, keys.getLong(0) + span / 2)
+    // on a range-sorted layout the boundary set is at most the two edge files
+    val boundary = idx.filter(
+      (col("l_orderkey_max") >= lo && col("l_orderkey_min") <= hi) &&
+        (col("l_orderkey_min") < lo || col("l_orderkey_max") > hi)).count()
+    assert(boundary <= 2, s"range-sorted boundary must be ≤ 2 files, got $boundary")
+    val covered = idx.filter(col("l_orderkey_min") >= lo && col("l_orderkey_max") <= hi).count()
+    assert(covered > 0, "the chosen range must fully cover at least one file")
+    val got = FileSkipIndex.metadataRangeAgg(spark, idx, data.schema, "l_orderkey", lo, hi, "qty").first()
+    val want = data.filter(col("l_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum("qty")).first()
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1))
+  }
+
+  test("metadataRangeAgg: whole-table range == table totals; disjoint range == zeros") {
+    val data = spark.read.parquet(s"$layout/data")
+    val idx = FileSkipIndex.build(data, Seq("l_orderkey"), measures = Seq("qty"))
+    val keys = data.agg(min("l_orderkey"), max("l_orderkey")).first()
+    val all = FileSkipIndex.metadataRangeAgg(
+      spark, idx, data.schema, "l_orderkey", keys.getLong(0), keys.getLong(1), "qty").first()
+    assert(all.getLong(0) == data.count())
+    val none = FileSkipIndex.metadataRangeAgg(
+      spark, idx, data.schema, "l_orderkey", keys.getLong(1) + 10, keys.getLong(1) + 20, "qty").first()
+    assert(none.getLong(0) == 0 && none.getLong(1) == 0)
+  }
+
   test("an envelope-missing range reads zero files and returns the right schema") {
     val data = spark.read.parquet(s"$layout/data")
     val idx = FileSkipIndex.build(data, Seq("l_orderkey"))

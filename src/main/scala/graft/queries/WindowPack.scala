@@ -345,6 +345,62 @@ object WindowPack extends QueryPack {
              |      FROM orders WHERE o_custkey % 100 = 0)
              |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
 
+    // Rolling z-score anomaly flags over daily per-type totals — the
+    // monitoring query every ingest pipeline runs over its own volume
+    // metrics. Moments ride EXACT integer cents (sx, sxx as BIGINTs over
+    // a trailing 7-row frame, current row excluded), so mean/var/z are
+    // identical doubles in any engine — no windowed STDDEV whose
+    // accumulation order could drift. One keyed exchange: the daily
+    // aggregate and the frame share the event_type partitioning; at
+    // 100 TB this is a per-series scan of an already-tiny rollup.
+    "q_anomaly_rolling" -> QueryDef(
+      "Trailing-7-day z-score anomaly detection on daily per-type cents",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+        daily
+          .select(col("event_type"), col("day"), col("cents"),
+            count(col("cents")).over(w).as("n_w"),
+            sum(col("cents")).over(w).cast("double").as("sx"),
+            sum(col("cents") * col("cents")).over(w).cast("double").as("sxx"))
+          .filter(col("n_w") === 7)
+          .withColumn("mean_c", col("sx") / 7)
+          .withColumn("var_c", (col("sxx") - col("sx") * col("sx") / 7) / 6)
+          .select(col("event_type"), col("day"), col("cents"),
+            round(col("mean_c"), 2).as("roll_mean"),
+            when(col("var_c") > 0,
+              round((col("cents") - col("mean_c")) / sqrt(col("var_c")), 4))
+              .otherwise(lit(0.0)).as("z"),
+            (col("var_c") > 0 &&
+              abs(col("cents") - col("mean_c")) > lit(3) * sqrt(col("var_c")))
+              .as("is_anomaly"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |f AS (
+             |  SELECT event_type, day, cents,
+             |    COUNT(cents) OVER w AS n_w,
+             |    CAST(SUM(cents) OVER w AS DOUBLE) AS sx,
+             |    CAST(SUM(cents * cents) OVER w AS DOUBLE) AS sxx
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+             |m AS (
+             |  SELECT event_type, day, cents, sx / 7 AS mean_c,
+             |         (sxx - sx * sx / 7) / 6 AS var_c
+             |  FROM f WHERE n_w = 7)
+             |SELECT event_type, day, cents,
+             |  ROUND(mean_c, 2) AS roll_mean,
+             |  CASE WHEN var_c > 0
+             |       THEN ROUND((cents - mean_c) / SQRT(var_c), 4) ELSE 0.0 END AS z,
+             |  var_c > 0 AND ABS(cents - mean_c) > 3 * SQRT(var_c) AS is_anomaly
+             |FROM m ORDER BY event_type, day""".stripMargin)),
+
     // IGNORE NULLS lag: carry the most recent HIGH-value order's price
     // past any number of low-value orders — the sparse-series lookup
     // shape (sensor last-reading, last-known-price) that a plain lag(1)

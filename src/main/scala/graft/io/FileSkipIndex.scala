@@ -39,6 +39,27 @@ object FileSkipIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental index maintenance: stat ONLY the files that arrived since
+    * the index was built (listing diff against the indexed file set) and
+    * union their rows in — the standing index never re-scans indexed
+    * data, the same admission posture as the engine's incremental dedup
+    * and ANN index paths. On a 100 TB table with daily arrivals the
+    * refresh cost is the new files, not the corpus.
+    */
+  def refresh(
+      spark: SparkSession, dataDir: String, index: DataFrame,
+      keys: Seq[String], measures: Seq[String] = Nil): DataFrame = {
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val indexed = index.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dataDir), spark.sparkContext.hadoopConfiguration)
+    val all = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    val fresh = all.filterNot(p => indexed.contains(norm(p)))
+    if (fresh.isEmpty) index
+    else index.unionByName(build(spark.read.parquet(fresh.toIndexedSeq: _*), keys, measures))
+  }
+
   /** Files whose [min,max] envelope intersects [lo, hi] on `key`. The
     * index is small: this runs as a local filter + collect of file paths.
     */

@@ -34,6 +34,7 @@ object RefPipelinePack extends QueryPack {
   /** q_zorder_layout's clustered-write target per sfDir (see the query). */
   private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val fileskipDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val compactDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private lazy val idaFixtureDir: String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ida-e2e").toString
@@ -855,6 +856,39 @@ object RefPipelinePack extends QueryPack {
              |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
              |FROM lineitem
              |WHERE l_orderkey BETWEEN 500 AND 20000""".stripMargin)),
+
+    // Small-file compaction (io/Compactor): a 64-fragment layout —
+    // what a streaming sink or drip-feed load leaves behind — rewritten
+    // in place into 8 range-sorted files (write tmp → rename swap, so a
+    // racing reader sees old or new, never a mix). The oracle is the
+    // plain aggregate over the source table: compaction must be
+    // READ-INVISIBLE, and the hash gate proves it bit-for-bit. The
+    // rewrite also restores tight FileSkipIndex envelopes
+    // (CompactorSpec asserts the clustering).
+    "q_compact_roundtrip" -> QueryDef(
+      "64-fragment layout compacted in place to 8 sorted files; result unchanged",
+      (s, dir) => {
+        val cdir = compactDirs.computeIfAbsent(dir, _ => {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+          val slice = Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity").cast("long").as("qty"))
+          slice.repartition(64).write.mode("overwrite").parquet(s"$tmp/t")
+          graft.io.Compactor.compact(s, s"$tmp/t", numFiles = 8,
+            col("l_orderkey"), col("l_linenumber"))
+          tmp
+        })
+        s.read.parquet(s"$cdir/t")
+          .groupBy(pmod(col("l_orderkey"), lit(7L)).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+            min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT l_orderkey % 7 AS bucket, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+             |FROM lineitem
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // Incremental upsert — the scale-friendly alternative to the
     // reference's DROP-and-recreate load (connect_postgre.py:240): new

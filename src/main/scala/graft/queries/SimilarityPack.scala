@@ -469,6 +469,130 @@ object SimilarityPack extends QueryPack {
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-      })
+      }),
+
+    // Hybrid retrieval — the RAG-stack shape: a LEXICAL ranking (BM25,
+    // same scoring as text_bm25_topk, self-match excluded) and a
+    // SEMANTIC ranking (exact cosine top-k; vec_id aligns with doc_id)
+    // fused by reciprocal rank: rrf = Σ 1/(60 + rank). RRF needs only
+    // the two rank columns — no score calibration across modalities —
+    // and the fusion is one full-outer join of two already-tiny top-20
+    // lists, so at 100 TB the cost is the two retrievals (each already
+    // scale-shaped: broadcast query side, per-query WindowGroupLimit),
+    // never the fusion. Ties (a doc ranked r in exactly one list vs
+    // another doc ranked r in the other) break on doc_id in both
+    // engines.
+    "retrieval_hybrid_rrf" -> QueryDef(
+      "Hybrid BM25 + cosine retrieval fused by reciprocal rank (top-5 per query)",
+      (s, dir) => {
+        import graft.ext.TextAnalysis
+        import org.apache.spark.sql.expressions.Window
+        // lexical list: BM25 top-20 per query doc (0-2), self excluded
+        val toked = Tables.documents(s, dir).select(col("doc_id"),
+          explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
+        val tf = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dlen = toked.select(col("doc_id"), size(col("toks")).as("len"))
+        val stats = dlen.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
+        val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val qtoks = toked.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"),
+            explode(expr("slice(toks, 1, 8)")).as("tok"))
+          .distinct()
+        val wl = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val lex = tf.join(broadcast(qtoks), Seq("tok"))
+          .join(dfTab, Seq("tok"))
+          .join(dlen, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("s",
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+              col("tf") / (col("tf") +
+                lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avg_len"))))
+          .groupBy("query_id", "doc_id")
+          .agg(round(sum("s"), 6).as("score"))
+          .filter(col("doc_id") =!= col("query_id"))
+          .withColumn("lrank", row_number().over(wl))
+          .filter(col("lrank") <= 20)
+          .select(col("query_id"), col("doc_id"), col("lrank"))
+        // semantic list: exact cosine top-20 (vec_id ≡ doc_id)
+        val e = Tables.embeddings(s, dir)
+        val sem = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").as("srank"))
+        val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("srank")), lit(0.0)))
+        val wf = Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        fused.withColumn("rank", row_number().over(wf))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            round(col("rrf"), 6).as("rrf_score"),
+            coalesce(col("lrank"), lit(0)).as("lex_rank"),
+            coalesce(col("srank"), lit(0)).as("sem_rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH toked AS (
+              |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+              |  FROM documents),
+              |tf AS (
+              |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+              |    SELECT doc_id, unnest(toks) AS tok FROM toked)
+              |  GROUP BY doc_id, tok),
+              |dlen AS (SELECT doc_id, len(toks) AS len FROM toked),
+              |stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avg_len FROM dlen),
+              |dftab AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+              |qtoks AS (
+              |  SELECT DISTINCT doc_id AS query_id, tok FROM (
+              |    SELECT doc_id, unnest(toks[1:8]) AS tok FROM toked WHERE doc_id < 3)),
+              |perdoc AS (
+              |  SELECT q.query_id, tf.doc_id,
+              |    ROUND(SUM(
+              |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+              |      tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))), 6) AS score
+              |  FROM tf
+              |  JOIN qtoks q USING (tok)
+              |  JOIN dftab d USING (tok)
+              |  JOIN dlen l ON tf.doc_id = l.doc_id
+              |  CROSS JOIN stats s
+              |  GROUP BY q.query_id, tf.doc_id),
+              |lex AS (
+              |  SELECT query_id, doc_id, lrank FROM (
+              |    SELECT query_id, doc_id, score,
+              |      ROW_NUMBER() OVER (PARTITION BY query_id
+              |                         ORDER BY score DESC, doc_id ASC) AS lrank
+              |    FROM perdoc WHERE doc_id <> query_id)
+              |  WHERE lrank <= 20),
+              |${normCte("")},
+              |q AS (SELECT * FROM e WHERE vec_id < 3),
+              |p AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+              |    list_dot_product(q.nv, c.nv) AS cos
+              |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+              |sem AS (
+              |  SELECT query_id, doc_id, srank FROM (
+              |    SELECT query_id, doc_id,
+              |      ROW_NUMBER() OVER (PARTITION BY query_id
+              |                         ORDER BY cos DESC, doc_id ASC) AS srank
+              |    FROM p)
+              |  WHERE srank <= 20),
+              |fused AS (
+              |  SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+              |         COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+              |         lex.lrank AS lrank, sem.srank AS srank,
+              |         COALESCE(1.0 / (60 + lex.lrank), 0.0) +
+              |           COALESCE(1.0 / (60 + sem.srank), 0.0) AS rrf
+              |  FROM lex FULL OUTER JOIN sem
+              |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id),
+              |ranked AS (
+              |  SELECT query_id, doc_id, rrf, lrank, srank,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY rrf DESC, doc_id ASC) AS rank
+              |  FROM fused)
+              |SELECT query_id, rank, doc_id, ROUND(rrf, 6) AS rrf_score,
+              |  COALESCE(lrank, 0) AS lex_rank, COALESCE(srank, 0) AS sem_rank
+              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -258,6 +258,40 @@ object TrainPack extends QueryPack {
              |  avg_chars_sampled
              |FROM t LEFT JOIN m USING (lang) ORDER BY lang""".stripMargin)),
 
+    // k-anonymity publication gate (k=5) over the quasi-identifier pair
+    // (nation, market segment): groups smaller than k are SUPPRESSED into
+    // one sentinel row instead of being published — the re-identification
+    // guard that complements text_pii_redact's content-level scrubbing.
+    // One aggregate pass + a size filter; the suppressed remainder is a
+    // second tiny aggregate over the group table, not the base data. At
+    // 100 TB: group sizes ride the same partial+final aggregate as any
+    // rollup; publication is a filter on the (small) group table.
+    "q_k_anonymity" -> QueryDef(
+      "k=5 anonymity: publish (nation, segment) groups >= 5, suppress the rest",
+      (s, dir) => {
+        val g = Tables.customer(s, dir)
+          .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+        val published = g.filter(col("n") >= 5)
+        val suppressed = g.filter(col("n") < 5)
+          .agg(coalesce(sum("n"), lit(0L)).as("n"))
+          .select(lit(-1L).as("c_nationkey"), lit("__suppressed__").as("c_mktsegment"),
+            col("n"))
+        published.unionByName(suppressed)
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT c_nationkey, c_mktsegment, n FROM (
+             |    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+             |    FROM customer GROUP BY 1, 2)
+             |  WHERE n >= 5
+             |  UNION ALL
+             |  SELECT -1, '__suppressed__',
+             |    COALESCE(CAST(SUM(n) AS BIGINT), 0) FROM (
+             |    SELECT COUNT(*) AS n FROM customer
+             |    GROUP BY c_nationkey, c_mktsegment)
+             |  WHERE n < 5)
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
     // Group-aware (leakage-free) train/val/test split: the md5 bucket of
     // the SOURCE decides the split, so every doc from a domain lands in
     // exactly one split — near-duplicates within a domain can never

@@ -50,6 +50,12 @@ object GraftSession {
         require(children.size == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         graft.plans.DotProductExpr(children.head, children(1))
       })
+    GraftShims.registerFunction(spark, "graft_approx_hint",
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_approx_hint(c) takes 1 argument")
+        graft.plans.ApproxDistinctHint(children.head)
+      })
     GraftShims.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    graft.plans.ApproxDistinct.install(spark)
   }
 }

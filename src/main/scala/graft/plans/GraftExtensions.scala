@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         DotProductExpr(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_approx_hint"),
+      new ExpressionInfo(classOf[ApproxDistinctHint].getName, "graft_approx_hint"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_approx_hint(c) takes 1 argument")
+        ApproxDistinctHint(children.head)
+      }))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }

@@ -35,7 +35,13 @@ class DeterminismSpec extends AnyFunSuite {
     "q_seq_id_scale",
     "text_bpe_encode",      // merge-winner tie-breaks
     "train_pipeline_e2e",   // composition of several of the above
-    "q_ida_e2e_csv")        // mixed-ingest composition (file order, header collect)
+    "q_ida_e2e_csv",        // mixed-ingest composition (file order, header collect)
+    "train_split_grouped",  // md5 bucket split
+    "retrieval_hybrid_rrf", // two rank lists + fusion tie-breaks
+    "sketch_hll_rollup",    // datasketches HLL build + union
+    "graph_triangles",      // materialized-index build on first run, serve on second
+    "q_fileskip_agg",       // index build + boundary-file residual
+    "q_compact_roundtrip")  // in-place rewrite on first run, plain read after
 
   test("hash/sample/rank-driven queries return identical rows on a double run") {
     val diffs = audited.flatMap { name =>

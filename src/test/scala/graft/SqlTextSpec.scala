@@ -19,6 +19,23 @@ class SqlTextSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaDf.toSeq)
   }
 
+  test("SQL-text approx hint: attach registers graft_approx_hint and the rewrite fires") {
+    GraftSession.attach(spark, sf)
+    val df = spark.sql(
+      "SELECT event_type, count(DISTINCT graft_approx_hint(user_id)) AS n " +
+        "FROM events GROUP BY event_type")
+    assert(df.queryExecution.executedPlan.toString.contains("approx_count_distinct"),
+      "SQL-text hinted distinct must plan as HLL++")
+    val approx = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.sql(
+      "SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
   test("scalable zipWithIndex id == row_number parity mode on a total order") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

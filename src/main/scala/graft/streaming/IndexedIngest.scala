@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.io.FileSkipIndex
+
+/** Streaming ingest that MAINTAINS the table's skip index as data lands:
+  * each micro-batch appends its rows as deterministically-named parquet
+  * files and then refreshes the standing [[FileSkipIndex]] to cover
+  * exactly the new files — so range queries against the table keep their
+  * file-skipping behavior continuously, without a nightly index rebuild.
+  * This is the lake-format contract (every commit updates the manifest)
+  * expressed with the engine's own primitives.
+  *
+  * Idempotence: batch files are named `batch<id>_<n>.parquet` and a
+  * replayed batch first deletes its own files, so a retry converges to
+  * the same file set (the [[EventStream.writeBatchIdempotent]] contract);
+  * the index refresh is a listing diff, so it follows the file set. The
+  * refreshed index lands by write-tmp-then-rename — a reader sees the
+  * old or the new index, never a partial one (and the index is only ever
+  * BEHIND the data, which is safe: an unindexed file is simply not
+  * skipped... it is unknown to pruned reads served strictly through the
+  * index, which is why the refresh runs in the same foreachBatch, before
+  * the batch is acknowledged to the checkpoint).
+  */
+object IndexedIngest {
+
+  /** Append one batch's rows + refresh the index. Also directly callable
+    * for replay testing.
+    */
+  def ingestBatch(
+      batch: DataFrame, batchId: Long, tableDir: String, indexDir: String,
+      keys: Seq[String], measures: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tableDir), conf)
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    fs.mkdirs(table)
+    // replay-safe: remove this batch's previous files, then land the new
+    // ones under deterministic names
+    fs.globStatus(new org.apache.hadoop.fs.Path(f"$tableDir/batch$batchId%06d_*.parquet"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+    parts.zipWithIndex.foreach { case (st, i) =>
+      fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(f"$tableDir/batch$batchId%06d_$i%03d.parquet"))
+    }
+    // refresh the standing index over the new file set and swap it in
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val existing =
+      if (fs.exists(idxPath)) spark.read.parquet(indexDir)
+      else FileSkipIndex.build(spark.read.parquet(tableDir), keys, measures).limit(0)
+    val refreshed = FileSkipIndex.refresh(spark, tableDir, existing, keys, measures)
+    val idxTmp = indexDir.stripSuffix("/") + ".tmp"
+    refreshed.coalesce(1).write.mode("overwrite").parquet(idxTmp)
+    val old = new org.apache.hadoop.fs.Path(indexDir.stripSuffix("/") + ".old")
+    if (fs.exists(idxPath)) { fs.delete(old, true); fs.rename(idxPath, old) }
+    fs.rename(new org.apache.hadoop.fs.Path(idxTmp), idxPath)
+    fs.delete(old, true)
+  }
+
+  /** Start the maintained-index ingest on a stream. */
+  def start(
+      stream: DataFrame, tableDir: String, indexDir: String, checkpointDir: String,
+      keys: Seq[String], measures: Seq[String] = Nil): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        ingestBatch(b, id, tableDir, indexDir, keys, measures))
+      .start()
+}

@@ -258,6 +258,74 @@ object TrainPack extends QueryPack {
              |  avg_chars_sampled
              |FROM t LEFT JOIN m USING (lang) ORDER BY lang""".stripMargin)),
 
+    // Point-in-time training matrix (the feature-store contract): one row
+    // per user with features computed STRICTLY before the cutoff and the
+    // label strictly after — the only join discipline that cannot leak
+    // the future into training. Features: trailing-7-day activity
+    // (exact integer cents), last event type before cutoff (row_number
+    // pick, deterministic tie-break); label: any purchase within the
+    // 7 days following the cutoff. At 100 TB this is two filtered scans
+    // + one grouped aggregate + one left join on user — and generalizing
+    // cutoffs to a vector of training dates is the as-of-join family the
+    // engine already ships natively (q_asof_native/q_temporal_join).
+    "train_feature_matrix" -> QueryDef(
+      "Leakage-safe point-in-time features + forward label per user (cutoff 2024-02-01)",
+      (s, dir) => {
+        val cutoff = lit("2024-02-01").cast("timestamp")
+        val ev = Tables.events(s, dir)
+        val past = ev.filter(col("ts") < cutoff)
+        val feats = past
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("ts") >= lit("2024-01-25").cast("timestamp"), 1L)
+              .otherwise(0L)).as("f_n7"),
+            sum(when(col("ts") >= lit("2024-01-25").cast("timestamp"),
+              round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("f_cents7"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val lastType = past
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("user_id"), col("event_type").as("f_last_type"))
+        val label = ev
+          .filter(col("ts") >= cutoff &&
+            col("ts") < lit("2024-02-08").cast("timestamp") &&
+            col("event_type") === "purchase")
+          .select("user_id").distinct()
+          .withColumn("label", lit(1L))
+        feats.join(lastType, Seq("user_id"))
+          .join(label, Seq("user_id"), "left")
+          .select(col("user_id"), col("f_n7"), col("f_cents7"), col("f_last_type"),
+            coalesce(col("label"), lit(0L)).as("label"))
+          .orderBy("user_id")
+      },
+      Some("""WITH past AS (
+             |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-02-01'),
+             |feats AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-25' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS f_n7,
+             |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-25'
+             |             THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+             |         AS BIGINT) AS f_cents7
+             |  FROM past GROUP BY user_id),
+             |last_type AS (
+             |  SELECT user_id, event_type AS f_last_type FROM (
+             |    SELECT user_id, event_type,
+             |      ROW_NUMBER() OVER (PARTITION BY user_id
+             |                         ORDER BY ts DESC, event_id DESC) AS rk
+             |    FROM past)
+             |  WHERE rk = 1),
+             |label AS (
+             |  SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS label FROM events
+             |  WHERE ts >= TIMESTAMP '2024-02-01' AND ts < TIMESTAMP '2024-02-08'
+             |    AND event_type = 'purchase')
+             |SELECT f.user_id, f_n7, f_cents7, f_last_type,
+             |  COALESCE(l.label, 0) AS label
+             |FROM feats f
+             |JOIN last_type USING (user_id)
+             |LEFT JOIN label l ON f.user_id = l.user_id
+             |ORDER BY f.user_id""".stripMargin)),
+
     // k-anonymity publication gate (k=5) over the quasi-identifier pair
     // (nation, market segment): groups smaller than k are SUPPRESSED into
     // one sentinel row instead of being published — the re-identification

@@ -219,5 +219,71 @@ object QualityPack extends QueryPack {
              |  SELECT 'user_present', n, nv_user, ROUND(nv_user * 1.0 / n, 6) FROM m
              |  UNION ALL
              |  SELECT '__any__', n, nv_any, ROUND(nv_any * 1.0 / n, 6) FROM m)
-             |ORDER BY check_name""".stripMargin)))
+             |ORDER BY check_name""".stripMargin)),
+
+    // Dataset-profile drift between two time slices — the monitoring
+    // companion to the constraint suite: a batch can pass every static
+    // check and still have silently changed shape (volume, user base,
+    // value level, event mix). Each half is ONE aggregate pass over
+    // exact integer cents; the drift row set is metric-keyed so an
+    // orchestrator can alert per metric. At 100 TB the two slices are
+    // partition-pruned scans of the affected date ranges only.
+    "quality_drift" -> QueryDef(
+      "Profile drift Jan vs Feb+: volume / users / value level / purchase mix",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def profile(half: org.apache.spark.sql.DataFrame) = half.agg(
+          count(lit(1)).cast("double").as("n_rows"),
+          count_distinct(col("user_id")).cast("double").as("n_users"),
+          (sum(round(col("value") * 100, 0).cast("long")).cast("double") /
+            count(lit(1)) / 100).as("mean_value"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("p_purchase"))
+        val cutoff = lit("2024-02-01").cast("timestamp")
+        val a = profile(ev.filter(col("ts") < cutoff))
+        val b = profile(ev.filter(col("ts") >= cutoff))
+        val metrics = Seq("n_rows", "n_users", "mean_value", "p_purchase")
+        a.select(metrics.map(m => col(m).as(s"a_$m")): _*)
+          .crossJoin(b.select(metrics.map(m => col(m).as(s"b_$m")): _*))
+          .select(explode(array(metrics.map { m =>
+            struct(lit(m).as("metric"),
+              round(col(s"a_$m"), 6).as("val_a"),
+              round(col(s"b_$m"), 6).as("val_b"),
+              round((col(s"b_$m") - col(s"a_$m")) / col(s"a_$m"), 4).as("rel_change"))
+          }: _*)).as("r"))
+          .select(col("r.metric").as("metric"), col("r.val_a").as("val_a"),
+            col("r.val_b").as("val_b"), col("r.rel_change").as("rel_change"))
+          .orderBy("metric")
+      },
+      Some("""WITH a AS (
+             |  SELECT COUNT(*) * 1.0 AS n_rows,
+             |    COUNT(DISTINCT user_id) * 1.0 AS n_users,
+             |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             |      / COUNT(*) / 100 AS mean_value,
+             |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0
+             |      / COUNT(*) AS p_purchase
+             |  FROM events WHERE ts < TIMESTAMP '2024-02-01'),
+             |b AS (
+             |  SELECT COUNT(*) * 1.0 AS n_rows,
+             |    COUNT(DISTINCT user_id) * 1.0 AS n_users,
+             |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             |      / COUNT(*) / 100 AS mean_value,
+             |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0
+             |      / COUNT(*) AS p_purchase
+             |  FROM events WHERE ts >= TIMESTAMP '2024-02-01')
+             |SELECT * FROM (
+             |  SELECT 'n_rows' AS metric, ROUND(a.n_rows, 6) AS val_a,
+             |    ROUND(b.n_rows, 6) AS val_b,
+             |    ROUND((b.n_rows - a.n_rows) / a.n_rows, 4) AS rel_change
+             |  FROM a, b
+             |  UNION ALL
+             |  SELECT 'n_users', ROUND(a.n_users, 6), ROUND(b.n_users, 6),
+             |    ROUND((b.n_users - a.n_users) / a.n_users, 4) FROM a, b
+             |  UNION ALL
+             |  SELECT 'mean_value', ROUND(a.mean_value, 6), ROUND(b.mean_value, 6),
+             |    ROUND((b.mean_value - a.mean_value) / a.mean_value, 4) FROM a, b
+             |  UNION ALL
+             |  SELECT 'p_purchase', ROUND(a.p_purchase, 6), ROUND(b.p_purchase, 6),
+             |    ROUND((b.p_purchase - a.p_purchase) / a.p_purchase, 4) FROM a, b)
+             |ORDER BY metric""".stripMargin)))
 }

@@ -360,6 +360,31 @@ object TrainPack extends QueryPack {
              |  WHERE n < 5)
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
 
+    // l-diversity audit on top of the k-anonymity gate: a group that is
+    // large enough to publish can still leak its members' sensitive
+    // attribute if everyone shares one value; each (nation, segment)
+    // group must carry >= l distinct account-balance bands. One
+    // aggregate pass (size + distinct bands per group), then a filter —
+    // the publishable set is the k- AND l-safe groups.
+    "q_l_diversity" -> QueryDef(
+      "l=3 diversity over acctbal bands within k>=5 (nation, segment) groups",
+      (s, dir) => {
+        val band = floor(col("c_acctbal") / 2000).cast("long")
+        Tables.customer(s, dir)
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            count_distinct(band).as("n_bands"))
+          .withColumn("publishable", col("n") >= 5 && col("n_bands") >= 3)
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) AS n_bands,
+             |  COUNT(*) >= 5 AND
+             |    COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) >= 3
+             |    AS publishable
+             |FROM customer GROUP BY 1, 2
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
     // Group-aware (leakage-free) train/val/test split: the md5 bucket of
     // the SOURCE decides the split, so every doc from a domain lands in
     // exactly one split — near-duplicates within a domain can never

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted INVERTED INDEX behind the engine's lexical retrieval —
+  * what a search stack actually serves from: per-(doc, token) term
+  * frequencies, per-token document frequencies, per-doc lengths, and the
+  * corpus stats row, each a standing parquet table built in ONE
+  * tokenize+aggregate pass over the corpus. Queries (BM25, hybrid
+  * fusion) then touch the index tables only — the corpus text is never
+  * re-tokenized per query, which is the difference between a retrieval
+  * engine and a grep at 100 TB.
+  *
+  * Same standing-table pattern as the LSH near-dup index
+  * ([[Dedup.writeNearDupIndex]]), the IVF ANN index
+  * ([[Similarity.writeIvfIndex]]), and the graph adjacency
+  * (queries.GraphPack): build once per corpus version, serve every
+  * downstream query.
+  */
+object Retrieval {
+
+  /** One materialized index per (JVM, corpus dir), shared by every
+    * lexical query (BM25 top-k, hybrid fusion) — built on first use.
+    */
+  private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def indexFor(sfDir: String, docs: => DataFrame): String =
+    indexDirs.computeIfAbsent(sfDir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-invidx").toString
+      writeInvertedIndex(docs, tmp)
+      tmp
+    })
+
+  /** Build the four index tables under `dir`: tf/, dlen/, df/, stats/. */
+  def writeInvertedIndex(docs: DataFrame, dir: String): Unit = {
+    val toked = docs.select(col("doc_id"),
+      explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
+    val tf = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tf.write.mode("overwrite").parquet(s"$dir/tf")
+    val spark = docs.sparkSession
+    // df/dlen/stats derive from the materialized tf/toked rather than
+    // re-tokenizing the corpus
+    val tfBack = spark.read.parquet(s"$dir/tf")
+    tfBack.groupBy("tok").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+    toked.select(col("doc_id"), size(col("toks")).as("len"))
+      .write.mode("overwrite").parquet(s"$dir/dlen")
+    spark.read.parquet(s"$dir/dlen")
+      .agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 (k1=1.2, b=0.75) per-(query, doc) scores served from the
+    * standing index: the query token set broadcasts, every other input
+    * is an index table. `qtoks` must be (query_id, tok) distinct rows.
+    */
+  def bm25Scores(spark: SparkSession, dir: String, qtoks: DataFrame): DataFrame = {
+    val tf = spark.read.parquet(s"$dir/tf")
+    val dfTab = spark.read.parquet(s"$dir/df")
+    val dlen = spark.read.parquet(s"$dir/dlen")
+    val stats = spark.read.parquet(s"$dir/stats")
+    tf.join(broadcast(qtoks), Seq("tok"))
+      .join(dfTab, Seq("tok"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") / (col("tf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avg_len"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("s"), 6).as("score"))
+  }
+}

@@ -485,32 +485,18 @@ object SimilarityPack extends QueryPack {
     "retrieval_hybrid_rrf" -> QueryDef(
       "Hybrid BM25 + cosine retrieval fused by reciprocal rank (top-5 per query)",
       (s, dir) => {
-        import graft.ext.TextAnalysis
+        import graft.ext.{Retrieval, TextAnalysis}
         import org.apache.spark.sql.expressions.Window
-        // lexical list: BM25 top-20 per query doc (0-2), self excluded
-        val toked = Tables.documents(s, dir).select(col("doc_id"),
-          explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
-        val tf = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dlen = toked.select(col("doc_id"), size(col("toks")).as("len"))
-        val stats = dlen.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
-        val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val qtoks = toked.filter(col("doc_id") < 3)
+        // lexical list: BM25 top-20 per query doc (0-2), self excluded,
+        // served from the SAME standing inverted index as text_bm25_topk
+        val idx = Retrieval.indexFor(dir, Tables.documents(s, dir))
+        val qtoks = Tables.documents(s, dir).filter(col("doc_id") < 3)
           .select(col("doc_id").as("query_id"),
-            explode(expr("slice(toks, 1, 8)")).as("tok"))
+            explode(slice(TextAnalysis.tokens(col("text")), 1, 8)).as("tok"))
           .distinct()
         val wl = Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id").asc)
-        val lex = tf.join(broadcast(qtoks), Seq("tok"))
-          .join(dfTab, Seq("tok"))
-          .join(dlen, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .withColumn("s",
-            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-              col("tf") / (col("tf") +
-                lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avg_len"))))
-          .groupBy("query_id", "doc_id")
-          .agg(round(sum("s"), 6).as("score"))
+        val lex = Retrieval.bm25Scores(s, idx, qtoks)
           .filter(col("doc_id") =!= col("query_id"))
           .withColumn("lrank", row_number().over(wl))
           .filter(col("lrank") <= 20)

@@ -638,30 +638,20 @@ object TextPack extends QueryPack {
     // query cannot single-task the window. Scores round to 6 decimals
     // BEFORE ranking so cross-engine ln() ulp noise cannot flip ranks;
     // ties break on doc_id.
+    // Served from the STANDING inverted index (ext/Retrieval: tf/df/
+    // dlen/stats parquet, built once per corpus version): the query
+    // side tokenizes only its 3 query docs; the corpus text is never
+    // re-tokenized per query — the retrieval-engine serving contract.
     "text_bm25_topk" -> QueryDef(
       "BM25 (k1=1.2, b=0.75) top-5 docs per query; queries from first 3 docs",
       (s, dir) => {
-        val toked = Tables.documents(s, dir).select(col("doc_id"),
-          explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
-        val tf = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dlen = toked.select(col("doc_id"), size(col("toks")).as("len"))
-        val stats = dlen.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
-        val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val qtoks = toked.filter(col("doc_id") < 3)
+        import graft.ext.Retrieval
+        val idx = Retrieval.indexFor(dir, Tables.documents(s, dir))
+        val qtoks = Tables.documents(s, dir).filter(col("doc_id") < 3)
           .select(col("doc_id").as("query_id"),
-            explode(expr("slice(toks, 1, 8)")).as("tok"))
+            explode(slice(TextAnalysis.tokens(col("text")), 1, 8)).as("tok"))
           .distinct()
-        val perDoc = tf.join(broadcast(qtoks), Seq("tok"))
-          .join(dfTab, Seq("tok"))
-          .join(dlen, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .withColumn("s",
-            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-              col("tf") / (col("tf") +
-                lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avg_len"))))
-          .groupBy("query_id", "doc_id")
-          .agg(round(sum("s"), 6).as("score"))
+        val perDoc = Retrieval.bm25Scores(s, idx, qtoks)
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id").asc)

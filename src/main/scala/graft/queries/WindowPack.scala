@@ -345,6 +345,39 @@ object WindowPack extends QueryPack {
              |      FROM orders WHERE o_custkey % 100 = 0)
              |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
 
+    // Per-user event-type transition matrix (first-order Markov): LEAD
+    // over each user's event-time order pairs every event with its
+    // successor, one grouped count per (from, to), and the row-normalized
+    // probability via a partition-sum window over the tiny matrix. The
+    // behavioral-analytics staple (what follows a view? does error
+    // precede churn?). One keyed exchange for the LEAD, one for the
+    // 25-row matrix — at 100 TB the per-user sequence pass dominates and
+    // is embarrassingly parallel by user.
+    "q_event_transitions" -> QueryDef(
+      "Event-type transition counts + row-normalized probabilities per user sequence",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type").as("from_type"),
+            lead(col("event_type"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+        val m = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        val wRow = Window.partitionBy("from_type")
+        m.withColumn("p", round(col("n").cast("double") / sum("n").over(wRow), 6))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT event_type AS from_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |                           ORDER BY ts ASC, event_id ASC) AS to_type
+             |  FROM events),
+             |m AS (
+             |  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+             |FROM m ORDER BY from_type, to_type""".stripMargin)),
+
     // Rolling z-score anomaly flags over daily per-type totals — the
     // monitoring query every ingest pipeline runs over its own volume
     // metrics. Moments ride EXACT integer cents (sx, sxx as BIGINTs over

@@ -101,6 +101,57 @@ object GraphPack extends QueryPack {
              |       ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering
              |FROM degagg, od, tri, ne""".stripMargin)),
 
+    // Link prediction by common-neighbor Jaccard — the classic
+    // "customers who bought X also bought Y" recommender primitive:
+    // for every NON-edge pair sharing neighbors, score = cn / (deg_a +
+    // deg_b − cn), top-10. The candidate join enumerates wedges at every
+    // center (unoriented — common-neighbor COUNTS need all centers, so
+    // the triangle trick's min-rank dedup does not apply); per-center
+    // fanout is deg², bounded here by the co-purchase max degree (≤43
+    // at sf0.1) — a hub-heavy graph would cap or sample hot centers
+    // first, the same salting discipline as the join pack. Served from
+    // the SAME standing adjacency index as the triangle pass.
+    "graph_link_prediction" -> QueryDef(
+      "Top-10 predicted co-purchase links by common-neighbor Jaccard",
+      (s, dir) => {
+        val idx = graphIndexDir(s, dir)
+        val o = s.read.parquet(s"$idx/oriented")
+        val deg = s.read.parquet(s"$idx/degrees")
+        val und = o.select(col("u").as("n"), col("w").as("v"))
+          .unionAll(o.select(col("w").as("n"), col("u").as("v")))
+        val a = und.select(col("n"), col("v").as("x"))
+        val b = und.select(col("n"), col("v").as("y"))
+        val cn = a.join(b, "n").filter(col("x") < col("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+        val existing = o.select(
+          least(col("u"), col("w")).as("x"), greatest(col("u"), col("w")).as("y"))
+        val cand = cn.join(existing, Seq("x", "y"), "left_anti")
+          .join(deg.select(col("v").as("x"), col("deg").as("dx")), "x")
+          .join(deg.select(col("v").as("y"), col("deg").as("dy")), "y")
+          .withColumn("jaccard",
+            round(col("cn").cast("double") / (col("dx") + col("dy") - col("cn")), 6))
+        cand.orderBy(col("jaccard").desc, col("cn").desc, col("x").asc, col("y").asc)
+          .limit(10)
+          .select(col("x"), col("y"), col("cn"), col("jaccard"))
+      },
+      Some(s"""$edgeCte,
+             |und AS (
+             |  SELECT s AS n, d AS v FROM e UNION ALL SELECT d AS n, s AS v FROM e),
+             |cn AS (
+             |  SELECT a.v AS x, b.v AS y, COUNT(*) AS cn
+             |  FROM und a JOIN und b ON a.n = b.n AND a.v < b.v
+             |  GROUP BY a.v, b.v),
+             |cand AS (
+             |  SELECT cn.x, cn.y, cn.cn,
+             |    ROUND(cn.cn * 1.0 / (dx.dg + dy.dg - cn.cn), 6) AS jaccard
+             |  FROM cn
+             |  LEFT JOIN e ON e.s = cn.x AND e.d = cn.y
+             |  JOIN deg dx ON dx.v = cn.x
+             |  JOIN deg dy ON dy.v = cn.y
+             |  WHERE e.s IS NULL)
+             |SELECT x, y, cn, jaccard FROM cand
+             |ORDER BY jaccard DESC, cn DESC, x ASC, y ASC LIMIT 10""".stripMargin)),
+
     // Degree histogram — two narrow map-side-combinable aggregates; the
     // standard first diagnostic on any derived graph (and the skew probe
     // that justifies the orientation above).

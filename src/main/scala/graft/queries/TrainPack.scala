@@ -360,6 +360,60 @@ object TrainPack extends QueryPack {
              |  WHERE n < 5)
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
 
+    // RFM segmentation — the behavioral-cohort staple: per customer,
+    // recency (days since last order vs the corpus max date), frequency
+    // (order count), monetary (exact cents), each banded by fixed
+    // thresholds into 1–3, rolled up per (r, f, m) segment. One grouped
+    // pass per customer + a broadcast one-row max-date + the tiny
+    // segment rollup; monetary rides integer cents so both engines band
+    // identically at the thresholds.
+    "q_rfm_segments" -> QueryDef(
+      "RFM 3x3x3 segmentation of customers from their order history",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val maxDate = o.agg(max(to_date(col("o_orderdate"))).as("max_d"))
+        val per = o.groupBy("o_custkey").agg(
+          max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        val scored = per.crossJoin(broadcast(maxDate))
+          .withColumn("rec_days", datediff(col("max_d"), col("last_d")))
+          .select(
+            when(col("rec_days") <= 180, 3L).when(col("rec_days") <= 720, 2L)
+              .otherwise(1L).as("r_score"),
+            when(col("freq") >= 15, 3L).when(col("freq") >= 8, 2L)
+              .otherwise(1L).as("f_score"),
+            when(col("cents") >= 250000000L, 3L).when(col("cents") >= 100000000L, 2L)
+              .otherwise(1L).as("m_score"),
+            col("cents"))
+        scored.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_customers"),
+            sum("cents").as("sum_cents"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+             |    COUNT(*) AS freq,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY o_custkey),
+             |mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+             |scored AS (
+             |  SELECT
+             |    CASE WHEN DATE_DIFF('day', last_d, max_d) <= 180 THEN 3
+             |         WHEN DATE_DIFF('day', last_d, max_d) <= 720 THEN 2
+             |         ELSE 1 END AS r_score,
+             |    CASE WHEN freq >= 15 THEN 3 WHEN freq >= 8 THEN 2
+             |         ELSE 1 END AS f_score,
+             |    CASE WHEN cents >= 250000000 THEN 3 WHEN cents >= 100000000 THEN 2
+             |         ELSE 1 END AS m_score,
+             |    cents
+             |  FROM per, mx)
+             |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM scored GROUP BY 1, 2, 3
+             |ORDER BY r_score, f_score, m_score""".stripMargin)),
+
     // l-diversity audit on top of the k-anonymity gate: a group that is
     // large enough to publish can still leak its members' sensitive
     // attribute if everyone shares one value; each (nation, segment)

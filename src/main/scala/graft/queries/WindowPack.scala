@@ -345,6 +345,74 @@ object WindowPack extends QueryPack {
              |      FROM orders WHERE o_custkey % 100 = 0)
              |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
 
+    // Pareto / 80-20 concentration analysis: customers in descending
+    // revenue order, running revenue share vs running customer share,
+    // and the concentration flag (is this customer inside the head that
+    // carries 80% of revenue?). Exact integer cents throughout; the
+    // global-order window is bounded because it runs over the PER-
+    // CUSTOMER rollup (|customers| rows), never the raw orders — at
+    // 100 TB the rollup is the shuffle and the ordered scan is a tiny
+    // second stage (here additionally decimated to every 25th rank to
+    // keep the published curve small).
+    "q_pareto_curve" -> QueryDef(
+      "Revenue concentration: running share curve over customers ranked by spend",
+      (s, dir) => {
+        val per = Tables.orders(s, dir).groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = per.agg(sum("cents").as("tot_cents"), count(lit(1)).as("n_cust"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cents").desc, col("o_custkey").asc)))
+          .withColumn("run_cents", sum("cents").over(w))
+          .filter(pmod(col("rk"), lit(25L)) === 0)
+          .select(col("rk"),
+            round(col("rk").cast("double") / col("n_cust"), 6).as("cust_share"),
+            round(col("run_cents").cast("double") / col("tot_cents"), 6)
+              .as("rev_share"),
+            (col("run_cents").cast("double") / col("tot_cents") <= 0.8)
+              .as("in_head80"))
+          .orderBy("rk")
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY o_custkey),
+             |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents,
+             |               COUNT(*) AS n_cust FROM per),
+             |r AS (
+             |  SELECT cents,
+             |    ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS rk,
+             |    CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS run_cents
+             |  FROM per)
+             |SELECT rk,
+             |  ROUND(rk * 1.0 / n_cust, 6) AS cust_share,
+             |  ROUND(run_cents * 1.0 / tot_cents, 6) AS rev_share,
+             |  run_cents * 1.0 / tot_cents <= 0.8 AS in_head80
+             |FROM r, tot WHERE rk % 25 = 0 ORDER BY rk""".stripMargin)),
+
+    // Equi-width histogram via width_bucket — the one-pass value-
+    // distribution profile (10 bins over [0, 500] per event type); both
+    // engines share the same bucket arithmetic, so edges land
+    // identically. Map-side bucket assignment + one grouped count.
+    "q_histogram" -> QueryDef(
+      "10-bin equi-width value histogram per event type",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            width_bucket(col("value"), lit(0.0), lit(500.0), lit(10)).as("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(min("value"), 2).as("bin_min"), round(max("value"), 2).as("bin_max"))
+          .orderBy("event_type", "bin"),
+      Some("""SELECT event_type,
+             |  CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT) + 1 AS bin, COUNT(*) AS n,
+             |  ROUND(MIN(value), 2) AS bin_min, ROUND(MAX(value), 2) AS bin_max
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
+
     // Per-user event-type transition matrix (first-order Markov): LEAD
     // over each user's event-time order pairs every event with its
     // successor, one grouped count per (from, to), and the row-normalized

@@ -39,12 +39,13 @@ object Retrieval {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     tf.write.mode("overwrite").parquet(s"$dir/tf")
     val spark = docs.sparkSession
-    // df/dlen/stats derive from the materialized tf/toked rather than
-    // re-tokenizing the corpus
+    // df/dlen/stats ALL derive from the materialized tf — the corpus is
+    // tokenized exactly once: df = per-token row count, dlen = per-doc
+    // SUM(tf) (total tokens, identical to the raw token-array length)
     val tfBack = spark.read.parquet(s"$dir/tf")
     tfBack.groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/df")
-    toked.select(col("doc_id"), size(col("toks")).as("len"))
+    tfBack.groupBy("doc_id").agg(sum("tf").as("len"))
       .write.mode("overwrite").parquet(s"$dir/dlen")
     spark.read.parquet(s"$dir/dlen")
       .agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))

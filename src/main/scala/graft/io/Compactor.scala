@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   * that fragmentation destroyed.
   *
   * The rewrite lands in a fresh directory and the swap is
-  * directory-rename-based (write tmp → rename old away → rename tmp in):
-  * readers racing the swap see the old or the new complete layout, never
-  * a mix. At cluster scale the same shape runs per partition directory.
+  * directory-rename-based via [[DirSwap.swapInto]] (write tmp → rename
+  * old away → rename tmp in, every rename CHECKED): readers racing the
+  * swap see the old or the new complete layout — or, in the instant
+  * between the two renames, a not-found they retry — never a mix of
+  * files, and no failure mode deletes the only remaining copy (the old
+  * layout is removed only after the new one is verified in place; a
+  * crash between the renames is recovered on the next run). At cluster
+  * scale the same shape runs per partition directory.
   */
 object Compactor {
 
@@ -31,21 +36,25 @@ object Compactor {
     else fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).toIndexedSeq
   }
 
-  /** Compact `dir` in place into `numFiles` range-sorted files. */
+  /** Compact `dir` in place into `numFiles` range-sorted files. The swap
+    * is fail-safe: a crashed prior run is recovered first, the rewrite
+    * lands in a fresh tmp dir, and [[DirSwap.swapInto]] checks every
+    * rename — the old layout is deleted only after the new one is
+    * verified at `dir`.
+    */
   def compact(
       spark: SparkSession, dir: String, numFiles: Int, sortCols: Column*): CompactStats = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    DirSwap.recoverInterrupted(fs, dirPath, ".compact-old")
     val before = parquetFiles(spark, dir)
     val df = spark.read.parquet(dir)
     val rows = df.count()
     val tmp = dir.stripSuffix("/") + ".compact-tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // stale tmp from a crash
     RangeSortedSink.write(df, tmp, numFiles, sortCols: _*)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact-old")
-    fs.rename(dirPath, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dirPath)
-    fs.delete(old, true)
+    DirSwap.swapInto(fs, new org.apache.hadoop.fs.Path(tmp), dirPath, ".compact-old")
     CompactStats(before.size.toLong, parquetFiles(spark, dir).size.toLong, rows)
   }
 }

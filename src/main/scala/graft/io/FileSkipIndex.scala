@@ -45,19 +45,31 @@ object FileSkipIndex {
     * data, the same admission posture as the engine's incremental dedup
     * and ANN index paths. On a 100 TB table with daily arrivals the
     * refresh cost is the new files, not the corpus.
+    *
+    * The refresh is also SUBTRACTIVE: index rows whose file is no longer
+    * in the listing (compaction rewrote it, a replayed ingest emitted
+    * fewer parts) are dropped — a stale row would make
+    * [[metadataRangeAgg]] silently count nonexistent data and
+    * [[prunedRead]] fail on a missing path.
     */
   def refresh(
       spark: SparkSession, dataDir: String, index: DataFrame,
       keys: Seq[String], measures: Seq[String] = Nil): DataFrame = {
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val indexed = index.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val stored = index.select("file").collect().map(_.getString(0))
+    val indexed = stored.map(norm).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dataDir), spark.sparkContext.hadoopConfiguration)
     val all = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
       .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    val live = all.map(norm).toSet
     val fresh = all.filterNot(p => indexed.contains(norm(p)))
-    if (fresh.isEmpty) index
-    else index.unionByName(build(spark.read.parquet(fresh.toIndexedSeq: _*), keys, measures))
+    val keepStored = stored.filter(s => live.contains(norm(s)))
+    val kept =
+      if (keepStored.length == stored.length) index
+      else index.filter(col("file").isin(keepStored.toIndexedSeq: _*))
+    if (fresh.isEmpty) kept
+    else kept.unionByName(build(spark.read.parquet(fresh.toIndexedSeq: _*), keys, measures))
   }
 
   /** Files whose [min,max] envelope intersects [lo, hi] on `key`. The
@@ -83,6 +95,17 @@ object FileSkipIndex {
       spark: SparkSession, index: DataFrame,
       schema: org.apache.spark.sql.types.StructType,
       key: String, lo: Any, hi: Any, measure: String): DataFrame = {
+    // fail loudly instead of rounding differently per file order: the
+    // exactness argument (per-file partial sums compose associatively)
+    // holds only for integral measures
+    val mField = schema.fields.find(_.name == measure).getOrElse(
+      throw new IllegalArgumentException(s"measure '$measure' not in table schema"))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(
+      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(mField.dataType),
+      s"metadataRangeAgg needs an integral measure; '$measure' is ${mField.dataType.sql} " +
+        "(floating sums depend on per-file accumulation order)")
     val inRange = index.filter(col(s"${key}_max") >= lit(lo) && col(s"${key}_min") <= lit(hi))
     val covered = inRange.filter(col(s"${key}_min") >= lit(lo) && col(s"${key}_max") <= lit(hi))
       .agg(coalesce(sum("n_rows"), lit(0L)).as("n"),

@@ -398,7 +398,11 @@ object WindowPack extends QueryPack {
     // Equi-width histogram via width_bucket — the one-pass value-
     // distribution profile (10 bins over [0, 500] per event type); both
     // engines share the same bucket arithmetic, so edges land
-    // identically. Map-side bucket assignment + one grouped count.
+    // identically — including OUT-OF-RANGE values: width_bucket clamps
+    // to bins 0 and 11, and the oracle applies the same
+    // GREATEST/LEAST clamp, so parity holds for any value domain, not
+    // just the current fixture's. Map-side bucket assignment + one
+    // grouped count.
     "q_histogram" -> QueryDef(
       "10-bin equi-width value histogram per event type",
       (s, dir) =>
@@ -409,7 +413,8 @@ object WindowPack extends QueryPack {
             round(min("value"), 2).as("bin_min"), round(max("value"), 2).as("bin_max"))
           .orderBy("event_type", "bin"),
       Some("""SELECT event_type,
-             |  CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT) + 1 AS bin, COUNT(*) AS n,
+             |  GREATEST(LEAST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT) + 1, 11), 0)
+             |    AS bin, COUNT(*) AS n,
              |  ROUND(MIN(value), 2) AS bin_min, ROUND(MAX(value), 2) AS bin_max
              |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
 

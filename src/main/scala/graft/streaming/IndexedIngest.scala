@@ -40,25 +40,31 @@ object IndexedIngest {
     // ones under deterministic names
     fs.globStatus(new org.apache.hadoop.fs.Path(f"$tableDir/batch$batchId%06d_*.parquet"))
       .foreach(st => fs.delete(st.getPath, false))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    // stage on the SAME FileSystem as the table (a sibling dot-dir, so
+    // the table's own parquet listing never sees it): a cross-filesystem
+    // rename (local tmp → HDFS/S3 table) returns false, and unchecked
+    // that silently lands zero files while the batch is acked to the
+    // checkpoint — rows lost
+    val tmp = f"${tableDir.stripSuffix("/")}%s.staging-batch$batchId%06d"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // stale replay staging
     batch.write.mode("overwrite").parquet(tmp)
     val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
     parts.zipWithIndex.foreach { case (st, i) =>
-      fs.rename(st.getPath,
+      graft.io.DirSwap.renameOrFail(fs, st.getPath,
         new org.apache.hadoop.fs.Path(f"$tableDir/batch$batchId%06d_$i%03d.parquet"))
     }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     // refresh the standing index over the new file set and swap it in
     val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    graft.io.DirSwap.recoverInterrupted(fs, idxPath, ".old")
     val existing =
       if (fs.exists(idxPath)) spark.read.parquet(indexDir)
       else FileSkipIndex.build(spark.read.parquet(tableDir), keys, measures).limit(0)
     val refreshed = FileSkipIndex.refresh(spark, tableDir, existing, keys, measures)
     val idxTmp = indexDir.stripSuffix("/") + ".tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(idxTmp), true)
     refreshed.coalesce(1).write.mode("overwrite").parquet(idxTmp)
-    val old = new org.apache.hadoop.fs.Path(indexDir.stripSuffix("/") + ".old")
-    if (fs.exists(idxPath)) { fs.delete(old, true); fs.rename(idxPath, old) }
-    fs.rename(new org.apache.hadoop.fs.Path(idxTmp), idxPath)
-    fs.delete(old, true)
+    graft.io.DirSwap.swapInto(fs, new org.apache.hadoop.fs.Path(idxTmp), idxPath, ".old")
   }
 
   /** Start the maintained-index ingest on a stream. */

@@ -77,4 +77,43 @@ class CompactorSpec extends AnyFunSuite {
     assert(FileSkipIndex.refresh(spark, s"$tmp/t", refreshed, Seq("l_orderkey"))
       .count() == refreshed.count())
   }
+
+  test("refresh drops index rows for files that vanished (post-compaction)") {
+    val tmp = java.nio.file.Files.createTempDirectory("refresh-drop-spec").toString
+    val slice = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+    slice.repartition(8).write.mode("overwrite").parquet(s"$tmp/t")
+    val idx = FileSkipIndex.build(spark.read.parquet(s"$tmp/t"), Seq("l_orderkey"))
+      .cache()
+    assert(idx.count() == 8)
+
+    // compaction rewrites the directory: every indexed file vanishes
+    Compactor.compact(spark, s"$tmp/t", numFiles = 2, col("l_orderkey"))
+    val refreshed = FileSkipIndex.refresh(spark, s"$tmp/t", idx, Seq("l_orderkey"))
+    assert(refreshed.count() == 2, "stale pre-compaction rows must be dropped")
+    // and the refreshed index serves exact reads (no missing-path failure)
+    val data = spark.read.parquet(s"$tmp/t")
+    val keys = data.agg(min("l_orderkey"), max("l_orderkey")).first()
+    val pruned = FileSkipIndex.prunedRead(
+      spark, refreshed, data.schema, "l_orderkey", keys.getLong(0), keys.getLong(1))
+    assert(pruned.count() == data.count())
+    idx.unpersist()
+  }
+
+  test("compact recovers a run that crashed between the swap renames") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact-crash-spec").toString
+    val slice = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+    slice.repartition(4).write.mode("overwrite").parquet(s"$tmp/t")
+    val expect = spark.read.parquet(s"$tmp/t").count()
+    // simulate the crash window: dir renamed away, tmp never renamed in
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$tmp/t"),
+      new org.apache.hadoop.fs.Path(s"$tmp/t.compact-old")))
+    val stats = Compactor.compact(spark, s"$tmp/t", numFiles = 2, col("l_orderkey"))
+    assert(stats.rows == expect, "recovery must restore the full table before compacting")
+    assert(spark.read.parquet(s"$tmp/t").count() == expect)
+  }
 }

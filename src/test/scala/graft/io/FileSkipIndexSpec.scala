@@ -84,4 +84,16 @@ class FileSkipIndexSpec extends AnyFunSuite {
     val empty = FileSkipIndex.prunedRead(spark, idx, data.schema, "l_orderkey", beyond, beyond + 1)
     assert(empty.count() == 0 && empty.schema == data.schema)
   }
+
+  test("metadataRangeAgg rejects floating-point measures loudly") {
+    // double sums depend on per-file accumulation order — the exactness
+    // contract only holds for integral measures, so the guard must throw
+    val data = spark.read.parquet(s"$layout/data")
+      .withColumn("dq", col("qty").cast("double"))
+    val idx = FileSkipIndex.build(data, Seq("l_orderkey"), measures = Seq("qty"))
+    val e = intercept[IllegalArgumentException] {
+      FileSkipIndex.metadataRangeAgg(spark, idx, data.schema, "l_orderkey", 0L, 10L, "dq")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

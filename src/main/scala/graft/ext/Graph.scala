@@ -100,4 +100,39 @@ object Graph {
     */
   def degreeDistribution(edges: DataFrame): DataFrame =
     degrees(edges).groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+
+  /** Common-neighbor pair counts `(x, y, cn)` over an undirected
+    * adjacency `und` (center `n`, neighbor `v`) with HUB CAPPING — the
+    * link-prediction wedge enumeration made power-law-safe. Unlike the
+    * triangle pass, common-neighbor COUNTS need wedges at EVERY center
+    * (the min-rank orientation dedup does not apply), so per-center
+    * fanout is C(deg, 2): one hub of degree 10⁶ alone would emit ~5·10¹¹
+    * wedge rows. The cap: centers with `deg ≤ hubThreshold` enumerate
+    * exactly; hotter centers admit each (center, neighbor) incidence
+    * with probability `sampleK/deg` via deterministic hash admission
+    * (`xxhash64(n, v) mod deg < sampleK`) — expected fanout per hub is
+    * then C(sampleK, 2) regardless of its true degree, the same
+    * bounded-hot-key discipline as the engine's salted joins and
+    * hot-shingle caps. Admission is per-incidence and keyed on (n, v),
+    * so the same pair of neighbors is judged consistently at a given
+    * center across runs: the result is deterministic, exact below the
+    * threshold, and an unbiased-per-center subsample above it.
+    *
+    * `deg` is the full degree table (v, deg); pass
+    * `hubThreshold >= max degree` for an exact result (what the oracle
+    * gate runs); production at 100 TB dials it to the skew budget.
+    */
+  def commonNeighborCounts(
+      und: DataFrame, deg: DataFrame,
+      hubThreshold: Long, sampleK: Long): DataFrame = {
+    val admitted = und
+      .join(deg.select(col("v").as("n"), col("deg").as("ndeg")), "n")
+      .filter(col("ndeg") <= hubThreshold ||
+        pmod(xxhash64(col("n"), col("v")), col("ndeg")) < sampleK)
+      .select("n", "v")
+    val a = admitted.select(col("n"), col("v").as("x"))
+    val b = admitted.select(col("n"), col("v").as("y"))
+    a.join(b, "n").filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+  }
 }

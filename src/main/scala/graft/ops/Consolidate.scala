@@ -38,6 +38,55 @@ object Consolidate {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** [[withSequentialId]] generalized to a MEASURE: appends the global
+    * rank `idCol` (1..N in the sort order) and the inclusive running sum
+    * `runCol` of `valueCol` — the distributed prefix sum. `sort`
+    * range-partitions; a first lightweight job collects per-partition
+    * (row count, partial sum) — |partitions| rows, driver-cheap at any
+    * scale — whose exclusive prefix becomes each partition's offsets;
+    * the second pass streams every partition once adding offsets. NO
+    * single-partition window anywhere: an unpartitioned
+    * `sum(...).over(Window.orderBy(...))` funnels the whole input
+    * through one task, which is exactly the hazard this replaces
+    * (running totals over hundreds of millions of ranked rows at 100 TB).
+    *
+    * `valueCol` must be LongType (exact associative partial sums; use
+    * integer cents, not doubles, for money) and non-null.
+    */
+  def withRunningTotal(
+      df: DataFrame, sortCols: Seq[Column], valueCol: String,
+      idCol: String = "rk", runCol: String = "run"): DataFrame = {
+    val sorted = df.sort(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == LongType,
+      s"withRunningTotal needs a LongType measure; '$valueCol' is " +
+        sorted.schema(vIdx).dataType.sql)
+    val rdd = sorted.rdd
+    // pass 1: per-partition (rows, sum) — the same count job zipWithIndex
+    // runs, carrying the partial sum alongside
+    val stats = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var c = 0L; var s = 0L
+      it.foreach { r => c += 1L; s += r.getLong(vIdx) }
+      Iterator((pid, (c, s)))
+    }.collect().toMap
+    val nPart = rdd.getNumPartitions
+    val rowOff = new Array[Long](nPart)
+    val sumOff = new Array[Long](nPart)
+    var cr = 0L; var cs = 0L
+    (0 until nPart).foreach { p =>
+      rowOff(p) = cr; sumOff(p) = cs
+      val (c, s) = stats.getOrElse(p, (0L, 0L)); cr += c; cs += s
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idCol, LongType, nullable = false) :+
+      StructField(runCol, LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var rk = rowOff(pid); var run = sumOff(pid)
+      it.map { r => rk += 1L; run += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ rk :+ run) }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   /** Column-name normalizer (connect_postgre.py:199-205): lowercase;
     * spaces, dots and hyphens → underscore. Driver-side metadata op.
     */

@@ -104,13 +104,17 @@ object GraphPack extends QueryPack {
     // Link prediction by common-neighbor Jaccard — the classic
     // "customers who bought X also bought Y" recommender primitive:
     // for every NON-edge pair sharing neighbors, score = cn / (deg_a +
-    // deg_b − cn), top-10. The candidate join enumerates wedges at every
-    // center (unoriented — common-neighbor COUNTS need all centers, so
-    // the triangle trick's min-rank dedup does not apply); per-center
-    // fanout is deg², bounded here by the co-purchase max degree (≤43
-    // at sf0.1) — a hub-heavy graph would cap or sample hot centers
-    // first, the same salting discipline as the join pack. Served from
-    // the SAME standing adjacency index as the triangle pass.
+    // deg_b − cn), top-10. Wedges enumerate at every center (unoriented
+    // — common-neighbor COUNTS need all centers, so the triangle
+    // trick's min-rank dedup does not apply) through
+    // Graph.commonNeighborCounts, whose HUB CAP bounds per-center
+    // fanout: exact below the degree threshold, deterministic
+    // hash-sampled above it. The threshold here (1024) exceeds any
+    // degree this co-purchase graph produces (≤43 at sf0.1), so the
+    // result is exact and oracle-gated; a power-law corpus dials it
+    // down to its skew budget (GraphSpec proves the bound on a planted
+    // hub). Served from the SAME standing adjacency index as the
+    // triangle pass.
     "graph_link_prediction" -> QueryDef(
       "Top-10 predicted co-purchase links by common-neighbor Jaccard",
       (s, dir) => {
@@ -119,10 +123,8 @@ object GraphPack extends QueryPack {
         val deg = s.read.parquet(s"$idx/degrees")
         val und = o.select(col("u").as("n"), col("w").as("v"))
           .unionAll(o.select(col("w").as("n"), col("u").as("v")))
-        val a = und.select(col("n"), col("v").as("x"))
-        val b = und.select(col("n"), col("v").as("y"))
-        val cn = a.join(b, "n").filter(col("x") < col("y"))
-          .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+        val cn = Graph.commonNeighborCounts(
+          und, deg, hubThreshold = 1024L, sampleK = 64L)
         val existing = o.select(
           least(col("u"), col("w")).as("x"), greatest(col("u"), col("w")).as("y"))
         val cand = cn.join(existing, Seq("x", "y"), "left_anti")

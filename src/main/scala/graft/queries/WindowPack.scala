@@ -348,25 +348,24 @@ object WindowPack extends QueryPack {
     // Pareto / 80-20 concentration analysis: customers in descending
     // revenue order, running revenue share vs running customer share,
     // and the concentration flag (is this customer inside the head that
-    // carries 80% of revenue?). Exact integer cents throughout; the
-    // global-order window is bounded because it runs over the PER-
-    // CUSTOMER rollup (|customers| rows), never the raw orders — at
-    // 100 TB the rollup is the shuffle and the ordered scan is a tiny
-    // second stage (here additionally decimated to every 25th rank to
-    // keep the published curve small).
+    // carries 80% of revenue?). Exact integer cents throughout. The
+    // running sum is a DISTRIBUTED prefix sum
+    // (ops.Consolidate.withRunningTotal: range-partitioned sort +
+    // per-partition offsets) — no unpartitioned window, so the curve
+    // stays many-task even when the per-customer rollup is hundreds of
+    // millions of rows at 100 TB (decimated to every 25th rank to keep
+    // the published curve small).
     "q_pareto_curve" -> QueryDef(
       "Revenue concentration: running share curve over customers ranked by spend",
       (s, dir) => {
         val per = Tables.orders(s, dir).groupBy("o_custkey")
           .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-        val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = per.agg(sum("cents").as("tot_cents"), count(lit(1)).as("n_cust"))
-        per.crossJoin(broadcast(tot))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("cents").desc, col("o_custkey").asc)))
-          .withColumn("run_cents", sum("cents").over(w))
+        graft.ops.Consolidate
+          .withRunningTotal(per, Seq(col("cents").desc, col("o_custkey").asc),
+            "cents", idCol = "rk", runCol = "run_cents")
           .filter(pmod(col("rk"), lit(25L)) === 0)
+          .crossJoin(broadcast(tot))
           .select(col("rk"),
             round(col("rk").cast("double") / col("n_cust"), 6).as("cust_share"),
             round(col("run_cents").cast("double") / col("tot_cents"), 6)

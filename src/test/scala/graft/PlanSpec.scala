@@ -42,6 +42,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial_count"))
   }
 
+  test("q_pareto_curve has no unpartitioned WindowExec — the prefix sum is distributed") {
+    // the running revenue sum runs as Consolidate.withRunningTotal
+    // (range-partitioned sort + per-partition offsets); a global
+    // Window.orderBy here would funnel the whole customer rollup
+    // through one task at scale
+    val p = plan("q_pareto_curve")
+    assert(!p.contains("Window"), s"expected no WindowExec in:\n$p")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not global sort") {
     assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
     // the weighted sample is the same shape: map-only key + bounded top-k

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The degree-oriented triangle machinery and the hub-capped
+  * common-neighbor enumeration: exactness below the cap, bounded fanout
+  * above it — the property that keeps link prediction alive on a
+  * power-law graph where one hub would otherwise emit deg²/2 wedges.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def und(edges: Seq[(Long, Long)]) = {
+    val e = edges.toDF("s", "d")
+    e.select(col("s").as("n"), col("d").as("v"))
+      .unionAll(e.select(col("d").as("n"), col("s").as("v")))
+  }
+
+  test("commonNeighborCounts is exact when every center is below the threshold") {
+    // two squares sharing a diagonal-less corner: known CN structure
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (3L, 5L), (5L, 6L), (6L, 3L))
+    val adjacency = und(edges)
+    val deg = Graph.degrees(edges.toDF("s", "d"))
+    val got = Graph.commonNeighborCounts(adjacency, deg, hubThreshold = 100L, sampleK = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute force on the driver
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      x = nodes(i); y = nodes(j)
+      cn = (adj(x) & adj(y)).size if cn > 0
+    } yield ((x, y), cn.toLong)).toMap
+    assert(got == want)
+  }
+
+  test("hub cap bounds wedge fanout: a planted degree-1000 hub stays ~C(sampleK,2)") {
+    // star graph: center 0 with 1000 leaves, plus a small exact clique
+    val star = (1L to 1000L).map(i => (0L, i))
+    val clique = Seq((2000L, 2001L), (2001L, 2002L), (2000L, 2002L))
+    val edges = (star ++ clique).toDF("s", "d")
+    val adjacency = und(star ++ clique)
+    val deg = Graph.degrees(edges)
+    val k = 24L
+    val capped = Graph.commonNeighborCounts(adjacency, deg, hubThreshold = 64L, sampleK = k)
+    // pairs whose only common neighbor is the hub: uncapped would be
+    // C(1000,2) ≈ 500k rows; hash admission keeps ~C(k,2)
+    val hubPairs = capped.filter(col("x") >= 1L && col("y") <= 1000L).count()
+    val expect = k * (k - 1) / 2
+    assert(hubPairs <= expect * 3 && hubPairs > 0,
+      s"hub fanout must be ~C($k,2)=$expect, got $hubPairs (uncapped would be 499500)")
+    // the exact side is untouched: clique nodes are below the threshold
+    val cliqueCn = capped
+      .filter(col("x") === 2000L && col("y") === 2001L).select("cn").collect()
+    assert(cliqueCn.map(_.getLong(0)).toSeq == Seq(1L), "sub-threshold centers stay exact")
+  }
+
+  test("hash admission is deterministic: two runs produce identical rows") {
+    val star = (1L to 500L).map(i => (0L, i))
+    val adjacency = und(star)
+    val deg = Graph.degrees(star.toDF("s", "d"))
+    def run() = Graph.commonNeighborCounts(adjacency, deg, hubThreshold = 10L, sampleK = 8L)
+      .orderBy("x", "y").collect().map(_.toSeq).toSeq
+    assert(run() == run())
+  }
+
+  test("triangleStats: exact count on a known graph") {
+    // K4 has 4 triangles, 12 wedges, clustering 1.0
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("s", "d")
+    val r = Graph.triangleStats(k4).first()
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(r.getAs[Long]("n_wedges") == 12L)
+    assert(r.getAs[Double]("clustering") == 1.0)
+  }
+}

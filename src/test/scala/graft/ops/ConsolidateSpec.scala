@@ -35,6 +35,35 @@ class ConsolidateSpec extends AnyFunSuite {
     assert(rows.forall { case (id, v) => id == v.toLong })
   }
 
+  test("withRunningTotal: distributed prefix sum equals the single-task running sum") {
+    // 10k rows over 16 partitions, descending sort with tie-break —
+    // the q_pareto_curve shape
+    val df = spark.sparkContext
+      .parallelize((1 to 10000).map(i => (i.toLong, ((i * 37) % 500 + 1).toLong)), 16)
+      .toDF("k", "cents")
+    val got = Consolidate
+      .withRunningTotal(df, Seq(col("cents").desc, col("k").asc), "cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3)
+    // reference: driver-side scan in the same order
+    val ref = (1 to 10000).map(i => (i.toLong, ((i * 37) % 500 + 1).toLong))
+      .sortBy { case (k, c) => (-c, k) }
+    var run = 0L
+    ref.zipWithIndex.foreach { case ((k, c), i) =>
+      run += c
+      val (gk, gc, grk, grun) = got(i)
+      assert(gk == k && gc == c && grk == i + 1L && grun == run,
+        s"mismatch at rank ${i + 1}: got ($gk,$gc,$grk,$grun), want ($k,$c,${i + 1},$run)")
+    }
+  }
+
+  test("withRunningTotal rejects non-long measures") {
+    val df = Seq((1, 1.5)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Consolidate.withRunningTotal(df, Seq(col("v").desc), "v")
+    }
+  }
+
   test("normalizeColumnNames lowercases and maps separators to underscore") {
     val df = Seq((1, 2, 3)).toDF("Grupo Econ", "a.b", "c-d")
     assert(Consolidate.normalizeColumnNames(df).columns.toSeq == Seq("grupo_econ", "a_b", "c_d"))

@@ -20,16 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** One materialized index per (JVM, corpus dir), shared by every
-    * lexical query (BM25 top-k, hybrid fusion) — built on first use.
+  /** One materialized index per (JVM, corpus CONTENT version), shared by
+    * every lexical query (BM25 top-k, hybrid fusion) — built on first
+    * use, invalidated through [[graft.io.IndexCatalog]] when the corpus
+    * files change (compaction, new arrivals).
     */
-  private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def indexFor(sfDir: String, docs: => DataFrame): String =
-    indexDirs.computeIfAbsent(sfDir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-invidx").toString
-      writeInvertedIndex(docs, tmp)
-      tmp
-    })
+  def indexFor(sfDir: String, docs: => DataFrame): String = {
+    val d = docs
+    graft.io.IndexCatalog.resolve(
+      d.sparkSession, "invidx", s"$sfDir/documents.parquet")(
+      tmp => writeInvertedIndex(d, tmp))
+  }
 
   /** Build the four index tables under `dir`: tf/, dlen/, df/, stats/. */
   def writeInvertedIndex(docs: DataFrame, dir: String): Unit = {
@@ -50,6 +51,51 @@ object Retrieval {
     spark.read.parquet(s"$dir/dlen")
       .agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Incremental index admission — the delta-refresh posture of the
+    * LSH near-dup index ([[Dedup.incrementalNearDupIndexed]]) and the
+    * skip index ([[graft.io.FileSkipIndex.refresh]]) applied to
+    * retrieval: `newDocs` (and ONLY them — the standing corpus is never
+    * re-tokenized) are tokenized once; their (doc, tok, tf) and (doc,
+    * len) rows APPEND to tf/dlen; df merges as a delta (old df table +
+    * delta df, one |vocab|-sized aggregate — never a rescan of tf); and
+    * stats re-aggregates the dlen table (|docs| index rows, not corpus
+    * text), which makes the refreshed stats EXACTLY equal a full
+    * rebuild's. df/stats land by checked tmp-dir swap
+    * ([[graft.io.DirSwap]]). At 100 TB/day ingest the refresh cost is
+    * the day's documents plus two index-table aggregates.
+    *
+    * `newDocs` must be genuinely new doc_ids (the same admission
+    * contract as the LSH index: dedup upstream decides identity).
+    */
+  def refreshInvertedIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val delta = newDocs.select(col("doc_id"),
+      explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      delta.write.mode("append").parquet(s"$dir/tf")
+      delta.groupBy("doc_id").agg(sum("tf").as("len"))
+        .write.mode("append").parquet(s"$dir/dlen")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val mergedDf = spark.read.parquet(s"$dir/df")
+        .unionByName(delta.groupBy("tok").agg(count(lit(1)).as("df")))
+        .groupBy("tok").agg(sum("df").as("df"))
+      mergedDf.write.mode("overwrite").parquet(s"$dir/df.next")
+      graft.io.DirSwap.swapInto(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/df.next"),
+        new org.apache.hadoop.fs.Path(s"$dir/df"))
+      spark.read.parquet(s"$dir/dlen")
+        .agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.next")
+      graft.io.DirSwap.swapInto(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/stats.next"),
+        new org.apache.hadoop.fs.Path(s"$dir/stats"))
+    } finally delta.unpersist()
   }
 
   /** BM25 (k1=1.2, b=0.75) per-(query, doc) scores served from the

@@ -14,12 +14,6 @@ object DedupPack extends QueryPack {
   /** The md5-32 token hash, DuckDB spelling. */
   private val H = "CAST(('0x'||substring(md5(t),1,8)) AS BIGINT)"
 
-  /** One materialized near-dup index per sfDir (built on first use, like
-    * a standing production index; the indexed query then measures pure
-    * batch-admission cost).
-    */
-  private val nearDupIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Shared oracle for dedup_minhash_incremental AND dedup_minhash_indexed:
     * the indexed form must produce IDENTICAL verdicts — only the corpus
     * side's physical source (inline recompute vs materialized parquet)
@@ -204,11 +198,8 @@ object DedupPack extends QueryPack {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val isNew = pmod(col("doc_id"), lit(5L)) === 4
-        val idx = nearDupIndexDirs.computeIfAbsent(dir, d => {
-          val t = java.nio.file.Files.createTempDirectory("graft-neardup-idx").toString
-          Dedup.writeNearDupIndex(Tables.documents(s, d).filter(!isNew), t)
-          t
-        })
+        val idx = graft.io.IndexCatalog.resolve(s, "neardup", s"$dir/documents.parquet")(
+          t => Dedup.writeNearDupIndex(Tables.documents(s, dir).filter(!isNew), t))
         Dedup.incrementalNearDupIndexed(s, idx, docs.filter(isNew), threshold = 0.3)
           .orderBy("doc_id")
       },

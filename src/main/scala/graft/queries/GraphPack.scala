@@ -41,15 +41,12 @@ object GraphPack extends QueryPack {
     * scans in the composed plan vs 10 here). Same standing-index pattern
     * as the LSH/IVF ANN tables.
     */
-  private val graphDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def graphIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    graphDirs.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    graft.io.IndexCatalog.resolve(s, "graph", s"$dir/lineitem.parquet") { tmp =>
       val edges = coPurchaseEdges(s, dir)
       Graph.orient(edges).write.mode("overwrite").parquet(s"$tmp/oriented")
       Graph.degrees(edges).write.mode("overwrite").parquet(s"$tmp/degrees")
-      tmp
-    })
+    }
 
   private val edgeCte =
     """WITH li AS (

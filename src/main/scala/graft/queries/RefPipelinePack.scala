@@ -31,10 +31,21 @@ object RefPipelinePack extends QueryPack {
     * plan dumps re-read the same files instead of leaking a temp dir and
     * redoing driver-side zip writes on every invocation.
     */
-  /** q_zorder_layout's clustered-write target per sfDir (see the query). */
-  private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val fileskipDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val compactDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** q_fileskip_*'s standing layout+index: built once per (JVM, lineitem
+    * content version) through [[graft.io.IndexCatalog]] — a corpus
+    * rewrite invalidates it like every other standing index.
+    */
+  private def fileskipIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.io.IndexCatalog.resolve(s, "fileskip", s"$dir/lineitem.parquet") { tmp =>
+      val slice = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+      graft.io.RangeSortedSink.write(slice, s"$tmp/data", numFiles = 16,
+        col("l_orderkey"))
+      graft.io.FileSkipIndex.build(s.read.parquet(s"$tmp/data"),
+          Seq("l_orderkey"), measures = Seq("qty"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/index")
+    }
 
   private lazy val idaFixtureDir: String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ida-e2e").toString
@@ -739,12 +750,13 @@ object RefPipelinePack extends QueryPack {
             datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
               .cast("long").as("day"),
             col("value"))
-        // one STABLE layout dir per sfDir for the JVM's lifetime: the
-        // clustered write (mode overwrite) still runs on every invocation
-        // — it IS the operator under test — but bench/plan-dump repeats
-        // rewrite in place instead of leaking a directory per pass
-        val tmp = zorderDirs.computeIfAbsent(dir,
-          _ => java.nio.file.Files.createTempDirectory("graft-zorder").toString)
+        // one STABLE layout dir per (sfDir, events content version) for
+        // the JVM's lifetime: the clustered write (mode overwrite) still
+        // runs on every invocation — it IS the operator under test — but
+        // bench/plan-dump repeats rewrite in place instead of leaking a
+        // directory per pass
+        val tmp = graft.io.IndexCatalog.resolve(
+          s, "zorder", s"$dir/events.parquet")(_ => ())
         graft.io.ZOrderSink.write(ev, tmp, numFiles = 8,
           graft.io.ZOrderSink.boundedBucket(col("user_id"), 1L << 20), col("day"))
         s.read.schema(ev.schema).parquet(tmp)
@@ -799,18 +811,7 @@ object RefPipelinePack extends QueryPack {
     "q_fileskip_prune" -> QueryDef(
       "Range-sorted layout + min/max file index: pruned range read vs original",
       (s, dir) => {
-        val idx = fileskipDirs.computeIfAbsent(dir, _ => {
-          val tmp = java.nio.file.Files.createTempDirectory("graft-fileskip").toString
-          val slice = Tables.lineitem(s, dir)
-            .select(col("l_orderkey"), col("l_partkey"),
-              col("l_quantity").cast("long").as("qty"))
-          graft.io.RangeSortedSink.write(slice, s"$tmp/data", numFiles = 16,
-            col("l_orderkey"))
-          graft.io.FileSkipIndex.build(s.read.parquet(s"$tmp/data"),
-              Seq("l_orderkey"), measures = Seq("qty"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/index")
-          tmp
-        })
+        val idx = fileskipIndexDir(s, dir)
         val schema = s.read.parquet(s"$idx/data").schema
         graft.io.FileSkipIndex.prunedRead(
             s, s.read.parquet(s"$idx/index"), schema, "l_orderkey", 1000L, 3000L)
@@ -836,18 +837,7 @@ object RefPipelinePack extends QueryPack {
     "q_fileskip_agg" -> QueryDef(
       "Manifest-style COUNT/SUM: index rows for covered files + boundary-file residual",
       (s, dir) => {
-        val idx = fileskipDirs.computeIfAbsent(dir, _ => {
-          val tmp = java.nio.file.Files.createTempDirectory("graft-fileskip").toString
-          val slice = Tables.lineitem(s, dir)
-            .select(col("l_orderkey"), col("l_partkey"),
-              col("l_quantity").cast("long").as("qty"))
-          graft.io.RangeSortedSink.write(slice, s"$tmp/data", numFiles = 16,
-            col("l_orderkey"))
-          graft.io.FileSkipIndex.build(s.read.parquet(s"$tmp/data"),
-              Seq("l_orderkey"), measures = Seq("qty"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/index")
-          tmp
-        })
+        val idx = fileskipIndexDir(s, dir)
         val schema = s.read.parquet(s"$idx/data").schema
         graft.io.FileSkipIndex.metadataRangeAgg(
           s, s.read.parquet(s"$idx/index"), schema, "l_orderkey", 500L, 20000L, "qty")
@@ -868,16 +858,16 @@ object RefPipelinePack extends QueryPack {
     "q_compact_roundtrip" -> QueryDef(
       "64-fragment layout compacted in place to 8 sorted files; result unchanged",
       (s, dir) => {
-        val cdir = compactDirs.computeIfAbsent(dir, _ => {
-          val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+        val cdir = graft.io.IndexCatalog.resolve(
+          s, "compact", s"$dir/lineitem.parquet") { tmp =>
           val slice = Tables.lineitem(s, dir)
             .select(col("l_orderkey"), col("l_linenumber"),
               col("l_quantity").cast("long").as("qty"))
           slice.repartition(64).write.mode("overwrite").parquet(s"$tmp/t")
           graft.io.Compactor.compact(s, s"$tmp/t", numFiles = 8,
             col("l_orderkey"), col("l_linenumber"))
-          tmp
-        })
+          ()
+        }
         s.read.parquet(s"$cdir/t")
           .groupBy(pmod(col("l_orderkey"), lit(7L)).as("bucket"))
           .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),

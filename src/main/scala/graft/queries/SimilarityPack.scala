@@ -11,11 +11,6 @@ import graft.{QueryDef, QueryPack, Tables}
   */
 object SimilarityPack extends QueryPack {
 
-  /** One materialized IVF index per sfDir (offline build on first use;
-    * the indexed query then measures the online probe only).
-    */
-  private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Shared oracle for sim_topk_ivf AND sim_topk_ivf_indexed — the
     * persisted index holds the same trained model, so both forms must
     * hash to the same result.
@@ -185,11 +180,8 @@ object SimilarityPack extends QueryPack {
       "ANN top-5 via a MATERIALIZED IVF index (cell-partitioned parquet): results identical to sim_topk_ivf",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val idx = ivfIndexDirs.computeIfAbsent(dir, d => {
-          val t = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
-          Similarity.writeIvfIndex(Tables.embeddings(s, d), t)
-          t
-        })
+        val idx = graft.io.IndexCatalog.resolve(s, "ivf", s"$dir/embeddings.parquet")(
+          t => Similarity.writeIvfIndex(Tables.embeddings(s, dir), t))
         Similarity.ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 8), k = 5)
           .orderBy("query_id", "rank")
       },

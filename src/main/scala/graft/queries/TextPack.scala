@@ -692,6 +692,70 @@ object TextPack extends QueryPack {
              |SELECT query_id, rank, doc_id, score FROM ranked
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Incremental index admission, oracle-gated end-to-end: the index is
+    // built over 90% of the corpus, the remaining docs arrive as a DELTA
+    // through Retrieval.refreshInvertedIndex (only the delta is
+    // tokenized; df/stats merge as index-table aggregates), and the SAME
+    // BM25 query as text_bm25_topk runs against the refreshed index. The
+    // oracle is the full-corpus BM25 — so the driver hash gate IS the
+    // refresh ≡ full-rebuild proof, the dedup_minhash_incremental
+    // pattern applied to retrieval. Cached per corpus content version
+    // (IndexCatalog), like every standing index.
+    "retrieval_bm25_refresh" -> QueryDef(
+      "BM25 top-5 served from an incrementally refreshed inverted index",
+      (s, dir) => {
+        import graft.ext.Retrieval
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "invidx-refresh", s"$dir/documents.parquet") { tmp =>
+          Retrieval.writeInvertedIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), tmp)
+          Retrieval.refreshInvertedIndex(docs.filter(pmod(col("doc_id"), lit(10)) === 7), tmp)
+        }
+        val qtoks = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"),
+            explode(slice(TextAnalysis.tokens(col("text")), 1, 8)).as("tok"))
+          .distinct()
+        val perDoc = Retrieval.bm25Scores(s, idx, qtoks)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        perDoc.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH toked AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, unnest(toks) AS tok FROM toked)
+             |  GROUP BY doc_id, tok),
+             |dlen AS (SELECT doc_id, len(toks) AS len FROM toked),
+             |stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avg_len FROM dlen),
+             |dftab AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+             |qtoks AS (
+             |  SELECT DISTINCT doc_id AS query_id, tok FROM (
+             |    SELECT doc_id, unnest(toks[1:8]) AS tok FROM toked WHERE doc_id < 3)),
+             |perdoc AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    ROUND(SUM(
+             |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+             |      tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))), 6) AS score
+             |  FROM tf
+             |  JOIN qtoks q USING (tok)
+             |  JOIN dftab d USING (tok)
+             |  JOIN dlen l ON tf.doc_id = l.doc_id
+             |  CROSS JOIN stats s
+             |  GROUP BY q.query_id, tf.doc_id),
+             |ranked AS (
+             |  SELECT query_id, doc_id, score,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |                       ORDER BY score DESC, doc_id ASC) AS rank
+             |  FROM perdoc)
+             |SELECT query_id, rank, doc_id, score FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       "md5 content fingerprint of normalized text (exact-dedup key), first 20 docs",
       (s, dir) =>

@@ -102,11 +102,22 @@ object Retrieval {
     * standing index: the query token set broadcasts, every other input
     * is an index table. `qtoks` must be (query_id, tok) distinct rows.
     */
-  def bm25Scores(spark: SparkSession, dir: String, qtoks: DataFrame): DataFrame = {
-    val tf = spark.read.parquet(s"$dir/tf")
-    val dfTab = spark.read.parquet(s"$dir/df")
-    val dlen = spark.read.parquet(s"$dir/dlen")
-    val stats = spark.read.parquet(s"$dir/stats")
+  def bm25Scores(spark: SparkSession, dir: String, qtoks: DataFrame): DataFrame =
+    bm25From(
+      spark.read.parquet(s"$dir/tf"),
+      spark.read.parquet(s"$dir/df"),
+      spark.read.parquet(s"$dir/dlen"),
+      spark.read.parquet(s"$dir/stats"),
+      qtoks)
+
+  /** The BM25 scoring core over explicit index tables — shared by the
+    * compacted layout ([[bm25Scores]]) and the streaming delta-log
+    * layout ([[graft.streaming.RetrievalIngest.bm25]], which aggregates
+    * its per-batch df deltas and derives stats before calling in).
+    */
+  def bm25From(
+      tf: DataFrame, dfTab: DataFrame, dlen: DataFrame, stats: DataFrame,
+      qtoks: DataFrame): DataFrame = {
     tf.join(broadcast(qtoks), Seq("tok"))
       .join(dfTab, Seq("tok"))
       .join(dlen, Seq("doc_id"))

@@ -509,6 +509,46 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Incremental admission into a MATERIALIZED IVF index — the
+    * delta-refresh posture of the LSH index
+    * ([[Dedup.incrementalNearDupIndexed]]) and the inverted index
+    * ([[Retrieval.refreshInvertedIndex]]) applied to ANN: the batch is
+    * assigned against the PERSISTED centroid model (the model is NOT
+    * retrained — the production IVF contract: retrain rarely offline,
+    * admit continuously) and its normalized vectors APPEND into the
+    * cell-partitioned layout, so the refresh cost is the batch's own
+    * normalize + argmax + append. The standing corpus is never
+    * rescanned, and probes ([[ivfTopKIndexed]]) see old and new members
+    * of a cell identically. When the batch lies outside the training
+    * slice, a refreshed index serves the exact results of a full
+    * rebuild (same model, same member set — spec- and oracle-gated).
+    */
+  def refreshIvfIndex(
+      newVecs: DataFrame,
+      indexDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val centroids: Array[(Long, Array[Double])] =
+      spark.read.parquet(s"$indexDir/centroids")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    val c = withNormalized(newVecs.select(col(idCol), col(vecCol)), vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
+    if (centroids.isEmpty) {
+      // an empty model has no cells to route into — admitting an empty
+      // batch is a no-op (the empty-corpus degrade writeIvfIndex
+      // established), but a real batch must fail loudly: dropping it
+      // silently would hide it from every future probe
+      require(c.isEmpty,
+        "refreshIvfIndex: index has no trained centroids — rebuild with writeIvfIndex instead")
+      return
+    }
+    withCell(c, centroids, "cv")
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
   /** Probe a MATERIALIZED IVF index ([[writeIvfIndex]]) — identical
     * results to [[ivfTopK]] on the same parameters (the centroid model
     * is persisted, not retrained), but the measured cost is the online

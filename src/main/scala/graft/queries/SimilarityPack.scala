@@ -187,6 +187,31 @@ object SimilarityPack extends QueryPack {
       },
       Some(ivfTopKOracle)),
 
+    // Incremental ANN admission, oracle-gated end-to-end: the index is
+    // built over the training slice only (vec_id < 256 — exactly the
+    // vectors the model trains on, so the centroid model is identical
+    // to a full build's), the rest of the corpus arrives as a DELTA
+    // through Similarity.refreshIvfIndex (assigned against the
+    // persisted model, appended into the cell partitions — the standing
+    // corpus is never rescanned), and the probe runs against the
+    // refreshed index. The oracle is the full-build IVF replay — so the
+    // driver hash gate IS the refresh ≡ rebuild proof, the
+    // retrieval_bm25_refresh pattern applied to the ANN index family
+    // (the last standing index without delta admission).
+    "sim_topk_ivf_refresh" -> QueryDef(
+      "ANN top-5 via an incrementally refreshed IVF index: results identical to sim_topk_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "ivf-refresh", s"$dir/embeddings.parquet") { t =>
+          Similarity.writeIvfIndex(e.filter(col("vec_id") < 256), t)
+          Similarity.refreshIvfIndex(e.filter(col("vec_id") >= 256), t)
+        }
+        Similarity.ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 8), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfTopKOracle)),
+
     // SemDeDup-style semantic dedup: pairs form ONLY within a trained
     // centroid cell (the cells play LSH bands' role), so the all-pairs
     // cosine matrix never materializes; cross-cell dups are the

@@ -12,6 +12,65 @@ object TextPack extends QueryPack {
 
   private val EnStop = TextAnalysis.Stopwords("en").map(s => s"'$s'").mkString(", ")
 
+  /** Shared oracle for text_bm25_topk, retrieval_bm25_refresh AND
+    * retrieval_stream_bm25: full-corpus BM25 replayed from the raw
+    * documents. One SQL serving three physical layouts (one-shot batch
+    * index, incrementally refreshed index, streaming delta-log index)
+    * is exactly the parity claim: the layout must never change scores.
+    */
+  private lazy val bm25TopKOracle: String =
+    """WITH toked AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(toks) AS tok FROM toked)
+      |  GROUP BY doc_id, tok),
+      |dlen AS (SELECT doc_id, len(toks) AS len FROM toked),
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avg_len FROM dlen),
+      |dftab AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |qtoks AS (
+      |  SELECT DISTINCT doc_id AS query_id, tok FROM (
+      |    SELECT doc_id, unnest(toks[1:8]) AS tok FROM toked WHERE doc_id < 3)),
+      |perdoc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    ROUND(SUM(
+      |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |      tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))), 6) AS score
+      |  FROM tf
+      |  JOIN qtoks q USING (tok)
+      |  JOIN dftab d USING (tok)
+      |  JOIN dlen l ON tf.doc_id = l.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY q.query_id, tf.doc_id),
+      |ranked AS (
+      |  SELECT query_id, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM perdoc)
+      |SELECT query_id, rank, doc_id, score FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The shared BM25 query side: leading-8-token vocabularies of the
+    * first 3 docs, then per-query top-5 over the scored docs.
+    */
+  private def bm25TopK(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      perDocFor: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val qtoks = Tables.documents(s, dir).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextAnalysis.tokens(col("text")), 1, 8)).as("tok"))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perDocFor(qtoks).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** text_langid_ngram classify pass: score(l) = |{profile grams of l
     * present in doc}| — profile grams are distinct, so summing presence
     * flags equals the distinct-overlap count. A doc matching no profile
@@ -647,50 +706,9 @@ object TextPack extends QueryPack {
       (s, dir) => {
         import graft.ext.Retrieval
         val idx = Retrieval.indexFor(dir, Tables.documents(s, dir))
-        val qtoks = Tables.documents(s, dir).filter(col("doc_id") < 3)
-          .select(col("doc_id").as("query_id"),
-            explode(slice(TextAnalysis.tokens(col("text")), 1, 8)).as("tok"))
-          .distinct()
-        val perDoc = Retrieval.bm25Scores(s, idx, qtoks)
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id").asc)
-        perDoc.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
-          .orderBy("query_id", "rank")
+        bm25TopK(s, dir, qtoks => Retrieval.bm25Scores(s, idx, qtoks))
       },
-      Some("""WITH toked AS (
-             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
-             |  FROM documents),
-             |tf AS (
-             |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
-             |    SELECT doc_id, unnest(toks) AS tok FROM toked)
-             |  GROUP BY doc_id, tok),
-             |dlen AS (SELECT doc_id, len(toks) AS len FROM toked),
-             |stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avg_len FROM dlen),
-             |dftab AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-             |qtoks AS (
-             |  SELECT DISTINCT doc_id AS query_id, tok FROM (
-             |    SELECT doc_id, unnest(toks[1:8]) AS tok FROM toked WHERE doc_id < 3)),
-             |perdoc AS (
-             |  SELECT q.query_id, tf.doc_id,
-             |    ROUND(SUM(
-             |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
-             |      tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))), 6) AS score
-             |  FROM tf
-             |  JOIN qtoks q USING (tok)
-             |  JOIN dftab d USING (tok)
-             |  JOIN dlen l ON tf.doc_id = l.doc_id
-             |  CROSS JOIN stats s
-             |  GROUP BY q.query_id, tf.doc_id),
-             |ranked AS (
-             |  SELECT query_id, doc_id, score,
-             |    ROW_NUMBER() OVER (PARTITION BY query_id
-             |                       ORDER BY score DESC, doc_id ASC) AS rank
-             |  FROM perdoc)
-             |SELECT query_id, rank, doc_id, score FROM ranked
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(bm25TopKOracle)),
 
     // Incremental index admission, oracle-gated end-to-end: the index is
     // built over 90% of the corpus, the remaining docs arrive as a DELTA
@@ -711,50 +729,36 @@ object TextPack extends QueryPack {
           Retrieval.writeInvertedIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), tmp)
           Retrieval.refreshInvertedIndex(docs.filter(pmod(col("doc_id"), lit(10)) === 7), tmp)
         }
-        val qtoks = docs.filter(col("doc_id") < 3)
-          .select(col("doc_id").as("query_id"),
-            explode(slice(TextAnalysis.tokens(col("text")), 1, 8)).as("tok"))
-          .distinct()
-        val perDoc = Retrieval.bm25Scores(s, idx, qtoks)
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id").asc)
-        perDoc.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
-          .orderBy("query_id", "rank")
+        bm25TopK(s, dir, qtoks => Retrieval.bm25Scores(s, idx, qtoks))
       },
-      Some("""WITH toked AS (
-             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
-             |  FROM documents),
-             |tf AS (
-             |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
-             |    SELECT doc_id, unnest(toks) AS tok FROM toked)
-             |  GROUP BY doc_id, tok),
-             |dlen AS (SELECT doc_id, len(toks) AS len FROM toked),
-             |stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avg_len FROM dlen),
-             |dftab AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-             |qtoks AS (
-             |  SELECT DISTINCT doc_id AS query_id, tok FROM (
-             |    SELECT doc_id, unnest(toks[1:8]) AS tok FROM toked WHERE doc_id < 3)),
-             |perdoc AS (
-             |  SELECT q.query_id, tf.doc_id,
-             |    ROUND(SUM(
-             |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
-             |      tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))), 6) AS score
-             |  FROM tf
-             |  JOIN qtoks q USING (tok)
-             |  JOIN dftab d USING (tok)
-             |  JOIN dlen l ON tf.doc_id = l.doc_id
-             |  CROSS JOIN stats s
-             |  GROUP BY q.query_id, tf.doc_id),
-             |ranked AS (
-             |  SELECT query_id, doc_id, score,
-             |    ROW_NUMBER() OVER (PARTITION BY query_id
-             |                       ORDER BY score DESC, doc_id ASC) AS rank
-             |  FROM perdoc)
-             |SELECT query_id, rank, doc_id, score FROM ranked
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(bm25TopKOracle)),
+
+    // STREAMING index maintenance, oracle-gated end-to-end: the corpus
+    // arrives as three micro-batches through
+    // streaming/RetrievalIngest.ingestBatch (each batch tokenized once,
+    // its tf/dlen/df contributions landing as replay-idempotent batch
+    // files — the delta-log layout), batch 1 is REPLAYED to prove a
+    // retry converges rather than double-counts, and the same BM25
+    // query is served from the log. The oracle is the full-corpus BM25
+    // — the driver hash gate proves streaming-maintained ≡ batch-built,
+    // including across the replay.
+    "retrieval_stream_bm25" -> QueryDef(
+      "BM25 top-5 served from a stream-maintained inverted index (3 batches, one replayed)",
+      (s, dir) => {
+        import graft.streaming.RetrievalIngest
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "invidx-stream", s"$dir/documents.parquet") { tmp =>
+          (0L to 2L).foreach(b =>
+            RetrievalIngest.ingestBatch(
+              docs.filter(pmod(col("doc_id"), lit(3)) === b), b, tmp))
+          // replayed delivery of batch 1 — must converge, not double-count
+          RetrievalIngest.ingestBatch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1L), 1L, tmp)
+        }
+        bm25TopK(s, dir, qtoks => RetrievalIngest.bm25(s, idx, qtoks))
+      },
+      Some(bm25TopKOracle)),
 
     "text_fingerprint" -> QueryDef(
       "md5 content fingerprint of normalized text (exact-dedup key), first 20 docs",

@@ -34,26 +34,10 @@ object IndexedIngest {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tableDir), conf)
-    val table = new org.apache.hadoop.fs.Path(tableDir)
-    fs.mkdirs(table)
-    // replay-safe: remove this batch's previous files, then land the new
-    // ones under deterministic names
-    fs.globStatus(new org.apache.hadoop.fs.Path(f"$tableDir/batch$batchId%06d_*.parquet"))
-      .foreach(st => fs.delete(st.getPath, false))
-    // stage on the SAME FileSystem as the table (a sibling dot-dir, so
-    // the table's own parquet listing never sees it): a cross-filesystem
-    // rename (local tmp → HDFS/S3 table) returns false, and unchecked
-    // that silently lands zero files while the batch is acked to the
-    // checkpoint — rows lost
-    val tmp = f"${tableDir.stripSuffix("/")}%s.staging-batch$batchId%06d"
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // stale replay staging
-    batch.write.mode("overwrite").parquet(tmp)
-    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
-    parts.zipWithIndex.foreach { case (st, i) =>
-      graft.io.DirSwap.renameOrFail(fs, st.getPath,
-        new org.apache.hadoop.fs.Path(f"$tableDir/batch$batchId%06d_$i%03d.parquet"))
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // replay-safe deterministic batch files, staged on the table's own
+    // FileSystem (graft.io.BatchFiles — the landing contract shared
+    // with RetrievalIngest)
+    graft.io.BatchFiles.land(batch, tableDir, batchId)
     // refresh the standing index over the new file set and swap it in
     val idxPath = new org.apache.hadoop.fs.Path(indexDir)
     graft.io.DirSwap.recoverInterrupted(fs, idxPath, ".old")

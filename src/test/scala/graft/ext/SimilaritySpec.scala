@@ -247,6 +247,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed == inline && indexed.nonEmpty)
   }
 
+  test("IVF refresh: base build + delta admission equals a full rebuild") {
+    val e = Tables.embeddings(spark, sf)
+    val refreshed = java.nio.file.Files.createTempDirectory("ivf-refresh-spec").toString
+    // base = exactly the training slice, so the persisted model matches
+    // the full build's; the other 244 vectors arrive as a delta
+    Similarity.writeIvfIndex(e.filter(col("vec_id") < 256), refreshed)
+    val cellsBefore = spark.read.parquet(s"$refreshed/cells").count()
+    Similarity.refreshIvfIndex(e.filter(col("vec_id") >= 256), refreshed)
+
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivf-rebuild-spec").toString
+    Similarity.writeIvfIndex(e, rebuilt)
+
+    // member-for-member identical cell assignments...
+    def cells(dir: String) = spark.read.parquet(s"$dir/cells")
+      .select(col("neighbor_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(cellsBefore == 256 && cells(refreshed) == cells(rebuilt))
+
+    // ...and identical served top-k
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val queries = e.filter(col("vec_id") < 8)
+    assert(rows(Similarity.ivfTopKIndexed(spark, refreshed, queries, k = 5)) ==
+      rows(Similarity.ivfTopKIndexed(spark, rebuilt, queries, k = 5)))
+  }
+
+  test("IVF refresh into an untrained (empty) index fails loudly") {
+    val e = Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-refresh-empty").toString
+    Similarity.writeIvfIndex(e.filter(col("vec_id") < 0), idx) // empty corpus: no model
+    val err = intercept[IllegalArgumentException] {
+      Similarity.refreshIvfIndex(e.filter(col("vec_id") < 10), idx)
+    }
+    assert(err.getMessage.contains("no trained centroids"))
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = Tables.embeddings(spark, sf).limit(20)
     val b1 = e.select(Similarity.lshBucket(col("embedding"), 64).as("b")).collect().map(_.getLong(0))

@@ -39,10 +39,15 @@ object Retrieval {
     val tf = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     tf.write.mode("overwrite").parquet(s"$dir/tf")
-    val spark = docs.sparkSession
-    // df/dlen/stats ALL derive from the materialized tf — the corpus is
-    // tokenized exactly once: df = per-token row count, dlen = per-doc
-    // SUM(tf) (total tokens, identical to the raw token-array length)
+    deriveFromTf(docs.sparkSession, dir)
+  }
+
+  /** df/dlen/stats ALL derive from a materialized tf — the corpus is
+    * tokenized exactly once: df = per-token row count, dlen = per-doc
+    * SUM(tf) (total tokens, identical to the raw token-array length).
+    * Shared by the one-shot build and [[compactIndex]].
+    */
+  private def deriveFromTf(spark: SparkSession, dir: String): Unit = {
     val tfBack = spark.read.parquet(s"$dir/tf")
     tfBack.groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/df")
@@ -51,6 +56,63 @@ object Retrieval {
     spark.read.parquet(s"$dir/dlen")
       .agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** RETRACT documents from the index — deletion propagated to retrieval
+    * (the right-to-be-forgotten path): the retracted ids land as a
+    * TOMBSTONE table (`deleted/`), and serving applies them
+    * merge-on-read ([[bm25From]] filters the query-token tf slice and
+    * decrements df for exactly that slice — the deletion-vector
+    * contract of the lake formats, at index granularity). The retract
+    * itself writes |batch| rows and rescans NOTHING, duplicate retracts
+    * are absorbed by the distinct tombstone view, and
+    * [[compactIndex]] later applies tombstones physically. Scores
+    * served under tombstones are EXACTLY a rebuild over the surviving
+    * documents (oracle-gated).
+    */
+  def retractFromIndex(docIds: DataFrame, dir: String): Unit =
+    docIds.select("doc_id").distinct()
+      .write.mode("append").parquet(s"$dir/deleted")
+
+  /** Squash the index back to the canonical compacted layout: tf drops
+    * tombstoned docs, df/dlen/stats re-derive from the surviving tf
+    * (also collapsing a streaming df DELTA LOG —
+    * [[graft.streaming.RetrievalIngest]] — back to one row per token),
+    * and the whole new layout replaces the old through ONE root-dir
+    * swap ([[graft.io.DirSwap.swapInto]]). The root swap is the single
+    * commit point: a reader racing the compaction sees the old layout
+    * (tombstones + log, merge-on-read) or the new one (clean), never a
+    * half-compacted mix — the same role a table format's metadata
+    * pointer plays.
+    *
+    * Coordination contract: run compaction only while no
+    * [[graft.streaming.RetrievalIngest]] writer is active (or after its
+    * checkpoint is retired) — a REPLAY of a pre-compaction batch would
+    * re-add rows that the compacted files already contain. This is the
+    * same writer/compactor exclusion every log-structured store
+    * requires.
+    */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val tmp = dir.stripSuffix("/") + ".compact"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val tfAll = spark.read.parquet(s"$dir/tf")
+    tombstonesOpt(spark, dir)
+      .fold(tfAll)(t => tfAll.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .write.parquet(s"$tmp/tf")
+    deriveFromTf(spark, tmp)
+    graft.io.DirSwap.swapInto(fs,
+      new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+  }
+
+  /** The distinct tombstone set, if any retraction has happened. */
+  private[graft] def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deleted")))
+      Some(spark.read.parquet(s"$dir/deleted").select("doc_id").distinct())
+    else None
   }
 
   /** Incremental index admission — the delta-refresh posture of the
@@ -102,24 +164,66 @@ object Retrieval {
     * standing index: the query token set broadcasts, every other input
     * is an index table. `qtoks` must be (query_id, tok) distinct rows.
     */
-  def bm25Scores(spark: SparkSession, dir: String, qtoks: DataFrame): DataFrame =
-    bm25From(
-      spark.read.parquet(s"$dir/tf"),
-      spark.read.parquet(s"$dir/df"),
-      spark.read.parquet(s"$dir/dlen"),
-      spark.read.parquet(s"$dir/stats"),
-      qtoks)
+  def bm25Scores(spark: SparkSession, dir: String, qtoks: DataFrame): DataFrame = {
+    val dlen = spark.read.parquet(s"$dir/dlen")
+    tombstonesOpt(spark, dir) match {
+      case None =>
+        bm25From(
+          spark.read.parquet(s"$dir/tf"),
+          spark.read.parquet(s"$dir/df"),
+          dlen,
+          spark.read.parquet(s"$dir/stats"),
+          qtoks)
+      case Some(t) =>
+        // merge-on-read under tombstones: stats re-derive from the LIVE
+        // doc lengths (|docs| index rows) so n_docs/avg_len are exactly
+        // a rebuild's; tf filtering and df decrements happen inside
+        // bm25From on the query-token slice only
+        val dlenLive = dlen.join(broadcast(t), Seq("doc_id"), "left_anti")
+        bm25From(
+          spark.read.parquet(s"$dir/tf"),
+          spark.read.parquet(s"$dir/df"),
+          dlenLive,
+          dlenLive.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len")),
+          qtoks, Some(t))
+    }
+  }
 
   /** The BM25 scoring core over explicit index tables — shared by the
     * compacted layout ([[bm25Scores]]) and the streaming delta-log
     * layout ([[graft.streaming.RetrievalIngest.bm25]], which aggregates
     * its per-batch df deltas and derives stats before calling in).
+    *
+    * With `tombstones`, scoring applies retractions merge-on-read: the
+    * tombstone set broadcasts (it is small until [[compactIndex]]
+    * absorbs it), dead docs drop from the already-query-filtered tf
+    * slice, and df decrements by the dead docs' contribution to exactly
+    * the query tokens — computed from that same slice, so the
+    * correction costs one extra aggregate over candidate rows, never an
+    * index rescan. `dlen`/`stats` must already be the live view (the
+    * layout entry points handle that).
     */
   def bm25From(
       tf: DataFrame, dfTab: DataFrame, dlen: DataFrame, stats: DataFrame,
-      qtoks: DataFrame): DataFrame = {
-    tf.join(broadcast(qtoks), Seq("tok"))
-      .join(dfTab, Seq("tok"))
+      qtoks: DataFrame, tombstones: Option[DataFrame] = None): DataFrame = {
+    val tfq = tf.join(broadcast(qtoks), Seq("tok"))
+    val (tfLive, dfLive) = tombstones match {
+      case None => (tfq, dfTab)
+      case Some(t) =>
+        val tb = broadcast(t)
+        // count DISTINCT docs: tfq carries one row per (doc, tok,
+        // QUERY), so a token shared by two query vocabularies would
+        // otherwise decrement df twice per dead doc
+        val dec = tfq.join(tb, Seq("doc_id"))
+          .groupBy("tok").agg(count_distinct(col("doc_id")).as("__ddf"))
+        (tfq.join(tb, Seq("doc_id"), "left_anti"),
+          dfTab.join(dec, Seq("tok"), "left")
+            .select(col("tok"),
+              (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"))
+            .filter(col("df") > 0))
+    }
+    tfLive
+      .join(dfLive, Seq("tok"))
       .join(dlen, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("s",

@@ -12,16 +12,18 @@ object TextPack extends QueryPack {
 
   private val EnStop = TextAnalysis.Stopwords("en").map(s => s"'$s'").mkString(", ")
 
-  /** Shared oracle for text_bm25_topk, retrieval_bm25_refresh AND
-    * retrieval_stream_bm25: full-corpus BM25 replayed from the raw
-    * documents. One SQL serving three physical layouts (one-shot batch
-    * index, incrementally refreshed index, streaming delta-log index)
-    * is exactly the parity claim: the layout must never change scores.
+  /** Shared oracle for every BM25 query: corpus BM25 replayed from the
+    * raw documents (optionally restricted by `where` — the retraction
+    * queries score against the SURVIVING documents only). One SQL
+    * serving every physical layout (one-shot batch index, incrementally
+    * refreshed, streaming delta log, tombstoned merge-on-read,
+    * compacted) is exactly the parity claim: the layout must never
+    * change scores.
     */
-  private lazy val bm25TopKOracle: String =
-    """WITH toked AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
-      |  FROM documents),
+  private def bm25TopKOracle(where: String = ""): String =
+    s"""WITH toked AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      |  FROM documents$where),
       |tf AS (
       |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
       |    SELECT doc_id, unnest(toks) AS tok FROM toked)
@@ -708,7 +710,7 @@ object TextPack extends QueryPack {
         val idx = Retrieval.indexFor(dir, Tables.documents(s, dir))
         bm25TopK(s, dir, qtoks => Retrieval.bm25Scores(s, idx, qtoks))
       },
-      Some(bm25TopKOracle)),
+      Some(bm25TopKOracle())),
 
     // Incremental index admission, oracle-gated end-to-end: the index is
     // built over 90% of the corpus, the remaining docs arrive as a DELTA
@@ -731,7 +733,7 @@ object TextPack extends QueryPack {
         }
         bm25TopK(s, dir, qtoks => Retrieval.bm25Scores(s, idx, qtoks))
       },
-      Some(bm25TopKOracle)),
+      Some(bm25TopKOracle())),
 
     // STREAMING index maintenance, oracle-gated end-to-end: the corpus
     // arrives as three micro-batches through
@@ -758,7 +760,59 @@ object TextPack extends QueryPack {
         }
         bm25TopK(s, dir, qtoks => RetrievalIngest.bm25(s, idx, qtoks))
       },
-      Some(bm25TopKOracle)),
+      Some(bm25TopKOracle())),
+
+    // Document RETRACTION, oracle-gated end-to-end: every doc_id%7==3
+    // document is deleted from the index via tombstones
+    // (Retrieval.retractFromIndex — writes |batch| rows, rescans
+    // nothing) and BM25 serves MERGE-ON-READ: dead docs drop from the
+    // query-token tf slice, df decrements by exactly their
+    // contribution, stats re-derive from live doc lengths. The oracle
+    // is BM25 over the SURVIVING documents only — the driver hash gate
+    // proves tombstoned serving ≡ rebuild-without-the-deleted, which is
+    // the right-to-be-forgotten contract a 100 TB corpus needs (a full
+    // index rebuild per deletion request is not a deployable answer).
+    "retrieval_bm25_retract" -> QueryDef(
+      "BM25 top-5 after tombstone retraction of doc_id%7==3 (merge-on-read)",
+      (s, dir) => {
+        import graft.ext.Retrieval
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "invidx-retract", s"$dir/documents.parquet") { tmp =>
+          Retrieval.writeInvertedIndex(docs, tmp)
+          Retrieval.retractFromIndex(
+            docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), tmp)
+        }
+        bm25TopK(s, dir, qtoks => Retrieval.bm25Scores(s, idx, qtoks))
+      },
+      Some(bm25TopKOracle(" WHERE doc_id % 7 <> 3"))),
+
+    // The full index LIFECYCLE in one gate: streaming ingest (delta-log
+    // layout), tombstone retraction, then COMPACTION
+    // (Retrieval.compactIndex) — tf drops tombstoned docs, df/dlen/
+    // stats re-derive from surviving tf (collapsing the df delta log),
+    // and the new layout lands through ONE root-dir swap. Serving runs
+    // on the canonical fast path (no merge-on-read work left), and the
+    // oracle — BM25 over surviving documents — proves compaction
+    // changed the physical layout and nothing else.
+    "retrieval_bm25_compacted" -> QueryDef(
+      "BM25 top-5 after stream-ingest + retraction + index compaction",
+      (s, dir) => {
+        import graft.ext.Retrieval
+        import graft.streaming.RetrievalIngest
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "invidx-compact", s"$dir/documents.parquet") { tmp =>
+          (0L to 2L).foreach(b =>
+            RetrievalIngest.ingestBatch(
+              docs.filter(pmod(col("doc_id"), lit(3)) === b), b, tmp))
+          Retrieval.retractFromIndex(
+            docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), tmp)
+          Retrieval.compactIndex(s, tmp)
+        }
+        bm25TopK(s, dir, qtoks => Retrieval.bm25Scores(s, idx, qtoks))
+      },
+      Some(bm25TopKOracle(" WHERE doc_id % 7 <> 3"))),
 
     "text_fingerprint" -> QueryDef(
       "md5 content fingerprint of normalized text (exact-dedup key), first 20 docs",

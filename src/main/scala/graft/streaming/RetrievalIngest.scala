@@ -71,11 +71,16 @@ object RetrievalIngest {
     */
   def bm25(spark: SparkSession, indexDir: String, qtoks: DataFrame): DataFrame = {
     val dlen = spark.read.parquet(s"$indexDir/dlen")
+    // retraction composes with the log layout: stats derive from the
+    // LIVE doc lengths and bm25From applies the tombstones merge-on-read
+    val tombs = Retrieval.tombstonesOpt(spark, indexDir)
+    val dlenLive = tombs.fold(dlen)(t =>
+      dlen.join(broadcast(t), Seq("doc_id"), "left_anti"))
     Retrieval.bm25From(
       spark.read.parquet(s"$indexDir/tf"),
       spark.read.parquet(s"$indexDir/df").groupBy("tok").agg(sum("df").as("df")),
-      dlen,
-      dlen.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len")),
-      qtoks)
+      dlenLive,
+      dlenLive.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len")),
+      qtoks, tombs)
   }
 }

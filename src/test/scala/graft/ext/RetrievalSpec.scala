@@ -45,6 +45,61 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("retract serves exactly a rebuild over survivors; duplicate retracts are absorbed") {
+    val docs = Tables.documents(spark, sf)
+    val dead = pmod(col("doc_id"), lit(5)) === 2
+
+    val dir = java.nio.file.Files.createTempDirectory("retr-retract").toString
+    Retrieval.writeInvertedIndex(docs, dir)
+    Retrieval.retractFromIndex(docs.filter(dead).select("doc_id"), dir)
+    // a replayed retraction of the same ids must not change anything
+    Retrieval.retractFromIndex(docs.filter(dead).select("doc_id"), dir)
+
+    val survivors = java.nio.file.Files.createTempDirectory("retr-survivors").toString
+    Retrieval.writeInvertedIndex(docs.filter(!dead), survivors)
+
+    // 3 query docs × 8 leading tokens: the vocabularies OVERLAP, which
+    // pins the df decrement to distinct dead docs (a per-(doc,tok,query)
+    // count would double-decrement shared tokens — caught here)
+    val qtoks = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextAnalysis.tokens(col("text")), 1, 8)).as("tok"))
+      .distinct()
+    def scores(d: String) = Retrieval.bm25Scores(spark, d, qtoks)
+      .orderBy("query_id", "doc_id").collect().map(_.toSeq).toSeq
+    val got = scores(dir)
+    assert(got == scores(survivors) && got.nonEmpty)
+    // no retracted doc is ever served
+    assert(!got.exists(r => r(1).asInstanceOf[Long] % 5 == 2))
+
+    // compaction applies tombstones physically: tables equal the
+    // survivors-only rebuild, the tombstone dir is gone, and serving
+    // (now the fast path) is unchanged
+    Retrieval.compactIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/deleted").exists())
+    Seq("tf", "df", "dlen", "stats").foreach { t =>
+      assert(canon(dir, t) == canon(survivors, t),
+        s"compacted table '$t' diverges from the survivors-only rebuild")
+    }
+    assert(scores(dir) == got)
+  }
+
+  test("compaction collapses a streaming df delta log to the batch layout") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("retr-log-compact").toString
+    (0L to 2L).foreach { b =>
+      graft.streaming.RetrievalIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b).select("doc_id", "text"), b, dir)
+    }
+    Retrieval.compactIndex(spark, dir)
+    val batch = java.nio.file.Files.createTempDirectory("retr-log-batch").toString
+    Retrieval.writeInvertedIndex(docs, batch)
+    Seq("tf", "df", "dlen", "stats").foreach { t =>
+      assert(canon(dir, t) == canon(batch, t),
+        s"compacted log table '$t' diverges from the one-shot build")
+    }
+  }
+
   test("refresh tokenizes only the delta: base tf rows are untouched files") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("retr-admission").toString

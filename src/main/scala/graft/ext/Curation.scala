@@ -163,4 +163,71 @@ object Curation {
         sum("c").as("n_chunks"),
         sum(when(col("cdf") >= 2, col("c")).otherwise(0L)).as("n_dup_chunks"))
   }
+
+  /** Deterministic per-domain quota: keep at most `quota` rows per value
+    * of `domainCol`, selected by md5 of the id — the standard web-corpus
+    * rebalancing pass ("no domain contributes more than N documents"),
+    * reproducible across engines and runs because the ranking key is a
+    * content hash, not a random number.
+    *
+    * SCALE-SAFE EXACT TOP-K PER GROUP. The naive form is one window
+    * (`row_number() OVER (PARTITION BY domain ORDER BY hash)`) — correct,
+    * but a hot domain (at 100 TB a single host can contribute billions of
+    * pages) funnels its entire partition through ONE window task. This
+    * implementation bounds that task by a hash-threshold pre-prune:
+    *
+    *  1. per-domain counts (one partial-aggregated shuffle, |domains| rows,
+    *     broadcast back);
+    *  2. domains with ≤ quota rows bypass ranking entirely (map-side);
+    *  3. for the rest, rows are pre-filtered to hash-prefix values below
+    *     `margin·quota/count` — a uniform [0,1) slice that keeps an
+    *     EXPECTED margin·quota rows per domain — and only those ~8·quota
+    *     survivors enter the window. If u(x) ≥ t for some true top-quota
+    *     row x, then ≥ quota rows rank strictly below x — contradiction —
+    *     so the pre-prune loses nothing whenever ≥ quota survivors remain;
+    *  4. the (astronomically unlikely: Chernoff at margin 8 puts a
+    *     quota=64 domain below 2^-40) undershoot case is DETECTED by a
+    *     per-domain survivor count and those domains are re-ranked from
+    *     the unpruned stream — exactness never rests on the tail bound.
+    *
+    * Returns the input rows that survive, unchanged schema. Ties cannot
+    * occur: the rank key ends with the unique `idCol`.
+    */
+  def domainQuota(
+      docs: DataFrame, domainCol: String, idCol: String, quota: Int,
+      margin: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quota > 0, "quota must be positive")
+    val cols = docs.columns.map(col).toIndexedSeq
+    val rk = md5(col(idCol).cast("string"))
+    val withRk = docs.withColumn("__rk", rk)
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+    val joined = withRk.join(broadcast(counts), Seq(domainCol))
+    val small = joined.filter(col("__n") <= quota)
+    val big = joined.filter(col("__n") > quota)
+    // uniform [0,1) from the first 15 hex chars (60 bits — exact in a
+    // double); prefix-numeric order == lexicographic md5 order, so a
+    // threshold on u is a prefix of the full-rank order
+    val u = conv(substring(col("__rk"), 1, 15), 16, 10).cast("double") /
+      lit(math.pow(16.0, 15))
+    val thresh = least(lit(1.0), lit(margin) * lit(quota.toDouble) / col("__n"))
+    val pre = big.filter(u < thresh)
+    val w = Window.partitionBy(domainCol).orderBy(col("__rk").asc, col(idCol).asc)
+    def topQuota(df: DataFrame): DataFrame =
+      df.withColumn("__r", row_number().over(w)).filter(col("__r") <= quota)
+    // detection pass: domains whose pre-pruned stream kept < quota rows
+    // (never observed at margin 8; correctness must not depend on that).
+    // Anchor on the COUNTS table, not the survivors — a domain whose
+    // slice kept zero rows has no survivor row at all and a
+    // survivors-only check would silently drop it.
+    val short = counts.filter(col("__n") > quota)
+      .join(pre.groupBy(domainCol).agg(count(lit(1)).as("__m")), Seq(domainCol), "left")
+      .filter(coalesce(col("__m"), lit(0L)) < quota)
+      .select(domainCol).collect().map(_.get(0)).toIndexedSeq
+    val ranked =
+      if (short.isEmpty) topQuota(pre)
+      else topQuota(pre.filter(!col(domainCol).isin(short: _*)))
+        .unionByName(topQuota(big.filter(col(domainCol).isin(short: _*))))
+    small.select(cols: _*).unionByName(ranked.select(cols: _*))
+  }
 }

@@ -186,6 +186,41 @@ object CurationPack extends QueryPack {
              |    FROM r2 r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
              |    GROUP BY e.dst) m ON n.node = m.dst)
              |SELECT n_name, CAST(rank AS BIGINT) AS rank
-             |FROM r3 ORDER BY rank DESC, n_name ASC""".stripMargin))
+             |FROM r3 ORDER BY rank DESC, n_name ASC""".stripMargin)),
+
+    // Per-domain quota rebalancing — "no source contributes more than N
+    // docs", ranked by content hash so the kept set is reproducible
+    // across engines and runs. The implementation is the SCALE-SAFE
+    // exact top-k-per-group (ext/Curation.domainQuota): per-domain
+    // counts broadcast back, under-quota domains bypass ranking, hot
+    // domains are hash-threshold pre-pruned to ~8·quota rows before the
+    // window — so no single reducer ever sees a hot domain's full row
+    // set. The oracle is the naive one-window form: the driver hash
+    // gate proves the pre-pruned path selects the identical documents.
+    "curation_domain_quota" -> QueryDef(
+      "Hash-ranked per-source quota (15 docs): kept-set profile per source",
+      (s, dir) => {
+        val kept = Curation.domainQuota(
+          Tables.documents(s, dir), "source", "doc_id", quota = 15)
+        Tables.documents(s, dir).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .join(
+            kept.groupBy("source").agg(
+              count(lit(1)).as("n_kept"),
+              sum("n_chars").as("kept_chars"),
+              min("doc_id").as("min_kept_id")),
+            Seq("source"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (
+             |  SELECT source, doc_id, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+             |  MIN(CASE WHEN rk <= 15 THEN doc_id END) AS min_kept_id
+             |FROM r GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -101,4 +101,60 @@ class CurationSpec extends AnyFunSuite {
     val dup = Curation.chunkDupInstances(rep, width = 8).collect()
     assert(dup.length == 1 && dup.head.getLong(3) == 1L)
   }
+
+  // skewed quota fixture: one hot domain (500 rows), one exactly-at-quota
+  // domain, one under-quota domain that must bypass ranking untouched
+  private def quotaDocs = {
+    val rows =
+      (1L to 500L).map(i => (i, s"doc $i", "hot")) ++
+        (501L to 505L).map(i => (i, s"doc $i", "atq")) ++
+        (506L to 508L).map(i => (i, s"doc $i", "tiny"))
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  private def naiveQuota(df: org.apache.spark.sql.DataFrame, quota: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    df.withColumn("__r", row_number().over(w)).filter(col("__r") <= quota)
+      .select("doc_id", "source")
+  }
+
+  test("domain quota: pre-pruned path selects exactly the naive window's rows") {
+    val got = Curation.domainQuota(quotaDocs, "source", "doc_id", quota = 5)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = naiveQuota(quotaDocs, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(got.count(_._2 == "hot") == 5, "hot domain capped at quota")
+    assert(got.count(_._2 == "atq") == 5, "at-quota domain fully kept")
+    assert(got.count(_._2 == "tiny") == 3, "under-quota domain bypasses ranking untouched")
+  }
+
+  test("domain quota: undershoot fallback re-ranks from the unpruned stream") {
+    // margin so small the hash-threshold slice keeps < quota survivors,
+    // forcing the detection + fallback path; the result must still be
+    // the naive window's rows exactly
+    val got = Curation
+      .domainQuota(quotaDocs, "source", "doc_id", quota = 5, margin = 0.0001)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = naiveQuota(quotaDocs, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+  }
+
+  test("domain quota: the windowed stream is the pre-pruned slice, not the domain") {
+    // survivors entering the window are bounded by the hash threshold:
+    // with quota=5, margin=8 over 500 hot rows the slice keeps ~40 rows
+    // (binomial around 500·0.08); assert well under the full domain so a
+    // regression to naive windowing fails loudly
+    import org.apache.spark.sql.functions.{conv => sconv}
+    val hot = quotaDocs.filter(col("source") === "hot")
+      .withColumn("__rk", md5(col("doc_id").cast("string")))
+    val u = sconv(substring(col("__rk"), 1, 15), 16, 10).cast("double") /
+      lit(math.pow(16.0, 15))
+    val survivors = hot.filter(u < lit(8.0 * 5 / 500)).count()
+    assert(survivors >= 5 && survivors < 120,
+      s"hash pre-prune should keep ~40 of 500 hot rows, kept $survivors")
+  }
 }

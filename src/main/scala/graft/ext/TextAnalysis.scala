@@ -124,6 +124,51 @@ object TextAnalysis {
         (col("bits_sum") / col("n_bg")).as("bits"))
   }
 
+  /** Top-k adjacent-bigram collocations by pointwise mutual information —
+    * the multiword-expression miner of a curation pipeline (tokenizer
+    * merge candidates ranked by association strength, not raw count):
+    * PMI(a,b) = log2( (c_ab/N_bg) / ((c_a/N_uni)·(c_b/N_uni)) ), with a
+    * minimum pair count to kill the hapax pairs PMI is notorious for
+    * promoting.
+    *
+    * Engine-exact by construction: every count is an integral aggregate
+    * (map-side combined), and the PMI is per-ROW arithmetic over those
+    * integers — no double ever accumulates across rows, so an oracle
+    * replaying the same expression gets bit-identical values AND the
+    * same top-k cut. Scale shape: pair + unigram count tables (vocab- not
+    * corpus-sized), two one-row totals broadcast, and the top-k runs as a
+    * distributed TakeOrdered over the min-count-filtered pair table —
+    * never a single-partition window.
+    */
+  def pmiPairs(
+      docs: org.apache.spark.sql.DataFrame, minCount: Long = 5L,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val toked = docs.select(tokens(col("text")).as("t"))
+    val bigrams =
+      when(size(col("t")) < 2, expr("array()").cast("array<struct<a:string,b:string>>"))
+        .otherwise(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS a, t[i] AS b))"))
+    val bg = toked.select(explode(bigrams).as("bg"))
+      .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = toked.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nBg = bg.agg(sum("c_ab").as("n_bg"))
+    val nUni = uni.agg(sum("c").as("n_uni"))
+    bg.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(nBg)).crossJoin(broadcast(nUni))
+      .withColumn("pmi",
+        log2((col("c_ab").cast("double") / col("n_bg")) /
+          ((col("c_a").cast("double") / col("n_uni")) *
+            (col("c_b").cast("double") / col("n_uni")))))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        round(col("pmi"), 6).as("pmi"))
+  }
+
   /** N-round BPE merge induction over a token-instance frame — the
     * general form of the 2-round oracled `text_bpe_merge` query.
     *

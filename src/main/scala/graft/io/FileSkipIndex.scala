@@ -140,4 +140,71 @@ object FileSkipIndex {
       else spark.read.schema(schema).parquet(files: _*)
     base.filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
+
+  /** The two Bloom bit positions of a key value: independent xxhash64
+    * draws (the second salted), reduced mod `bits`. Shared by build and
+    * probe so the probe recomputes exactly the bits the build set.
+    */
+  private def bloomPositions(key: org.apache.spark.sql.Column, bits: Int) = Seq(
+    pmod(xxhash64(key), lit(bits.toLong)),
+    pmod(xxhash64(key, lit(0x9e3779b9L)), lit(bits.toLong)))
+
+  /** Per-file BLOOM membership index — the point-lookup complement of the
+    * min/max envelope index: on a hash-distributed (unsorted) layout the
+    * envelopes of every file span the whole key domain and range skipping
+    * prunes nothing, but a per-file Bloom filter answers "could file F
+    * contain key = v?" from `bits` bits per file. Two hash functions, no
+    * false negatives by construction (every row sets both its bits in its
+    * file's words); false positives only cost a wasted file read that the
+    * residual filter discards.
+    *
+    * Build is ONE distributed pass: each row explodes to its two
+    * (word, mask) pairs and `bit_or` folds them per (file, word) — the
+    * shuffle is at most |files|·(bits/64) rows, metadata-sized. Result
+    * schema: `file, w, word` (only words with at least one set bit are
+    * stored — absent word ⇒ all-zero). At 100 TB with 4096-bit filters
+    * the index is 64 longs per file: a million-object table carries a
+    * ~500 MB index that replaces a full-corpus scan per point lookup.
+    */
+  def buildBloom(table: DataFrame, key: String, bits: Int = 4096): DataFrame = {
+    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
+    val pairs = bloomPositions(col(key), bits).map(p =>
+      struct((p / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int")).as("m")))
+    table
+      .select(input_file_name().as("file"), explode(array(pairs: _*)).as("b"))
+      .groupBy(col("file"), col("b.w").as("w"))
+      .agg(bit_or(col("b.m")).as("word"))
+  }
+
+  /** Files that MAY contain `value`: both probe bits set in the file's
+    * Bloom words. The index is metadata-sized, so the probe is two local
+    * filters + a driver intersect.
+    */
+  def bloomCandidateFiles(bloom: DataFrame, value: Any, bits: Int = 4096): Seq[String] = {
+    val spark = bloom.sparkSession
+    val ps = spark.range(1).select(bloomPositions(lit(value), bits): _*).head()
+    val perBit = (0 until ps.length).map { i =>
+      val p = ps.getLong(i)
+      val w = (p / 64).toInt
+      val m = 1L << (p % 64).toInt
+      bloom.filter(col("w") === w && col("word").bitwiseAND(lit(m)) =!= 0L)
+        .select("file").collect().map(_.getString(0)).toSet
+    }
+    perBit.reduce(_ intersect _).toSeq.sorted
+  }
+
+  /** Point lookup through the Bloom index: read ONLY the candidate files
+    * and re-apply the exact equality (false positives fall out here).
+    * Empty candidate set ⇒ empty frame with the right schema, no read.
+    */
+  def bloomPointRead(
+      spark: SparkSession, bloom: DataFrame, schema: org.apache.spark.sql.types.StructType,
+      key: String, value: Any, bits: Int = 4096): DataFrame = {
+    val files = bloomCandidateFiles(bloom, value, bits)
+    val base =
+      if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    base.filter(col(key) === lit(value))
+  }
 }

@@ -332,6 +332,48 @@ object CorePack extends QueryPack {
              |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // Exponentially time-decayed popularity (half-life 7 days, anchored
+    // to the corpus max date so the score is data-deterministic): the
+    // trending-score / freshness-weighting primitive of a feed or
+    // recommendation rollup. Scale + determinism in one shape: events
+    // first reduce to integer (type, age_day) counts — partial aggs
+    // absorb the fact table, ≤ |days| rows per type survive — and the
+    // decayed sum is an ORDERED fold over that bounded day list (the
+    // q_ewma pattern), so the double accumulates in one defined order
+    // and the oracle replays it bit-for-bit with list_reduce.
+    "q_decay_score" -> QueryDef(
+      "Half-life-decayed event score per type (7-day half-life, ordered fold)",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val anchor = ev.agg(max(to_date(col("ts"))).as("anchor"))
+        val daily = ev.crossJoin(broadcast(anchor))
+          .groupBy(col("event_type"),
+            datediff(col("anchor"), to_date(col("ts"))).as("age"))
+          .agg(count(lit(1)).as("c"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("age"), col("c")))).as("arr"),
+            sum("c").as("n_events"))
+          // 7.0D, not 7.0: in SQL text a bare 7.0 is a DECIMAL literal,
+          // and decimal division truncates the exponent's scale before
+          // pow — off from the oracle's double division by ~1e-5
+          .withColumn("score", expr(
+            "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c * pow(0.5, x.age / 7.0D))"))
+          .select(col("event_type"), col("n_events"),
+            round(col("score"), 6).as("decayed_score"))
+          .orderBy("event_type")
+      },
+      Some("""WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS ad FROM events),
+             |daily AS (
+             |  SELECT event_type, datediff('day', CAST(ts AS DATE), anchor.ad) AS age,
+             |    COUNT(*) AS c
+             |  FROM events, anchor GROUP BY 1, 2)
+             |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+             |  ROUND(list_reduce(
+             |    list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(c * pow(0.5, age / 7.0) ORDER BY age)),
+             |    (acc, x) -> acc + x), 6) AS decayed_score
+             |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // JSON extraction from events.props (FIXTURES.md B; get_json_object).
     "q_json_extract" -> QueryDef(
       "get_json_object on a JSON string column, numeric stats per type",

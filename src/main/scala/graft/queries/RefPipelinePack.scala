@@ -47,6 +47,22 @@ object RefPipelinePack extends QueryPack {
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/index")
     }
 
+  /** Hash-distributed layout + per-file Bloom index on a near-unique key
+    * — the layout where min/max envelopes span the whole domain and only
+    * membership bits can skip files (q_fileskip_bloom).
+    */
+  private def bloomIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.io.IndexCatalog.resolve(s, "fileskip-bloom", s"$dir/lineitem.parquet") { tmp =>
+      val slice = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("line_uid"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      slice.repartition(16, col("line_uid"))
+        .write.mode("overwrite").parquet(s"$tmp/data")
+      graft.io.FileSkipIndex.buildBloom(s.read.parquet(s"$tmp/data"), "line_uid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/index")
+    }
+
   private lazy val idaFixtureDir: String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ida-e2e").toString
     graft.io.OdsWriter.write(idaFileSmp, s"$tmp/smp_2015.ods")
@@ -800,6 +816,53 @@ object RefPipelinePack extends QueryPack {
              |  AND o_orderpriority IN ('1-URGENT', '5-LOW')
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // DYNAMIC partition pruning — q_partition_prune's static filter
+    // replaced by a dim-side predicate the optimizer cannot see at plan
+    // time: the fact is partitioned by the join key, the dim carries the
+    // filtered attribute, and Spark injects the dim's qualifying keys as
+    // a runtime PartitionFilter on the fact scan (reusing the broadcast
+    // exchange). At 100 TB this is THE star-schema scan killer — the
+    // fact directory listing shrinks before any data is read, driven by
+    // a predicate only the dim knows. PlanSpec asserts the
+    // dynamicpruning expression is present on the scan.
+    "q_dpp_join" -> QueryDef(
+      "Dim-filtered star join with dynamic partition pruning on the partitioned fact",
+      (s, dir) => {
+        val lay = graft.io.IndexCatalog.resolve(
+          s, "dpp-layout", s"$dir/orders.parquet") { tmp =>
+          Tables.orders(s, dir)
+            .select(col("o_orderkey"),
+              round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+              col("o_orderpriority"))
+            .write.partitionBy("o_orderpriority").mode("overwrite")
+            .parquet(s"$tmp/fact")
+          // the dim must be FILE-backed: a LocalRelation dim gets its
+          // filter constant-folded away (ConvertToLocalRelation), and
+          // with no visible selective predicate the optimizer never
+          // injects the dynamic pruning subquery
+          s.createDataFrame(Seq(
+            ("1-URGENT", "fast"), ("2-HIGH", "fast"), ("3-MEDIUM", "mid"),
+            ("4-NOT SPECIFIED", "slow"), ("5-LOW", "slow")))
+            .toDF("o_orderpriority", "speed")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/dim")
+        }
+        val dim = s.read.parquet(s"$lay/dim")
+        // explicit schema: an all-empty partitioned write leaves no
+        // partition dirs or footers to infer from (partition column
+        // matched by name)
+        s.read.schema("o_orderkey BIGINT, cents BIGINT, o_orderpriority STRING")
+          .parquet(s"$lay/fact")
+          .join(dim.filter(col("speed") === "fast"), Seq("o_orderpriority"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // File-level data skipping (io/FileSkipIndex): a range-sorted layout
     // plus a standing min/max/count index per file — the manifest-stats
     // pattern of a lake table format, owned by the engine. The read path
@@ -846,6 +909,31 @@ object RefPipelinePack extends QueryPack {
              |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
              |FROM lineitem
              |WHERE l_orderkey BETWEEN 500 AND 20000""".stripMargin)),
+
+    // Per-file BLOOM skipping (io/FileSkipIndex.buildBloom) — the point
+    // lookup the min/max index CANNOT serve: the layout is
+    // hash-distributed on a near-unique key, so every file's envelope
+    // spans the whole domain, but each file's 4096-bit Bloom answers
+    // "could this file contain the key?" with no false negatives. The
+    // probe touches the candidate files only (FileSkipIndexSpec proves
+    // ~1 of 16 files read) and the residual equality discards false
+    // positives. At 100 TB this is the needle-in-haystack primary-key
+    // fetch: a metadata-sized index probe + one object read instead of
+    // a corpus scan. Oracle = the plain full-scan lookup.
+    "q_fileskip_bloom" -> QueryDef(
+      "Bloom-index point lookup on a hash-distributed layout: ~1 file read of 16",
+      (s, dir) => {
+        val idx = bloomIndexDir(s, dir)
+        val schema = s.read.parquet(s"$idx/data").schema
+        graft.io.FileSkipIndex.bloomPointRead(
+            s, s.read.parquet(s"$idx/index"), schema, "line_uid", 10001L)
+          .select(col("l_orderkey"),
+            col("l_linenumber").cast("long").as("lineno"), col("qty"))
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
+             |  CAST(l_quantity AS BIGINT) AS qty
+             |FROM lineitem
+             |WHERE l_orderkey * 10 + l_linenumber = 10001""".stripMargin)),
 
     // Small-file compaction (io/Compactor): a 64-fragment layout —
     // what a streaming sink or drip-feed load leaves behind — rewritten

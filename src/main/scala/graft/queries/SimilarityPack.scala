@@ -11,13 +11,12 @@ import graft.{QueryDef, QueryPack, Tables}
   */
 object SimilarityPack extends QueryPack {
 
-  /** Shared oracle for sim_topk_ivf AND sim_topk_ivf_indexed — the
-    * persisted index holds the same trained model, so both forms must
-    * hash to the same result.
+  /** The IVF probe as reusable CTEs (probes → candidates → ranked `r`):
+    * shared by [[ivfTopKOracle]] and the recall-eval oracle so both
+    * replay the identical trained-index search.
     */
-  private lazy val ivfTopKOracle: String =
-    s"""WITH $trainedAssignCtes,
-       |probes AS (
+  private lazy val ivfRankedCtes: String =
+    s"""probes AS (
        |  SELECT query_id, qv, cell FROM (
        |    SELECT q.vec_id AS query_id, q.nv AS qv, ct.cent_id AS cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -32,7 +31,15 @@ object SimilarityPack extends QueryPack {
        |  SELECT query_id, neighbor_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+
+  /** Shared oracle for sim_topk_ivf, sim_topk_ivf_indexed and
+    * sim_topk_ivf_refresh — the persisted index holds the same trained
+    * model, so all forms must hash to the same result.
+    */
+  private lazy val ivfTopKOracle: String =
+    s"""WITH $trainedAssignCtes,
+       |$ivfRankedCtes
        |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
@@ -211,6 +218,48 @@ object SimilarityPack extends QueryPack {
           .orderBy("query_id", "rank")
       },
       Some(ivfTopKOracle)),
+
+    // Index-quality evaluation — the operational counterpart of serving
+    // an ANN index: per probe query, recall@5 of the IVF search against
+    // the exact brute-force top-5 (the measured recall/probes trade the
+    // IVF doc comments cite). Both towers are the engine's own
+    // operators; the eval join runs over two |queries|·k row sets — at
+    // 100 TB the ground truth is computed for a SAMPLED query panel
+    // (exactly what the vec_id<8 panel models) while the index serves
+    // the full corpus, so eval cost is panel-sized, corpus-independent.
+    "sim_recall_eval" -> QueryDef(
+      "Recall@5 of the IVF probe (4/16 cells) vs exact top-5, per probe query",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val exact = Similarity.bruteForceTopK(q, e, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.ivfTopK(q, e, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hit"))
+          .select(col("query_id"), col("n_hit"),
+            (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $trainedAssignCtes,
+              |$ivfRankedCtes,
+              |ivf5 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+              |bf AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |                       ORDER BY list_dot_product(q.nv, c.nv) DESC,
+              |                                c.vec_id ASC) AS rank
+              |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 8),
+              |bf5 AS (SELECT query_id, neighbor_id FROM bf WHERE rank <= 5)
+              |SELECT b.query_id,
+              |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+              |  COUNT(i.neighbor_id) / 5.0 AS recall
+              |FROM bf5 b LEFT JOIN ivf5 i
+              |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+              |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
 
     // SemDeDup-style semantic dedup: pairs form ONLY within a trained
     // centroid cell (the cells play LSH bands' role), so the all-pairs

@@ -240,6 +240,44 @@ object TextPack extends QueryPack {
              |  ROUND(MAX(bits), 4) AS max_bits
              |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Collocation mining by PMI (TextAnalysis.pmiPairs) — association-
+    // ranked bigrams, the signal raw frequency misses (a pair can be
+    // frequent only because both words are). Every count is integral and
+    // the PMI is per-row math over those integers, so the top-k cut is
+    // engine-exact; the cut itself runs as a distributed TakeOrdered,
+    // and the BOUNDARY is deterministic because both engines rank the
+    // identical unrounded doubles with the (a,b) tiebreak.
+    "text_pmi_pairs" -> QueryDef(
+      "Top-20 adjacent-token collocations by PMI (min pair count 5)",
+      (s, dir) =>
+        graft.ext.TextAnalysis.pmiPairs(Tables.documents(s, dir), minCount = 5L, k = 20)
+          .orderBy(col("pmi").desc, col("a").asc, col("b").asc),
+      Some("""WITH toked AS (
+             |  SELECT regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+             |bg AS (
+             |  SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS c_ab
+             |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+             |        FROM toked WHERE len(t) >= 2)
+             |  GROUP BY 1, 2),
+             |uni AS (
+             |  SELECT tok, COUNT(*) AS c
+             |  FROM (SELECT unnest(t) AS tok FROM toked) GROUP BY tok),
+             |nb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_bg FROM bg),
+             |nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni),
+             |scored AS (
+             |  SELECT g.a, g.b, g.c_ab, ua.c AS c_a, ub.c AS c_b,
+             |    log2((g.c_ab / nb.n_bg) /
+             |         ((ua.c / nu.n_uni) * (ub.c / nu.n_uni))) AS pmi_raw
+             |  FROM bg g
+             |  JOIN uni ua ON ua.tok = g.a
+             |  JOIN uni ub ON ub.tok = g.b
+             |  CROSS JOIN nb CROSS JOIN nu
+             |  WHERE g.c_ab >= 5)
+             |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
+             |  CAST(c_b AS BIGINT) AS c_b, ROUND(pmi_raw, 6) AS pmi
+             |FROM scored
+             |ORDER BY pmi_raw DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
     // The APPLY side of BPE: train 2 merge rounds (TextAnalysis.bpeMerges
     // — only the 2-row merge table is collected), then encode the corpus
     // with the learned merges and report per-language compression. The

@@ -51,6 +51,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"expected no WindowExec in:\n$p")
   }
 
+  test("q_dpp_join injects a dynamic pruning filter on the partitioned fact scan") {
+    // the dim predicate (speed = 'fast') lives only on the dim; the fact
+    // scan must carry a runtime dynamicpruning PartitionFilter, not read
+    // all 5 priority partitions
+    val p = plan("q_dpp_join")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruning in PartitionFilters of:\n$p")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not global sort") {
     assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
     // the weighted sample is the same shape: map-only key + bounded top-k

@@ -74,6 +74,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n2 == 2L && math.abs(bits2 - (l2(pAb) + l2(pBc)) / 2.0) < 1e-12)
   }
 
+  test("PMI pairs: planted collocation outranks a frequent-but-independent pair") {
+    // "neural network" always co-occur (8/8); "the cat"/"the dog" are
+    // frequent but 'the' pairs with everything, so PMI must rank the
+    // exclusive pair first; the hapax pair ("rare gem", once) is cut by
+    // minCount before it can claim an inflated PMI
+    val docs = (1 to 8).map(i =>
+      (i.toLong, "neural network the cat the dog", "s")) :+
+      (9L, "rare gem the cat", "s")
+    val got = TextAnalysis.pmiPairs(
+        docs.toDF("doc_id", "text", "source"), minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+    assert(got.head._1 == "neural" && got.head._2 == "network",
+      s"exclusive pair must rank first, got ${got.head}")
+    assert(!got.exists(p => p._1 == "rare"), "hapax pair must be cut by minCount")
+    val theCat = got.find(p => (p._1, p._2) == ("the", "cat")).get._3
+    assert(got.head._3 > theCat, "collocation PMI must exceed the independent pair's")
+  }
+
   test("quality score stays in [0,1] and rewards fluent mid-length text") {
     val docs = Seq(
       "the cat sat on the mat and it was a good day in the sun " * 3, // fluent, long enough

@@ -96,4 +96,55 @@ class FileSkipIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  // hash-distributed layout on a near-unique key: the envelope index is
+  // useless here (every file spans the domain) — the Bloom index's home turf
+  private lazy val bloomLayout: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("fileskip-bloom-spec").toString
+    Tables.lineitem(spark, sf)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("uid"),
+        col("l_quantity").cast("long").as("qty"))
+      .repartition(16, col("uid"))
+      .write.mode("overwrite").parquet(s"$tmp/data")
+    tmp
+  }
+
+  test("bloom: point lookups prune to few files and NEVER lose a row") {
+    val data = spark.read.parquet(s"$bloomLayout/data")
+    val bloom = FileSkipIndex.buildBloom(data, "uid")
+    val nFiles = data.select(input_file_name()).distinct().count()
+    val probes = data.select("uid").orderBy("uid").limit(20)
+      .collect().map(_.getLong(0))
+    var totalCand = 0
+    probes.foreach { v =>
+      val cand = FileSkipIndex.bloomCandidateFiles(bloom, v)
+      totalCand += cand.size
+      val got = FileSkipIndex.bloomPointRead(spark, bloom, data.schema, "uid", v)
+        .orderBy("qty").collect().map(_.toSeq).toSeq
+      val want = data.filter(col("uid") === v)
+        .orderBy("qty").collect().map(_.toSeq).toSeq
+      assert(got == want, s"bloom lookup for uid=$v lost or invented rows")
+    }
+    // near-unique key, 16 files, 4096 bits over ~375 rows/file: expected
+    // false-positive rate well under 10% — demand real pruning, not a
+    // specific draw
+    assert(totalCand < probes.length * nFiles / 4,
+      s"bloom should prune most of the $nFiles files per probe, read $totalCand total")
+  }
+
+  test("bloom: absent key reads nothing or filters to empty, right schema") {
+    val data = spark.read.parquet(s"$bloomLayout/data")
+    val bloom = FileSkipIndex.buildBloom(data, "uid")
+    val absent = data.agg(max("uid")).first().getLong(0) + 999983L
+    val res = FileSkipIndex.bloomPointRead(spark, bloom, data.schema, "uid", absent)
+    assert(res.count() == 0 && res.schema == data.schema)
+  }
+
+  test("bloom: build rejects a bit width that is not a multiple of 64") {
+    val data = spark.read.parquet(s"$bloomLayout/data")
+    val e = intercept[IllegalArgumentException] {
+      FileSkipIndex.buildBloom(data, "uid", bits = 100)
+    }
+    assert(e.getMessage.contains("64"))
+  }
 }

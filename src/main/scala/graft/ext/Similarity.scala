@@ -864,4 +864,50 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Embedding-space drift monitor: per label, the L2 distance between the
+    * mean (raw, un-normalized) embedding of two corpus halves — the
+    * quality_drift idea lifted from scalar columns to the embedding space
+    * (an encoder re-run, a pipeline change or a domain shift moves the
+    * per-class centroid even when scalar profiles look stable).
+    *
+    * Deterministic to the bit: per-dim sums fold over vec_id-ORDERED value
+    * lists and the L2 folds over dim-ordered squared diffs (the q_ewma
+    * order-pinning pattern), so an oracle replaying the folds matches
+    * exactly. Scale shape: the wide input explodes to (label, half, dim)
+    * groups — |labels|·2·|dims| cells, model- not corpus-sized after the
+    * one keyed shuffle; the collected lists are per-cell member values,
+    * the same bound as any per-class mean. At larger scale the ordered
+    * fold relaxes to a plain SUM (tolerance-checked, not hash-checked) —
+    * the shape is unchanged.
+    *
+    * @param half boolean column over the input marking the A half
+    */
+  def centroidDrift(embeddings: DataFrame, half: Column): DataFrame = {
+    val vals = embeddings
+      .select(col("label"), col("vec_id"), half.as("in_a"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("label"), col("vec_id"), col("in_a"), col("d"),
+        col("v").cast("double").as("v"))
+    val mus = vals.groupBy(col("label"), col("in_a"), col("d"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("xs"),
+        count(lit(1)).as("n"))
+      .withColumn("mu",
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)") / col("n"))
+      .select("label", "in_a", "d", "mu")
+    val sq = mus.filter(col("in_a")).select(col("label"), col("d"), col("mu").as("ma"))
+      .join(mus.filter(!col("in_a")).select(col("label"), col("d"), col("mu").as("mb")),
+        Seq("label", "d"))
+      .select(col("label"), col("d"),
+        ((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("sqd"))
+    val counts = embeddings.groupBy("label")
+      .agg(sum(when(half, 1L).otherwise(0L)).as("n_a"),
+        sum(when(half, 0L).otherwise(1L)).as("n_b"))
+    sq.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("d"), col("sqd")))).as("qs"))
+      .withColumn("l2",
+        sqrt(expr("aggregate(qs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.sqd)")))
+      .join(counts, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"), round(col("l2"), 6).as("drift_l2"))
+  }
 }

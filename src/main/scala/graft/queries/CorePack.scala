@@ -374,6 +374,49 @@ object CorePack extends QueryPack {
              |    (acc, x) -> acc + x), 6) AS decayed_score
              |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Pairwise audience overlap (the cohort/segment overlap matrix).
+    // SKEW-SAFE SHAPE: never the naive self-join of per-type user lists
+    // (a hot type would pile its whole audience onto one reducer twice);
+    // instead each user's distinct type set (bounded by |types|, not by
+    // activity) explodes into its ordered pairs MAP-SIDE, so the only
+    // shuffles are distinct-by-user and the |types|²-row pair count. The
+    // oracle is the naive self-join — the hash gate proves the map-side
+    // pair enumeration computes the identical matrix.
+    "q_audience_overlap" -> QueryDef(
+      "Distinct-user overlap + Jaccard for every event-type pair, map-side pair explode",
+      (s, dir) => {
+        val du = Tables.events(s, dir).select("event_type", "user_id").distinct()
+        val perUser = du.groupBy("user_id")
+          .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        val pairs = perUser.select(explode(expr(
+            "flatten(transform(ts, (a, i) -> " +
+              "transform(slice(ts, i + 2, size(ts)), b -> struct(a AS ta, b AS tb))))"))
+            .as("p"))
+          .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        val sizes = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+        pairs
+          .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+          .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+            round(col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6).as("jaccard"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+             |sizes AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+             |  FROM du a JOIN du b
+             |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b,
+             |  ROUND(n_both / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+             |FROM pairs
+             |JOIN sizes sa ON sa.event_type = type_a
+             |JOIN sizes sb ON sb.event_type = type_b
+             |ORDER BY type_a, type_b""".stripMargin)),
+
     // JSON extraction from events.props (FIXTURES.md B; get_json_object).
     "q_json_extract" -> QueryDef(
       "get_json_object on a JSON string column, numeric stats per type",

@@ -935,6 +935,44 @@ object RefPipelinePack extends QueryPack {
              |FROM lineitem
              |WHERE l_orderkey * 10 + l_linenumber = 10001""".stripMargin)),
 
+    // Schema evolution — the lake-table reality a long-lived 100 TB
+    // dataset cannot avoid: early batches were written before a column
+    // existed, later batches carry it, and ONE mergeSchema read serves
+    // both vintages (old files surface the new column as null; no
+    // rewrite of petabytes of history). The oracle recomputes the same
+    // rollup from the source table, so the hash gate proves the merged
+    // read loses nothing across the schema boundary.
+    "q_schema_evolution" -> QueryDef(
+      "mergeSchema read across two batch vintages (column added mid-history)",
+      (s, dir) => {
+        val lay = graft.io.IndexCatalog.resolve(
+          s, "schema-evo", s"$dir/orders.parquet") { tmp =>
+          val base = Tables.orders(s, dir)
+            .select(col("o_orderkey"),
+              round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+              col("o_orderpriority"))
+          base.filter(col("o_orderkey") % 2 === 0)
+            .select("o_orderkey", "cents")
+            .write.mode("overwrite").parquet(s"$tmp/t/batch=a")
+          base.filter(col("o_orderkey") % 2 === 1)
+            .withColumn("channel", col("o_orderpriority"))
+            .select("o_orderkey", "cents", "channel")
+            .write.mode("overwrite").parquet(s"$tmp/t/batch=b")
+        }
+        s.read.option("mergeSchema", "true")
+          .schema("o_orderkey BIGINT, cents BIGINT, channel STRING, batch STRING")
+          .parquet(s"$lay/t")
+          .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("channel")
+      },
+      Some("""SELECT
+             |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+             |       ELSE 'legacy' END AS channel,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM orders GROUP BY 1 ORDER BY channel""".stripMargin)),
+
     // Small-file compaction (io/Compactor): a 64-fragment layout —
     // what a streaming sink or drip-feed load leaves behind — rewritten
     // in place into 8 range-sorted files (write tmp → rename swap, so a

@@ -261,6 +261,44 @@ object SimilarityPack extends QueryPack {
               |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
               |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
 
+    // Embedding-space drift — quality_drift lifted to vectors: per label,
+    // the L2 distance between the centroid of the even-vec_id half and
+    // the odd half (re-encoded batches / domain shift move per-class
+    // centroids even when scalar profiles look stable). Order-pinned
+    // folds (the q_ewma pattern) make the doubles — and the hash gate —
+    // exact; the grouped state is |labels|·2·|dims| cells, model-sized.
+    "emb_centroid_drift" -> QueryDef(
+      "Per-label centroid L2 drift between the even and odd corpus halves",
+      (s, dir) =>
+        Similarity.centroidDrift(
+            Tables.embeddings(s, dir), pmod(col("vec_id"), lit(2L)) === 0)
+          .orderBy("label"),
+      Some("""WITH v AS (
+             |  SELECT label, vec_id, (vec_id % 2 = 0) AS in_a,
+             |    generate_subscripts(embedding, 1) AS d,
+             |    CAST(unnest(embedding) AS DOUBLE) AS val
+             |  FROM embeddings),
+             |mus AS (
+             |  SELECT label, in_a, d,
+             |    list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mu
+             |  FROM v GROUP BY 1, 2, 3),
+             |sq AS (
+             |  SELECT a.label, a.d, (a.mu - b.mu) * (a.mu - b.mu) AS sqd
+             |  FROM mus a JOIN mus b
+             |    ON a.label = b.label AND a.d = b.d AND a.in_a AND NOT b.in_a),
+             |l AS (
+             |  SELECT label,
+             |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(sqd ORDER BY d)), (a, b) -> a + b)) AS l2
+             |  FROM sq GROUP BY label),
+             |c AS (
+             |  SELECT label,
+             |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+             |  FROM embeddings GROUP BY label)
+             |SELECT l.label, c.n_a, c.n_b, ROUND(l.l2, 6) AS drift_l2
+             |FROM l JOIN c ON c.label = l.label ORDER BY l.label""".stripMargin)),
+
     // SemDeDup-style semantic dedup: pairs form ONLY within a trained
     // centroid cell (the cells play LSH bands' role), so the all-pairs
     // cosine matrix never materializes; cross-cell dups are the

@@ -283,6 +283,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("no trained centroids"))
   }
 
+  test("centroid drift: identical halves drift zero, a planted shift measures exactly") {
+    import spark.implicits._
+    // label 0: both halves sit at (1,1) -> drift 0
+    // label 1: A half at (0,0), B half at (3,4) -> drift 5 (the 3-4-5 triangle)
+    val rows = Seq(
+      (0L, 0, Array(1.0f, 1.0f)), (1L, 0, Array(1.0f, 1.0f)),
+      (2L, 0, Array(1.0f, 1.0f)), (3L, 0, Array(1.0f, 1.0f)),
+      (10L, 1, Array(0.0f, 0.0f)), (12L, 1, Array(0.0f, 0.0f)),
+      (11L, 1, Array(3.0f, 4.0f)), (13L, 1, Array(3.0f, 4.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidDrift(rows, col("vec_id") % 2 === 0)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0) == ((2L, 2L, 0.0)))
+    assert(got(1) == ((2L, 2L, 5.0)))
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = Tables.embeddings(spark, sf).limit(20)
     val b1 = e.select(Similarity.lshBucket(col("embedding"), 64).as("b")).collect().map(_.getLong(0))

@@ -58,7 +58,11 @@ object PlanDump {
       "q_fileskip_prune" -> "file-skip index: pruned file-list scan + exact residual filter under one aggregate",
       "q_pareto_curve" -> "distributed prefix sum: rank + running revenue from per-partition offsets — NO WindowExec anywhere",
       "graph_link_prediction" -> "hub-capped common-neighbor join off the materialized adjacency, left-anti vs existing edges",
-      "retrieval_bm25_refresh" -> "BM25 off the incrementally refreshed index: standing tf/df/dlen scans, broadcast query vocab")
+      "retrieval_bm25_refresh" -> "BM25 off the incrementally refreshed index: standing tf/df/dlen scans, broadcast query vocab",
+      "q_dpp_join" -> "dynamic partition pruning: dim predicate becomes a runtime dynamicpruning PartitionFilter on the fact scan",
+      "q_fileskip_bloom" -> "per-file Bloom point lookup: candidate-file scan + exact residual equality, no corpus scan",
+      "curation_domain_quota" -> "per-domain quota: broadcast counts, hash-threshold pre-prune, window only over the bounded slice",
+      "q_audience_overlap" -> "overlap matrix: distinct-by-user then MAP-SIDE pair explode, no audience self-join")
 
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

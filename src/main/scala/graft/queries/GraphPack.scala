@@ -23,9 +23,14 @@ object GraphPack extends QueryPack {
     * the order key has bounded fanout (order size), so at 100 TB this is
     * a shuffle on l_orderkey with per-key work ≤ C(7,2) — no hub blowup.
     */
-  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    coPurchaseEdgesWhere(s, dir, pmod(col("l_orderkey"), lit(20L)) === 0)
+
+  private def coPurchaseEdgesWhere(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      keyFilter: org.apache.spark.sql.Column) = {
     val li = Tables.lineitem(s, dir)
-      .filter(pmod(col("l_orderkey"), lit(20L)) === 0)
+      .filter(keyFilter)
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
     val a = li.select(col("k"), col("p").as("p1"))
     val b = li.select(col("k"), col("p").as("p2"))
@@ -159,6 +164,39 @@ object GraphPack extends QueryPack {
       (s, dir) => s.read.parquet(s"${graphIndexDir(s, dir)}/degrees")
         .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy("deg"),
+      Some(s"""$edgeCte
+             |SELECT dg AS deg, COUNT(*) AS n_nodes FROM deg
+             |GROUP BY dg ORDER BY deg""".stripMargin)),
+
+    // Incremental edge admission — the graph index joins the standing-
+    // index refresh family (LSH / IVF / inverted / skip index): the
+    // standing structure is the DISTINCT edge set (the fact self-join +
+    // distinct is the expensive derivation); a delta order batch derives
+    // its edges from ONLY the arriving slice, anti-joins the standing
+    // set (edge-set-sized, never fact-sized) and appends the genuinely
+    // new rows. Degrees — and, downstream, orientation — recompute from
+    // the edge table, whose size is graph- not corpus-bound, which is
+    // why the admission unit is the raw edge set and not the oriented
+    // form (new edges change degrees, and degree changes can flip the
+    // orientation of OLD edges — orienting at admission time would be
+    // wrong). Oracle = the full-build degree distribution: the driver
+    // hash gate IS the refresh ≡ rebuild proof.
+    "graph_degrees_refresh" -> QueryDef(
+      "Degree distribution off an incrementally admitted edge set: refresh == rebuild",
+      (s, dir) => {
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "graph-refresh", s"$dir/lineitem.parquet") { tmp =>
+          coPurchaseEdgesWhere(s, dir, pmod(col("l_orderkey"), lit(40L)) === 0)
+            .write.mode("overwrite").parquet(s"$tmp/edges")
+          val standing = s.read.parquet(s"$tmp/edges")
+          coPurchaseEdgesWhere(s, dir, pmod(col("l_orderkey"), lit(40L)) === 20)
+            .join(standing, Seq("s", "d"), "left_anti")
+            .write.mode("append").parquet(s"$tmp/edges")
+        }
+        Graph.degrees(s.read.parquet(s"$idx/edges"))
+          .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("deg")
+      },
       Some(s"""$edgeCte
              |SELECT dg AS deg, COUNT(*) AS n_nodes FROM deg
              |GROUP BY dg ORDER BY deg""".stripMargin)))

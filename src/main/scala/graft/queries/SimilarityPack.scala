@@ -278,10 +278,17 @@ object SimilarityPack extends QueryPack {
              |    generate_subscripts(embedding, 1) AS d,
              |    CAST(unnest(embedding) AS DOUBLE) AS val
              |  FROM embeddings),
+             |bsums AS (
+             |  SELECT label, in_a, d, vec_id // 4096 AS bk,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(val ORDER BY vec_id)), (a, b) -> a + b) AS bsum,
+             |    COUNT(*) AS bn
+             |  FROM v GROUP BY 1, 2, 3, 4),
              |mus AS (
              |  SELECT label, in_a, d,
-             |    list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mu
-             |  FROM v GROUP BY 1, 2, 3),
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(bsum ORDER BY bk)), (a, b) -> a + b) / SUM(bn) AS mu
+             |  FROM bsums GROUP BY 1, 2, 3),
              |sq AS (
              |  SELECT a.label, a.d, (a.mu - b.mu) * (a.mu - b.mu) AS sqd
              |  FROM mus a JOIN mus b

@@ -76,4 +76,22 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_wedges") == 12L)
     assert(r.getAs[Double]("clustering") == 1.0)
   }
+
+  test("incremental edge admission: anti-join append equals full-build distinct") {
+    // batch A and batch B share edge (2,3) — admission must not double it
+    val batchA = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val batchB = Seq((2L, 3L), (3L, 4L), (1L, 4L)).toDF("s", "d")
+    val tmp = java.nio.file.Files.createTempDirectory("graph-refresh-spec").toString
+    batchA.write.mode("overwrite").parquet(s"$tmp/edges")
+    batchB.join(spark.read.parquet(s"$tmp/edges"), Seq("s", "d"), "left_anti")
+      .write.mode("append").parquet(s"$tmp/edges")
+    val admitted = spark.read.parquet(s"$tmp/edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val full = batchA.unionAll(batchB).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(admitted == full)
+    val degs = Graph.degrees(spark.read.parquet(s"$tmp/edges"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(degs == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
 }

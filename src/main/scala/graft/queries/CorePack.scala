@@ -374,6 +374,57 @@ object CorePack extends QueryPack {
              |    (acc, x) -> acc + x), 6) AS decayed_score
              |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Last-touch attribution — the marketing-analytics sibling of the
+    // funnel: each purchase is credited to the user's LAST non-purchase
+    // event within a 7-day lookback (none -> 'direct'). One window per
+    // user carries the running last-touch via last(..., ignoreNulls)
+    // over an unbounded-to-1-preceding ROWS frame — a single exchange
+    // on user_id, no self-join of the event stream against itself
+    // (the naive form joins purchases to all prior events and takes a
+    // per-purchase argmax: a second fact-sized shuffle plus a skew
+    // hazard on heavy users).
+    "q_attribution" -> QueryDef(
+      "Last-touch purchase attribution with a 7-day lookback (window, no self-join)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .withColumn("touch",
+            last(when(col("event_type") =!= "purchase",
+              struct(col("ts").as("t_ts"), col("event_type").as("t_type"))),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(col("touch").isNull.or(
+              Tables.epochSeconds(col("ts")) -
+                Tables.epochSeconds(col("touch.t_ts")) > 604800L), lit("direct"))
+              .otherwise(col("touch.t_type")).as("channel"),
+            col("user_id"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_conversions"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy("channel")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |                    THEN struct_pack(t_ts := ts, t_type := event_type)
+             |               END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id,
+             |    CASE WHEN touch IS NULL
+             |           OR epoch(ts) - epoch(touch.t_ts) > 604800
+             |         THEN 'direct' ELSE touch.t_type END AS channel
+             |  FROM t WHERE event_type = 'purchase')
+             |SELECT channel, COUNT(*) AS n_conversions,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM p GROUP BY channel ORDER BY channel""".stripMargin)),
+
     // Pairwise audience overlap (the cohort/segment overlap matrix).
     // SKEW-SAFE SHAPE: never the naive self-join of per-type user lists
     // (a hot type would pile its whole audience onto one reducer twice);

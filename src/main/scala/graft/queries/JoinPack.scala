@@ -496,6 +496,26 @@ object JoinPack extends QueryPack {
              |WHERE l_orderkey % 4 = 0 AND o_orderkey % 4 = 0
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Bucket PRUNING off the same bucketed layout: an equality predicate
+    // on the bucket column hashes to exactly one bucket, so the scan
+    // reads 1 of 8 bucket file groups (SelectedBucketsCount in the plan,
+    // PlanSpec-asserted) — the deterministic-layout complement of
+    // q_fileskip_bloom's probabilistic skipping: same point-lookup
+    // problem, zero index to maintain, the table layout IS the index.
+    "q_bucket_prune" -> QueryDef(
+      "Equality filter on the bucket column reads 1 of 8 buckets",
+      (s, dir) => {
+        ensureBucketedTables(s, dir)
+        s.table("graft_bucketed_lineitem")
+          .filter(col("l_orderkey") === 1000L)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |WHERE l_orderkey = 1000 AND l_orderkey % 4 = 0""".stripMargin)),
+
     // Full MERGE application (the lakehouse MERGE INTO shape): one pass
     // applies a change feed carrying updates, inserts, AND deletes to a
     // target — FULL OUTER on the key, then per-row resolution: delete

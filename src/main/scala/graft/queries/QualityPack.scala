@@ -285,5 +285,48 @@ object QualityPack extends QueryPack {
              |  UNION ALL
              |  SELECT 'p_purchase', ROUND(a.p_purchase, 6), ROUND(b.p_purchase, 6),
              |    ROUND((b.p_purchase - a.p_purchase) / a.p_purchase, 4) FROM a, b)
-             |ORDER BY metric""".stripMargin)))
+             |ORDER BY metric""".stripMargin)),
+
+    // Winsorization — the robust-stats cleaning pass a metrics or
+    // training pipeline runs before averaging anything: per group, clip
+    // values into the exact [p05, p95] band and report the clipped mean
+    // beside the raw one (plus how many rows each tail clipped). Two
+    // passes: exact per-group percentile bounds (group-count rows,
+    // broadcast back), then one map-side clip + aggregate. The exact
+    // percentile is the hash-gateable form; at 100 TB the bounds come
+    // from approx_percentile (the q_approx_quantile pattern) and the
+    // clip pass is unchanged.
+    "q_winsorize" -> QueryDef(
+      "Per-type winsorized mean: values clipped to the exact [p05, p95] band",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        val bounds = ev.groupBy("event_type").agg(
+          expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .select(col("event_type"), col("value"),
+            least(greatest(col("value"), col("lo")), col("hi")).as("w"),
+            (col("value") < col("lo")).as("clip_lo"),
+            (col("value") > col("hi")).as("clip_hi"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("clip_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when(col("clip_hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+            round(avg("w"), 4).as("winsorized_mean"),
+            round(avg("value"), 4).as("raw_mean"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, 0.05) AS lo,
+             |    quantile_cont(value, 0.95) AS hi
+             |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+             |SELECT e.event_type, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             |  CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+             |  ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 4) AS winsorized_mean,
+             |  ROUND(AVG(value), 4) AS raw_mean
+             |FROM events e JOIN b ON b.event_type = e.event_type
+             |WHERE value IS NOT NULL
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)))
 }

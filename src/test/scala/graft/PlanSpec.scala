@@ -60,6 +60,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected dynamicpruning in PartitionFilters of:\n$p")
   }
 
+  test("q_bucket_prune reads exactly one bucket of the bucketed layout") {
+    val p = plan("q_bucket_prune")
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"expected bucket pruning to 1 of 8 in:\n$p")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not global sort") {
     assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
     // the weighted sample is the same shape: map-only key + bounded top-k

@@ -221,6 +221,78 @@ object CurationPack extends QueryPack {
              |  CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(SUM(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
              |  MIN(CASE WHEN rk <= 15 THEN doc_id END) AS min_kept_id
-             |FROM r GROUP BY source ORDER BY source""".stripMargin))
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    // in its hashed-feature form: score every raw doc by how much more
+    // likely its hashed-token profile is under the TARGET (eval)
+    // distribution than under the raw-corpus distribution —
+    // logw(doc) = Σ_b c_db · [ln p̂_t(b) − ln p̂_r(b)] over 256 hashed
+    // buckets with add-one smoothing — then shortlist the top scorers
+    // for target-matched training. Scale + determinism: bucket stats
+    // are ONE integral aggregate (256 rows, broadcast back), per-doc
+    // profiles are (doc, bucket) counts (≤ 256 rows per doc — the fold
+    // list is bucket- not corpus-bounded), the log-ratio is per-row
+    // math, the per-doc sum folds bucket-ascending, and the shortlist
+    // is a distributed TakeOrdered. The oracle replays every stage.
+    "curation_importance_weights" -> QueryDef(
+      "DSIR-style importance shortlist: top-20 raw docs by hashed-bucket log weight",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            (pmod(col("doc_id"), lit(23L)) === 0).as("is_eval"),
+            explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+          .withColumn("b",
+            pmod(graft.ext.Hashing.portableTokenHash(col("tok")), lit(256L)))
+        val stats = toks.groupBy("b").agg(
+          sum(when(col("is_eval"), 1L).otherwise(0L)).as("ct"),
+          sum(when(col("is_eval"), 0L).otherwise(1L)).as("cr"))
+        val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+        val lr = stats.crossJoin(broadcast(totals))
+          .select(col("b"),
+            (log((col("ct") + 1).cast("double") / (col("nt") + 256).cast("double")) -
+              log((col("cr") + 1).cast("double") / (col("nr") + 256).cast("double"))).as("lr"))
+        toks.filter(!col("is_eval"))
+          .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+          .join(broadcast(lr), Seq("b"))
+          .groupBy("doc_id", "source")
+          .agg(sort_array(collect_list(
+              struct(col("b"), (col("c") * col("lr")).as("w")))).as("ws"),
+            sum("c").as("n_tok"))
+          .withColumn("logw",
+            expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)"))
+          .orderBy(col("logw").desc, col("doc_id").asc)
+          .limit(20)
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            round(col("logw"), 6).as("logw"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, (doc_id % 23 = 0) AS is_eval,
+             |    CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 256 AS b
+             |  FROM (SELECT doc_id, source,
+             |          unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+             |        FROM documents)),
+             |stats AS (
+             |  SELECT b,
+             |    SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS ct,
+             |    SUM(CASE WHEN is_eval THEN 0 ELSE 1 END) AS cr
+             |  FROM toks GROUP BY b),
+             |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM stats),
+             |lr AS (
+             |  SELECT b,
+             |    ln((ct + 1) / CAST(nt + 256 AS DOUBLE)) -
+             |    ln((cr + 1) / CAST(nr + 256 AS DOUBLE)) AS lr
+             |  FROM stats, tot),
+             |db AS (
+             |  SELECT doc_id, source, b, COUNT(*) AS c
+             |  FROM toks WHERE NOT is_eval GROUP BY 1, 2, 3),
+             |scored AS (
+             |  SELECT d.doc_id, d.source,
+             |    CAST(SUM(d.c) AS BIGINT) AS n_tok,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(d.c * lr.lr ORDER BY d.b)), (a, x) -> a + x) AS logw
+             |  FROM db d JOIN lr ON lr.b = d.b GROUP BY 1, 2)
+             |SELECT doc_id, source, n_tok, ROUND(logw, 6) AS logw
+             |FROM scored ORDER BY logw DESC, doc_id ASC LIMIT 20""".stripMargin))
   )
 }

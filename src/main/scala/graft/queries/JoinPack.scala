@@ -496,6 +496,52 @@ object JoinPack extends QueryPack {
              |WHERE l_orderkey % 4 = 0 AND o_orderkey % 4 = 0
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Interval OVERLAP join — the two-sided generalization of the range
+    // join: view windows [ts, ts+1h) against purchase windows
+    // [ts, ts+30m) for the same user, pairs where the intervals
+    // intersect. The scale shape is the canonical BUCKETED interval
+    // join: each interval explodes into the (≤2) hour buckets it
+    // touches, the join is EQUI on (user, bucket) — never a nested
+    // loop (PlanSpec-asserted) — the exact overlap predicate filters
+    // residually, and DISTINCT collapses pairs that met in two buckets.
+    // The oracle is the plain theta-join; the hash gate proves the
+    // bucketed decomposition finds exactly the same pairs.
+    "q_interval_join" -> QueryDef(
+      "Bucketed interval-overlap join: view windows x purchase windows per user",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def side(t: String, durSec: Long, p: String) =
+          ev.filter(col("event_type") === t)
+            .select(col("user_id"), col("event_id").as(s"${p}_id"),
+              Tables.epochSeconds(col("ts")).as(s"${p}_s"))
+            .withColumn(s"${p}_e", col(s"${p}_s") + durSec)
+        val vb = side("view", 3600L, "v")
+          .withColumn("bk", explode(expr("sequence(v_s DIV 3600, (v_e - 1) DIV 3600)")))
+        val pb = side("purchase", 1800L, "p")
+          .withColumn("bk", explode(expr("sequence(p_s DIV 3600, (p_e - 1) DIV 3600)")))
+        vb.join(pb, Seq("user_id", "bk"))
+          .filter(col("v_s") < col("p_e") && col("p_s") < col("v_e"))
+          .select("user_id", "v_id", "p_id").distinct()
+          .agg(count(lit(1)).as("n_pairs"),
+            count_distinct(col("user_id")).as("n_users"),
+            min("v_id").as("min_view_id"), max("p_id").as("max_purchase_id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id AS v_id,
+             |    epoch(ts) AS v_s, epoch(ts) + 3600 AS v_e
+             |  FROM events WHERE event_type = 'view'),
+             |p AS (
+             |  SELECT user_id, event_id AS p_id,
+             |    epoch(ts) AS p_s, epoch(ts) + 1800 AS p_e
+             |  FROM events WHERE event_type = 'purchase'),
+             |pr AS (
+             |  SELECT DISTINCT v.user_id, v_id, p_id
+             |  FROM v JOIN p ON v.user_id = p.user_id
+             |    AND v.v_s < p.p_e AND p.p_s < v.v_e)
+             |SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT user_id) AS n_users,
+             |  MIN(v_id) AS min_view_id, MAX(p_id) AS max_purchase_id
+             |FROM pr""".stripMargin)),
+
     // Bucket PRUNING off the same bucketed layout: an equality predicate
     // on the bucket column hashes to exactly one bucket, so the scan
     // reads 1 of 8 bucket file groups (SelectedBucketsCount in the plan,

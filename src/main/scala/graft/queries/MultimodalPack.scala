@@ -152,6 +152,35 @@ object MultimodalPack extends QueryPack {
              |  ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
              |  ROUND(SUM(h1), 4) AS hist_bin1_mass,
              |  ROUND(SUM(h3), 4) AS hist_bin3_mass
-             |FROM perdoc GROUP BY kind ORDER BY kind""".stripMargin))
+             |FROM perdoc GROUP BY kind ORDER BY kind""".stripMargin)),
+
+    // Cross-document asset dedup by CONTENT HASH — the multimodal
+    // counterpart of dedup_exact: the same thumbnail/preview payload
+    // (modeled as each doc's leading 16 bytes — prefixes genuinely
+    // collide in the corpus) referenced by many documents is stored
+    // once, with the minimum doc id as the canonical owner. One
+    // hash-keyed aggregate over 16-byte keys: at 100 TB the shuffle
+    // carries md5 digests, never payload bytes.
+    "mm_dedup" -> QueryDef(
+      "Duplicate asset payloads by content hash: refs, canonical owner, kind spread",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(3L)) === 0, "image")
+              .when(pmod(col("doc_id"), lit(3L)) === 1, "audio")
+              .otherwise("video").as("kind"),
+            md5(substring(col("text"), 1, 16).cast("binary")).as("h"))
+          .groupBy("h")
+          .agg(count(lit(1)).as("n_refs"),
+            min("doc_id").as("canonical_doc"),
+            count_distinct(col("kind")).as("n_kinds"))
+          .filter(col("n_refs") >= 2)
+          .orderBy("h"),
+      Some("""SELECT md5(substring(text, 1, 16)) AS h, COUNT(*) AS n_refs,
+             |  MIN(doc_id) AS canonical_doc,
+             |  COUNT(DISTINCT CASE (doc_id % 3) WHEN 0 THEN 'image'
+             |        WHEN 1 THEN 'audio' ELSE 'video' END) AS n_kinds
+             |FROM documents
+             |GROUP BY h HAVING COUNT(*) >= 2 ORDER BY h""".stripMargin))
   )
 }

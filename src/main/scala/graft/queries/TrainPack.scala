@@ -647,6 +647,44 @@ object TrainPack extends QueryPack {
              |SELECT event_type, COUNT(*) AS n_gaps,
              |  CAST(SUM(nxt - ms) AS BIGINT) AS total_dwell_ms,
              |  ROUND(AVG(nxt - ms), 2) AS avg_dwell_ms
-             |FROM x WHERE nxt IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM x WHERE nxt IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Quality-greedy selection under a TOKEN budget — "fill 15k training
+    // tokens with the best documents": docs ranked by quality score, a
+    // running token total, keep while the inclusive total fits. The
+    // running sum is Consolidate.withRunningTotal — the DISTRIBUTED
+    // prefix sum (per-partition partials + broadcast offsets), so unlike
+    // the oracle's global window nothing ever funnels through one task
+    // (PlanSpec asserts no WindowExec, the q_pareto_curve property). The
+    // oracle's single-partition window computes the identical total.
+    "train_tokens_budget" -> QueryDef(
+      "Greedy best-quality-first selection until a 15k-token budget fills",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("q"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+        graft.ops.Consolidate
+          .withRunningTotal(d, Seq(col("q").desc, col("doc_id").asc), "ntok")
+          .filter(col("run") <= 15000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("ntok").as("kept_tokens"),
+            round(min("q"), 4).as("min_q"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, source,
+              |    ${graft.OracleFragments.qualityScoreSql} AS q,
+              |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS ntok
+              |  FROM documents),
+              |r AS (
+              |  SELECT *, SUM(ntok) OVER (ORDER BY q DESC, doc_id ASC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              |  FROM d)
+              |SELECT source, COUNT(*) AS n_kept,
+              |  CAST(SUM(ntok) AS BIGINT) AS kept_tokens,
+              |  ROUND(MIN(q), 4) AS min_q
+              |FROM r WHERE run <= 15000
+              |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -60,6 +60,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected dynamicpruning in PartitionFilters of:\n$p")
   }
 
+  test("q_interval_join is an equi join on (user, bucket), never a nested loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"interval overlap must decompose to an equi join in:\n$p")
+  }
+
+  test("train_tokens_budget has no WindowExec — the running total is distributed") {
+    val p = plan("train_tokens_budget")
+    assert(!p.contains("Window"), s"expected no WindowExec in:\n$p")
+  }
+
   test("q_bucket_prune reads exactly one bucket of the bucketed layout") {
     val p = plan("q_bucket_prune")
     assert(p.contains("SelectedBucketsCount: 1 out of 8"),

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Consolidate
+
 /** Corpus-curation primitives: benchmark-contamination profiling and
   * chunk-level (paragraph-shaped) exact dedup. Pure DataFrame logic —
   * shared by the oracle-checked CurationPack queries and the planted
@@ -229,5 +231,51 @@ object Curation {
       else topQuota(pre.filter(!col(domainCol).isin(short: _*)))
         .unionByName(topQuota(big.filter(col(domainCol).isin(short: _*))))
     small.select(cols: _*).unionByName(ranked.select(cols: _*))
+  }
+
+  /** Greedy best-rank-first selection under an integral budget WITHOUT a
+    * global sort — the distributed-selection alternative to "sort the
+    * corpus by score, take the prefix": a rank-value histogram (one
+    * aggregate, ≤ |distinct ranks| rows collected) locates the boundary
+    * rank where the cumulative measure crosses the budget; every row
+    * strictly better than the boundary is kept with a map-only filter,
+    * and ONLY the boundary rank's rows are sorted (by `tieCol`) to take
+    * the exact remainder. Equivalent by construction to the longest
+    * prefix of the (rank desc, tie asc) order whose inclusive measure
+    * total fits the budget — the measure is non-negative, so the prefix
+    * rule and the bucket decomposition select the same rows
+    * (CurationSpec asserts equivalence against the naive sorted form).
+    * At 100 TB the full-corpus sort (n log n shuffle, the measured 1.8×
+    * doubling cost) collapses to one aggregate + one filter + a sort of
+    * a single score stratum.
+    *
+    * @param rankCol  integral score, HIGHER is better
+    * @param tieCol   unique ascending tiebreak within a rank value
+    * @param measureCol LongType non-negative measure accumulated
+    *                   against `budget`
+    */
+  def budgetSelect(
+      df: DataFrame, rankCol: String, tieCol: String, measureCol: String,
+      budget: Long): DataFrame = {
+    val hist = df.groupBy(rankCol).agg(sum(measureCol).as("__m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    var boundary: Option[Long] = None
+    val it = hist.iterator
+    while (it.hasNext && boundary.isEmpty) {
+      val (rv, m) = it.next()
+      if (acc + m > budget) boundary = Some(rv) else acc += m
+    }
+    boundary match {
+      case None => df // the whole input fits
+      case Some(t) =>
+        val keepAbove = df.filter(col(rankCol) > t)
+        val boundaryKept = Consolidate
+          .withRunningTotal(df.filter(col(rankCol) === t),
+            Seq(col(tieCol).asc), measureCol)
+          .filter(col("run") <= budget - acc)
+          .drop("rk", "run")
+        keepAbove.unionByName(boundaryKept)
+    }
   }
 }

@@ -143,6 +143,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("budget select: stratified selection equals the naive sorted prefix") {
+    // rank 9: 3 docs x 10 tokens; rank 5: 4 docs x 10; rank 2: 2 docs x 10.
+    // budget 55 -> all of rank 9 (30), then rank-5 docs in id order until
+    // the inclusive total passes 55: ids 20, 21 (total 50); 22 would hit 60.
+    val rows = Seq(
+      (10L, 9L, 10L), (11L, 9L, 10L), (12L, 9L, 10L),
+      (20L, 5L, 10L), (21L, 5L, 10L), (22L, 5L, 10L), (23L, 5L, 10L),
+      (30L, 2L, 10L), (31L, 2L, 10L)
+    ).toDF("doc_id", "rank", "ntok")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = ids(Curation.budgetSelect(rows, "rank", "doc_id", "ntok", budget = 55L))
+    assert(got == Seq(10L, 11L, 12L, 20L, 21L))
+    // equivalence against the naive global prefix rule at several budgets,
+    // including exact bucket-edge crossings (30, 70) and the degenerate ends
+    for (b <- Seq(0L, 5L, 10L, 30L, 35L, 55L, 70L, 85L, 90L, 1000L)) {
+      val naive = rows
+        .withColumn("run", sum("ntok").over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank").desc, col("doc_id").asc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .filter(col("run") <= b)
+      assert(ids(Curation.budgetSelect(rows, "rank", "doc_id", "ntok", b)) == ids(naive),
+        s"mismatch at budget $b")
+    }
+  }
+
   test("domain quota: the windowed stream is the pre-pruned slice, not the domain") {
     // survivors entering the window are bounded by the hash threshold:
     // with quota=5, margin=8 over 500 hot rows the slice keeps ~40 rows

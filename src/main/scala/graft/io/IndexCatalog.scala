@@ -62,4 +62,44 @@ object IndexCatalog {
       tmp
     })
   }
+
+  /** Garbage-collect superseded index versions: every cached entry whose
+    * corpus content has changed since it was built (its recorded version
+    * no longer equals the corpus' CURRENT fingerprint) is dropped from
+    * the cache and its payload directory deleted. Returns the number of
+    * entries collected. Run from a maintenance window — an in-flight
+    * query that resolved the old payload before the corpus changed may
+    * still be reading it (the same caveat every snapshot-expiry GC
+    * carries); current versions are never touched.
+    */
+  def gc(spark: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    var n = 0
+    // key layout: kind|corpusDir|version — kind and version are |-free
+    // (identifier, md5), so the dir is everything in between
+    built.keySet().asScala.toSeq.foreach { key =>
+      val first = key.indexOf('|')
+      val last = key.lastIndexOf('|')
+      if (first > 0 && last > first) {
+        val dir = key.substring(first + 1, last)
+        val ver = key.substring(last + 1)
+        if (ver != contentVersion(spark, dir)) {
+          val payload = built.remove(key)
+          if (payload != null) {
+            deleteRecursively(java.nio.file.Paths.get(payload))
+            n += 1
+          }
+        }
+      }
+    }
+    n
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 }

@@ -52,4 +52,30 @@ class IndexCatalogSpec extends AnyFunSuite {
     Tables.region(spark, sf).write.mode("append").parquet(s"$tmp/t")
     assert(IndexCatalog.contentVersion(spark, s"$tmp/t") != v1)
   }
+
+  test("gc deletes superseded versions, keeps current ones, and is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("idxcat-gc").toString
+    Tables.region(spark, sf).write.mode("overwrite").parquet(s"$tmp/t")
+    val p1 = IndexCatalog.resolve(spark, "gc-spec", s"$tmp/t") { out =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/payload"), "v1")
+    }
+    // gc is global (other suites' stale fixtures may collect too) — the
+    // contract asserted here is that a CURRENT version is never touched
+    IndexCatalog.gc(spark)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p1/payload")))
+    // corpus changes -> a NEW version builds; the old payload is now stale
+    Tables.region(spark, sf).write.mode("append").parquet(s"$tmp/t")
+    val p2 = IndexCatalog.resolve(spark, "gc-spec", s"$tmp/t") { out =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/payload"), "v2")
+    }
+    assert(p2 != p1)
+    assert(IndexCatalog.gc(spark) >= 1, "stale version must be collected")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p1)),
+      "superseded payload directory must be deleted")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p2/payload")),
+      "current payload must survive")
+    // idempotent: a second pass finds nothing new for this kind/corpus
+    val before = IndexCatalog.resolve(spark, "gc-spec", s"$tmp/t")(_ => fail("must be cached"))
+    assert(before == p2)
+  }
 }

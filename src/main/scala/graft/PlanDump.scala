@@ -62,7 +62,9 @@ object PlanDump {
       "q_dpp_join" -> "dynamic partition pruning: dim predicate becomes a runtime dynamicpruning PartitionFilter on the fact scan",
       "q_fileskip_bloom" -> "per-file Bloom point lookup: candidate-file scan + exact residual equality, no corpus scan",
       "curation_domain_quota" -> "per-domain quota: broadcast counts, hash-threshold pre-prune, window only over the bounded slice",
-      "q_audience_overlap" -> "overlap matrix: distinct-by-user then MAP-SIDE pair explode, no audience self-join")
+      "q_audience_overlap" -> "overlap matrix: distinct-by-user then MAP-SIDE pair explode, no audience self-join",
+      "q_interval_join" -> "interval overlap as a bucketed equi join + residual predicate — no nested loop",
+      "train_tokens_budget" -> "token-budget selection: rank histogram + boundary-stratum prefix, no corpus sort, no WindowExec")
 
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

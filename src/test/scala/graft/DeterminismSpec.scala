@@ -52,4 +52,38 @@ class DeterminismSpec extends AnyFunSuite {
     }
     assert(diffs.isEmpty, s"nondeterministic queries:\n${diffs.mkString("\n")}")
   }
+
+  /** The queries whose doubles accumulate across rows: each pins its fold
+    * order (sorted lists, two-level buckets, per-partition prefix
+    * offsets), so the answer must not move when the PARTITIONING does —
+    * the thing that actually changes between a laptop run and a
+    * 1000-executor run. Double-running under the same layout can't catch
+    * an order-dependent sum; varying shuffle parallelism can.
+    */
+  private val foldAudited = Seq(
+    "q_decay_score",        // ordered day-list fold
+    "q_ewma", "q_ewma_all", // matched left folds over frames
+    "emb_centroid_drift",   // two-level (bucket, vec_id) fold
+    "train_tokens_budget",  // histogram + boundary-stratum prefix sum
+    "curation_importance_weights", // bucket-ordered per-doc fold
+    "curation_domain_quota", // hash-threshold pre-prune + window
+    "text_pmi_pairs",       // per-row PMI + TakeOrdered cut
+    "q_pareto_curve",       // distributed prefix sum
+    "q_time_weighted")      // epoch-weighted integral sums
+
+  test("order-pinned fold queries are invariant to shuffle parallelism") {
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    try {
+      def runAll(n: String) = {
+        spark.conf.set(key, n)
+        foldAudited.map(q => q -> SparkEntry.queries(q)(spark, sf)
+          .collect().map(_.toSeq).toSeq).toMap
+      }
+      val (a, b) = (runAll("3"), runAll("13"))
+      val diffs = foldAudited.filter(q => a(q) != b(q))
+      assert(diffs.isEmpty,
+        s"partitioning-dependent results: ${diffs.mkString(", ")}")
+    } finally spark.conf.set(key, orig)
+  }
 }

@@ -496,6 +496,40 @@ object JoinPack extends QueryPack {
              |WHERE l_orderkey % 4 = 0 AND o_orderkey % 4 = 0
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Insert-only incremental maintenance of a JOIN view — the join
+    // sibling of q_incremental_agg's mergeable-state refresh: the
+    // enriched view (facts ⋈ dims) is materialized from the base batch,
+    // and a delta batch joins ONLY its own rows against the (broadcast)
+    // dims before appending — the view's history is never re-joined or
+    // rewritten. At 100 TB this is how a denormalized serving table
+    // tracks an append-only fact stream: refresh cost rides the delta.
+    // The oracle is the full join recomputed from scratch — the hash
+    // gate is the refresh ≡ rebuild proof.
+    "q_ivm_join" -> QueryDef(
+      "Join-view IVM: base materialize + delta-only join append == full rebuild",
+      (s, dir) => {
+        val mv = graft.io.IndexCatalog.resolve(
+          s, "ivm-join", s"$dir/lineitem.parquet") { tmp =>
+          def enrich(even: Boolean) = Tables.lineitem(s, dir)
+            .filter(pmod(col("l_orderkey"), lit(2L)) === (if (even) 0L else 1L))
+            .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+            .join(broadcast(Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_orderpriority"))),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("l_orderkey"), col("qty"), col("o_orderpriority"))
+          enrich(even = true).write.mode("overwrite").parquet(s"$tmp/mv")
+          enrich(even = false).write.mode("append").parquet(s"$tmp/mv")
+        }
+        s.read.parquet(s"$mv/mv")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Interval OVERLAP join — the two-sided generalization of the range
     // join: view windows [ts, ts+1h) against purchase windows
     // [ts, ts+30m) for the same user, pairs where the intervals

@@ -102,10 +102,19 @@ object DedupPack extends QueryPack {
         // self-join the per-shingle source SET is aggregated once and
         // expanded map-side into its s(s-1)/2 pairs — the pair stream
         // partial-aggregates into at most |sources|² rows per task.
-        val sh = graft.ext.Dedup.shingleRows(
-            Tables.documents(s, dir), n = 5, keyCol = "source")
-          .select(col("source"), graft.ext.Hashing.portableTokenHash60(col("sh")).as("h"))
-          .distinct()
+        // The distinct (source, hash) table is a STANDING artifact
+        // (IndexCatalog-versioned): the tokenize + shingle + distinct
+        // pass runs once per corpus version, overlap serving reads it.
+        val shDir = graft.io.IndexCatalog.resolve(
+          s, "source-shingles", s"$dir/documents.parquet") { tmp =>
+          graft.ext.Dedup.shingleRows(
+              Tables.documents(s, dir), n = 5, keyCol = "source")
+            .select(col("source"),
+              graft.ext.Hashing.portableTokenHash60(col("sh")).as("h"))
+            .distinct()
+            .write.mode("overwrite").parquet(s"$tmp/sh")
+        }
+        val sh = s.read.parquet(s"$shDir/sh")
         sh.groupBy("h").agg(array_sort(collect_set(col("source"))).as("srcs"))
           .filter(size(col("srcs")) >= 2)
           .select(explode(expr(

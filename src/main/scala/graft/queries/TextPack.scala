@@ -204,7 +204,14 @@ object TextPack extends QueryPack {
     "text_lm_bits" -> QueryDef(
       "Bigram-LM quality score: avg/max bits-per-bigram per source (add-one smoothing)",
       (s, dir) =>
-        graft.ext.TextAnalysis.bigramLmProfile(Tables.documents(s, dir))
+        // the per-doc LM profile is a STANDING score table (what a
+        // curation pipeline persists): the tokenize + bigram model +
+        // per-doc scoring runs once per corpus version, rollups read it
+        s.read.parquet(graft.io.IndexCatalog.resolve(
+            s, "lm-profile", s"$dir/documents.parquet") { tmp =>
+            graft.ext.TextAnalysis.bigramLmProfile(Tables.documents(s, dir))
+              .write.mode("overwrite").parquet(s"$tmp/p")
+          } + "/p")
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),

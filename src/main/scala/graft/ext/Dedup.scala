@@ -170,6 +170,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** Prefix-filtered n-gram Jaccard ≥ threshold — the SSJoin/PPJoin
+    * family's candidate generator (Chaudhuri et al., ICDE'06), LOSSLESS
+    * unlike LSH banding: order every doc's shingles by ascending global
+    * document frequency and self-join only on each doc's PREFIX of
+    * length |x| − ⌈τ·|x|⌉ + 1. Any pair with Jaccard ≥ τ shares at
+    * least ⌈τ·|x|⌉ shingles, and at most ⌈τ·|x|⌉ − 1 of a doc's
+    * shingles lie outside its prefix — so every qualifying pair meets
+    * on some prefix shingle, and the exact-Jaccard verify pass makes
+    * the output IDENTICAL to [[ngramJaccardPairs]].
+    *
+    * Why this matters at 100 TB: the inverted-index join's cost is
+    * Σ df² over the shingles it joins on. Prefix filtering joins on
+    * each doc's RAREST shingles only — the hot boilerplate keys that
+    * dominate Σ df² are exactly the ones the frequency ordering pushes
+    * OUT of every prefix — so bucket widths collapse without the
+    * recall loss of [[ngramJaccardPairs]]'s `maxShingleDf` valve. The
+    * per-doc ordering window partitions by doc_id (bounded by document
+    * length, never corpus size); the verify join touches only
+    * candidate pairs.
+    */
+  def jaccardPrefixPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // counts / df / prefix / verify all re-read the shingle stream:
+    // materialize it once (same posture as the capped path above)
+    val rows = shingleRows(docs, n).localCheckpoint()
+    val counts = rows.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfTab = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+    // total order (df asc, sh asc): rare shingles first; ties broken
+    // lexically so the order — and thus the candidate set — is
+    // deterministic under any shuffle parallelism
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = rows.join(dfTab, Seq("sh"))
+      .withColumn("r", row_number().over(byRarity))
+      .join(counts, Seq("doc_id"))
+      .filter(col("r") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
+      .select("doc_id", "sh")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verify over candidates only: expand doc_a's shingles, probe
+    // doc_b's (doc_id, sh) rows — intersection counted, never guessed
+    val inter = cand
+      .join(rows.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(rows.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"),
+        Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jac", jaccardFromCounts(col("n_inter"), col("n_a"), col("n_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
   /** Banded MinHash signatures from shingle ROWS: (doc_id, band, key) —
     * the standing LSH INDEX a 100 TB deployment keeps materialized
     * between ingest runs (a few dozen bytes per doc, text never kept).

@@ -61,4 +61,57 @@ object IncrementalAgg {
             both(s"min_$m", least(_, _)).as(s"min_$m"),
             both(s"max_$m", greatest(_, _)).as(s"max_$m"))): _*)
   }
+
+  /** RETRACTABLE maintenance — the view algebra under a CDC delta that
+    * contains DELETES as well as inserts. Two techniques, each applied
+    * where it is the right one:
+    *
+    *  - `n` and `sum_*` are group homomorphisms, so deletions are pure
+    *    arithmetic: state, insert-state and NEGATED delete-state union
+    *    into one signed stream and re-aggregate — ONE shuffle sized by
+    *    key cardinality, groups whose count reaches 0 vanish. No rescan,
+    *    ever, no matter how hot the deleted keys are.
+    *  - `min_*`/`max_*` are NOT retractable (deleting the current min
+    *    says nothing about the runner-up), so the keys the delete
+    *    touches — and ONLY those — are recomputed from `postBase`
+    *    via a left-semi restriction; every untouched key folds
+    *    state⊕inserts monotonically as in [[merge]].
+    *
+    * At 100 TB: a GDPR erasure or late-arriving correction batch touches
+    * a sliver of the key space, so maintenance rides
+    * |state| + |delta| + |base rows under the affected keys| — the full
+    * fact history is never re-aggregated. `postBase` must be the base
+    * WITH the delta applied (what a rebuild would scan); only its
+    * affected-key slice is read.
+    */
+  def retractMerge(
+      state: DataFrame,
+      inserts: DataFrame,
+      deletes: DataFrame,
+      postBase: DataFrame,
+      keys: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    val ins = toState(inserts, keys, measures)
+    val del = toState(deletes, keys, measures)
+    def signed(st: DataFrame, sign: Int) = st.select(
+      keys.map(col) ++ Seq((col("n") * sign).as("n")) ++
+        measures.map(m => (col(s"sum_$m") * sign).as(s"sum_$m")): _*)
+    val additive = signed(state, 1)
+      .unionByName(signed(ins, 1))
+      .unionByName(signed(del, -1))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        measures.map(m => sum(col(s"sum_$m")).as(s"sum_$m")): _*)
+      .filter(col("n") > 0)
+    val affected = del.select(keys.map(col): _*).distinct()
+    val mmCols = keys ++ measures.flatMap(m => Seq(s"min_$m", s"max_$m"))
+    val folded = merge(state, ins, keys, measures)
+      .join(affected, keys, "left_anti")
+      .select(mmCols.map(col): _*)
+    val rescanned = toState(postBase.join(affected, keys, "left_semi"), keys, measures)
+      .select(mmCols.map(col): _*)
+    // inner join: a fully-deleted key is absent from `additive` (n = 0)
+    // and from `rescanned` alike, so both paths agree it is gone
+    additive.join(folded.unionByName(rescanned), keys)
+  }
 }

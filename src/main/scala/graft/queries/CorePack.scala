@@ -214,6 +214,45 @@ object CorePack extends QueryPack {
              |FROM orders
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Retraction IVM (ops/IncrementalAgg.retractMerge): the aggregate
+    // view maintained under a CDC delta WITH DELETES — count/sum by
+    // signed arithmetic (no rescan even for hot keys), min/max by a
+    // rescan bounded to the deleted keys' base slice. Deletes target
+    // only two of the five priorities, so BOTH maintenance paths are
+    // live: three groups fold state⊕inserts monotonically, two rebuild
+    // min/max from the affected-key slice. Oracle = full recompute over
+    // the post-delta base, so any drift in the signed algebra (ghost
+    // group at n=0, stale min after retracting it) is a hash failure.
+    "q_ivm_agg_retract" -> QueryDef(
+      "Aggregate-view IVM with deletes: signed merge + bounded min/max rescan == rebuild",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val keys = Seq("o_orderpriority")
+        val ms = Seq("cents")
+        val snapshot = orders.filter(pmod(col("o_orderkey"), lit(10L)) =!= 7L)
+        val inserts = orders.filter(pmod(col("o_orderkey"), lit(10L)) === 7L)
+        val isDeleted = pmod(col("o_orderkey"), lit(10L)) === 3L &&
+          col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")
+        val deletes = snapshot.filter(isDeleted)
+        val postBase = orders.filter(!isDeleted)
+        IncrementalAgg.retractMerge(
+            IncrementalAgg.toState(snapshot, keys, ms), inserts, deletes,
+            postBase, keys, ms)
+          .select(col("o_orderpriority"), col("n"),
+            col("sum_cents"), col("min_cents"), col("max_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS min_cents,
+             |  MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS max_cents
+             |FROM orders
+             |WHERE NOT (o_orderkey % 10 = 3
+             |           AND o_orderpriority IN ('1-URGENT', '3-MEDIUM'))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // A4 — COUNT(DISTINCT) beside other aggs + HAVING (README.md:211).
     "q_having_distinct" -> QueryDef(
       "countDistinct with HAVING filter; Catalyst RewriteDistinctAggregates",

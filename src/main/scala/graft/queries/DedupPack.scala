@@ -69,6 +69,28 @@ object DedupPack extends QueryPack {
        |WHERE r.is_new ORDER BY r.doc_id""".stripMargin
   }
 
+  /** Exact 3-gram Jaccard ≥ 0.3 pairs — shared by dedup_ngram_jaccard
+    * and dedup_jaccard_prefix: two engine plans (inverted-index join vs
+    * prefix-filtered join), one ground truth.
+    */
+  private val exactJaccardPairsOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM d),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
+      |FROM p WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
 
     "dedup_exact" -> QueryDef(
@@ -219,22 +241,18 @@ object DedupPack extends QueryPack {
       (s, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
           .orderBy("doc_a", "doc_b"),
-      Some("""WITH d AS (
-             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
-             |  FROM documents),
-             |s AS (
-             |  SELECT doc_id,
-             |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
-             |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
-             |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
-             |  FROM d),
-             |p AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-             |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-             |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
-             |FROM p WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(exactJaccardPairsOracle)),
+
+    // Same exact-pairs contract as dedup_ngram_jaccard (the oracle is
+    // literally shared — prefix filtering is LOSSLESS), but candidates
+    // meet only on each doc's rarest shingles, so the join never rides
+    // the hot boilerplate keys that make Σ df² explode at corpus scale.
+    "dedup_jaccard_prefix" -> QueryDef(
+      "3-gram Jaccard >= 0.3 via prefix-filtered similarity join (lossless, exact-verified)",
+      (s, dir) =>
+        Dedup.jaccardPrefixPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+          .orderBy("doc_a", "doc_b"),
+      Some(exactJaccardPairsOracle)),
 
     // Boilerplate detector: the highest-document-frequency shingles are
     // the repeated headers/footers/templates a training pipeline strips

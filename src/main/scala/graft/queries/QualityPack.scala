@@ -147,6 +147,67 @@ object QualityPack extends QueryPack {
              |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
              |ORDER BY scope""".stripMargin)),
 
+    // Theta-sketch set algebra: HLL's rollup answers |A| and |A∪B| only;
+    // Theta retains a hash sample, so INTERSECTIONS and DIFFERENCES
+    // compose too — per-type user sketches built in one pass
+    // (per-partition imperative map-side combine, typed union
+    // Aggregator), pairwise A∩B / A∪B / A∖B evaluated over the finished
+    // |types| sketches driver-side (bounded metadata, the pivot-domain
+    // posture). Self-checking like sketch_hll_rollup: exact pair stats
+    // ride beside 5%-bound booleans the oracle expects literally TRUE —
+    // at lgK=12 the sketches stay in exact mode at every test SF, so
+    // the verdicts are partitioning-stable. At 100 TB the exact columns
+    // drop and the sketch algebra IS the overlap matrix — the
+    // q_audience_overlap answer without its per-user pair explode.
+    "sketch_theta_overlap" -> QueryDef(
+      "Per-type Theta user sketches: pairwise intersect/union/difference within 5% of exact",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+        val sk = graft.ext.ThetaSketches.keyedSketches(ev, "event_type", "user_id")
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        val d = ev.distinct()
+        val counts = d.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val inter = d.select(col("event_type").as("type_a"), col("user_id"))
+          .join(d.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter"))
+        val exact = inter
+          .join(counts.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+          .join(counts.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_inter"), (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+          .collect() // ≤ |types|·(|types|−1)/2 rows — bounded by the type domain
+        import s.implicits._
+        val withVerdicts = exact.toSeq.map { r =>
+          val (ta, tb) = (r.getString(0), r.getString(1))
+          def ok(est: Double, ex: Long): Boolean = math.abs(est - ex) <= ex * 0.05
+          (ta, tb, r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            ok(graft.ext.ThetaSketches.intersectionEstimate(sk(ta), sk(tb)), r.getLong(4)),
+            ok(graft.ext.ThetaSketches.unionEstimate(sk(ta), sk(tb)), r.getLong(5)),
+            ok(graft.ext.ThetaSketches.differenceEstimate(sk(ta), sk(tb)),
+              r.getLong(2) - r.getLong(4)))
+        }
+        withVerdicts
+          .toDF("type_a", "type_b", "n_a", "n_b", "n_inter", "n_union",
+            "inter_ok", "union_ok", "diff_ok")
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+             |c AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type),
+             |i AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    COUNT(*) AS n_inter
+             |  FROM d a JOIN d b ON a.user_id = b.user_id
+             |   AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_inter,
+             |  ca.n + cb.n - n_inter AS n_union,
+             |  TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+             |FROM i
+             |JOIN c ca ON ca.event_type = type_a
+             |JOIN c cb ON cb.event_type = type_b
+             |ORDER BY type_a, type_b""".stripMargin)),
+
     // Optimizer-rule approximate query processing: COUNT(DISTINCT
     // approx_hint(c)) is rewritten AT OPTIMIZATION TIME into the native
     // HyperLogLog++ aggregate (graft.plans.ApproxDistinctRewrite, a

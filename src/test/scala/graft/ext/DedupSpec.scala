@@ -226,6 +226,35 @@ class DedupSpec extends AnyFunSuite {
     assert(tight.subsetOf(exact))
   }
 
+  test("prefix-filtered jaccard join: identical rows to the inverted-index join") {
+    val docs = Tables.documents(spark, sf)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rowSet(Dedup.ngramJaccardPairs(docs, 3, 0.3))
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    // lossless: prefix filtering must reproduce the exact pair set —
+    // scores included — not just a high-recall subset
+    assert(rowSet(Dedup.jaccardPrefixPairs(docs, 3, 0.3)) == exact)
+  }
+
+  test("prefix-filtered jaccard join: hot shingles stay out of the candidate join") {
+    // 6 docs sharing one boilerplate shingle ("the same header") but
+    // otherwise disjoint: the inverted-index join would put all 6 in one
+    // bucket (15 candidate pairs); the frequency-ordered prefix keeps
+    // only rare shingles, so no candidate pair forms at all
+    val docs = (1L to 6L).map(i =>
+      (i, s"the same header u$i v$i w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPrefixPairs(docs, 3, 0.3)
+    assert(out.count() == 0)
+    // and a genuine near-dup pair still meets through its rare prefix
+    val docs2 = docs.union(Seq(
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (8L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text"))
+    val pairs = Dedup.jaccardPrefixPairs(docs2, 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((7L, 8L)))
+  }
+
   test("connected components: self-loop pairs label the node on both paths") {
     val pairs = Seq((7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
     def asMap(df: org.apache.spark.sql.DataFrame) =

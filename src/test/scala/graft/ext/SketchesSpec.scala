@@ -68,4 +68,39 @@ class SketchesSpec extends AnyFunSuite {
       df.orderBy("row", "bucket").collect().map(_.toSeq).toSeq
     assert(canon(merged) == canon(whole))
   }
+
+  test("theta keyed sketches: exact-mode estimates equal exact distincts per key") {
+    import spark.implicits._
+    // 3 keys with known distinct sets, duplicates included
+    val rows = (1 to 500).map(i => ("a", s"u${i % 100}")) ++
+      (1 to 300).map(i => ("b", s"u${i % 50}")) ++
+      Seq(("c", "u1"), ("c", "u1"))
+    val sk = ThetaSketches.keyedSketches(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(math.round(ThetaSketches.estimate(sk("a"))) == 100L)
+    assert(math.round(ThetaSketches.estimate(sk("b"))) == 50L)
+    assert(math.round(ThetaSketches.estimate(sk("c"))) == 1L)
+    // set algebra: b's users {u0..u49} ⊂ a's {u0..u99}
+    assert(math.round(ThetaSketches.intersectionEstimate(sk("a"), sk("b"))) == 50L)
+    assert(math.round(ThetaSketches.unionEstimate(sk("a"), sk("b"))) == 100L)
+    assert(math.round(ThetaSketches.differenceEstimate(sk("a"), sk("b"))) == 50L)
+    assert(math.round(ThetaSketches.differenceEstimate(sk("b"), sk("a"))) == 0L)
+  }
+
+  test("theta union aggregator: split-build union equals whole-set sketch; estimating mode bounded") {
+    import spark.implicits._
+    // 20k distinct values saturate lgK=12 into estimating mode
+    val vals = (1 to 20000).map(i => ("k", s"v$i"))
+    val whole = ThetaSketches.keyedSketches(vals.toDF("k", "v"), "k", "v")
+      .collect().head.getAs[Array[Byte]](1)
+    val est = ThetaSketches.estimate(whole)
+    assert(math.abs(est - 20000.0) <= 20000.0 * 0.05,
+      s"theta estimate $est off by more than 5% at 20k distinct")
+    // mergeability: union of two half-corpus sketches estimates the same set
+    val halves = vals.zipWithIndex.map { case ((k, v), i) => (s"h${i % 2}", v) }
+    val hs = ThetaSketches.keyedSketches(halves.toDF("k", "v"), "k", "v")
+      .collect().map(_.getAs[Array[Byte]](1))
+    val merged = ThetaSketches.unionEstimate(hs(0), hs(1))
+    assert(math.abs(merged - 20000.0) <= 20000.0 * 0.05)
+  }
 }

@@ -51,4 +51,41 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(c.getLong(1) == 2L && c.getLong(2) == 4L &&
       c.getLong(3) == 4L && c.getLong(4) == 4L)
   }
+
+  test("retractMerge: deletes + inserts maintained == rebuild; fully-deleted group vanishes") {
+    import spark.implicits._
+    val base = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 40L), ("b", 5L, 50L),
+      ("c", 6L, 60L)).toDF("k", "id", "x")
+    // delete a's current MAX (30) and one of b's rows… and ALL of c
+    val deletes = base.filter(col("id").isin(3L, 5L, 6L))
+    val inserts = Seq(("a", 7L, 5L), ("d", 8L, 80L)).toDF("k", "id", "x")
+    val postBase = base.join(deletes, Seq("id"), "left_anti").unionByName(inserts)
+    val out = IncrementalAgg.retractMerge(
+      IncrementalAgg.toState(base, keys, ms), inserts, deletes, postBase, keys, ms)
+    val rebuild = IncrementalAgg.toState(postBase, keys, ms)
+    assert(canon(out.select(rebuild.columns.map(col): _*)) == canon(rebuild))
+    val byKey = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: max fell from 30 to 20 (retraction repaired from the rescan),
+    //    min fell to the inserted 5 — both movements visible
+    assert(byKey("a") == ((3L, 35L, 5L, 20L)))
+    assert(byKey("b") == ((1L, 40L, 40L, 40L)))
+    assert(!byKey.contains("c")) // n hit 0 → group gone, no ghost row
+    assert(byKey("d") == ((1L, 80L, 80L, 80L)))
+  }
+
+  test("retractMerge with no deletes degenerates to the plain insert merge") {
+    import spark.implicits._
+    val base = Seq(("a", 10L), ("b", 20L)).toDF("k", "x")
+    val inserts = Seq(("a", 5L), ("c", 7L)).toDF("k", "x")
+    val out = IncrementalAgg.retractMerge(
+      IncrementalAgg.toState(base, keys, ms), inserts,
+      inserts.limit(0), base.unionByName(inserts), keys, ms)
+    val plain = IncrementalAgg.merge(
+      IncrementalAgg.toState(base, keys, ms),
+      IncrementalAgg.toState(inserts, keys, ms), keys, ms)
+    assert(canon(out.select(plain.columns.map(col): _*)) == canon(plain))
+  }
 }

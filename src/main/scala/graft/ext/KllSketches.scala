@@ -1,0 +1,80 @@
+package graft.ext
+
+import scala.collection.mutable
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KLL quantile sketches (DataSketches) — mergeable QUANTILES, the piece
+  * of the sketch family (HLL distinct / CMS frequency / Theta set-ops)
+  * that answers "what is p99 latency per service" over 100 TB in one
+  * pass: exact quantiles need a global sort or a full value shuffle per
+  * group; a KLL sketch is a few KB per key, builds map-side, and merges
+  * associatively across partitions, days, and clusters.
+  *
+  * Same two-level build as [[ThetaSketches]]: one imperative pass folds
+  * rows into a bounded per-key sketch map per partition, then the
+  * serialized partials union via a typed Aggregator. KLL compaction is
+  * RANDOMIZED (the published algorithm's coin flips), so estimates may
+  * vary run to run WITHIN the guaranteed rank-error envelope — catalog
+  * queries therefore emit exact values beside rank-error-bound booleans
+  * (the sketch_hll_rollup posture), never raw estimates.
+  */
+object KllSketches {
+
+  /** One KLL sketch of `valCol` (cast to double) per `keyCol` value.
+    * Output: (`keyCol` string, `sk` binary). k=200 gives ~1.65%
+    * normalized rank error at 99% confidence.
+    */
+  def keyedSketches(df: DataFrame, keyCol: String, valCol: String, k: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new KllMergeAggregator(k)
+    df.select(col(keyCol).cast("string"), col(valCol).cast("double"))
+      .as[(String, Option[Double])]
+      .mapPartitions { it =>
+        val perKey = mutable.HashMap.empty[String, KllDoublesSketch]
+        it.foreach { case (key, v) =>
+          if (key != null && v.isDefined)
+            perKey.getOrElseUpdate(key, KllDoublesSketch.newHeapInstance(k)).update(v.get)
+        }
+        perKey.iterator.map { case (key, sk) => (key, sk.toByteArray) }
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sk"))
+      .toDF(keyCol, "sk")
+  }
+
+  def quantile(bytes: Array[Byte], rank: Double): Double =
+    KllDoublesSketch.heapify(Memory.wrap(bytes)).getQuantile(rank)
+
+  def rankOf(bytes: Array[Byte], value: Double): Double =
+    KllDoublesSketch.heapify(Memory.wrap(bytes)).getRank(value)
+}
+
+/** Associative merge of serialized KLL sketches — same typed-Aggregator
+  * shape as [[ThetaUnionAggregator]].
+  */
+class KllMergeAggregator(k: Int = 200)
+    extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+
+  private def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val m = KllDoublesSketch.heapify(Memory.wrap(a))
+    m.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+    m.toByteArray
+  }
+
+  override def zero: Array[Byte] = Array.emptyByteArray
+  override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = merge2(buf, in)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = merge2(a, b)
+  override def finish(r: Array[Byte]): Array[Byte] =
+    if (r.isEmpty) KllDoublesSketch.newHeapInstance(k).toByteArray else r
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}

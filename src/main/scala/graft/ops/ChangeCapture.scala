@@ -40,4 +40,32 @@ object ChangeCapture {
             when(col("src._src_present"), col(s"src.$c"))
               .otherwise(col(s"t.$c")).as(c)): _*)
   }
+
+  /** Ordered CDC-log REPLAY: compact a change log of (key, seq, op,
+    * payload…) rows — multiple ops per key, I/U/D interleaved — to the
+    * final table state: the HIGHEST-`seqCol` row per key wins whole-row
+    * (last-writer-wins), and wins of op `D` drop the key. `seqCol` must
+    * be a total order within each key (a log sequence number / CDC LSN);
+    * ties would make "last" undefined.
+    *
+    * The scale shape is ONE hash shuffle on the key with a map-side
+    * partial `max_by` — the log is never sorted and no per-key window
+    * runs: each task keeps one candidate row per key, so compacting a
+    * billion-row day of changes costs |log| scan + |keys| state. This is
+    * the log-compaction half of the CDC story; [[applyMerge]] is the
+    * apply-one-batch half, and [[graft.ops.IncrementalAgg.retractMerge]]
+    * maintains downstream aggregates from the same deltas.
+    */
+  def applyLog(
+      log: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String = "op"): DataFrame = {
+    val valueCols = log.columns.filterNot(keyCols.contains)
+    log.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), col(seqCol)).as("_last"))
+      .select(keyCols.map(col) ++ valueCols.map(c => col(s"_last.$c").as(c)): _*)
+      .filter(col(opCol) =!= "D")
+      .drop(opCol, seqCol)
+  }
 }

@@ -596,6 +596,44 @@ object JoinPack extends QueryPack {
              |FROM lineitem
              |WHERE l_orderkey = 1000 AND l_orderkey % 4 = 0""".stripMargin)),
 
+    // Ordered CDC-log replay (ops/ChangeCapture.applyLog): a change log
+    // with MULTIPLE ops per key — insert, then update for every third
+    // key, then delete for every fifth — compacted to final state by
+    // last-writer-wins on the log sequence number. No sort and no
+    // per-key window: one hash shuffle with map-side partial max_by,
+    // |log| scan + |keys| state at any scale. The fixture ops are key
+    // arithmetic, so the oracle computes the final state directly —
+    // a replay that resurrects a deleted key, misses an update, or
+    // picks a stale version fails the hash gate.
+    "q_cdc_apply" -> QueryDef(
+      "CDC log (I then U then D per key) replayed last-writer-wins == direct final state",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        def batch(seq: Long, op: String) = Seq(lit(seq).as("seq"), lit(op).as("op"))
+        val ins = o.select(
+          col("o_orderkey") +: batch(1L, "I") :+ col("cents") :+ col("o_orderpriority"): _*)
+        val upd = o.filter(pmod(col("o_orderkey"), lit(3L)) === 0L).select(
+          col("o_orderkey") +: batch(2L, "U") :+
+            (col("cents") + 1000L).as("cents") :+ col("o_orderpriority"): _*)
+        val del = o.filter(pmod(col("o_orderkey"), lit(5L)) === 0L).select(
+          col("o_orderkey") +: batch(3L, "D") :+
+            lit(null).cast("long").as("cents") :+ col("o_orderpriority"): _*)
+        graft.ops.ChangeCapture.applyLog(
+            ins.unionByName(upd).unionByName(del), Seq("o_orderkey"), "seq")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN o_orderkey % 3 = 0
+             |    THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 1000
+             |    ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END)
+             |    AS BIGINT) AS sum_cents
+             |FROM orders WHERE o_orderkey % 5 <> 0
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Full MERGE application (the lakehouse MERGE INTO shape): one pass
     // applies a change feed carrying updates, inserts, AND deletes to a
     // target — FULL OUTER on the key, then per-row resolution: delete

@@ -147,6 +147,66 @@ object QualityPack extends QueryPack {
              |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
              |ORDER BY scope""".stripMargin)),
 
+    // Mergeable-QUANTILE rollup — the KLL complement of sketch_hll_rollup:
+    // per-type value sketches built map-side (bounded per-partition
+    // sketch maps, typed merge Aggregator), then UNIONED up to the
+    // global distribution — the "p99 per service AND fleet-wide" answer
+    // that exact quantiles need a per-group value sort for. KLL
+    // compaction is randomized, so the query emits EXACT interpolated
+    // quantiles beside rank-interval booleans (estimate must land inside
+    // the exact ±5%-rank value interval — 3× the sketch's 99% envelope
+    // at k=200), the q_approx_quantile gating pattern; the oracle
+    // expects literal TRUE.
+    "sketch_kll_rollup" -> QueryDef(
+      "Per-type KLL value-quantile sketches merged to the global distribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val sk = graft.ext.KllSketches.keyedSketches(ev, "event_type", "value")
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        val global = sk.values.reduce { (a, b) =>
+          val m = org.apache.datasketches.kll.KllDoublesSketch
+            .heapify(org.apache.datasketches.memory.Memory.wrap(a))
+          m.merge(org.apache.datasketches.kll.KllDoublesSketch
+            .heapify(org.apache.datasketches.memory.Memory.wrap(b)))
+          m.toByteArray
+        }
+        import s.implicits._
+        val est = (sk + ("ALL" -> global)).toSeq.map { case (t, b) =>
+          (t, graft.ext.KllSketches.quantile(b, 0.5),
+            graft.ext.KllSketches.quantile(b, 0.9))
+        }.toDF("scope", "a50", "a90")
+        val aggs = Seq(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90_exact"),
+          expr("percentile(value, 0.45)").as("lo50"),
+          expr("percentile(value, 0.55)").as("hi50"),
+          expr("percentile(value, 0.85)").as("lo90"),
+          expr("percentile(value, 0.95)").as("hi90"))
+        val perType = ev.groupBy(col("event_type").as("scope"))
+          .agg(aggs.head, aggs.tail: _*)
+        val allRow = ev.agg(aggs.head, aggs.tail: _*)
+          .select(lit("ALL").as("scope"), col("*"))
+        perType.unionByName(allRow)
+          .join(broadcast(est), "scope")
+          .select(col("scope"), col("n"), col("p50_exact"), col("p90_exact"),
+            (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
+            (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_ok"))
+          .orderBy("scope")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT event_type AS scope, COUNT(*) AS n,
+             |    ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+             |    ROUND(quantile_cont(value, 0.9), 4) AS p90_exact,
+             |    TRUE AS p50_ok, TRUE AS p90_ok
+             |  FROM events GROUP BY event_type
+             |  UNION ALL
+             |  SELECT 'ALL', COUNT(*),
+             |    ROUND(quantile_cont(value, 0.5), 4),
+             |    ROUND(quantile_cont(value, 0.9), 4), TRUE, TRUE
+             |  FROM events)
+             |ORDER BY scope""".stripMargin)),
+
     // Theta-sketch set algebra: HLL's rollup answers |A| and |A∪B| only;
     // Theta retains a hash sample, so INTERSECTIONS and DIFFERENCES
     // compose too — per-type user sketches built in one pass

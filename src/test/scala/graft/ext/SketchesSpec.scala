@@ -87,6 +87,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.round(ThetaSketches.differenceEstimate(sk("b"), sk("a"))) == 0L)
   }
 
+  test("kll keyed sketches: rank error within the k=200 envelope; merge preserves it") {
+    import spark.implicits._
+    // 10k uniform values per key — deep into estimating mode for k=200
+    val rows = (1 to 10000).flatMap(i => Seq(("a", i.toDouble), ("b", (i * 2).toDouble)))
+    val sk = KllSketches.keyedSketches(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    // true p50 of a = 5000.5, p90 = 9000.x; rank of the estimate must sit
+    // within ±5% of the target rank (3x the sketch's 99% bound)
+    for ((key, p) <- Seq(("a", 0.5), ("a", 0.9), ("b", 0.5))) {
+      val est = KllSketches.quantile(sk(key), p)
+      val rank = KllSketches.rankOf(sk(key), est)
+      assert(math.abs(rank - p) <= 0.05, s"$key p$p: est $est at rank $rank")
+      // and against the TRUE distribution (uniform: value/10000 per step)
+      val trueRank = if (key == "a") est / 10000.0 else est / 20000.0
+      assert(math.abs(trueRank - p) <= 0.05, s"$key p$p: est $est trueRank $trueRank")
+    }
+    // merged a∪b quantile stays in envelope: p50 of {1..10k}∪{2,4..20k}
+    val m = org.apache.datasketches.kll.KllDoublesSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(sk("a")))
+    m.merge(org.apache.datasketches.kll.KllDoublesSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(sk("b"))))
+    val p50 = m.getQuantile(0.5)
+    // exact combined p50 ≈ 6667 (below x: x/1 + x/2 values ≤ x → 1.5x/30k = 0.5)
+    assert(math.abs(p50 - 6667.0) <= 20000 * 0.05 * 1.5, s"merged p50 $p50")
+  }
+
   test("theta union aggregator: split-build union equals whole-set sketch; estimating mode bounded") {
     import spark.implicits._
     // 20k distinct values saturate lgK=12 into estimating mode

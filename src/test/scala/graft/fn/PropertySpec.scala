@@ -123,6 +123,27 @@ class PropertySpec extends AnyFunSuite {
     assert(out == Map(1L -> None, 2L -> Some(20L)))
   }
 
+  test("CDC log replay: last writer wins per key, deletes drop, reinserts resurrect") {
+    // random op sequences per key — applyLog must agree with the
+    // reference fold (sort by seq, take last, drop 'D')
+    val ops = samples(Gen.zip(Gen.chooseNum(0L, 60L), Gen.oneOf("I", "U", "D")), 400)
+    val log = ops.zipWithIndex.map { case ((k, op), i) =>
+      (k, i.toLong, op, k * 1000 + i) }.toDF("k", "seq", "op", "v")
+    val out = graft.ops.ChangeCapture.applyLog(log, Seq("k"), "seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ops.zipWithIndex
+      .map { case ((k, op), i) => (k, i.toLong, op, k * 1000 + i) }
+      .groupBy(_._1).view
+      .mapValues(_.maxBy(_._2)).toMap
+      .collect { case (k, (_, _, op, v)) if op != "D" => k -> v }
+    assert(out == expected.toMap)
+    // delete-then-reinsert resurrects with the NEW payload
+    val resur = Seq((9L, 1L, "I", 1L), (9L, 2L, "D", 0L), (9L, 3L, "I", 7L))
+      .toDF("k", "seq", "op", "v")
+    val r = graft.ops.ChangeCapture.applyLog(resur, Seq("k"), "seq").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 9L && r.head.getLong(1) == 7L)
+  }
+
   test("pseudonymization is stable, collision-free, and unlinkable across secrets") {
     val ids = samples(Gen.chooseNum(0L, 5000000L), 500).distinct
     // stability across INDEPENDENT evaluations (two separate jobs over

@@ -191,37 +191,42 @@ object Dedup {
     * candidate pairs.
     */
   def jaccardPrefixPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // counts / df / prefix / verify all re-read the shingle stream:
-    // materialize it once (same posture as the capped path above)
-    val rows = shingleRows(docs, n).localCheckpoint()
-    val counts = rows.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Shingles collapse to the portable 60-bit hash FIRST (8-byte keys
+    // through every shuffle instead of ~30-byte strings — the
+    // dedup_source_overlap economy; the oracle replays the identical
+    // md5-derived hash, so parity stays bit-exact).
+    val rows = shingleRows(docs, n)
+      .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("sh"))
+      .distinct()
     val dfTab = rows.groupBy("sh").agg(count(lit(1)).as("df"))
-    // total order (df asc, sh asc): rare shingles first; ties broken
-    // lexically so the order — and thus the candidate set — is
-    // deterministic under any shuffle parallelism
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val prefix = rows.join(dfTab, Seq("sh"))
-      .withColumn("r", row_number().over(byRarity))
-      .join(counts, Seq("doc_id"))
-      .filter(col("r") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
-      .select("doc_id", "sh")
+    // ONE doc-keyed shuffle builds everything per-doc: the full hashed
+    // set (bounded by document length) rarity-SORTED (df asc, sh asc —
+    // ties broken by the hash so the candidate set is deterministic
+    // under any parallelism; a doc-bounded array sort, never a
+    // WindowExec), plus its prefix slice. The tiny per-doc frame — not
+    // the shingle stream — is what gets materialized for reuse.
+    val perDoc = rows.join(dfTab, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("sh"))).as("a"))
+      .select(col("doc_id"),
+        expr("transform(array_sort(a), x -> x.sh)").as("hs"),
+        expr(s"transform(slice(array_sort(a), 1," +
+          s" size(a) - ceil($threshold * size(a)) + 1), x -> x.sh)").as("pre"))
+      .cache()
+    val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
     val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // exact verify over candidates only: expand doc_a's shingles, probe
-    // doc_b's (doc_id, sh) rows — intersection counted, never guessed
-    val inter = cand
-      .join(rows.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(rows.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"),
-        Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-      .withColumn("jac", jaccardFromCounts(col("n_inter"), col("n_a"), col("n_b")))
+    // exact verify MAP-SIDE: candidates broadcast-join the two per-doc
+    // hashed-set arrays and intersect in place — no shuffle touches the
+    // shingle stream again
+    cand
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("jac", jaccardFromCounts(
+        size(array_intersect(col("hs_a"), col("hs_b"))),
+        size(col("hs_a")), size(col("hs_b"))))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }

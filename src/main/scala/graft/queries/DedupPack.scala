@@ -69,27 +69,55 @@ object DedupPack extends QueryPack {
        |WHERE r.is_new ORDER BY r.doc_id""".stripMargin
   }
 
-  /** Exact 3-gram Jaccard ≥ 0.3 pairs — shared by dedup_ngram_jaccard
-    * and dedup_jaccard_prefix: two engine plans (inverted-index join vs
-    * prefix-filtered join), one ground truth.
+  /** Exact 3-gram Jaccard ≥ threshold pairs — shared ground truth for
+    * dedup_ngram_jaccard (τ=0.3) and dedup_jaccard_prefix (τ=0.8): two
+    * engine plans, one oracle shape.
     */
-  private val exactJaccardPairsOracle: String =
-    """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
-      |  FROM documents),
-      |s AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
-      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
-      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
-      |  FROM d),
-      |p AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
-      |FROM p WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+  private def exactJaccardPairsOracle(threshold: Double): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+       |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+       |  FROM d),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
+       |FROM p WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact Jaccard over the hashed (60-bit md5) shingle sets — the
+    * contract [[Dedup.jaccardPrefixPairs]] serves: 8-byte keys ride the
+    * engine's shuffles, and DuckDB replays the identical hash so parity
+    * is bit-exact (the dedup_minhash_* oracles' H60 convention).
+    */
+  private def hashedJaccardPairsOracle(threshold: Double): String = {
+    val H60 = "CAST(('0x'||substring(md5(g),1,15)) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+       |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+       |  FROM d),
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list_transform(sh, g -> $H60)) AS h
+       |  FROM s),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.h, b.h))::DOUBLE /
+       |      (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jac
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
+       |FROM p WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   def queries: Map[String, QueryDef] = Map(
 
@@ -241,18 +269,22 @@ object DedupPack extends QueryPack {
       (s, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
           .orderBy("doc_a", "doc_b"),
-      Some(exactJaccardPairsOracle)),
+      Some(exactJaccardPairsOracle(0.3))),
 
     // Same exact-pairs contract as dedup_ngram_jaccard (the oracle is
     // literally shared — prefix filtering is LOSSLESS), but candidates
     // meet only on each doc's rarest shingles, so the join never rides
     // the hot boilerplate keys that make Σ df² explode at corpus scale.
+    // τ=0.8 is the technique's operating point (prefix length
+    // |x|−⌈τ|x|⌉+1 ≈ 0.2|x|; at τ=0.3 the prefix is 70% of the doc and
+    // the filter buys nothing) — and the threshold near-dup dedup
+    // actually runs at.
     "dedup_jaccard_prefix" -> QueryDef(
-      "3-gram Jaccard >= 0.3 via prefix-filtered similarity join (lossless, exact-verified)",
+      "3-gram Jaccard >= 0.8 via prefix-filtered similarity join (lossless, exact-verified)",
       (s, dir) =>
-        Dedup.jaccardPrefixPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+        Dedup.jaccardPrefixPairs(Tables.documents(s, dir), n = 3, threshold = 0.8)
           .orderBy("doc_a", "doc_b"),
-      Some(exactJaccardPairsOracle)),
+      Some(hashedJaccardPairsOracle(0.8))),
 
     // Boilerplate detector: the highest-document-frequency shingles are
     // the repeated headers/footers/templates a training pipeline strips

@@ -18,6 +18,41 @@ object WindowPack extends QueryPack {
 
   def queries: Map[String, QueryDef] = Map(
 
+    // Grouped top-k through the typed bounded Aggregator
+    // (ext/TopKAggregator) instead of a window: partial buffers hold at
+    // most k (score, id) pairs and merge map-side, so the shuffle
+    // carries |groups|×k rows and NO per-partition sort runs — the
+    // scale alternative to row_number() ≤ k, which sorts every group's
+    // full candidate set. The oracle IS the window formulation, so the
+    // hash gate proves the aggregator's (score desc, id asc) tie-break
+    // is exactly the window's ordering.
+    "q_topk_aggregator" -> QueryDef(
+      "Top-3 orders by price per priority via the typed bounded top-k Aggregator",
+      (s, dir) => {
+        import s.implicits._
+        val agg = new graft.ext.TopKAggregator(3)
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3.toDouble))
+          .agg(agg.toColumn.name("top"))
+          .flatMap { case (p, top) =>
+            top.zipWithIndex.map { case ((score, id), i) =>
+              (p, (i + 1).toLong, id, score.toLong) }
+          }
+          .toDF("o_orderpriority", "rk", "o_orderkey", "cents")
+          .orderBy("o_orderpriority", "rk")
+      },
+      Some("""SELECT o_orderpriority, rk, o_orderkey, cents FROM (
+             |  SELECT o_orderpriority, o_orderkey,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY ROUND(o_totalprice * 100, 0) DESC, o_orderkey ASC) AS rk
+             |  FROM orders)
+             |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin)),
+
     // EWMA (exponential smoothing) per user over the trailing 8-event
     // frame: s' = α·x + (1−α)·s seeded with the frame's first value.
     // There is no closed-form window aggregate for EWMA, so the frame is

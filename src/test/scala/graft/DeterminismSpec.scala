@@ -39,6 +39,9 @@ class DeterminismSpec extends AnyFunSuite {
     "train_split_grouped",  // md5 bucket split
     "retrieval_hybrid_rrf", // two rank lists + fusion tie-breaks
     "sketch_hll_rollup",    // datasketches HLL build + union
+    "sketch_kll_rollup",    // randomized KLL compaction behind rank-interval booleans
+    "sketch_theta_overlap", // theta set algebra over per-partition builds
+    "dedup_jaccard_prefix", // frequency-ordered prefixes + exact verify
     "graph_triangles",      // materialized-index build on first run, serve on second
     "q_fileskip_agg",       // index build + boundary-file residual
     "q_compact_roundtrip")  // in-place rewrite on first run, plain read after

@@ -147,6 +147,74 @@ object QualityPack extends QueryPack {
              |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
              |ORDER BY scope""".stripMargin)),
 
+    // Chi-squared independence test between two categoricals (event
+    // type × day-of-week) — the drift/association probe behind "did the
+    // traffic mix change": contingency CELLS are exact integer counts
+    // (one partial+final aggregate absorbs the fact table; everything
+    // after is |types|×|days-of-week| ≤ 35 rows), the zero cells are
+    // DENSIFIED from the margin cross product (a missing (t,d) cell
+    // still contributes (0−e)²/e), each term is computed from exact
+    // integer products ((oN−rc)²/(rcN) — one double division per cell),
+    // and the statistic folds in (t,d) order so the double accumulates
+    // identically in both engines and under any partitioning.
+    "q_chi_square" -> QueryDef(
+      "Chi-squared independence of event_type x day-of-week + Cramer's V",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type").as("t"), (dayofweek(col("ts")) - 1).as("d"))
+        val cells = ev.groupBy("t", "d").agg(count(lit(1)).as("o"))
+        val rowT = cells.groupBy("t").agg(sum("o").as("r"))
+        val colT = cells.groupBy("d").agg(sum("o").as("c"))
+        val tot = cells.agg(sum("o").as("n"),
+          count_distinct(col("t")).as("nt"), count_distinct(col("d")).as("nd"))
+        val dense = rowT.crossJoin(colT) // |types|×|dows| margin grid
+          .join(cells, Seq("t", "d"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("term",
+            pow((col("o") * col("n") - col("r") * col("c")).cast("double"), 2) /
+              ((col("r") * col("c")).cast("double") * col("n").cast("double")))
+        dense
+          .agg(first("n").as("nn"), first("nt").as("nt"), first("nd").as("nd"),
+            count(lit(1)).as("n_cells"),
+            sort_array(collect_list(struct(col("t"), col("d"), col("term")))).as("arr"))
+          .withColumn("chi2", expr(
+            "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"))
+          .select(col("nn").cast("long").as("n_rows"), col("n_cells"),
+            ((col("nt") - 1) * (col("nd") - 1)).as("dof"),
+            round(col("chi2"), 4).as("chi2"),
+            round(sqrt(col("chi2") /
+              (col("nn") * least(col("nt") - 1, col("nd") - 1)).cast("double")), 4)
+              .as("cramers_v"))
+      },
+      Some("""WITH e AS (SELECT event_type AS t, dayofweek(ts) AS d FROM events),
+             |cells AS (SELECT t, d, COUNT(*) AS o FROM e GROUP BY 1, 2),
+             |rt AS (SELECT t, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY t),
+             |ct AS (SELECT d, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY d),
+             |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             |               COUNT(DISTINCT t) AS nt, COUNT(DISTINCT d) AS nd
+             |        FROM cells),
+             |dense AS (
+             |  SELECT rt.t, ct.d, r, c, COALESCE(o, 0) AS o
+             |  FROM rt CROSS JOIN ct LEFT JOIN cells USING (t, d)),
+             |terms AS (
+             |  SELECT t, d,
+             |    POW(CAST(o * n - r * c AS DOUBLE), 2) /
+             |      (CAST(r * c AS DOUBLE) * CAST(n AS DOUBLE)) AS term
+             |  FROM dense, tot),
+             |agg AS (
+             |  SELECT COUNT(*) AS n_cells,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(term ORDER BY t, d)), (acc, x) -> acc + x) AS chi2
+             |  FROM terms)
+             |SELECT tot.n AS n_rows, agg.n_cells,
+             |  (tot.nt - 1) * (tot.nd - 1) AS dof,
+             |  ROUND(agg.chi2, 4) AS chi2,
+             |  ROUND(SQRT(agg.chi2 /
+             |    CAST(tot.n * LEAST(tot.nt - 1, tot.nd - 1) AS DOUBLE)), 4)
+             |    AS cramers_v
+             |FROM agg, tot""".stripMargin)),
+
     // Mergeable-QUANTILE rollup — the KLL complement of sketch_hll_rollup:
     // per-type value sketches built map-side (bounded per-partition
     // sketch maps, typed merge Aggregator), then UNIONED up to the

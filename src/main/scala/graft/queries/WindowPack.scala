@@ -452,6 +452,45 @@ object WindowPack extends QueryPack {
              |  ROUND(MIN(value), 2) AS bin_min, ROUND(MAX(value), 2) AS bin_max
              |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
 
+    // EQUI-DEPTH histogram — q_histogram's complement (equal COUNT per
+    // bin, not equal width): interior boundaries are the exact
+    // interpolated octiles, broadcast as one 7-element array; bucket
+    // assignment is a map-side "how many boundaries sit below me"
+    // array scan. TWO linear passes, no global window — the naive
+    // ntile() formulation is an unpartitioned sort of the whole fact
+    // table through one task, precisely the single-partition hazard
+    // q_pareto_curve's prefix sum removed. Boundaries interpolate over
+    // INTEGER CENTS at DYADIC fractions (k/8): lo + (hi−lo)·frac is
+    // then exact in ANY evaluation order (integers × 2⁻³ powers, no
+    // rounding), so both engines compute bit-identical boundaries and
+    // a tie packet sitting ON a boundary lands on the same side —
+    // interpolating the raw doubles failed the sf0.001 gate by one ulp.
+    "q_histogram_equidepth" -> QueryDef(
+      "8-bin equi-depth value histogram off exact octile boundaries (no global sort)",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        val bounds = ev.agg(expr(
+          "percentile(cents, array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D))")
+          .as("bs"))
+        ev.crossJoin(broadcast(bounds))
+          .groupBy((size(expr("filter(bs, b -> cents > b)")) + 1).as("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(min("value"), 2).as("bin_min"), round(max("value"), 2).as("bin_max"))
+          .orderBy("bin")
+      },
+      Some("""WITH e AS (
+             |  SELECT value, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |b AS (
+             |  SELECT quantile_cont(cents,
+             |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+             |  FROM e)
+             |SELECT len(list_filter(bs, x -> cents > x)) + 1 AS bin,
+             |  COUNT(*) AS n,
+             |  ROUND(MIN(value), 2) AS bin_min, ROUND(MAX(value), 2) AS bin_max
+             |FROM e, b GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // Per-user event-type transition matrix (first-order Markov): LEAD
     // over each user's event-time order pairs every event with its
     // successor, one grouped count per (from, to), and the row-normalized
@@ -540,6 +579,66 @@ object WindowPack extends QueryPack {
              |       THEN ROUND((cents - mean_c) / SQRT(var_c), 4) ELSE 0.0 END AS z,
              |  var_c > 0 AND ABS(cents - mean_c) > 3 * SQRT(var_c) AS is_anomaly
              |FROM m ORDER BY event_type, day""".stripMargin)),
+
+    // Lag-k AUTOCORRELATION of the daily-revenue series — the
+    // seasonality probe every time-series pipeline runs before picking
+    // forecast features. The fact table reduces to one BIGINT-cents row
+    // per day FIRST (partial aggs absorb the events scan; everything
+    // after is date-bounded, ≤ |days| rows), then each lag's (x_t,
+    // x_{t+L}) pairs come from a date-shifted self-join of that tiny
+    // series. Pearson r rides EXACT decimal moment sums (n·Σxy − ΣxΣy
+    // etc. in DECIMAL(38,0) — bit-identical in any engine and under any
+    // partitioning); doubles appear only in the final sqrt/divide of
+    // two exact scalars, so the rounded r is deterministic.
+    "q_autocorr" -> QueryDef(
+      "Lag 1-7 autocorrelation of daily total cents (exact moment sums)",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+        val dec = "decimal(38,0)"
+        val pairs = (1 to 7).map { lag =>
+          daily.select(col("day"), col("x").as("xa"))
+            .join(daily.select(col("day").as("day_b"), col("x").as("xb")),
+              col("day_b") === date_add(col("day"), lag))
+            .select(lit(lag).as("lag"), col("xa"), col("xb"))
+        }.reduce(_ unionByName _)
+        pairs.groupBy("lag")
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("xa").cast(dec)).as("sx"), sum(col("xb").cast(dec)).as("sy"),
+            // cast BEFORE multiplying: long*long would overflow first at
+            // ~1e10 daily cents; decimal products can't
+            sum(col("xa").cast(dec) * col("xa").cast(dec)).as("sxx"),
+            sum(col("xb").cast(dec) * col("xb").cast(dec)).as("syy"),
+            sum(col("xa").cast(dec) * col("xb").cast(dec)).as("sxy"))
+          .select(col("lag"), col("n").cast("long").as("n_pairs"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 4)
+              .as("r"))
+          .orderBy("lag")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |pairs AS (
+             |  SELECT l.lag, a.x AS xa, b.x AS xb
+             |  FROM (SELECT unnest(range(1, 8)) AS lag) l
+             |  JOIN daily a ON TRUE
+             |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+             |m AS (
+             |  SELECT lag, COUNT(*) AS n,
+             |    SUM(CAST(xa AS HUGEINT)) AS sx, SUM(CAST(xb AS HUGEINT)) AS sy,
+             |    SUM(CAST(xa AS HUGEINT) * xa) AS sxx,
+             |    SUM(CAST(xb AS HUGEINT) * xb) AS syy,
+             |    SUM(CAST(xa AS HUGEINT) * xb) AS sxy
+             |  FROM pairs GROUP BY lag)
+             |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+             |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS r
+             |FROM m ORDER BY lag""".stripMargin)),
 
     // IGNORE NULLS lag: carry the most recent HIGH-value order's price
     // past any number of low-value orders — the sparse-series lookup

@@ -49,11 +49,15 @@ object KllSketches {
       .toDF(keyCol, "sk")
   }
 
-  def quantile(bytes: Array[Byte], rank: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes)).getQuantile(rank)
+  def quantile(bytes: Array[Byte], rank: Double): Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) Double.NaN else sk.getQuantile(rank) // empty: NaN, not a throw
+  }
 
-  def rankOf(bytes: Array[Byte], value: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes)).getRank(value)
+  def rankOf(bytes: Array[Byte], value: Double): Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) Double.NaN else sk.getRank(value)
+  }
 }
 
 /** Associative merge of serialized KLL sketches — same typed-Aggregator

@@ -60,12 +60,54 @@ object ChangeCapture {
       log: DataFrame,
       keyCols: Seq[String],
       seqCol: String,
-      opCol: String = "op"): DataFrame = {
+      opCol: String = "op"): DataFrame =
+    compactLog(log, keyCols, seqCol)
+      .filter(col(opCol) =!= "D")
+      .drop(opCol, seqCol)
+
+  /** [[applyLog]]'s compaction step WITHOUT the delete filter: one
+    * highest-`seqCol` row per key, `op` and `seqCol` retained. This is
+    * the standing-state shape a CONTINUOUS CDC applier keeps: deleted
+    * keys survive as TOMBSTONES (op = 'D' plus the winning seq), so a
+    * late-arriving lower-seq update for an already-deleted key can be
+    * recognized as stale and ignored rather than resurrecting the row
+    * ([[graft.streaming.CdcIngest]] builds on this; the serving read
+    * filters the tombstones out).
+    */
+  def compactLog(
+      log: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String): DataFrame = {
     val valueCols = log.columns.filterNot(keyCols.contains)
     log.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(valueCols.map(col): _*), col(seqCol)).as("_last"))
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"_last.$c").as(c)): _*)
-      .filter(col(opCol) =!= "D")
-      .drop(opCol, seqCol)
+  }
+
+  /** Merge a compacted CDC delta into compacted standing state with the
+    * LATE-EVENT GUARD: one full-outer join on the key; the delta row
+    * wins only when its `seqCol` is strictly higher (or the key is
+    * new), otherwise the state row stands — so batches may arrive out
+    * of order and replays are idempotent by construction. Both inputs
+    * must be one-row-per-key (as produced by [[compactLog]] /
+    * previous merges). One shuffle on the key, sized by key
+    * cardinality, never by log history.
+    */
+  def seqMerge(
+      state: DataFrame,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String): DataFrame = {
+    val valueCols = state.columns.filterNot(keyCols.contains)
+    val t = state.as("t")
+    val d = delta.as("d")
+    val cond = keyCols.map(k => col(s"t.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val deltaWins = col(s"t.$seqCol").isNull ||
+      (col(s"d.$seqCol").isNotNull && col(s"d.$seqCol") > col(s"t.$seqCol"))
+    t.join(d, cond, "full_outer")
+      .select(
+        keyCols.map(k => coalesce(col(s"d.$k"), col(s"t.$k")).as(k)) ++
+          valueCols.map(c =>
+            when(deltaWins, col(s"d.$c")).otherwise(col(s"t.$c")).as(c)): _*)
   }
 }

@@ -231,13 +231,16 @@ object QualityPack extends QueryPack {
         val ev = Tables.events(s, dir)
         val sk = graft.ext.KllSketches.keyedSketches(ev, "event_type", "value")
           .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-        val global = sk.values.reduce { (a, b) =>
-          val m = org.apache.datasketches.kll.KllDoublesSketch
-            .heapify(org.apache.datasketches.memory.Memory.wrap(a))
-          m.merge(org.apache.datasketches.kll.KllDoublesSketch
-            .heapify(org.apache.datasketches.memory.Memory.wrap(b)))
-          m.toByteArray
-        }
+        val global =
+          if (sk.isEmpty) // empty corpus: an empty sketch, not a crash
+            org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200).toByteArray
+          else sk.values.reduce { (a, b) =>
+            val m = org.apache.datasketches.kll.KllDoublesSketch
+              .heapify(org.apache.datasketches.memory.Memory.wrap(a))
+            m.merge(org.apache.datasketches.kll.KllDoublesSketch
+              .heapify(org.apache.datasketches.memory.Memory.wrap(b)))
+            m.toByteArray
+          }
         import s.implicits._
         val est = (sk + ("ALL" -> global)).toSeq.map { case (t, b) =>
           (t, graft.ext.KllSketches.quantile(b, 0.5),

@@ -450,6 +450,38 @@ object TextPack extends QueryPack {
     // At 100 TB: the sketch builds map-side (shuffle ≤ 4096 rows after
     // partial agg), merges bucket-wise across batches, broadcasts to
     // estimate any candidate set from 16 KB.
+    // Frequent-items sketch (Misra-Gries, ext/FreqSketches) beside the
+    // CMS below — the heavy-hitter answer that needs NO candidate list:
+    // the sketch carries its items, with the published guarantee that
+    // under NO_FALSE_NEGATIVES every token of true count > N/maxMapSize
+    // is returned. Gated the sketch-family way: the output rows are the
+    // EXACT top-10 (count desc, tok asc) and `found` asserts each is in
+    // the sketch's frequent set — the guarantee says TRUE always (top
+    // tokens here sit far above the N/1024 bound), so a sketch/merge
+    // bug is a hash failure. Build is per-partition bounded sketches +
+    // one typed-Aggregator merge; the frequent set collected driver-side
+    // is ≤ maxMapSize strings (bounded metadata).
+    "sketch_freq_items" -> QueryDef(
+      "Misra-Gries frequent-items sketch covers the exact top-10 tokens (guarantee-gated)",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+        val skRows = graft.ext.FreqSketches.buildSketch(tok, "tok").collect()
+        val freq = // empty corpus → no groups → no sketch row
+          if (skRows.isEmpty) Seq.empty[String]
+          else graft.ext.FreqSketches.frequentItems(skRows.head.getAs[Array[Byte]](0))
+        tok.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc).limit(10)
+          .withColumn("found", col("tok").isInCollection(freq))
+          .orderBy(col("n").desc, col("tok").asc)
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents)
+             |SELECT tok, COUNT(*) AS n, TRUE AS found
+             |FROM tok GROUP BY tok
+             |ORDER BY n DESC, tok ASC LIMIT 10""".stripMargin)),
+
     "text_heavy_hitters" -> QueryDef(
       "Count-min sketch estimates of the exact top-15 tokens, with per-token overcount",
       (s, dir) => {

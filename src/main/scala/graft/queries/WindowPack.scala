@@ -452,6 +452,48 @@ object WindowPack extends QueryPack {
              |  ROUND(MIN(value), 2) AS bin_min, ROUND(MAX(value), 2) AS bin_max
              |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
 
+    // Cumulative-distinct curve (new vs returning users per day) — the
+    // growth-analytics staple that naive SQL writes as COUNT(DISTINCT)
+    // OVER an expanding window (state grows with history; unusable at
+    // scale). The scale identity: a user is DISTINCT-NEW exactly once,
+    // on their first day — so one groupBy(user).min(day) absorbs the
+    // fact table, the per-day new-user counts are a date-bounded
+    // series, and the cumulative count is the engine's distributed
+    // prefix sum (Consolidate.withRunningTotal — no single-partition
+    // window). Returning = that day's active minus its new.
+    "q_cumulative_distinct" -> QueryDef(
+      "Daily active/new/returning users + cumulative distinct-user curve",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+        val firstDay = ev.groupBy("user_id").agg(min("day").as("day"))
+        val newPerDay = firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+        val activePerDay = ev.distinct().groupBy("day").agg(count(lit(1)).as("active_users"))
+        graft.ops.Consolidate.withRunningTotal(
+            activePerDay.join(newPerDay, Seq("day"), "left")
+              .withColumn("new_users", coalesce(col("new_users"), lit(0L))),
+            Seq(col("day").asc), "new_users", idCol = "day_idx", runCol = "cum_users")
+          .select(col("day"), col("active_users"), col("new_users"),
+            (col("active_users") - col("new_users")).as("returning_users"),
+            col("cum_users"))
+          .orderBy("day")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+             |  FROM events GROUP BY user_id),
+             |n AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day),
+             |a AS (
+             |  SELECT day, COUNT(*) AS active_users FROM (
+             |    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+             |  GROUP BY day)
+             |SELECT a.day AS day, active_users,
+             |  COALESCE(new_users, 0) AS new_users,
+             |  active_users - COALESCE(new_users, 0) AS returning_users,
+             |  CAST(SUM(COALESCE(new_users, 0))
+             |    OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    AS cum_users
+             |FROM a LEFT JOIN n ON n.day = a.day
+             |ORDER BY a.day""".stripMargin)),
+
     // EQUI-DEPTH histogram — q_histogram's complement (equal COUNT per
     // bin, not equal width): interior boundaries are the exact
     // interpolated octiles, broadcast as one 7-element array; bucket

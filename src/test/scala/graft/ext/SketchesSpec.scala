@@ -87,6 +87,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.round(ThetaSketches.differenceEstimate(sk("b"), sk("a"))) == 0L)
   }
 
+  test("frequent-items sketch: no false negatives above N/k; split-merge == whole-build guarantee") {
+    import spark.implicits._
+    // skewed stream: 3 heavy items among 4000 distinct light ones, far
+    // beyond maxMapSize=64 counters
+    val rows = Seq.fill(2000)("hot1") ++ Seq.fill(1200)("hot2") ++ Seq.fill(800)("hot3") ++
+      (1 to 4000).map(i => s"cold$i")
+    val df = rows.toDF("v")
+    val sk = FreqSketches.buildSketch(df, "v", maxMapSize = 64)
+      .collect().head.getAs[Array[Byte]](0)
+    val freq = FreqSketches.frequentItems(sk).toSet
+    // N = 8000, bound = N/64 = 125: every item with count > 125 MUST appear
+    assert(Set("hot1", "hot2", "hot3").subsetOf(freq))
+    // estimates upper-bound truth within the error envelope
+    assert(FreqSketches.estimate(sk, "hot1") >= 2000L)
+    assert(FreqSketches.estimate(sk, "hot1") <= 2000L + 8000L / 64)
+    // two half-stream sketches merged give the same guarantee
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val m = new FreqMergeAggregator(64)
+    val merged = m.merge(
+      FreqSketches.buildSketch(h1.toDF("v"), "v", 64).collect().head.getAs[Array[Byte]](0),
+      FreqSketches.buildSketch(h2.toDF("v"), "v", 64).collect().head.getAs[Array[Byte]](0))
+    assert(Set("hot1", "hot2", "hot3").subsetOf(FreqSketches.frequentItems(merged).toSet))
+  }
+
   test("kll keyed sketches: rank error within the k=200 envelope; merge preserves it") {
     import spark.implicits._
     // 10k uniform values per key — deep into estimating mode for k=200

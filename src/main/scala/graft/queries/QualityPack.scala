@@ -147,6 +147,57 @@ object QualityPack extends QueryPack {
              |  SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events)
              |ORDER BY scope""".stripMargin)),
 
+    // Robust outlier detection via median/MAD — the z-score family's
+    // (q_anomaly_rolling) heavy-tail-safe sibling: mean/stddev move with
+    // the outliers they're hunting; the median absolute deviation
+    // doesn't. Exactness: medians interpolate over INTEGER cents at the
+    // dyadic 0.5 (exact halves/quarters in both engines — the
+    // q_histogram_equidepth discipline), the 1.4826 normal-consistency
+    // constant is one literal multiply of an exact value, so the
+    // outlier comparisons are bit-identical. Three linear passes
+    // (median → deviations+MAD → count); a one-pass production variant
+    // at 100 TB serves both quantiles from the KLL sketch
+    // (sketch_kll_rollup) instead.
+    "q_mad_outliers" -> QueryDef(
+      "Median/MAD robust outliers per event type (|x-med| > 3*1.4826*MAD)",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(cents, 0.5D)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("cents") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(dev, 0.5D)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(first("med") / 100.0, 4).as("median_value"),
+            round(first("mad") / 100.0, 4).as("mad_value"),
+            sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type, quantile_cont(cents, 0.5) AS med
+             |  FROM e GROUP BY event_type),
+             |d AS (
+             |  SELECT e.event_type, cents, ABS(cents - med) AS dev, med
+             |  FROM e JOIN m USING (event_type)),
+             |md AS (
+             |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+             |  FROM d GROUP BY event_type)
+             |SELECT d.event_type, COUNT(*) AS n,
+             |  ROUND(ANY_VALUE(med) / 100.0, 4) AS median_value,
+             |  ROUND(ANY_VALUE(mad) / 100.0, 4) AS mad_value,
+             |  CAST(SUM(CASE WHEN dev > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM d JOIN md USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
+
     // Chi-squared independence test between two categoricals (event
     // type × day-of-week) — the drift/association probe behind "did the
     // traffic mix change": contingency CELLS are exact integer counts

@@ -816,6 +816,51 @@ object RefPipelinePack extends QueryPack {
              |  AND o_orderpriority IN ('1-URGENT', '5-LOW')
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // DYNAMIC partition OVERWRITE (partitionOverwriteMode=dynamic) —
+    // the daily-restatement write mode: overwriting with a frame that
+    // touches ONE partition value replaces only that directory; every
+    // other partition survives byte-for-byte. Static mode (the default)
+    // would truncate the whole table first — the classic
+    // restate-yesterday-wipe-everything accident. The fixture writes
+    // the full events table partitioned by type, restates only 'click'
+    // with doubled values, and aggregates the read-back; the oracle
+    // computes the post-restatement truth directly, so a wiped or
+    // duplicated partition is a hash failure. The session conf is
+    // restored in a finally — write modes must not leak across queries.
+    "q_dynamic_overwrite" -> QueryDef(
+      "Dynamic partition overwrite restates one partition; the rest survive",
+      (s, dir) => {
+        def evSel = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        val root = graft.io.IndexCatalog.resolve(
+          s, "dyn-overwrite", s"$dir/events.parquet") { tmp =>
+          val ev = evSel
+          ev.write.partitionBy("event_type").parquet(s"$tmp/t")
+          val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try
+            ev.filter(col("event_type") === "click")
+              .withColumn("value", round(col("value") * 2, 2))
+              .write.mode("overwrite").partitionBy("event_type").parquet(s"$tmp/t")
+          finally prev match {
+            case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+        // explicit schema: an all-empty table leaves no footer to infer from
+        s.read.schema(evSel.schema).parquet(s"$root/t")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+            count_distinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  ROUND(SUM(CASE WHEN event_type = 'click'
+             |                 THEN ROUND(value * 2, 2) ELSE value END), 2)
+             |    AS sum_value,
+             |  COUNT(DISTINCT event_id) AS n_ids
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // DYNAMIC partition pruning — q_partition_prune's static filter
     // replaced by a dim-side predicate the optimizer cannot see at plan
     // time: the fact is partitioned by the join key, the dim carries the

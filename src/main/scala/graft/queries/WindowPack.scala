@@ -452,6 +452,55 @@ object WindowPack extends QueryPack {
              |  ROUND(MIN(value), 2) AS bin_min, ROUND(MAX(value), 2) AS bin_max
              |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
 
+    // Gaps-and-islands: longest consecutive-day activity streak per
+    // user — the classic SQL-interview shape, productionized: distinct
+    // (user, day) first (partial aggs absorb the fact table), then the
+    // island key day − row_number() inside each user's date-ordered
+    // window (consecutive days share it), one grouped count per island,
+    // and a per-user argmax (longest, tie → earliest start). Both
+    // windows partition BY USER — embarrassingly parallel, no global
+    // sort; per-user state is bounded by the date domain.
+    "q_streaks" -> QueryDef(
+      "Longest consecutive-day activity streak per user (gaps-and-islands)",
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val islands = days
+          .withColumn("grp", expr("date_sub(day, row_number() OVER " +
+            "(PARTITION BY user_id ORDER BY day))"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min("day").as("streak_start"))
+        val best = Window.partitionBy("user_id")
+          .orderBy(col("len").desc, col("streak_start").asc)
+        islands
+          .withColumn("rk", row_number().over(best))
+          .filter(col("rk") === 1)
+          .join(days.groupBy("user_id").agg(count(lit(1)).as("n_active_days")), "user_id")
+          .select(col("user_id"), col("n_active_days"),
+            col("len").as("longest_streak"), col("streak_start"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |i AS (
+             |  SELECT user_id,
+             |    day - CAST(ROW_NUMBER() OVER
+             |      (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp,
+             |    day
+             |  FROM d),
+             |s AS (
+             |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS streak_start
+             |  FROM i GROUP BY user_id, grp),
+             |b AS (
+             |  SELECT user_id, len, streak_start,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY len DESC, streak_start ASC) AS rk
+             |  FROM s),
+             |n AS (SELECT user_id, COUNT(*) AS n_active_days FROM d GROUP BY user_id)
+             |SELECT b.user_id, n_active_days, len AS longest_streak, streak_start
+             |FROM b JOIN n ON n.user_id = b.user_id
+             |WHERE rk = 1 ORDER BY b.user_id""".stripMargin)),
+
     // Cumulative-distinct curve (new vs returning users per day) — the
     // growth-analytics staple that naive SQL writes as COUNT(DISTINCT)
     // OVER an expanding window (state grows with history; unusable at

@@ -188,6 +188,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("might_contain"), "probe side not pre-filtered")
   }
 
+  test("q_cumulative_distinct has no WindowExec — the cumulative count is the prefix sum") {
+    // COUNT(DISTINCT) OVER an expanding window would grow state with
+    // history; the engine form is groupBy(user).min(day) + the
+    // distributed running total
+    val p = plan("q_cumulative_distinct")
+    assert(!p.contains("Window"), s"expected no WindowExec in:\n$p")
+  }
+
+  test("q_histogram_equidepth has no sort and no window — boundaries broadcast, bins map-side") {
+    val p = SparkEntry.queries("q_histogram_equidepth")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"expected no WindowExec in:\n$p")
+    // the only joins are the broadcast of the 1-row boundary frame
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the boundary row to broadcast in:\n$p")
+  }
+
+  test("q_streaks windows partition by user_id (no single-partition window)") {
+    val p = SparkEntry.queries("q_streaks")(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(user_id"), s"expected user-partitioned windows in:\n$p")
+  }
+
+  test("q_cdc_apply compacts via partial max_by aggregation, not a window sort") {
+    val p = plan("q_cdc_apply")
+    assert(!p.contains("Window"), s"expected no WindowExec in:\n$p")
+    assert(p.contains("max_by"), s"expected max_by aggregate in:\n$p")
+  }
+
   test("the window in metrics_view partitions by event_type (no single-partition window)") {
     // executedPlan, not sparkPlan: exchanges appear only after
     // EnsureRequirements runs

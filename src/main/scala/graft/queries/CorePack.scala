@@ -749,6 +749,27 @@ object CorePack extends QueryPack {
              | AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
              |ORDER BY v.user_id, v.view_id, c.click_id NULLS LAST""".stripMargin)),
 
+    // Batch twin of EventStream.staticEnriched (STREAM-STATIC dim join —
+    // the third streaming join kind beside stream-stream and stateful):
+    // events map to nations by the deterministic pmod(user_id, 25) key
+    // and enrich against the broadcast nation dim; per-nation rollup.
+    // EventStreamSpec asserts the stream — where the static side is
+    // re-resolved per micro-batch and never watermarked — matches this
+    // twin row-for-row, and the oracle closes the loop to the driver.
+    "q_stream_static_twin" -> QueryDef(
+      "Events enriched against the static nation dim, per-nation rollup (stream-static twin)",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("n_key", pmod(col("user_id"), lit(25L)))
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("n_key"), col("n_name"))), Seq("n_key"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("n_name"),
+      Some("""SELECT n_name, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+             |FROM events JOIN nation ON n_nationkey = user_id % 25
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // Batch twin of EventStream.userActivity. The batch form counts
     // distinct types EXACTLY (streaming aggregation can't — distinct
     // aggregates aren't supported over state, hence approx_count_distinct

@@ -43,6 +43,24 @@ object EventStream {
       spark.readStream.schema(fileSchema).parquet(eventsDir))
   }
 
+  /** STREAM-STATIC dimension enrichment — the third join kind after the
+    * stream-stream join (viewClickJoin) and stateful ops: each event
+    * joins the nation dim (static side, re-resolved per micro-batch,
+    * broadcast — no watermark needed because the static side never
+    * grows), then aggregates per nation. The user→nation mapping is the
+    * deterministic pmod(user_id, 25) key, so the batch twin
+    * (q_stream_static_twin) is fully oracle-replayable. At scale this
+    * is the canonical streaming star-schema enrich: the dim broadcast
+    * refreshes per batch, the fact stream never shuffles for the join.
+    */
+  def staticEnriched(spark: SparkSession, eventsDir: String, sfDir: String): DataFrame =
+    source(spark, eventsDir)
+      .withColumn("n_key", pmod(col("user_id"), lit(25L)))
+      .join(broadcast(graft.Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("n_key"), col("n_name"))), Seq("n_key"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
   /** Streaming daily (event-time) counts/sums per event_type with a 1-day
     * watermark for late data. `eventsDir` is a DIRECTORY of parquet files
     * (the file-stream source watches directories, not single files).

@@ -66,6 +66,21 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("stream-static dim join matches the oracled batch twin (q_stream_static_twin)") {
+    val q = EventStream.staticEnriched(spark, eventsDir, sf)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_static")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_static").orderBy("n_name").collect()
+    val batch = graft.SparkEntry.queries("q_stream_static_twin")(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming dedup matches the oracled batch twin (q_stream_dedup_twin) row-for-row") {
     val q = EventStream.dedupedEvents(spark, eventsDir)
       .writeStream

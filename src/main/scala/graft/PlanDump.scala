@@ -64,7 +64,9 @@ object PlanDump {
       "curation_domain_quota" -> "per-domain quota: broadcast counts, hash-threshold pre-prune, window only over the bounded slice",
       "q_audience_overlap" -> "overlap matrix: distinct-by-user then MAP-SIDE pair explode, no audience self-join",
       "q_interval_join" -> "interval overlap as a bucketed equi join + residual predicate — no nested loop",
-      "train_tokens_budget" -> "token-budget selection: rank histogram + boundary-stratum prefix, no corpus sort, no WindowExec")
+      "train_tokens_budget" -> "token-budget selection: rank histogram + boundary-stratum prefix, no corpus sort, no WindowExec",
+      "sketch_bitmap_distinct" -> "EXACT mergeable distinct: map-side bitmap_construct partials, OR-merge second aggregate over bitmaps — ids never shuffle twice",
+      "q_delete_vectors" -> "position deletes: broadcast left-anti on (_metadata.file_path, row_index), data files unrewritten")
 
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

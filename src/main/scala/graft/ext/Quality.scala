@@ -24,9 +24,17 @@ object Quality {
     */
   final case class Check(name: String, metric: Column, pass: Column => Column)
 
+  /** `num / den`, NULL when the denominator is 0 — the fraction metrics
+    * must survive an EMPTY slice (a constant at 100 TB) without tripping
+    * ANSI division; NULL-on-empty is also what an ANSI oracle computes
+    * for `x * 1.0 / COUNT(*)` over zero rows, so parity is preserved.
+    */
+  private def frac(num: Column, den: Column): Column =
+    num.cast("double") / nullif(den, lit(0L))
+
   /** Fraction of rows with `c` non-null. */
   def completeness(c: Column): Column =
-    count(c).cast("double") / count(lit(1))
+    frac(count(c), count(lit(1)))
 
   /** Fraction of distinct values among non-null rows (1.0 = unique key).
     * Exact count-distinct: the self-checking form the oracle can replay.
@@ -34,11 +42,11 @@ object Quality {
     * `sketch_hll_rollup`) — same one-pass shape, no expand.
     */
   def uniqueness(c: Column): Column =
-    count_distinct(c).cast("double") / count(c)
+    frac(count_distinct(c), count(c))
 
   /** Fraction of non-null rows where `pred` holds. */
   def compliance(pred: Column): Column =
-    sum(when(pred, 1L).otherwise(0L)).cast("double") / count(lit(1))
+    frac(sum(when(pred, 1L).otherwise(0L)), count(lit(1)))
 
   /** Run every check in ONE aggregate pass and explode to the long report
     * `(constraint, metric, passed)` — `explode(array(struct...))` keeps the
@@ -75,8 +83,8 @@ object Quality {
     total.crossJoin(matched)
       .select(
         lit(name).as("check_name"),
-        round(col("__m").cast("double") / col("__n"), 6).as("metric"),
-        (col("__m").cast("double") / col("__n") >= minFraction).as("passed"))
+        round(frac(col("__m"), col("__n")), 6).as("metric"),
+        (frac(col("__m"), col("__n")) >= minFraction).as("passed"))
   }
 
   /** Canonical string form of an already-aggregated min/max for cross-type

@@ -329,6 +329,119 @@ object QualityPack extends QueryPack {
              |  FROM events)
              |ORDER BY scope""".stripMargin)),
 
+    // Write-audit-publish (the Iceberg WAP pattern) — quality gating
+    // moved from "alert after serving" (quality_constraints) to "never
+    // serve": each batch stages as an invisible data dir, the
+    // constraint suite runs against the STAGED bytes, and only a clean
+    // batch's manifest is published (io/VersionedTable.commitAudited).
+    // The fixture pushes two clean batches and one poisoned batch
+    // (nulled values + 10× inflated cents — rows that would shift every
+    // aggregate if they ever served); the poisoned commit aborts, so
+    // the latest snapshot equals exactly the clean union, and the
+    // oracle's plain aggregate over the source table proves it
+    // bit-for-bit — a gate that wrongly publishes OR wrongly blocks
+    // fails the hash. At 100 TB the audit is one aggregate pass over
+    // the batch (not the table), the same single-scan constraint suite
+    // quality_constraints measures.
+    "q_wap_commit" -> QueryDef(
+      "Write-audit-publish: poisoned batch aborts pre-publish; snapshot stays clean",
+      (s, dir) => {
+        import graft.ext.Quality
+        val tdir = graft.io.IndexCatalog.resolve(
+          s, "wap", s"$dir/events.parquet") { tmp =>
+          val ev = Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("user_id"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+          val checks = Seq(
+            Quality.Check("cents_complete",
+              Quality.completeness(col("cents")), _ === 1.0),
+            Quality.Check("cents_sane",
+              Quality.compliance(col("cents") < 1000000L), _ === 1.0))
+          // A check FAILS only on an explicit false verdict — NULL metrics
+          // (empty batch: nothing staged, nothing to poison) pass
+          // vacuously rather than wedging the pipeline on an empty slice.
+          def gate(d: org.apache.spark.sql.DataFrame): Boolean =
+            Quality.constraintReport(d, checks)
+              .filter(not(coalesce(col("passed"), lit(true)))).isEmpty
+          val clean1 = ev.filter(col("event_type") =!= "click")
+          val clicks = ev.filter(col("event_type") === "click")
+          val poisoned = clicks.withColumn("cents",
+            when(pmod(col("user_id"), lit(7L)) === 0, lit(null).cast("long"))
+              .otherwise(col("cents") * 1000000L))
+          require(graft.io.VersionedTable
+            .commitAudited(s, s"$tmp/t", clean1)(gate).contains(1))
+          // On empty input the poisoned batch has no rows, passes the
+          // gate vacuously, and publishes a harmless empty version —
+          // the abort is only demanded when there are rows to poison.
+          val aborted = graft.io.VersionedTable
+            .commitAudited(s, s"$tmp/t", poisoned)(gate).isEmpty
+          require(aborted || poisoned.isEmpty, "poisoned batch must abort")
+          require(graft.io.VersionedTable
+            .commitAudited(s, s"$tmp/t", clicks)(gate).isDefined)
+          ()
+        }
+        graft.io.VersionedTable.readAt(s, s"$tdir/t")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Bitmap EXACT-distinct rollup — the sketch family's zero-error
+    // member: where sketch_hll_rollup trades 5% error for fixed size,
+    // a bucketed bitmap is exact AND still OR-mergeable. Spark's native
+    // bitmap surface (bitmap_bucket_number / bitmap_bit_position /
+    // bitmap_construct_agg / bitmap_or_agg / bitmap_count, all codegen
+    // aggregates) shards the id domain into 32k-bit buckets: per
+    // (type, bucket) bitmaps build MAP-SIDE (partial aggregation
+    // absorbs duplicate ids before any shuffle), per-type cardinality
+    // is Σ bitmap_count over its buckets, and the GLOBAL distinct is
+    // bitmap_or_agg across types per bucket — a metadata-sized second
+    // aggregate over |types|×|buckets| 4 KB payloads that dedups
+    // cross-type users where a naive sum cannot. At 100 TB the shuffle
+    // carries bitmaps, never user ids, and the same standing per-bucket
+    // bitmaps answer ANY group-by-set rollup by OR alone — the exact
+    // counterpart of the HLL/Theta serving pattern. Dense-id domains
+    // only (bits ∝ id range); sparse/string keys stay with HLL/Theta.
+    // Plan notes (PLANS.md): the bitmap aggs carry an immutable binary
+    // buffer, so the planner picks SortAggregate — the partial still
+    // absorbs duplicate ids map-side (the sorted run is the combine),
+    // and the shuffle stays |groups|×|buckets|×4 KB; a custom
+    // ObjectHashAggregate-able Aggregator is the escape hatch if the
+    // map-side sort ever shows up at scale. The per-bucket frame is
+    // cached so BOTH rollup levels ride ONE corpus pass.
+    "sketch_bitmap_distinct" -> QueryDef(
+      "Per-type EXACT user distinct via OR-mergeable bucketed bitmaps + global merge",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+        // ONE corpus pass: both rollup levels reuse the metadata-sized
+        // per-(type, bucket) bitmap frame — without the cache, the
+        // union's two branches would each rescan the fact table
+        val perBucket = ev
+          .groupBy(col("event_type"),
+            bitmap_bucket_number(col("user_id")).as("bkt"))
+          .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id"))).as("bm"))
+          .cache()
+        val perType = perBucket
+          .groupBy(col("event_type").as("scope"))
+          .agg(sum(bitmap_count(col("bm"))).as("n_distinct"))
+        val global = perBucket
+          .groupBy("bkt").agg(bitmap_or_agg(col("bm")).as("bm"))
+          .agg(sum(bitmap_count(col("bm"))).as("n_distinct"))
+          .select(lit("ALL").as("scope"), col("n_distinct"))
+        perType.unionAll(global).orderBy("scope")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT event_type AS scope,
+             |         COUNT(DISTINCT user_id) AS n_distinct
+             |  FROM events GROUP BY event_type
+             |  UNION ALL
+             |  SELECT 'ALL', COUNT(DISTINCT user_id) FROM events)
+             |ORDER BY scope""".stripMargin)),
+
     // Theta-sketch set algebra: HLL's rollup answers |A| and |A∪B| only;
     // Theta retains a hash sample, so INTERSECTIONS and DIFFERENCES
     // compose too — per-type user sketches built in one pass

@@ -1051,6 +1051,198 @@ object RefPipelinePack extends QueryPack {
              |FROM lineitem
              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Position-delete read path (io/DeletionVectors) — DELETE without
+    // rewriting a single data file, the other half of the lakehouse
+    // write story beside q_compact_roundtrip's rewrite: two delete
+    // commits record (file_path, row_index) tombstones via the parquet
+    // reader's own _metadata columns (cost rides matched rows), and the
+    // read anti-joins them back (tombstones broadcast — the small-delete
+    // regime where deletion vectors beat rewriting at all). The oracle
+    // replays both predicates as a plain NOT(...) filter on the source
+    // table, so the hash gate pins delete semantics bit-for-bit,
+    // including the overlap where one row matches both commits.
+    "q_delete_vectors" -> QueryDef(
+      "Two position-delete commits applied at read time; no data file rewritten",
+      (s, dir) => {
+        val ddir = graft.io.IndexCatalog.resolve(
+          s, "delvec", s"$dir/orders.parquet") { tmp =>
+          Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+            .repartition(8)
+            .write.mode("overwrite").parquet(s"$tmp/t")
+          graft.io.DeletionVectors.delete(s, s"$tmp/t", s"$tmp/dv",
+            col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)
+          graft.io.DeletionVectors.delete(s, s"$tmp/t", s"$tmp/dv",
+            pmod(col("cents"), lit(10L)) === 7)
+          ()
+        }
+        graft.io.DeletionVectors.read(s, s"$ddir/t", s"$ddir/dv")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM t
+             |WHERE NOT ((o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+             |        OR cents % 10 = 7)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Commit-log time travel (io/VersionedTable) — snapshot isolation
+    // and history on plain parquet: three commits (overwrite, append,
+    // overwrite-that-drops-a-type, the GDPR-purge shape) each publish a
+    // checkpoint-style manifest with an atomic rename, and the SAME
+    // query runs at versions 1, 2, and 3 off one small manifest read
+    // each — no log replay, immutable data dirs, so concurrent readers
+    // at different versions never interfere. The oracle replays each
+    // version's visible-row definition from the source table; the hash
+    // gate proves every historical snapshot resolves exactly.
+    "q_time_travel" -> QueryDef(
+      "Same aggregate at table versions 1/2/3 across overwrite+append history",
+      (s, dir) => {
+        val tdir = graft.io.IndexCatalog.resolve(
+          s, "timetravel", s"$dir/events.parquet") { tmp =>
+          val ev = Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+          graft.io.VersionedTable.commit(s, s"$tmp/t",
+            ev.filter(col("event_id") % 2 === 0), overwrite = true)
+          graft.io.VersionedTable.commit(s, s"$tmp/t",
+            ev.filter(col("event_id") % 2 === 1))
+          graft.io.VersionedTable.commit(s, s"$tmp/t",
+            ev.filter(col("event_type") =!= "click"), overwrite = true)
+          ()
+        }
+        def at(v: Int) = graft.io.VersionedTable
+          .readAt(s, s"$tdir/t", Some(v))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .withColumn("version", lit(v))
+        at(1).unionAll(at(2)).unionAll(at(3))
+          .select("version", "event_type", "n", "sum_cents")
+          .orderBy("version", "event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type,
+             |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |v AS (
+             |  SELECT 1 AS version, event_type, cents FROM e
+             |  WHERE event_id % 2 = 0
+             |  UNION ALL
+             |  SELECT 2, event_type, cents FROM e
+             |  UNION ALL
+             |  SELECT 3, event_type, cents FROM e
+             |  WHERE event_type <> 'click')
+             |SELECT version, event_type, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM v GROUP BY version, event_type
+             |ORDER BY version, event_type""".stripMargin)),
+
+    // Minor compaction as a COMMIT (io/VersionedTable.compactCommits) —
+    // the q_compact_roundtrip maintenance pass upgraded with snapshot
+    // isolation: a fragmented per-batch history (three exactly-once
+    // commitBatch commits, the streaming-ingest residue) merges into one
+    // range-sorted dir whose swap is ONE manifest rename — no
+    // between-renames not-found instant, and the pre-compaction version
+    // stays time-travelable until vacuum. The oracle is the plain
+    // aggregate over the source rows: compaction must be read-invisible
+    // at the latest snapshot, and the hash gate proves it bit-for-bit.
+    "q_versioned_compact" -> QueryDef(
+      "Per-batch commit history minor-compacted as a new version; result unchanged",
+      (s, dir) => {
+        val tdir = graft.io.IndexCatalog.resolve(
+          s, "vercompact", s"$dir/events.parquet") { tmp =>
+          val ev = Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("user_id"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+          (0 until 3).foreach { b =>
+            graft.io.VersionedTable.commitBatch(
+              s, s"$tmp/t", ev.filter(pmod(col("event_id"), lit(3L)) === b), b.toLong)
+          }
+          graft.io.VersionedTable.compactCommits(
+            s, s"$tmp/t", numFiles = 2, col("user_id"))
+          ()
+        }
+        graft.io.VersionedTable.readAt(s, s"$tdir/t")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Row-level MERGE as a COMMIT (io/VersionedTable.merge) — q_upsert's
+    // full-outer/COALESCE semantics upgraded with atomicity and history:
+    // updates reprice the %10 keys, inserts add synthetic keys beyond
+    // the domain, a delete PREDICATE (never a collected key list) drops
+    // the %7 keys, and the whole merge publishes as one OVERWRITE
+    // version — readers see pre-merge or post-merge, never a torn mix,
+    // and version 1 stays time-travelable. The query aggregates BOTH
+    // snapshots so the oracle pins the before AND after states through
+    // one hash.
+    "q_versioned_merge" -> QueryDef(
+      "MERGE (update+insert+delete) published as an atomic version; both snapshots gated",
+      (s, dir) => {
+        val tdir = graft.io.IndexCatalog.resolve(
+          s, "vermerge", s"$dir/orders.parquet") { tmp =>
+          val base = Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          graft.io.VersionedTable.commit(s, s"$tmp/t", base)
+          val updates = base.filter(col("o_orderkey") % 10 === 0)
+            .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+              expr("cents * 11 DIV 10").as("cents"))
+          val inserts = base.filter(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 10000000000L).as("o_orderkey"),
+              lit("N").as("o_orderstatus"), col("cents"))
+          graft.io.VersionedTable.merge(s, s"$tmp/t",
+            updates.unionAll(inserts), "o_orderkey",
+            delete = Some(col("o_orderkey") % 7 === 0))
+          ()
+        }
+        def at(v: Int) = graft.io.VersionedTable
+          .readAt(s, s"$tdir/t", Some(v))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .withColumn("version", lit(v))
+        at(1).unionAll(at(2))
+          .select("version", "o_orderstatus", "n", "sum_cents")
+          .orderBy("version", "o_orderstatus")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |merged AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN 'R'
+             |         ELSE o_orderstatus END AS o_orderstatus,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN cents * 11 // 10
+             |         ELSE cents END AS cents
+             |  FROM base
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000000, 'N', cents
+             |  FROM base WHERE o_orderkey % 1000 = 1),
+             |v AS (
+             |  SELECT 1 AS version, o_orderstatus, cents FROM base
+             |  UNION ALL
+             |  SELECT 2, o_orderstatus, cents FROM merged
+             |  WHERE o_orderkey % 7 <> 0)
+             |SELECT version, o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM v GROUP BY version, o_orderstatus
+             |ORDER BY version, o_orderstatus""".stripMargin)),
+
     // Incremental upsert — the scale-friendly alternative to the
     // reference's DROP-and-recreate load (connect_postgre.py:240): new
     // keys inserted, existing keys updated, absent keys kept, as one

@@ -696,6 +696,56 @@ object CorePack extends QueryPack {
              |FROM sessions GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // MATCH_RECOGNIZE-shaped event-sequence pattern detection (the CEP
+    // batch form): each user-day's events collapse — ordered by
+    // (ts, event_id) — into a symbol string, and a conversion pattern
+    // `v[cse]*p` (view, then purchase, with only clicks/signups/errors
+    // between) is counted by a regex engine; both Spark and DuckDB scan
+    // non-overlapping greedy left-to-right, and the symbol alphabet
+    // excludes v/p from the middle class, so match counts are
+    // engine-identical. Scale: state is bounded by construction — the
+    // collect_list frame is one user-DAY (11 events max in this data;
+    // unbounded user histories would sessionize first, q_sessionize),
+    // one shuffle on (user_id, day), and the regex runs once per
+    // user-day string, map-side after the aggregate. The day-level
+    // rollup that follows is (days)-sized.
+    "q_event_pattern" -> QueryDef(
+      "Regex CEP over per-user-day event sequences: view->purchase conversions",
+      (s, dir) => {
+        val sym = element_at(
+          map(lit("view"), lit("v"), lit("click"), lit("c"), lit("purchase"), lit("p"),
+            lit("signup"), lit("s"), lit("error"), lit("e")),
+          col("event_type"))
+        Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            struct(col("ts"), col("event_id"), sym.as("sym")).as("ev"))
+          .groupBy("user_id", "day")
+          .agg(array_join(
+            transform(array_sort(collect_list(col("ev"))), e => e("sym")), "").as("seq"))
+          .withColumn("matches", regexp_count(col("seq"), lit("v[cse]*p")))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_user_days"),
+            sum("matches").cast("long").as("total_matches"),
+            count(when(col("matches") > 0, 1)).as("n_matched"),
+            max("matches").cast("long").as("max_matches"))
+          .orderBy("day")
+      },
+      Some("""WITH seqs AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    string_agg(CASE event_type
+             |        WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+             |        ELSE 'e' END, '' ORDER BY ts ASC, event_id ASC) AS seq
+             |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+             |m AS (
+             |  SELECT day, len(regexp_extract_all(seq, 'v[cse]*p')) AS matches
+             |  FROM seqs)
+             |SELECT day, COUNT(*) AS n_user_days,
+             |  CAST(SUM(matches) AS BIGINT) AS total_matches,
+             |  COUNT(*) FILTER (WHERE matches > 0) AS n_matched,
+             |  CAST(MAX(matches) AS BIGINT) AS max_matches
+             |FROM m GROUP BY day ORDER BY day""".stripMargin)),
+
     // Batch twin of EventStream.dedupedEvents (streaming
     // dropDuplicatesWithinWatermark): the rollup touches only the dedup
     // key columns, so the surviving-row choice — arbitrary in batch,
@@ -787,6 +837,64 @@ object CorePack extends QueryPack {
       Some("""SELECT user_id, date_trunc('day', ts) AS day,
              |  COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types
              |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin)),
+
+    // Market-basket association rules (support / confidence / lift) over
+    // per-order brand baskets — the rule-mining classic the co-purchase
+    // graph queries (graph_*) don't cover: those count structure, this
+    // scores DIRECTED rules a→b against independence. All three measures
+    // derive from integer counts (basket count N, per-brand counts, pair
+    // counts), so the only float math is three final divisions on
+    // identical BIGINTs. Scale: baskets are one distinct-shuffle on
+    // l_orderkey; the pair self-join has bounded per-key fanout (≤7
+    // items/order → ≤21 pairs); item/pair counts collapse to the
+    // (25-brand / 300-pair)-sized tables that the rule arithmetic — and
+    // the broadcast of N — runs on. No step is corpus² at any SF.
+    "q_assoc_rules" -> QueryDef(
+      "Top-20 brand association rules by lift over per-order baskets",
+      (s, dir) => {
+        val baskets = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("k"), col("p_brand").as("item")).distinct()
+        val nBaskets = baskets.agg(countDistinct(col("k")).as("n_baskets"))
+        val itemN = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
+        val pairs = baskets.join(baskets.select(col("k"), col("item").as("item_b")), "k")
+          .filter(col("item") =!= col("item_b"))
+          .groupBy(col("item").as("ante"), col("item_b").as("cons"))
+          .agg(count(lit(1)).as("n_pair"))
+        pairs
+          .join(broadcast(itemN.select(col("item").as("ante"), col("n_item").as("n_a"))), "ante")
+          .join(broadcast(itemN.select(col("item").as("cons"), col("n_item").as("n_c"))), "cons")
+          .crossJoin(broadcast(nBaskets))
+          .filter(col("n_pair") >= 100)
+          .select(col("ante"), col("cons"), col("n_pair"),
+            round(col("n_pair").cast("double") / col("n_baskets"), 6).as("support"),
+            round(col("n_pair").cast("double") / col("n_a"), 6).as("confidence"),
+            round(col("n_pair").cast("double") * col("n_baskets") /
+              (col("n_a").cast("double") * col("n_c")), 6).as("lift"))
+          .orderBy(col("lift").desc, col("ante").asc, col("cons").asc)
+          .limit(20)
+      },
+      Some("""WITH baskets AS (
+             |  SELECT DISTINCT l_orderkey AS k, p_brand AS item
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |nb AS (SELECT COUNT(DISTINCT k) AS n_baskets FROM baskets),
+             |itemn AS (SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item),
+             |pairs AS (
+             |  SELECT a.item AS ante, b.item AS cons, COUNT(*) AS n_pair
+             |  FROM baskets a JOIN baskets b ON a.k = b.k AND a.item <> b.item
+             |  GROUP BY 1, 2)
+             |SELECT ante, cons, n_pair,
+             |  ROUND(CAST(n_pair AS DOUBLE) / n_baskets, 6) AS support,
+             |  ROUND(CAST(n_pair AS DOUBLE) / na.n_item, 6) AS confidence,
+             |  ROUND(CAST(n_pair AS DOUBLE) * n_baskets /
+             |    (CAST(na.n_item AS DOUBLE) * nc.n_item), 6) AS lift
+             |FROM pairs
+             |JOIN itemn na ON pairs.ante = na.item
+             |JOIN itemn nc ON pairs.cons = nc.item
+             |CROSS JOIN nb
+             |WHERE n_pair >= 100
+             |ORDER BY lift DESC, ante ASC, cons ASC
+             |LIMIT 20""".stripMargin)),
 
     // O1 + top-k — global sort + limit with a total tie-break order.
     "q_topk_orders" -> QueryDef(

@@ -910,6 +910,75 @@ object TextPack extends QueryPack {
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin))
+             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
+
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the adjacent-token co-occurrence graph, non-stopword tokens only.
+    // Reuses the engine's integer-deterministic damped iteration
+    // (ext/Curation.domainRank — all-BIGINT arithmetic, bit-identical
+    // across engines) so the oracle replays the exact ranks, not an
+    // approximation. Cost shape at 100 TB: ONE corpus pass builds the
+    // edge list (a per-doc LEAD window — shuffle keyed by doc_id, frame
+    // bounded by doc length), and every iteration after that is
+    // VOCABULARY-sized (edges × 3 node joins), never corpus-sized — the
+    // same fact-once/iterate-small split as train_domain_rank.
+    "text_textrank_keywords" -> QueryDef(
+      "Top-15 keywords by 3-iteration integer TextRank over token co-occurrence",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val stop = TextAnalysis.Stopwords("en")
+        val toked = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))).as(Seq("i", "tok")))
+        val w = Window.partitionBy("doc_id").orderBy(col("i").asc)
+        val und = toked
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull && col("tok") =!= col("nxt") &&
+            !col("tok").isin(stop: _*) && !col("nxt").isin(stop: _*))
+          .select(least(col("tok"), col("nxt")).as("s"),
+            greatest(col("tok"), col("nxt")).as("d"))
+          .distinct()
+        val edges = und.select(col("s").as("src"), col("d").as("dst"))
+          .unionAll(und.select(col("d").as("src"), col("s").as("dst")))
+        val nodes = edges.select(col("src").as("node")).distinct()
+        graft.ext.Curation.domainRank(nodes, edges, iterations = 3)
+          .select(col("node").as("token"), col("rank"))
+          .orderBy(col("rank").desc, col("token").asc)
+          .limit(15)
+      },
+      Some(s"""WITH toked AS (
+             |  SELECT regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+             |adj AS (
+             |  SELECT t[i] AS a, t[i + 1] AS b
+             |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+             |        FROM toked WHERE len(t) >= 2)),
+             |und AS (
+             |  SELECT DISTINCT least(a, b) AS s, greatest(a, b) AS d
+             |  FROM adj
+             |  WHERE a <> b AND a NOT IN ($EnStop) AND b NOT IN ($EnStop)),
+             |edges AS (
+             |  SELECT s AS src, d AS dst FROM und
+             |  UNION ALL SELECT d, s FROM und),
+             |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+             |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank FROM edges),
+             |r1 AS (
+             |  SELECT n.node, 150000 + COALESCE(m.in_mass, 0) AS rank
+             |  FROM r0 n LEFT JOIN (
+             |    SELECT e.dst, SUM((r.rank * 85 // 100) // o.deg) AS in_mass
+             |    FROM r0 r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
+             |    GROUP BY e.dst) m ON n.node = m.dst),
+             |r2 AS (
+             |  SELECT n.node, 150000 + COALESCE(m.in_mass, 0) AS rank
+             |  FROM r1 n LEFT JOIN (
+             |    SELECT e.dst, SUM((r.rank * 85 // 100) // o.deg) AS in_mass
+             |    FROM r1 r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
+             |    GROUP BY e.dst) m ON n.node = m.dst),
+             |r3 AS (
+             |  SELECT n.node, 150000 + COALESCE(m.in_mass, 0) AS rank
+             |  FROM r2 n LEFT JOIN (
+             |    SELECT e.dst, SUM((r.rank * 85 // 100) // o.deg) AS in_mass
+             |    FROM r2 r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
+             |    GROUP BY e.dst) m ON n.node = m.dst)
+             |SELECT node AS token, CAST(rank AS BIGINT) AS rank
+             |FROM r3 ORDER BY rank DESC, token ASC LIMIT 15""".stripMargin))
   )
 }

@@ -276,6 +276,71 @@ object SqlSurfacePack extends QueryPack {
              |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_line
              |FROM m ORDER BY l_returnflag""".stripMargin)),
 
+    // Per-group ordinary least squares — the regr_slope/regr_intercept/
+    // regr_r2 family, computed from explicit moment sums rather than the
+    // engines' one-pass aggregates (whose running-mean merge order differs
+    // between Spark and DuckDB). x = quantity and y = price-in-cents are
+    // integers, and the moment sums ride EXACT wide-integer arithmetic
+    // (Spark decimal(38,0), DuckDB hugeint — sum of cents² at 100 TB
+    // overflows double's 2^53 long before it dents 38 digits); the only
+    // float ops are the final three divisions on identical inputs, so the
+    // engines agree bit-for-bit. Scale: one partial+final aggregate pass
+    // over the fact table; the OLS arithmetic runs on the (groups)-sized
+    // result.
+    "q_regr_by_group" -> QueryDef(
+      "OLS fit of extendedprice-cents on quantity per returnflag (slope/intercept/r2)",
+      (s, dir) => {
+        val x = col("l_quantity").cast("long")
+        val y = round(col("l_extendedprice") * 100, 0).cast("long")
+        val dec = "decimal(38,0)"
+        val m = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n0"),
+            sum(x.cast(dec)).as("sx0"), sum((x * x).cast(dec)).as("sxx0"),
+            sum(y.cast(dec)).as("sy0"), sum((y * y).cast(dec)).as("syy0"),
+            sum((x * y).cast(dec)).as("sxy0"))
+          .select(col("l_returnflag"), col("n0").as("n_rows"),
+            col("n0").cast("double").as("n"),
+            col("sx0").cast("double").as("sx"), col("sxx0").cast("double").as("sxx"),
+            col("sy0").cast("double").as("sy"), col("syy0").cast("double").as("syy"),
+            col("sxy0").cast("double").as("sxy"))
+        m.select(
+            col("l_returnflag"),
+            col("n_rows"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope_cents"),
+            round((col("sy") - col("sx") *
+              ((col("n") * col("sxy") - col("sx") * col("sy")) /
+                (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 4)
+              .as("intercept_cents"),
+            round(
+              ((col("n") * col("sxy") - col("sx") * col("sy")) *
+                (col("n") * col("sxy") - col("sx") * col("sy"))) /
+                ((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n_rows,
+             |    CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy
+             |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+             |          CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+             |        FROM lineitem)
+             |  GROUP BY l_returnflag)
+             |SELECT l_returnflag, n_rows,
+             |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope_cents,
+             |  ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4)
+             |    AS intercept_cents,
+             |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // Ordered string aggregation (listagg): sort-then-join on both sides.
     "q_string_agg" -> QueryDef(
       "Comma-joined nation list per region (ordered string_agg)",

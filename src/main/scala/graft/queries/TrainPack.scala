@@ -360,6 +360,40 @@ object TrainPack extends QueryPack {
              |  WHERE n < 5)
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
 
+    // Differential-privacy-style noised release — the third leg of the
+    // privacy family (k-anonymity suppresses, l-diversity audits, DP
+    // perturbs): every published (nation, segment) count is shifted by
+    // bounded integer noise and clamped at zero, so no exact group size
+    // leaves the engine. The noise here is a DETERMINISTIC stand-in —
+    // uniform on [-4, 4], derived from the portable md5 hash of the group
+    // key + release salt so the DuckDB oracle replays it bit-for-bit; a
+    // production release swaps in a discrete-geometric sampler drawn per
+    // release (the mechanism shape — group, perturb, clamp, never emit
+    // the true count — is what this query pins). Scale: the noise is
+    // map-side arithmetic on the (groups)-sized aggregate; the fact scan
+    // is the same partial+final count as any rollup.
+    "q_dp_counts" -> QueryDef(
+      "DP-style release of (nation, segment) counts with hash-derived bounded noise",
+      (s, dir) => {
+        val key = concat(col("c_nationkey").cast("string"), lit("|"),
+          col("c_mktsegment"), lit("|dp_release_1"))
+        val noise = pmod(Hashing.portableTokenHash(key), lit(9L)) - 4L
+        Tables.customer(s, dir)
+          .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            greatest(col("n") + noise, lit(0L)).as("released_n"))
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             |    CAST(('0x'||substring(md5(
+             |      CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+             |        || '|dp_release_1'), 1, 8)) AS BIGINT) % 9 - 4 AS noise
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT c_nationkey, c_mktsegment,
+             |  GREATEST(n + noise, 0) AS released_n
+             |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
     // RFM segmentation — the behavioral-cohort staple: per customer,
     // recency (days since last order vs the corpus max date), frequency
     // (order count), monetary (exact cents), each banded by fixed

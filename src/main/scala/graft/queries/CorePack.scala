@@ -865,7 +865,9 @@ object CorePack extends QueryPack {
           .join(broadcast(itemN.select(col("item").as("ante"), col("n_item").as("n_a"))), "ante")
           .join(broadcast(itemN.select(col("item").as("cons"), col("n_item").as("n_c"))), "cons")
           .crossJoin(broadcast(nBaskets))
-          .filter(col("n_pair") >= 100)
+          // relative min-support 0.5% as exact integer math (×200) — a
+          // double product could flip the boundary when it lands on an int
+          .filter(col("n_pair") * 200 >= col("n_baskets"))
           .select(col("ante"), col("cons"), col("n_pair"),
             round(col("n_pair").cast("double") / col("n_baskets"), 6).as("support"),
             round(col("n_pair").cast("double") / col("n_a"), 6).as("confidence"),
@@ -892,7 +894,7 @@ object CorePack extends QueryPack {
              |JOIN itemn na ON pairs.ante = na.item
              |JOIN itemn nc ON pairs.cons = nc.item
              |CROSS JOIN nb
-             |WHERE n_pair >= 100
+             |WHERE n_pair * 200 >= n_baskets
              |ORDER BY lift DESC, ante ASC, cons ASC
              |LIMIT 20""".stripMargin)),
 

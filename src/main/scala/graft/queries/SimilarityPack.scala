@@ -130,6 +130,120 @@ object SimilarityPack extends QueryPack {
               |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // MMR-diversified retrieval (Carbonell & Goldstein 1998): greedy
+    // re-ranking of a cosine candidate pool so each pick balances
+    // relevance to the query against redundancy with what's already
+    // selected — score = λ·rel − (1−λ)·max-sim-to-selected, λ=0.7. All
+    // comparisons run on micro-cosine BIGINTs (round(cos·1e6)), so the
+    // greedy argmax — and therefore the whole selection — is
+    // engine-identical; the k=5 iterations are UNROLLED as five
+    // dataframe stages (a static plan, no driver data loop), each a join
+    // on the (queries × 20)-row pool. Scale: the corpus pass is the same
+    // broadcast-query top-k scan as sim_topk_bruteforce (or any ANN
+    // variant — the pool source is pluggable); everything after it is
+    // pool-sized per query, so cost grows with query count, never
+    // corpus².
+    "sim_topk_mmr" -> QueryDef(
+      "MMR-diversified top-5 (lambda=0.7) from a cosine top-20 pool, 4 queries",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Similarity.withNormalized(
+          Tables.embeddings(s, dir).select("vec_id", "embedding"), "embedding", "nv")
+          .select("vec_id", "nv")
+        val q = broadcast(e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"), col("nv").as("qv")))
+        val wPool = Window.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("cand_id").asc)
+        val pool = q.crossJoin(e.select(col("vec_id").as("cand_id"), col("nv").as("cv")))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            round(Similarity.dot(col("qv"), col("cv")) * 1e6, 0).cast("long").as("rel"))
+          .withColumn("rk", row_number().over(wPool)).filter(col("rk") <= 20)
+          .select("query_id", "cand_id", "rel")
+        val pv = pool.join(e.select(col("vec_id").as("cand_id"), col("nv").as("cv")), "cand_id")
+        val pairs = pv.select(col("query_id"), col("cand_id").as("a"), col("cv").as("av"))
+          .join(pv.select(col("query_id"), col("cand_id").as("b"), col("cv").as("bv")),
+            Seq("query_id"))
+          .filter(col("a") =!= col("b"))
+          .select(col("query_id"), col("a"), col("b"),
+            round(Similarity.dot(col("av"), col("bv")) * 1e6, 0).cast("long").as("sim"))
+        val wPick = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id").asc)
+        val first = pool
+          .withColumn("score", col("rel") * 7)
+          .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+          .select(col("query_id"), col("cand_id"), lit(1L).as("step"), col("score"))
+        val selected = (2 to 5).foldLeft(first) { (sel, t) =>
+          val maxSim = pairs
+            .join(sel.select(col("query_id"), col("cand_id").as("b")), Seq("query_id", "b"))
+            .groupBy("query_id", "a").agg(max(col("sim")).as("ms"))
+            .withColumnRenamed("a", "cand_id")
+          val pick = pool
+            .join(sel.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
+            .join(maxSim, Seq("query_id", "cand_id"))
+            .withColumn("score", col("rel") * 7 - col("ms") * 3)
+            .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+            .select(col("query_id"), col("cand_id"), lit(t.toLong).as("step"), col("score"))
+          sel.unionByName(pick)
+        }
+        selected
+          .select(col("query_id"), col("step"), col("cand_id").as("selected_id"),
+            col("score").as("mmr_score"))
+          .orderBy("query_id", "step")
+      },
+      Some {
+        def stepCte(t: Int): String =
+          s"""s$t AS (
+             |  SELECT query_id, cand_id, score FROM (
+             |    SELECT c.query_id, c.cand_id, 7 * c.rel - 3 * m.ms AS score,
+             |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+             |                         ORDER BY (7 * c.rel - 3 * m.ms) DESC,
+             |                                  c.cand_id ASC) AS rk
+             |    FROM pool c
+             |    JOIN (SELECT p.query_id, p.a, MAX(p.sim) AS ms
+             |          FROM pairs p JOIN sel${t - 1} s
+             |            ON p.query_id = s.query_id AND p.b = s.cand_id
+             |          GROUP BY 1, 2) m
+             |      ON m.query_id = c.query_id AND m.a = c.cand_id
+             |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+             |                      WHERE s.query_id = c.query_id
+             |                        AND s.cand_id = c.cand_id))
+             |  WHERE rk = 1),
+             |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL
+             |          SELECT query_id, cand_id, CAST($t AS BIGINT), score FROM s$t)""".stripMargin
+        s"""WITH ${normCte("")},
+           |q AS (SELECT vec_id AS query_id, nv AS qv FROM e WHERE vec_id < 4),
+           |p0 AS (
+           |  SELECT q.query_id, c.vec_id AS cand_id,
+           |    CAST(ROUND(list_dot_product(q.qv, c.nv) * 1000000, 0) AS BIGINT) AS rel
+           |  FROM q JOIN e c ON c.vec_id <> q.query_id),
+           |pool AS (
+           |  SELECT query_id, cand_id, rel FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |                                 ORDER BY rel DESC, cand_id ASC) AS rk
+           |    FROM p0)
+           |  WHERE rk <= 20),
+           |pv AS (SELECT pool.query_id, pool.cand_id, e.nv
+           |       FROM pool JOIN e ON e.vec_id = pool.cand_id),
+           |pairs AS (
+           |  SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+           |    CAST(ROUND(list_dot_product(a.nv, b.nv) * 1000000, 0) AS BIGINT) AS sim
+           |  FROM pv a JOIN pv b
+           |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+           |sel1 AS (
+           |  SELECT query_id, cand_id, CAST(1 AS BIGINT) AS step, 7 * rel AS score FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |                                 ORDER BY rel DESC, cand_id ASC) AS rk
+           |    FROM pool)
+           |  WHERE rk = 1),
+           |${stepCte(2)},
+           |${stepCte(3)},
+           |${stepCte(4)},
+           |${stepCte(5)}
+           |SELECT query_id, step, cand_id AS selected_id, score AS mmr_score
+           |FROM sel5 ORDER BY query_id, step""".stripMargin
+      }),
+
     "dedup_embedding_cosine" -> QueryDef(
       "All-pairs embedding near-duplicates, cosine >= 0.45 (exact baseline, vec_id<500 slice)",
       (s, dir) =>

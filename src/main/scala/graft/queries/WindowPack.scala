@@ -121,6 +121,69 @@ object WindowPack extends QueryPack {
              |  ROUND(list_reduce(arr, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
              |FROM o ORDER BY user_id""".stripMargin)),
 
+    // Holt's linear-trend smoothing (double exponential) per user — the
+    // forecasting step up from EWMA: a coupled (level, trend) recursion
+    //   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    //   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    // seeded l₂ = x₂, b₂ = x₂ − x₁, plus the h-step-ahead forecast
+    // l_n + h·b_n. The Spark fold carries a STRUCT accumulator through
+    // `aggregate`; the oracle replays the recursion as a RECURSIVE CTE
+    // stepping an (i, l, b) row per user — NOT list_reduce, whose
+    // composite-accumulator folds silently corrupt the accumulator from
+    // the second step onward in DuckDB 1.0 (verified: struct and list
+    // accumulators both return wrong values where a 1-step fold and a
+    // manual lambda application are correct). Identical left-to-right
+    // double arithmetic either way, so the engines agree bit-for-bit.
+    // Same collect-bounded posture as q_ewma_all: ≤ ~200 events/user
+    // here; unbounded history belongs to the streaming state op.
+    "q_holt_linear" -> QueryDef(
+      "Per-user Holt linear trend (alpha=0.5, beta=0.3) + 3-step forecast",
+      (s, dir) => {
+        val a = 0.5; val b = 0.3
+        val vals = col("vals")
+        val seed = struct(
+          element_at(vals, 2).as("l"),
+          (element_at(vals, 2) - element_at(vals, 1)).as("b"))
+        val st = aggregate(
+          slice(vals, lit(3), greatest(size(vals) - 2, lit(0))),
+          seed,
+          (acc, x) => {
+            val l2 = lit(a) * x + lit(1 - a) * (acc.getField("l") + acc.getField("b"))
+            struct(l2.as("l"),
+              (lit(b) * (l2 - acc.getField("l")) + lit(1 - b) * acc.getField("b")).as("b"))
+          })
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .groupBy("user_id")
+          .agg(transform(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))),
+            e => e.getField("value")).as("vals"))
+          .filter(size(vals) >= 2)
+          .withColumn("st", st)
+          .select(col("user_id"), size(vals).cast("long").as("n_events"),
+            round(col("st").getField("l"), 6).as("level"),
+            round(col("st").getField("b"), 6).as("trend"),
+            round(col("st").getField("l") + lit(3) * col("st").getField("b"), 6)
+              .as("forecast_3"))
+          .orderBy("user_id")
+      },
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT user_id, list(value ORDER BY ts, event_id) AS arr
+             |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+             |base AS (SELECT user_id, arr, len(arr) AS n FROM o WHERE len(arr) >= 2),
+             |rec AS (
+             |  SELECT user_id, arr, n, 2 AS i, arr[2] AS l, arr[2] - arr[1] AS b
+             |  FROM base
+             |  UNION ALL
+             |  SELECT user_id, arr, n, i + 1,
+             |    0.5 * arr[i + 1] + 0.5 * (l + b),
+             |    0.3 * ((0.5 * arr[i + 1] + 0.5 * (l + b)) - l) + 0.7 * b
+             |  FROM rec WHERE i < n)
+             |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+             |  ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+             |  ROUND(l + 3 * b, 6) AS forecast_3
+             |FROM rec WHERE i = n ORDER BY user_id""".stripMargin)),
+
     // Exact sliding median — no native windowed percentile in a frame;
     // the bounded trailing frame is collected, sorted, and the middle
     // element(s) read out. The (n+1)/2 and n/2+1 indices coincide for

@@ -199,5 +199,113 @@ object GraphPack extends QueryPack {
       },
       Some(s"""$edgeCte
              |SELECT dg AS deg, COUNT(*) AS n_nodes FROM deg
-             |GROUP BY dg ORDER BY deg""".stripMargin)))
+             |GROUP BY dg ORDER BY deg""".stripMargin)),
+
+    // BFS reachability layers from the minimum-id node — the traversal
+    // primitive the join-shaped family lacked. Three UNROLLED frontier
+    // expansions (the Pregel-in-SQL shape: each round is ONE join of the
+    // previous distinct layer against the adjacency + a distinct), then
+    // min-dist per node; no visited anti-join is needed because the
+    // min() collapse assigns every node its first-reached depth. Scale:
+    // every round's intermediate is ≤ |V| after distinct and the join
+    // fanout is degree-bounded; rounds are a fixed constant, so the
+    // whole query is k joins over the standing adjacency index — never
+    // path-enumerating (which is why the layers are deduped BEFORE the
+    // next expansion).
+    "graph_bfs_layers" -> QueryDef(
+      "BFS layers (depth<=3) from the min-id node: nodes reached per depth",
+      (s, dir) => {
+        val idx = graphIndexDir(s, dir)
+        val o = s.read.parquet(s"$idx/oriented")
+        val und = o.select(col("u").as("n"), col("w").as("v"))
+          .unionAll(o.select(col("w").as("n"), col("u").as("v")))
+        val deg = s.read.parquet(s"$idx/degrees")
+        val l0 = deg.agg(min(col("v")).as("v")).select(col("v"), lit(0L).as("dist"))
+        val layers = (1 to 3).foldLeft(Seq(l0)) { (ls, d) =>
+          val next = ls.last.select(col("v").as("fv"))
+            .join(und, col("fv") === col("n"))
+            .select(col("v")).distinct()
+            .select(col("v"), lit(d.toLong).as("dist"))
+          ls :+ next
+        }
+        layers.reduce(_ unionByName _)
+          .groupBy("v").agg(min(col("dist")).as("dist"))
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("sum_node_ids"),
+            min(col("v")).as("min_node"), max(col("v")).as("max_node"))
+          .orderBy("dist")
+      },
+      Some(s"""$edgeCte,
+             |und AS (
+             |  SELECT s AS n, d AS v FROM e UNION ALL SELECT d AS n, s AS v FROM e),
+             |l0 AS (SELECT MIN(v) AS v, CAST(0 AS BIGINT) AS dist FROM deg),
+             |l1 AS (SELECT DISTINCT und.v, CAST(1 AS BIGINT) AS dist
+             |       FROM l0 JOIN und ON und.n = l0.v),
+             |l2 AS (SELECT DISTINCT und.v, CAST(2 AS BIGINT) AS dist
+             |       FROM l1 JOIN und ON und.n = l1.v),
+             |l3 AS (SELECT DISTINCT und.v, CAST(3 AS BIGINT) AS dist
+             |       FROM l2 JOIN und ON und.n = l2.v),
+             |m AS (
+             |  SELECT v, MIN(dist) AS dist FROM (
+             |    SELECT * FROM l0 UNION ALL SELECT * FROM l1
+             |    UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+             |  GROUP BY v)
+             |SELECT dist, COUNT(*) AS n_nodes, CAST(SUM(v) AS BIGINT) AS sum_node_ids,
+             |  MIN(v) AS min_node, MAX(v) AS max_node
+             |FROM m GROUP BY dist ORDER BY dist""".stripMargin)),
+
+    // Synchronous label propagation (Raghavan 2007), 3 rounds — community
+    // detection, the partner analytic to the CC clusters in dedup_cc_*:
+    // labels init to node ids and every round each node adopts its
+    // neighbors' MODE label (count desc, then smallest label — a total
+    // tie-break, so the sync update is deterministic and both engines
+    // replay it). Each round is one (adjacency ⋈ labels) join, a
+    // (node, label) count, and a windowed argmax — all integer, all
+    // V/E-bounded, fixed round count: the same iterate-small posture as
+    // train_domain_rank (the fact table is touched once to derive the
+    // edges; iterations never rescan it).
+    "graph_label_propagation" -> QueryDef(
+      "Top-20 communities after 3 synchronous label-propagation rounds",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val idx = graphIndexDir(s, dir)
+        val o = s.read.parquet(s"$idx/oriented")
+        val und = o.select(col("u").as("n"), col("w").as("v"))
+          .unionAll(o.select(col("w").as("n"), col("u").as("v")))
+        val deg = s.read.parquet(s"$idx/degrees")
+        val wMode = Window.partitionBy("n")
+          .orderBy(col("c").desc, col("lab").asc)
+        val lp3 = (1 to 3).foldLeft(deg.select(col("v"), col("v").as("lab"))) {
+          (labels, _) =>
+            und.join(labels, "v")
+              .groupBy("n", "lab").agg(count(lit(1)).as("c"))
+              .withColumn("rk", row_number().over(wMode)).filter(col("rk") === 1)
+              .select(col("n").as("v"), col("lab"))
+        }
+        lp3.groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_member"))
+          .orderBy(col("n_members").desc, col("community").asc)
+          .limit(20)
+      },
+      Some {
+        def lpCte(t: Int): String =
+          s"""lp$t AS (
+             |  SELECT n AS v, lab FROM (
+             |    SELECT u.n, l.lab,
+             |      ROW_NUMBER() OVER (PARTITION BY u.n
+             |                         ORDER BY COUNT(*) DESC, l.lab ASC) AS rk
+             |    FROM und u JOIN lp${t - 1} l ON u.v = l.v
+             |    GROUP BY u.n, l.lab)
+             |  WHERE rk = 1)""".stripMargin
+        s"""$edgeCte,
+           |und AS (
+           |  SELECT s AS n, d AS v FROM e UNION ALL SELECT d AS n, s AS v FROM e),
+           |lp0 AS (SELECT v, v AS lab FROM deg),
+           |${lpCte(1)},
+           |${lpCte(2)},
+           |${lpCte(3)}
+           |SELECT lab AS community, COUNT(*) AS n_members, MIN(v) AS min_member
+           |FROM lp3 GROUP BY lab
+           |ORDER BY n_members DESC, community ASC LIMIT 20""".stripMargin
+      }))
 }

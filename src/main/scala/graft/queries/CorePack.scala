@@ -852,9 +852,13 @@ object CorePack extends QueryPack {
     "q_assoc_rules" -> QueryDef(
       "Top-20 brand association rules by lift over per-order baskets",
       (s, dir) => {
+        // baskets feed four consumers (N, item counts, both pair sides);
+        // localCheckpoint runs the fact scan + distinct once instead of
+        // re-deriving it per consumer
         val baskets = Tables.lineitem(s, dir)
           .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("k"), col("p_brand").as("item")).distinct()
+          .localCheckpoint()
         val nBaskets = baskets.agg(countDistinct(col("k")).as("n_baskets"))
         val itemN = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
         val pairs = baskets.join(baskets.select(col("k"), col("item").as("item_b")), "k")

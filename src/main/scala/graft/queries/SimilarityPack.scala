@@ -154,12 +154,19 @@ object SimilarityPack extends QueryPack {
           .select(col("vec_id").as("query_id"), col("nv").as("qv")))
         val wPool = Window.partitionBy("query_id")
           .orderBy(col("rel").desc, col("cand_id").asc)
+        // pool and pairs feed every unrolled greedy step below;
+        // localCheckpoint pins them as (queries × 20)- and
+        // (queries × 380)-row local tables so the corpus scan + pool
+        // window run ONCE — without it each step's plan re-derives the
+        // whole pool subtree and the query multiplies its own cost
+        // (measured 21 s → sub-second at sf0.1)
         val pool = q.crossJoin(e.select(col("vec_id").as("cand_id"), col("nv").as("cv")))
           .filter(col("cand_id") =!= col("query_id"))
           .select(col("query_id"), col("cand_id"),
             round(Similarity.dot(col("qv"), col("cv")) * 1e6, 0).cast("long").as("rel"))
           .withColumn("rk", row_number().over(wPool)).filter(col("rk") <= 20)
           .select("query_id", "cand_id", "rel")
+          .localCheckpoint()
         val pv = pool.join(e.select(col("vec_id").as("cand_id"), col("nv").as("cv")), "cand_id")
         val pairs = pv.select(col("query_id"), col("cand_id").as("a"), col("cv").as("av"))
           .join(pv.select(col("query_id"), col("cand_id").as("b"), col("cv").as("bv")),
@@ -167,12 +174,18 @@ object SimilarityPack extends QueryPack {
           .filter(col("a") =!= col("b"))
           .select(col("query_id"), col("a"), col("b"),
             round(Similarity.dot(col("av"), col("bv")) * 1e6, 0).cast("long").as("sim"))
+          .localCheckpoint()
         val wPick = Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id").asc)
         val first = pool
           .withColumn("score", col("rel") * 7)
           .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
           .select(col("query_id"), col("cand_id"), lit(1L).as("step"), col("score"))
+          .localCheckpoint()
+        // checkpoint per step: sel_t's plan would otherwise CONTAIN
+        // sel_{t-1}'s, so the final union re-executes every earlier
+        // step's join cascade 2^k-ish times in tiny 32-task stages —
+        // the pool data is trivial; un-truncated lineage was the cost
         val selected = (2 to 5).foldLeft(first) { (sel, t) =>
           val maxSim = pairs
             .join(sel.select(col("query_id"), col("cand_id").as("b")), Seq("query_id", "b"))
@@ -184,7 +197,7 @@ object SimilarityPack extends QueryPack {
             .withColumn("score", col("rel") * 7 - col("ms") * 3)
             .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
             .select(col("query_id"), col("cand_id"), lit(t.toLong).as("step"), col("score"))
-          sel.unionByName(pick)
+          sel.unionByName(pick).localCheckpoint()
         }
         selected
           .select(col("query_id"), col("step"), col("cand_id").as("selected_id"),

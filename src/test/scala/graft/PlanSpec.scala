@@ -250,6 +250,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoopJoin"), "a join fell back to nested loop")
   }
 
+  test("q_assoc_rules pairs join equi-keyed on the basket key; stats broadcast") {
+    // the basket self-join must stay a hash/sort-merge equi join on
+    // l_orderkey (bounded per-key fanout) and the item-count / N joins
+    // must broadcast — a cross product here would be baskets², the
+    // shape rule mining exists to avoid
+    val p = SparkEntry.queries("q_assoc_rules")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "basket pairing degenerated to a cross product")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "item counts / basket total must broadcast")
+  }
+
+  test("graph traversal queries never plan a cartesian product") {
+    // BFS frontier expansion and LPA mode rounds are adjacency equi
+    // joins; a CartesianProduct would mean a frontier or label table
+    // is being paired against the whole graph
+    for (q <- Seq("graph_bfs_layers", "graph_label_propagation")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cross product")
+    }
+  }
+
+  test("graph_label_propagation's mode argmax partitions by the node (no single-partition window)") {
+    val p = SparkEntry.queries("graph_label_propagation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(n"),
+      "LPA mode window must partition by the center node")
+  }
+
+  test("sim_topk_mmr's greedy picks window on query_id and pool joins stay equi-keyed") {
+    // every row_number argmax must partition by query_id (per-query
+    // greedy, never a global funnel), and the only non-equi pairing
+    // allowed is the broadcast query fan-out over the corpus
+    val p = SparkEntry.queries("sim_topk_mmr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(query_id"),
+      "greedy argmax must partition by query_id")
+    assert(!p.contains("CartesianProduct"), "pool pairing degenerated to a cross product")
+  }
+
+  test("q_regr_by_group aggregates partial+final over exact decimal sums") {
+    val p = plan("q_regr_by_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("partial_sum"))
+    assert(p.contains("decimal(38,0)"), "moment sums must ride exact wide decimals")
+  }
+
   test("q_ida_e2e's view stage carries the flagship's Window + HashAggregate skeleton") {
     // the composed reference pipeline must END in the same physical shape
     // as metrics_view: a partitioned Window (LAG) feeding partial+final

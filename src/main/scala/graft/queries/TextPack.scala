@@ -925,14 +925,21 @@ object TextPack extends QueryPack {
     "text_textrank_keywords" -> QueryDef(
       "Top-15 keywords by 3-iteration integer TextRank over token co-occurrence",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val stop = TextAnalysis.Stopwords("en")
-        val toked = Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))).as(Seq("i", "tok")))
-        val w = Window.partitionBy("doc_id").orderBy(col("i").asc)
-        val und = toked
-          .withColumn("nxt", lead(col("tok"), 1).over(w))
-          .filter(col("nxt").isNotNull && col("tok") =!= col("nxt") &&
+        // adjacent pairs come from zip_with over the token ARRAY — pure
+        // map-side, nothing shuffles at token cardinality (the earlier
+        // per-doc LEAD window sorted/shuffled every token row by doc_id:
+        // measured 10+ s spikes at the ×32 corpus, vs the distinct's
+        // map-side partial dedup collapsing hot pairs before the only
+        // shuffle here)
+        val arr = TextAnalysis.tokens(col("text"))
+        val und = Tables.documents(s, dir)
+          .select(explode(zip_with(
+            slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+            slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+            (a, b) => struct(a.as("tok"), b.as("nxt")))).as("pr"))
+          .select(col("pr.tok").as("tok"), col("pr.nxt").as("nxt"))
+          .filter(col("tok") =!= col("nxt") &&
             !col("tok").isin(stop: _*) && !col("nxt").isin(stop: _*))
           .select(least(col("tok"), col("nxt")).as("s"),
             greatest(col("tok"), col("nxt")).as("d"))

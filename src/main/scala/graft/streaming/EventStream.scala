@@ -296,6 +296,63 @@ object EventStream {
       }
   }
 
+  /** One running Holt (level, trend) per user held as stream state.
+    * `first` carries the lone observation until the second arrives —
+    * the recursion seeds l₂ = x₂, b₂ = x₂ − x₁, so it needs two points
+    * before level/trend are defined (n ≤ 1 rows are emitted but carry
+    * placeholder zeros; consumers filter n ≥ 2, like the batch twin's
+    * `len(arr) >= 2`).
+    */
+  case class HoltState(first: Double, level: Double, trend: Double, n: Long)
+
+  /** A user's current trend-smoothed value + 3-step forecast. */
+  case class UserHolt(
+      user_id: Long, n_events: Long, level: Double, trend: Double, forecast_3: Double)
+
+  /** Full-history Holt linear-trend smoothing per user — the forecasting
+    * upgrade of [[ewmaPerUser]]: the coupled recursion
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1});  b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    * held as ONE (first, level, trend, n) quadruple per user regardless
+    * of stream length (the batch twin q_holt_linear must collect each
+    * user's whole history to fold it — unbounded histories belong
+    * here). Arithmetic is the IDENTICAL double expression sequence as
+    * the batch fold, and events fold in the same (ts, event_id) total
+    * order, so on a bounded source stream ≡ batch bit-for-bit
+    * (spec-asserted). NULL values are excluded like the twin.
+    */
+  def holtPerUser(
+      spark: SparkSession,
+      eventsDir: String,
+      alpha: Double = 0.5,
+      beta: Double = 0.3): Dataset[UserHolt] = {
+    import spark.implicits._
+    source(spark, eventsDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[ValueEvent]
+      .filter(col("value").isNotNull)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[HoltState, UserHolt](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[ValueEvent], state: GroupState[HoltState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var st = state.getOption
+          sorted.foreach { e =>
+            st = Some(st match {
+              case None =>
+                HoltState(e.value, 0.0, 0.0, 1L)
+              case Some(s) if s.n == 1L =>
+                HoltState(s.first, e.value, e.value - s.first, 2L)
+              case Some(s) =>
+                val l2 = alpha * e.value + (1 - alpha) * (s.level + s.trend)
+                HoltState(s.first, l2,
+                  beta * (l2 - s.level) + (1 - beta) * s.trend, s.n + 1L)
+            })
+          }
+          val s = st.get // NoTimeout ⇒ invoked only with data or prior state
+          state.update(s)
+          UserHolt(userId, s.n, s.level, s.trend, s.level + 3 * s.trend)
+      }
+  }
+
   /** Per-user daily activity rollup (windowed aggregation shape; see
     * [[sessionized]] for the custom-state operator).
     */

@@ -279,14 +279,16 @@ class PlanSpec extends AnyFunSuite {
       "LPA mode window must partition by the center node")
   }
 
-  test("sim_topk_mmr's greedy picks window on query_id and pool joins stay equi-keyed") {
-    // every row_number argmax must partition by query_id (per-query
-    // greedy, never a global funnel), and the only non-equi pairing
-    // allowed is the broadcast query fan-out over the corpus
+  test("sim_topk_mmr serves the greedy from checkpointed pool tables, no cross product") {
+    // the greedy steps are localCheckpoint-truncated (each step's plan
+    // would otherwise CONTAIN every earlier step's — the measured 21 s
+    // lineage blow-up), so the final plan must read the last
+    // checkpointed selection, not re-derive the cascade; and nothing
+    // in it may be a cartesian pairing
     val p = SparkEntry.queries("sim_topk_mmr")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(p.contains("hashpartitioning(query_id"),
-      "greedy argmax must partition by query_id")
+    assert(p.contains("ExistingRDD"),
+      "greedy stages must be lineage-truncated (checkpoint-served)")
     assert(!p.contains("CartesianProduct"), "pool pairing degenerated to a cross product")
   }
 

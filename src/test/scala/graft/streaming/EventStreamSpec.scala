@@ -123,6 +123,29 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == twin && streamed.nonEmpty)
   }
 
+  test("stateful Holt trend matches the oracled batch twin (q_holt_linear) bit-for-bit") {
+    val q = EventStream.holtPerUser(spark, eventsDir)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stream_holt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // one batch covers the bounded source, so each user's update row is
+    // the full-history fold; n==1 users carry placeholder state and are
+    // filtered exactly like the twin's len(arr) >= 2 gate
+    val streamed = spark.table("stream_holt")
+      .filter(col("n_events") >= 2)
+      .select(col("user_id"), col("n_events"), round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"), round(col("forecast_3"), 6).as("forecast_3"))
+      .orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+    val twin = graft.Catalog.all("q_holt_linear").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == twin && streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions == batch sessions minus open ones") {
     val q = EventStream.sessionized(spark, eventsDir, gapSec = 1800)
       .writeStream

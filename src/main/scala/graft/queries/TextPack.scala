@@ -932,8 +932,13 @@ object TextPack extends QueryPack {
         // measured 10+ s spikes at the ×32 corpus, vs the distinct's
         // map-side partial dedup collapsing hot pairs before the only
         // shuffle here)
-        val arr = TextAnalysis.tokens(col("text"))
+        // bind the token array to a real attribute first (the house
+        // explode(array(..)) barrier — see Similarity.withNormalized):
+        // referenced bare, the tokenize regex re-evaluates once per
+        // slice/size occurrence after CollapseProject inlining
+        val arr = col("arr")
         val und = Tables.documents(s, dir)
+          .select(explode(array(TextAnalysis.tokens(col("text")))).as("arr"))
           .select(explode(zip_with(
             slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
             slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),

@@ -734,6 +734,110 @@ object WindowPack extends QueryPack {
              |  var_c > 0 AND ABS(cents - mean_c) > 3 * SQRT(var_c) AS is_anomaly
              |FROM m ORDER BY event_type, day""".stripMargin)),
 
+    // Kaplan–Meier survival for time-to-first-purchase under 48-hour
+    // administrative censoring — the time-to-event family (retention
+    // counts cohorts; this estimates the survival FUNCTION under
+    // right-censoring): duration = whole hours from a user's first
+    // event to their first purchase; each user is followed for a fixed
+    // 48 h study window, so later (or absent) purchases censor at 48 —
+    // the standard fixed-follow-up design. The fact table reduces to
+    // one (first_ts, first_purchase_ts) row per user FIRST; everything
+    // after — per-hour death/censor counts, the at-risk ladder
+    // n_t = Σ_{u≥t} leavers (a window over the ≤49-row duration table,
+    // constant-sized at any SF), and the KM product Π(1 − d/n) folded
+    // in duration order — is horizon-bounded. Terms are one double
+    // division per duration from exact integers; the fold replays in
+    // DuckDB as list_reduce over the same ordered list (SCALAR double
+    // accumulator — safe; the composite-acc bug is documented at
+    // q_holt_linear), seeded by list_prepend(1.0, …). Hours come from
+    // FLOOR'd epoch seconds on both sides: DuckDB's epoch() is a
+    // DOUBLE whose bare BIGINT cast ROUNDS where Spark's
+    // timestamp→long cast truncates.
+    "q_survival_km" -> QueryDef(
+      "Kaplan-Meier time-to-first-purchase, 48h administrative censoring",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(min(col("ts")).as("ft"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("pt"))
+        val tbl = per
+          .withColumn("diff_s",
+            Tables.epochSeconds(col("pt")) - Tables.epochSeconds(col("ft")))
+          .withColumn("h", expr("diff_s DIV 3600"))
+          .select(
+            (col("pt").isNotNull && col("h") <= 48).as("observed"),
+            col("h"))
+          .select(when(col("observed"), col("h")).otherwise(48L).as("dur"),
+            col("observed"))
+        val byT = tbl.groupBy("dur")
+          .agg(count(when(col("observed"), 1)).as("d"), count(lit(1)).as("leavers"))
+        // at-risk ladder: a single-partition window is FINE here — its
+        // input is the per-duration table, calendar-bounded (≤ |days|
+        // rows) at any SF, not data-sized like the customer rollup that
+        // made q_pareto_curve's global window a scale bug
+        val ladder = byT
+          .withColumn("n_at_risk", sum(col("leavers")).over(
+            Window.orderBy(col("dur").asc)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+          .select(col("dur"), col("d"), col("n_at_risk"))
+        def surv(h: Int) = round(aggregate(
+          filter(col("arr"), e => e.getField("dur") <= h),
+          lit(1.0),
+          (acc, e) => acc * (lit(1.0) -
+            e.getField("d").cast("double") / e.getField("n").cast("double"))), 6)
+        ladder
+          .agg(sum(col("d")).as("n_deaths"),
+            sort_array(collect_list(struct(col("dur"),
+              col("d"), col("n_at_risk").as("n")))).as("arr"))
+          .select(
+            size(col("arr")).cast("long").as("n_durations"),
+            col("n_deaths"),
+            surv(6).as("s6"), surv(12).as("s12"),
+            surv(24).as("s24"), surv(48).as("s48"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, MIN(ts) AS ft,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS pt
+             |  FROM events GROUP BY user_id),
+             |t AS (
+             |  SELECT CASE WHEN observed THEN h ELSE 48 END AS dur, observed
+             |  FROM (SELECT h, pt IS NOT NULL AND h <= 48 AS observed
+             |        FROM (SELECT (CAST(FLOOR(epoch(pt)) AS BIGINT) -
+             |                      CAST(FLOOR(epoch(ft)) AS BIGINT)) // 3600 AS h, pt
+             |              FROM per))),
+             |byt AS (
+             |  SELECT dur, COUNT(*) FILTER (WHERE observed) AS d,
+             |    COUNT(*) AS leavers
+             |  FROM t GROUP BY dur),
+             |ladder AS (
+             |  SELECT dur, d,
+             |    SUM(leavers) OVER (ORDER BY dur
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+             |  FROM byt),
+             |arr AS (
+             |  SELECT CAST(SUM(d) AS BIGINT) AS n_deaths, COUNT(*) AS n_durations,
+             |    list({'dur': dur, 'd': d, 'n': n} ORDER BY dur) AS a
+             |  FROM ladder)
+             |SELECT n_durations, n_deaths,
+             |  ROUND(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             |    list_transform(list_filter(a, e -> e.dur <= 6),
+             |      e -> 1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))),
+             |    (acc, x) -> acc * x), 6) AS s6,
+             |  ROUND(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             |    list_transform(list_filter(a, e -> e.dur <= 12),
+             |      e -> 1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))),
+             |    (acc, x) -> acc * x), 6) AS s12,
+             |  ROUND(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             |    list_transform(list_filter(a, e -> e.dur <= 24),
+             |      e -> 1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))),
+             |    (acc, x) -> acc * x), 6) AS s24,
+             |  ROUND(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             |    list_transform(list_filter(a, e -> e.dur <= 48),
+             |      e -> 1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))),
+             |    (acc, x) -> acc * x), 6) AS s48
+             |FROM arr""".stripMargin)),
+
     // Lag-k AUTOCORRELATION of the daily-revenue series — the
     // seasonality probe every time-series pipeline runs before picking
     // forecast features. The fact table reduces to one BIGINT-cents row

@@ -274,75 +274,81 @@ object QualityPack extends QueryPack {
     // SURROGATE (hash-bucketed to {0..4} with exact mean 1 — matching
     // the true Poisson pmf to ~2%; production swaps the true inverse
     // CDF, the mechanism is what's pinned), so the whole bootstrap is
-    // one map-side ×32 explode + a partial+final aggregate to
-    // (groups × 32) replica sums — data never moves per replica. The
-    // CI is the 2nd/31st order statistic of the 32 replica means
+    // ONE aggregate pass carrying 64 accumulator columns (Σw_b·x and
+    // Σw_b per replica) — no row is ever duplicated per replica and no
+    // per-replica data moves (an explode-×B spelling measured ~2× this;
+    // 32 per-replica md5s, ~3×: the weights carve 8-bit slices out of
+    // TWO md5 digests per row, thresholds the same pmf scaled to /256).
+    // The CI is the 2nd/31st order statistic of the 32 replica means
     // (≈ 94% interval); weighted sums ride exact wide integers, the
     // only float ops are 32 divisions + the final rounding.
     "q_bootstrap_ci" -> QueryDef(
       "Bootstrap CI (B=32, Poisson-surrogate weights) for mean order value per priority",
       (s, dir) => {
+        val digest = concat(
+          md5(concat(col("o_orderkey").cast("string"), lit("|a"))),
+          md5(concat(col("o_orderkey").cast("string"), lit("|b"))))
+        // explode(array(..)) barrier: referenced bare, the two-md5 concat
+        // would inline into all 64 aggregate expressions
         val base = Tables.orders(s, dir)
-          .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
-            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-        val reps = base.select(col("grp"), col("cents"),
-          explode(array((0 until 32).map { b =>
-            val h = pmod(graft.ext.Hashing.portableTokenHash(
-              concat(col("o_orderkey").cast("string"), lit("|"), lit(b.toString))),
-              lit(32L))
-            struct(lit(b.toLong).as("b"),
-              when(h < 12, 0L).when(h < 24, 1L).when(h < 29, 2L)
-                .when(h < 31, 3L).otherwise(4L).as("w"))
-          }: _*)).as("rw"))
-          .select(col("grp"), col("cents"), col("rw.b").as("b"), col("rw.w").as("w"))
-        val means = reps.groupBy("grp", "b")
-          .agg(sum((col("w") * col("cents")).cast("decimal(38,0)")).as("sc"),
-            sum(col("w")).as("sw"))
-          .select(col("grp"),
-            (col("sc").cast("double") / col("sw").cast("double")).as("m"))
-        val point = base.groupBy("grp")
-          .agg(count(lit(1)).as("n_orders"),
-            sum(col("cents").cast("decimal(38,0)")).as("tc"))
-          .select(col("grp"), col("n_orders"),
-            (col("tc").cast("double") / col("n_orders").cast("double")).as("mean_c"))
-        means.groupBy("grp")
-          .agg(sort_array(collect_list(col("m"))).as("arr"))
-          .join(broadcast(point), "grp")
+          .select(col("o_orderpriority").as("grp"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+            col("o_orderkey"))
+          .withColumn("dg", explode(array(digest)))
+        def w(b: Int) = {
+          val h = conv(substring(col("dg"), 2 * b + 1, 2), 16, 10).cast("long")
+          when(h < 96, 0L).when(h < 192, 1L).when(h < 232, 2L)
+            .when(h < 248, 3L).otherwise(4L)
+        }
+        val aggs = (0 until 32).flatMap { b =>
+          Seq(sum((w(b) * col("cents")).cast("decimal(38,0)")).as(s"sc_$b"),
+            sum(w(b)).as(s"sw_$b"))
+        } ++ Seq(count(lit(1)).as("n_orders"),
+          sum(col("cents").cast("decimal(38,0)")).as("tc"))
+        val arr = sort_array(array((0 until 32).map(b =>
+          col(s"sc_$b").cast("double") / col(s"sw_$b").cast("double")): _*))
+        base.groupBy("grp").agg(aggs.head, aggs.tail: _*)
           .select(col("grp").as("o_orderpriority"), col("n_orders"),
-            round(col("mean_c"), 4).as("mean_cents"),
-            round(element_at(col("arr"), 2), 4).as("ci_lo"),
-            round(element_at(col("arr"), 31), 4).as("ci_hi"))
+            round(col("tc").cast("double") / col("n_orders").cast("double"), 4)
+              .as("mean_cents"),
+            round(element_at(arr, 2), 4).as("ci_lo"),
+            round(element_at(arr, 31), 4).as("ci_hi"))
           .orderBy("o_orderpriority")
       },
-      Some("""WITH base AS (
-             |  SELECT o_orderpriority AS grp, o_orderkey,
-             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
-             |  FROM orders),
-             |reps AS (
-             |  SELECT grp, cents, b,
-             |    CASE WHEN h < 12 THEN 0 WHEN h < 24 THEN 1 WHEN h < 29 THEN 2
-             |         WHEN h < 31 THEN 3 ELSE 4 END AS w
-             |  FROM (SELECT grp, cents, b,
-             |          CAST(('0x'||substring(md5(
-             |            CAST(o_orderkey AS VARCHAR) || '|' || CAST(b AS VARCHAR)),
-             |            1, 8)) AS BIGINT) % 32 AS h
-             |        FROM base
-             |        CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b))),
-             |means AS (
-             |  SELECT grp,
-             |    CAST(SUM(CAST(w * cents AS HUGEINT)) AS DOUBLE) /
-             |      CAST(SUM(w) AS DOUBLE) AS m
-             |  FROM reps GROUP BY grp, b),
-             |stats AS (SELECT grp, list(m ORDER BY m) AS arr FROM means GROUP BY grp),
-             |pt AS (
-             |  SELECT grp, COUNT(*) AS n_orders,
-             |    CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / COUNT(*) AS mean_c
-             |  FROM base GROUP BY grp)
-             |SELECT stats.grp AS o_orderpriority, n_orders,
-             |  ROUND(mean_c, 4) AS mean_cents,
-             |  ROUND(arr[2], 4) AS ci_lo, ROUND(arr[31], 4) AS ci_hi
-             |FROM stats JOIN pt ON stats.grp = pt.grp
-             |ORDER BY o_orderpriority""".stripMargin)),
+      Some {
+        val sums = (0 until 32).map { b =>
+          val w = s"""CASE WHEN h$b < 96 THEN 0 WHEN h$b < 192 THEN 1
+                     | WHEN h$b < 232 THEN 2 WHEN h$b < 248 THEN 3 ELSE 4 END"""
+            .stripMargin.replaceAll("\n", "")
+          s"SUM(CAST(($w) * cents AS HUGEINT)) AS sc_$b, SUM($w) AS sw_$b"
+        }.mkString(",\n    ")
+        val hs = (0 until 32).map(b =>
+          s"CAST(('0x'||substring(dg, ${2 * b + 1}, 2)) AS BIGINT) AS h$b")
+          .mkString(",\n    ")
+        val means = (0 until 32).map(b =>
+          s"CAST(sc_$b AS DOUBLE) / CAST(sw_$b AS DOUBLE)").mkString(", ")
+        s"""WITH base AS (
+           |  SELECT o_orderpriority AS grp,
+           |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           |    md5(CAST(o_orderkey AS VARCHAR) || '|a') ||
+           |      md5(CAST(o_orderkey AS VARCHAR) || '|b') AS dg
+           |  FROM orders),
+           |sliced AS (
+           |  SELECT grp, cents,
+           |    $hs
+           |  FROM base),
+           |g AS (
+           |  SELECT grp,
+           |    $sums,
+           |    COUNT(*) AS n_orders,
+           |    SUM(CAST(cents AS HUGEINT)) AS tc
+           |  FROM sliced GROUP BY grp),
+           |m AS (SELECT grp, n_orders, tc, list_sort([$means]) AS arr FROM g)
+           |SELECT grp AS o_orderpriority, n_orders,
+           |  ROUND(CAST(tc AS DOUBLE) / n_orders, 4) AS mean_cents,
+           |  ROUND(arr[2], 4) AS ci_lo, ROUND(arr[31], 4) AS ci_hi
+           |FROM m ORDER BY o_orderpriority""".stripMargin
+      }),
 
     // Mergeable-QUANTILE rollup — the KLL complement of sketch_hll_rollup:
     // per-type value sketches built map-side (bounded per-partition

@@ -712,10 +712,13 @@ object CorePack extends QueryPack {
     "q_event_pattern" -> QueryDef(
       "Regex CEP over per-user-day event sequences: view->purchase conversions",
       (s, dir) => {
-        val sym = element_at(
+        // coalesce to 'e' so an unknown event_type matches the oracle's
+        // CASE ELSE branch instead of becoming a NULL that array_join
+        // silently drops (which would shift match counts).
+        val sym = coalesce(element_at(
           map(lit("view"), lit("v"), lit("click"), lit("c"), lit("purchase"), lit("p"),
             lit("signup"), lit("s"), lit("error"), lit("e")),
-          col("event_type"))
+          col("event_type")), lit("e"))
         Tables.events(s, dir)
           .select(col("user_id"), to_date(col("ts")).as("day"),
             struct(col("ts"), col("event_id"), sym.as("sym")).as("ev"))

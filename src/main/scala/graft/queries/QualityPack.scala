@@ -270,18 +270,25 @@ object QualityPack extends QueryPack {
     // experimentation primitive next to the chi-square (association) and
     // bootstrap (estimation) probes: users split into arms by the
     // portable md5 parity (deterministic, balanced, and exactly how a
-    // production bucketing service assigns), conversion = at least one
-    // purchase event. Counts reduce in ONE partial+final pass over the
-    // per-user table; the z statistic's pooled-variance formula runs on
-    // four exact integers, so the doubles — and the significance
-    // boolean at |z| > 1.96 — are engine-identical. At 100 TB the
-    // per-user reduce is the only fact-sized stage.
+    // production bucketing service assigns), conversion = a heavy-buyer
+    // threshold (>= 14 purchase events — the corpus median is ~13, so
+    // both outcomes occur at every SF; ">= 1 purchase" is degenerate
+    // here because every synthetic user purchases). Counts reduce in
+    // ONE partial+final pass over the per-user table; the z statistic's
+    // pooled-variance formula runs on four exact integers, so the
+    // doubles — and the significance boolean at |z| > 1.96 — are
+    // engine-identical. Degenerate pools (all or none converted, or an
+    // empty arm) make z a 0/0: ANSI Spark errors where DuckDB yields
+    // NaN, so BOTH engines guard the case to NULL explicitly (the
+    // house float-edge policy, COVERAGE.md). At 100 TB the per-user
+    // reduce is the only fact-sized stage.
     "q_ab_test" -> QueryDef(
       "Two-proportion z-test: purchase conversion, md5-parity arms",
       (s, dir) => {
         val per = Tables.events(s, dir)
           .groupBy("user_id")
-          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+          .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14L)
+            .cast("long").as("conv"))
           .withColumn("arm", pmod(graft.ext.Hashing.portableTokenHash(
             concat(lit("ab1|"), col("user_id").cast("string"))), lit(2L)))
         val g = per.agg(
@@ -289,12 +296,16 @@ object QualityPack extends QueryPack {
           count(when(col("arm") === 1, 1)).as("n_b"),
           sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
           sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+        val degenerate = col("n_a") === 0 || col("n_b") === 0 ||
+          col("conv_a") + col("conv_b") === 0 ||
+          col("conv_a") + col("conv_b") === col("n_a") + col("n_b")
         val pa = col("conv_a").cast("double") / col("n_a").cast("double")
         val pb = col("conv_b").cast("double") / col("n_b").cast("double")
         val pp = (col("conv_a") + col("conv_b")).cast("double") /
           (col("n_a") + col("n_b")).cast("double")
-        val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+        val zRaw = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
           (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+        val z = when(degenerate, lit(null).cast("double")).otherwise(zRaw)
         g.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
           round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
           round(z, 4).as("z"),
@@ -302,7 +313,8 @@ object QualityPack extends QueryPack {
       },
       Some("""WITH per AS (
              |  SELECT user_id,
-             |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+             |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+             |      THEN 1 ELSE 0 END AS conv,
              |    CAST(('0x'||substring(md5('ab1|' || CAST(user_id AS VARCHAR)),
              |      1, 8)) AS BIGINT) % 2 AS arm
              |  FROM events GROUP BY user_id),
@@ -312,19 +324,22 @@ object QualityPack extends QueryPack {
              |    COUNT(*) FILTER (WHERE arm = 1) AS n_b,
              |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
              |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
-             |  FROM per)
+             |  FROM per),
+             |zc AS (
+             |  SELECT *,
+             |    CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+             |              OR conv_a + conv_b = n_a + n_b THEN NULL
+             |    ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+             |      sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+             |        (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+             |        (1.0 / n_a + 1.0 / n_b)) END AS z_raw
+             |  FROM g)
              |SELECT n_a, n_b, conv_a, conv_b,
              |  ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
              |  ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
-             |  ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
-             |    sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
-             |      (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
-             |      (1.0 / n_a + 1.0 / n_b)), 4) AS z,
-             |  ABS((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
-             |    sqrt((CAST(conv_a AS DOUBLE) / (n_a + n_b) + CAST(conv_b AS DOUBLE) / (n_a + n_b)) *
-             |      (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
-             |      (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
-             |FROM g""".stripMargin)),
+             |  ROUND(z_raw, 4) AS z,
+             |  ABS(z_raw) > 1.96 AS significant
+             |FROM zc""".stripMargin)),
 
     // Poissonized-bootstrap confidence interval for a group mean — the
     // uncertainty-quantification piece of the stats family (moments,

@@ -365,8 +365,11 @@ object TrainPack extends QueryPack {
     // perturbs): every published (nation, segment) count is shifted by
     // bounded integer noise and clamped at zero, so no exact group size
     // leaves the engine. The noise here is a DETERMINISTIC stand-in —
-    // uniform on [-4, 4], derived from the portable md5 hash of the group
-    // key + release salt so the DuckDB oracle replays it bit-for-bit; a
+    // uniform on [-4, 4] (to within the ~2^-29 modulo bias of hash % 9
+    // over the 32-bit slice — residues 0-3 are negligibly more likely;
+    // identical in both engines), derived from the portable md5 hash of
+    // the group key + release salt so the DuckDB oracle replays it
+    // bit-for-bit; a
     // production release swaps in a discrete-geometric sampler drawn per
     // release (the mechanism shape — group, perturb, clamp, never emit
     // the true count — is what this query pins). Scale: the noise is

@@ -234,8 +234,12 @@ object QualityPack extends QueryPack {
           .select(col("nn").cast("long").as("n_rows"), col("n_cells"),
             ((col("nt") - 1) * (col("nd") - 1)).as("dof"),
             round(col("chi2"), 4).as("chi2"),
+            // nullif-guard: a 1×k or k×1 table has min(nt-1, nd-1) = 0, so
+            // Cramer's V is undefined — NULL in both engines, not an ANSI
+            // DIVIDE_BY_ZERO.
             round(sqrt(col("chi2") /
-              (col("nn") * least(col("nt") - 1, col("nd") - 1)).cast("double")), 4)
+              nullif((col("nn") * least(col("nt") - 1, col("nd") - 1)).cast("double"),
+                lit(0.0))), 4)
               .as("cramers_v"))
       },
       Some("""WITH e AS (SELECT event_type AS t, dayofweek(ts) AS d FROM events),
@@ -262,7 +266,7 @@ object QualityPack extends QueryPack {
              |  (tot.nt - 1) * (tot.nd - 1) AS dof,
              |  ROUND(agg.chi2, 4) AS chi2,
              |  ROUND(SQRT(agg.chi2 /
-             |    CAST(tot.n * LEAST(tot.nt - 1, tot.nd - 1) AS DOUBLE)), 4)
+             |    NULLIF(CAST(tot.n * LEAST(tot.nt - 1, tot.nd - 1) AS DOUBLE), 0.0)), 4)
              |    AS cramers_v
              |FROM agg, tot""".stripMargin)),
 
@@ -299,8 +303,10 @@ object QualityPack extends QueryPack {
         val degenerate = col("n_a") === 0 || col("n_b") === 0 ||
           col("conv_a") + col("conv_b") === 0 ||
           col("conv_a") + col("conv_b") === col("n_a") + col("n_b")
-        val pa = col("conv_a").cast("double") / col("n_a").cast("double")
-        val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+        // nullif on the arm sizes too: an empty arm must yield NULL rates,
+        // not an ANSI DIVIDE_BY_ZERO (the z guard already covers it).
+        val pa = col("conv_a").cast("double") / nullif(col("n_a").cast("double"), lit(0.0))
+        val pb = col("conv_b").cast("double") / nullif(col("n_b").cast("double"), lit(0.0))
         val pp = (col("conv_a") + col("conv_b")).cast("double") /
           (col("n_a") + col("n_b")).cast("double")
         val zRaw = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
@@ -335,8 +341,8 @@ object QualityPack extends QueryPack {
              |        (1.0 / n_a + 1.0 / n_b)) END AS z_raw
              |  FROM g)
              |SELECT n_a, n_b, conv_a, conv_b,
-             |  ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
-             |  ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+             |  ROUND(CAST(conv_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0.0), 6) AS rate_a,
+             |  ROUND(CAST(conv_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0.0), 6) AS rate_b,
              |  ROUND(z_raw, 4) AS z,
              |  ABS(z_raw) > 1.96 AS significant
              |FROM zc""".stripMargin)),
@@ -380,8 +386,14 @@ object QualityPack extends QueryPack {
             sum(w(b)).as(s"sw_$b"))
         } ++ Seq(count(lit(1)).as("n_orders"),
           sum(col("cents").cast("decimal(38,0)")).as("tc"))
+        // nullif-guard: a tiny group can draw all-zero weights for a
+        // replica (P = (96/256)^n), making the replica mean 0/0 — NULL,
+        // not an ANSI DIVIDE_BY_ZERO. Impossible at real SFs (every
+        // priority group has thousands of orders), so the gate's parity
+        // is untouched.
         val arr = sort_array(array((0 until 32).map(b =>
-          col(s"sc_$b").cast("double") / col(s"sw_$b").cast("double")): _*))
+          col(s"sc_$b").cast("double") /
+            nullif(col(s"sw_$b").cast("double"), lit(0.0))): _*))
         base.groupBy("grp").agg(aggs.head, aggs.tail: _*)
           .select(col("grp").as("o_orderpriority"), col("n_orders"),
             round(col("tc").cast("double") / col("n_orders").cast("double"), 4)
@@ -401,7 +413,7 @@ object QualityPack extends QueryPack {
           s"CAST(('0x'||substring(dg, ${2 * b + 1}, 2)) AS BIGINT) AS h$b")
           .mkString(",\n    ")
         val means = (0 until 32).map(b =>
-          s"CAST(sc_$b AS DOUBLE) / CAST(sw_$b AS DOUBLE)").mkString(", ")
+          s"CAST(sc_$b AS DOUBLE) / NULLIF(CAST(sw_$b AS DOUBLE), 0.0)").mkString(", ")
         s"""WITH base AS (
            |  SELECT o_orderpriority AS grp,
            |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,

@@ -251,13 +251,18 @@ object SqlSurfacePack extends QueryPack {
           .select(
             col("l_returnflag"),
             col("n").cast("long").as("n_rows"),
-            round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 6)
-              .as("var_qty"),
-            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
-              .as("stddev_qty"),
+            // nullif-guard every data-derived divisor: a single-row group
+            // (n-1 = 0) or a constant column (zero moment determinant)
+            // must yield NULL identically in both engines, not an ANSI
+            // DIVIDE_BY_ZERO (house float-edge policy, COVERAGE.md).
+            round((col("sxx") - col("sx") * col("sx") / col("n")) /
+              nullif(col("n") - 1, lit(0.0)), 6).as("var_qty"),
+            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+              nullif(col("n") - 1, lit(0.0))), 6).as("stddev_qty"),
             round((col("n") * col("sxy") - col("sx") * col("sy")) /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_line"))
+              nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0)), 6)
+              .as("corr_qty_line"))
           .orderBy("l_returnflag")
       },
       Some("""WITH m AS (
@@ -270,10 +275,11 @@ object SqlSurfacePack extends QueryPack {
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag,
              |  CAST(n AS BIGINT) AS n_rows,
-             |  ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
-             |  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+             |  ROUND((sxx - sx * sx / n) / NULLIF(n - 1, 0.0), 6) AS var_qty,
+             |  ROUND(sqrt((sxx - sx * sx / n) / NULLIF(n - 1, 0.0)), 6) AS stddev_qty,
              |  ROUND((n * sxy - sx * sy) /
-             |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_line
+             |    NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0), 6)
+             |    AS corr_qty_line
              |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     // Per-group ordinary least squares — the regr_slope/regr_intercept/
@@ -305,20 +311,23 @@ object SqlSurfacePack extends QueryPack {
             col("sx0").cast("double").as("sx"), col("sxx0").cast("double").as("sxx"),
             col("sy0").cast("double").as("sy"), col("syy0").cast("double").as("syy"),
             col("sxy0").cast("double").as("sxy"))
+        // nullif-guard the moment determinants: a zero-x-variance group
+        // (all quantities equal) or zero-y-variance group must yield NULL
+        // slope/r2 in both engines, not an ANSI DIVIDE_BY_ZERO.
+        val dx = nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))
+        val dy = nullif(col("n") * col("syy") - col("sy") * col("sy"), lit(0.0))
         m.select(
             col("l_returnflag"),
             col("n_rows"),
-            round((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope_cents"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) / dx, 4)
+              .as("slope_cents"),
             round((col("sy") - col("sx") *
-              ((col("n") * col("sxy") - col("sx") * col("sy")) /
-                (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 4)
+              ((col("n") * col("sxy") - col("sx") * col("sy")) / dx)) / col("n"), 4)
               .as("intercept_cents"),
             round(
               ((col("n") * col("sxy") - col("sx") * col("sy")) *
                 (col("n") * col("sxy") - col("sx") * col("sy"))) /
-                ((col("n") * col("sxx") - col("sx") * col("sx")) *
-                  (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+                (dx * dy), 6).as("r2"))
           .orderBy("l_returnflag")
       },
       Some("""WITH m AS (
@@ -334,11 +343,13 @@ object SqlSurfacePack extends QueryPack {
              |        FROM lineitem)
              |  GROUP BY l_returnflag)
              |SELECT l_returnflag, n_rows,
-             |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope_cents,
-             |  ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4)
-             |    AS intercept_cents,
+             |  ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0), 4)
+             |    AS slope_cents,
+             |  ROUND((sy - sx * ((n * sxy - sx * sy) /
+             |    NULLIF(n * sxx - sx * sx, 0.0))) / n, 4) AS intercept_cents,
              |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-             |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+             |    (NULLIF(n * sxx - sx * sx, 0.0) * NULLIF(n * syy - sy * sy, 0.0)), 6)
+             |    AS r2
              |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     // Ordered string aggregation (listagg): sort-then-join on both sides.

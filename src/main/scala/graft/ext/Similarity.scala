@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -549,6 +549,64 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
+  /** RETRACT vectors from a MATERIALIZED IVF index — deletion propagated
+    * to ANN serving (the right-to-be-forgotten path for embeddings, the
+    * [[Retrieval.retractFromIndex]] contract applied to the last
+    * standing index without one): the retracted ids land as a TOMBSTONE
+    * table (`deleted/`), and [[ivfTopKIndexed]] applies them
+    * merge-on-read (an anti join of the probed cell slice against the
+    * broadcast tombstone set — the deletion-vector contract of the lake
+    * formats, at index granularity). The retract writes |batch| rows
+    * and rescans NOTHING — no cell partition is rewritten, the centroid
+    * MODEL is untouched (the production IVF contract: retrain rarely
+    * offline, admit and retract continuously) — and duplicate retracts
+    * are absorbed by the distinct tombstone view. Probes served under
+    * tombstones are EXACTLY the full-build model over the surviving
+    * members (oracle-gated); [[compactIvfIndex]] later applies the
+    * tombstones physically.
+    */
+  def retractFromIvfIndex(vecIds: DataFrame, indexDir: String, idCol: String = "vec_id"): Unit =
+    vecIds.select(col(idCol).as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$indexDir/deleted")
+
+  /** The distinct IVF tombstone set, if any retraction has happened. */
+  private[graft] def ivfTombstonesOpt(
+      spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/deleted")))
+      Some(spark.read.parquet(s"$indexDir/deleted").select("vec_id").distinct())
+    else None
+  }
+
+  /** Squash the IVF index back to the canonical compacted layout: cells
+    * drop tombstoned members (also collapsing any [[refreshIvfIndex]]
+    * append deltas into one file set per cell), centroids carry over
+    * unchanged (compaction is membership-level — the model retrains
+    * only via a full [[writeIvfIndex]] rebuild), and the new layout
+    * replaces the old through ONE root-dir swap
+    * ([[graft.io.DirSwap.swapInto]]) — a reader racing the compaction
+    * sees the old layout (tombstones, merge-on-read) or the new one
+    * (clean), never a half-compacted mix. Same writer/compactor
+    * exclusion contract as [[Retrieval.compactIndex]].
+    */
+  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val tmp = indexDir.stripSuffix("/") + ".compact"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    spark.read.parquet(s"$indexDir/centroids")
+      .coalesce(1).write.parquet(s"$tmp/centroids")
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .withColumn("cell", col("cell").cast("long"))
+    ivfTombstonesOpt(spark, indexDir)
+      .fold(cells)(t => cells.join(
+        broadcast(t), cells("neighbor_id") === t("vec_id"), "left_anti"))
+      .write.partitionBy("cell").parquet(s"$tmp/cells")
+    graft.io.DirSwap.swapInto(fs,
+      new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(indexDir))
+  }
+
   /** Probe a MATERIALIZED IVF index ([[writeIvfIndex]]) — identical
     * results to [[ivfTopK]] on the same parameters (the centroid model
     * is persisted, not retrained), but the measured cost is the online
@@ -577,8 +635,14 @@ object Similarity {
     }
     // partition-column inference reads cell=N directories as int —
     // restore the assignment's long type for the probe join
-    val assigned = spark.read.parquet(s"$indexDir/cells")
+    val cells = spark.read.parquet(s"$indexDir/cells")
       .withColumn("cell", col("cell").cast("long"))
+    // merge-on-read tombstones ([[retractFromIvfIndex]]): retracted
+    // members drop from the probed slice via a broadcast anti join —
+    // the tombstone set is deletion-request-sized, never corpus-sized
+    val assigned = ivfTombstonesOpt(spark, indexDir)
+      .fold(cells)(t => cells.join(
+        broadcast(t), cells("neighbor_id") === t("vec_id"), "left_anti"))
     ivfProbe(assigned, centroids, queries, k, nProbe, idCol, vecCol)
   }
 

@@ -15,7 +15,7 @@ object SimilarityPack extends QueryPack {
     * shared by [[ivfTopKOracle]] and the recall-eval oracle so both
     * replay the identical trained-index search.
     */
-  private lazy val ivfRankedCtes: String =
+  private def ivfRankedCtes(memberFilter: String = ""): String =
     s"""probes AS (
        |  SELECT query_id, qv, cell FROM (
        |    SELECT q.vec_id AS query_id, q.nv AS qv, ct.cent_id AS cell,
@@ -26,7 +26,8 @@ object SimilarityPack extends QueryPack {
        |  WHERE prk <= 4),
        |cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id, list_dot_product(p.qv, a.nv) AS cos
-       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |  FROM probes p JOIN assign a
+       |    ON a.cell = p.cell AND a.vec_id <> p.query_id$memberFilter),
        |r AS (
        |  SELECT query_id, neighbor_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -35,11 +36,15 @@ object SimilarityPack extends QueryPack {
 
   /** Shared oracle for sim_topk_ivf, sim_topk_ivf_indexed and
     * sim_topk_ivf_refresh — the persisted index holds the same trained
-    * model, so all forms must hash to the same result.
+    * model, so all forms must hash to the same result. `memberFilter`
+    * (an extra AND on the candidate join) restricts corpus MEMBERSHIP
+    * without touching the trained model — the retraction contract
+    * (sim_topk_ivf_retract / sim_topk_ivf_compacted): serving under
+    * tombstones equals the full-build model over the surviving members.
     */
-  private lazy val ivfTopKOracle: String =
+  private def ivfTopKOracle(memberFilter: String = ""): String =
     s"""WITH $trainedAssignCtes,
-       |$ivfRankedCtes
+       |${ivfRankedCtes(memberFilter)}
        |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
@@ -303,7 +308,7 @@ object SimilarityPack extends QueryPack {
         Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, k = 5)
           .orderBy("query_id", "rank")
       },
-      Some(ivfTopKOracle)),
+      Some(ivfTopKOracle())),
 
     // The SERVING shape of the same index: centroids + cell-partitioned
     // corpus persisted once per corpus (Similarity.writeIvfIndex — the
@@ -319,7 +324,7 @@ object SimilarityPack extends QueryPack {
         Similarity.ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 8), k = 5)
           .orderBy("query_id", "rank")
       },
-      Some(ivfTopKOracle)),
+      Some(ivfTopKOracle())),
 
     // Incremental ANN admission, oracle-gated end-to-end: the index is
     // built over the training slice only (vec_id < 256 — exactly the
@@ -344,7 +349,61 @@ object SimilarityPack extends QueryPack {
         Similarity.ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 8), k = 5)
           .orderBy("query_id", "rank")
       },
-      Some(ivfTopKOracle)),
+      Some(ivfTopKOracle())),
+
+    // Vector RETRACTION, oracle-gated end-to-end — the
+    // right-to-be-forgotten path for embeddings (the
+    // retrieval_bm25_retract contract applied to the ANN family, which
+    // was insert-only until now): every vec_id%10==7 vector is deleted
+    // from the materialized IVF index via tombstones
+    // (Similarity.retractFromIvfIndex — writes |batch| rows, rewrites
+    // no cell partition, leaves the centroid model untouched), and the
+    // probe serves MERGE-ON-READ: tombstoned members drop from the
+    // probed cell slice through a broadcast anti join. The oracle is
+    // the trained-model IVF replay over the SURVIVING members only —
+    // the driver hash gate proves tombstoned serving ≡ the full-build
+    // model over survivors (a full index rebuild per deletion request
+    // is not a deployable answer at 100 TB).
+    "sim_topk_ivf_retract" -> QueryDef(
+      "ANN top-5 after tombstone retraction of vec_id%10==7 (merge-on-read)",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "ivf-retract", s"$dir/embeddings.parquet") { t =>
+          Similarity.writeIvfIndex(e, t)
+          Similarity.retractFromIvfIndex(
+            e.filter(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"), t)
+        }
+        Similarity.ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 8), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfTopKOracle(" AND a.vec_id % 10 <> 7"))),
+
+    // The full ANN index LIFECYCLE in one gate: build, delta admission
+    // (refreshIvfIndex — the vec_id>=256 tail arrives as an append
+    // batch), tombstone retraction, then COMPACTION
+    // (Similarity.compactIvfIndex) — cells drop tombstoned members and
+    // collapse the append deltas, centroids carry over, and the new
+    // layout lands through ONE root-dir swap. Serving runs on the
+    // canonical fast path (no merge-on-read anti join left), and the
+    // oracle — the trained-model replay over survivors — proves
+    // compaction changed the physical layout and nothing else.
+    "sim_topk_ivf_compacted" -> QueryDef(
+      "ANN top-5 after build + delta admission + retraction + index compaction",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "ivf-compact", s"$dir/embeddings.parquet") { t =>
+          Similarity.writeIvfIndex(e.filter(col("vec_id") < 256), t)
+          Similarity.refreshIvfIndex(e.filter(col("vec_id") >= 256), t)
+          Similarity.retractFromIvfIndex(
+            e.filter(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"), t)
+          Similarity.compactIvfIndex(s, t)
+        }
+        Similarity.ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 8), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfTopKOracle(" AND a.vec_id % 10 <> 7"))),
 
     // Index-quality evaluation — the operational counterpart of serving
     // an ANN index: per probe query, recall@5 of the IVF search against
@@ -371,7 +430,7 @@ object SimilarityPack extends QueryPack {
           .orderBy("query_id")
       },
       Some(s"""WITH $trainedAssignCtes,
-              |$ivfRankedCtes,
+              |${ivfRankedCtes()},
               |ivf5 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
               |bf AS (
               |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

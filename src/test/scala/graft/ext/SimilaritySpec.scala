@@ -273,6 +273,44 @@ class SimilaritySpec extends AnyFunSuite {
       rows(Similarity.ivfTopKIndexed(spark, rebuilt, queries, k = 5)))
   }
 
+  test("IVF retraction: tombstoned serving equals the same model over survivors, compaction applies it physically") {
+    val e = Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-retract-spec").toString
+    Similarity.writeIvfIndex(e, idx)
+    val dead = e.filter(col("vec_id") % 10 === 7).select("vec_id")
+    val nDead = dead.count()
+    Similarity.retractFromIvfIndex(dead, idx)
+    // duplicate retraction is absorbed by the distinct tombstone view
+    Similarity.retractFromIvfIndex(dead, idx)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val queries = e.filter(col("vec_id") < 8)
+    val served = rows(Similarity.ivfTopKIndexed(spark, idx, queries, k = 5))
+
+    // ground truth: an index whose cells were built over survivors only,
+    // under the SAME centroid model (copy centroids, rebuild cells) —
+    // the membership-level contract retraction pins
+    val truth = java.nio.file.Files.createTempDirectory("ivf-retract-truth").toString
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$truth/centroids")
+    spark.read.parquet(s"$idx/cells").withColumn("cell", col("cell").cast("long"))
+      .filter(col("neighbor_id") % 10 =!= 7)
+      .write.partitionBy("cell").parquet(s"$truth/cells")
+    assert(served == rows(Similarity.ivfTopKIndexed(spark, truth, queries, k = 5)))
+    assert(served.nonEmpty)
+    // the retraction is not vacuous: retracted members still sit in the
+    // physical cells (merge-on-read) yet none is served
+    assert(spark.read.parquet(s"$idx/cells").filter(col("neighbor_id") % 10 === 7).count() > 0)
+    assert(!served.exists(r => r(2).asInstanceOf[Long] % 10 == 7))
+
+    // compaction: physical drop, tombstone dir gone, served results unchanged
+    Similarity.compactIvfIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/deleted").exists())
+    assert(spark.read.parquet(s"$idx/cells").filter(col("neighbor_id") % 10 === 7).count() == 0)
+    assert(spark.read.parquet(s"$idx/cells").count() == e.count() - nDead)
+    assert(rows(Similarity.ivfTopKIndexed(spark, idx, queries, k = 5)) == served)
+  }
+
   test("IVF refresh into an untrained (empty) index fails loudly") {
     val e = Tables.embeddings(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("ivf-refresh-empty").toString

@@ -597,12 +597,17 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     spark.read.parquet(s"$indexDir/centroids")
       .coalesce(1).write.parquet(s"$tmp/centroids")
-    val cells = spark.read.parquet(s"$indexDir/cells")
-      .withColumn("cell", col("cell").cast("long"))
-    ivfTombstonesOpt(spark, indexDir)
-      .fold(cells)(t => cells.join(
-        broadcast(t), cells("neighbor_id") === t("vec_id"), "left_anti"))
-      .write.partitionBy("cell").parquet(s"$tmp/cells")
+    // an empty-corpus index has a centroid table but no cells directory
+    // (writeIvfIndex's empty-model degrade) — compaction then only
+    // clears tombstones
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/cells"))) {
+      val cells = spark.read.parquet(s"$indexDir/cells")
+        .withColumn("cell", col("cell").cast("long"))
+      ivfTombstonesOpt(spark, indexDir)
+        .fold(cells)(t => cells.join(
+          broadcast(t), cells("neighbor_id") === t("vec_id"), "left_anti"))
+        .write.partitionBy("cell").parquet(s"$tmp/cells")
+    }
     graft.io.DirSwap.swapInto(fs,
       new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(indexDir))
   }

@@ -353,6 +353,89 @@ object DedupPack extends QueryPack {
            |FROM v WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // LSH quality evaluation — the sim_recall_eval pattern applied to
+    // the MinHash band index: recall of the banded candidate generator
+    // against the EXACT Jaccard pairs (dedup_ngram_jaccard's contract)
+    // and the candidate set's precision, the two numbers that justify a
+    // band configuration before pointing it at a corpus. Verified pairs
+    // are cand ∩ true by construction (LSH verifies candidates with the
+    // exact Jaccard), so recall = |verified|/|true| measures exactly the
+    // pairs banding loses. Scale: all three towers are the engine's own
+    // banded/inverted-index operators (nothing all-pairs); the eval
+    // joins run over pair sets, and the output is one row.
+    "dedup_lsh_recall" -> QueryDef(
+      "Recall/precision of MinHash(16)+LSH(4x4) banding vs exact Jaccard >= 0.3",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val banded = Dedup.bandedSignatures(Dedup.shingleRows(docs))
+        val cand = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+          .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+            Seq("band", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nTrue = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+          .agg(count(lit(1)).as("n_true"))
+        val nVerified = Dedup.minHashLshPairs(docs, threshold = 0.3)
+          .agg(count(lit(1)).as("n_verified"))
+        nTrue.crossJoin(nCand).crossJoin(nVerified)
+          .select(col("n_true"), col("n_candidates"), col("n_verified"),
+            round(col("n_verified").cast("double") /
+              nullif(col("n_true").cast("double"), lit(0.0)), 6).as("recall"),
+            round(col("n_verified").cast("double") /
+              nullif(col("n_candidates").cast("double"), lit(0.0)), 6)
+              .as("cand_precision"))
+      },
+      Some {
+        val sigEntries = Hashing.MinHashParams.map { case (a, b) =>
+          s"list_min(list_transform(sh, t -> ($a * $H + $b) % ${Hashing.MinHashPrime}))"
+        }.mkString(",\n    ")
+        val bandKeys = (0 until 4).map { b =>
+          val parts = (1 to 4).map(r => s"sig[${b * 4 + r}]").mkString(", ")
+          s"WHEN $b THEN concat_ws('_', $parts)"
+        }.mkString(" ")
+        s"""WITH raw AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+           |  FROM documents),
+           |d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+           |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+           |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+           |  FROM raw),
+           |h AS (
+           |  SELECT doc_id, [
+           |    $sigEntries] AS sig
+           |  FROM d),
+           |b AS (
+           |  SELECT doc_id, band, CASE band $bandKeys END AS key
+           |  FROM h, (SELECT unnest(range(4)) AS band)),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+           |sr AS (SELECT doc_id, unnest(sh) AS g FROM d),
+           |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+           |  FROM sr a JOIN sr b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |tru AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |  WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.3),
+           |ver AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM tru),
+           |agg AS (
+           |  SELECT (SELECT COUNT(*) FROM tru) AS n_true,
+           |         (SELECT COUNT(*) FROM cand) AS n_candidates,
+           |         (SELECT COUNT(*) FROM ver) AS n_verified)
+           |SELECT n_true, n_candidates, n_verified,
+           |  ROUND(CAST(n_verified AS DOUBLE) /
+           |    NULLIF(CAST(n_true AS DOUBLE), 0.0), 6) AS recall,
+           |  ROUND(CAST(n_verified AS DOUBLE) /
+           |    NULLIF(CAST(n_candidates AS DOUBLE), 0.0), 6) AS cand_precision
+           |FROM agg""".stripMargin
+      }),
+
     // Edit-distance near-dup (classic unit-cost Levenshtein DP — identical
     // in Spark and DuckDB). O(n²·len²), hence the hard 80-doc slice: this
     // modality exists for short-text / high-precision use; set-based

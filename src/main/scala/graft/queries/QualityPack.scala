@@ -158,6 +158,66 @@ object QualityPack extends QueryPack {
     // (median → deviations+MAD → count); a one-pass production variant
     // at 100 TB serves both quantiles from the KLL sketch
     // (sketch_kll_rollup) instead.
+    // Benford first-digit conformity — the fraud/synthetic-data smell
+    // test on a monetary column: the distribution of leading digits of
+    // o_totalprice against Benford's log10(1 + 1/d) expectation, one
+    // chi-square term per digit. Expected proportions are DOUBLE
+    // LITERALS rendered via Double.toString (round-trip exact), pasted
+    // into BOTH engines, so every float op runs on identical inputs in
+    // identical order. Digits are densified from the literal 1..9 frame
+    // (an absent digit still contributes (0−e)²/e). Scale: one
+    // partial+final count by digit absorbs the fact table; everything
+    // after is 9 rows.
+    "q_benford" -> QueryDef(
+      "Benford's-law first-digit profile of o_totalprice with per-digit chi-square terms",
+      (s, dir) => {
+        // log10(1 + 1/d), printed with Java's shortest-round-trip
+        // Double.toString and parsed back by both engines
+        val p = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+        val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int")
+        val counts = Tables.orders(s, dir)
+          .groupBy(digit.as("digit")).agg(count(lit(1)).as("n0"))
+        val tot = counts.agg(sum("n0").as("total"))
+        val expPct = p.tail.foldLeft(when(col("digit") === p.head._1, lit(p.head._2))) {
+          case (acc, (d, v)) => acc.when(col("digit") === d, lit(v))
+        }
+        import s.implicits._
+        s.range(1, 10).select(col("id").cast("int").as("digit"))
+          .join(counts, Seq("digit"), "left")
+          .withColumn("n", coalesce(col("n0"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("e", col("total").cast("double") * expPct)
+          .select(col("digit"), col("n").as("n_orders"),
+            round(col("n").cast("double") / col("total").cast("double"), 6)
+              .as("obs_pct"),
+            round(expPct, 6).as("exp_pct"),
+            round((col("n").cast("double") - col("e")) *
+              (col("n").cast("double") - col("e")) / col("e"), 6).as("chi_term"))
+          .orderBy("digit")
+      },
+      Some {
+        val p = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+        val cases = p.map { case (d, v) => s"WHEN $d THEN $v" }.mkString(" ")
+        s"""WITH counts AS (
+           |  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+           |    1, 1) AS INT) AS digit, COUNT(*) AS n0
+           |  FROM orders GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n0) AS BIGINT) AS total FROM counts),
+           |dense AS (
+           |  SELECT d.digit, COALESCE(n0, 0) AS n,
+           |    CASE d.digit $cases END AS p
+           |  FROM (SELECT unnest(range(1, 10)) AS digit) d
+           |  LEFT JOIN counts ON counts.digit = d.digit)
+           |SELECT CAST(digit AS INT) AS digit, CAST(n AS BIGINT) AS n_orders,
+           |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_pct,
+           |  ROUND(p, 6) AS exp_pct,
+           |  ROUND((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * p) *
+           |    (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * p) /
+           |    (CAST(total AS DOUBLE) * p), 6) AS chi_term
+           |FROM dense CROSS JOIN tot ORDER BY digit""".stripMargin
+      }),
+
     "q_mad_outliers" -> QueryDef(
       "Median/MAD robust outliers per event type (|x-med| > 3*1.4826*MAD)",
       (s, dir) => {

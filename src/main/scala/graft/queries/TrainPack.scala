@@ -506,6 +506,76 @@ object TrainPack extends QueryPack {
              |      FROM documents)
              |GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // PURGED temporal split with an embargo window — the time-series
+    // sibling of train_split_grouped (hash split prevents DOMAIN
+    // leakage; this prevents TEMPORAL leakage). The split entity is the
+    // SESSION (30-min gaps, q_sessionize's islands — the right unit
+    // here: users live for the whole corpus window, so a user-level
+    // purge would discard everything): train = sessions ending before
+    // the boundary, test = sessions starting after boundary + 24 h
+    // embargo, and sessions straddling the boundary or touching the
+    // embargo day are PURGED outright (their pre-boundary rows
+    // correlate with post-boundary behavior — the label-leak a naive
+    // row-level timestamp split ships into eval). Scale: one user-keyed
+    // session window over the facts (the q_sessionize shuffle), then a
+    // session-level reduce and a 3-row rollup.
+    "train_split_temporal" -> QueryDef(
+      "Purged session-level temporal split (boundary Jan 16, 24h embargo): per-split session/event counts",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val boundary = lit("2024-01-16 00:00:00").cast("timestamp")
+        val testFrom = lit("2024-01-17 00:00:00").cast("timestamp")
+        val wUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val wRun = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              Tables.epochSeconds(col("ts")) - Tables.epochSeconds(col("prev_ts")) > 1800,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(wRun))
+          .groupBy("user_id", "session_id")
+          .agg(min("ts").as("s_start"), max("ts").as("s_end"),
+            count(lit(1)).as("n_ev"))
+          .withColumn("split",
+            when(col("s_end") < boundary, "train")
+              .when(col("s_start") >= testFrom, "test")
+              .otherwise("purged"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_sessions"),
+            count_distinct(col("user_id")).as("n_users"),
+            sum("n_ev").as("n_events"),
+            min("s_start").as("earliest"), max("s_end").as("latest"))
+          .orderBy("split")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged),
+             |per AS (
+             |  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+             |    COUNT(*) AS n_ev
+             |  FROM sess GROUP BY 1, 2),
+             |c AS (
+             |  SELECT *,
+             |    CASE WHEN s_end < TIMESTAMP '2024-01-16 00:00:00' THEN 'train'
+             |         WHEN s_start >= TIMESTAMP '2024-01-17 00:00:00' THEN 'test'
+             |         ELSE 'purged' END AS split
+             |  FROM per)
+             |SELECT split, COUNT(*) AS n_sessions,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+             |  MIN(s_start) AS earliest, MAX(s_end) AS latest
+             |FROM c GROUP BY split ORDER BY split""".stripMargin)),
+
     // Time-series gap fill: dense (event_type × day) grid generated from
     // the observed span, missing days forward-filled with the last
     // observed daily average (rounded BEFORE the fill, so filled values

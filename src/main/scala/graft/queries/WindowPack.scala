@@ -898,6 +898,127 @@ object WindowPack extends QueryPack {
              |     SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS r
              |FROM m ORDER BY lag""".stripMargin)),
 
+    // CUSUM change-point detection over the daily-revenue series — the
+    // regime-shift probe next to q_anomaly_rolling (point outliers) and
+    // q_autocorr (seasonality): the detected change point is the day k
+    // maximizing |Σ_{i≤k}(x_i − x̄)|, the classic cumulative-sum
+    // statistic. The argmax runs on EXACT integers: n·S_k = n·cum_k −
+    // k·total in DECIMAL(38,0), so ties and orderings cannot drift
+    // between engines; doubles appear only in the reported magnitudes.
+    // Scale: the fact table reduces to one BIGINT-cents row per day
+    // FIRST — the unpartitioned cumulative window after that runs over
+    // the ≤|days| series (date-bounded state, the q_autocorr posture),
+    // never over facts.
+    "q_changepoint_cusum" -> QueryDef(
+      "CUSUM change point of daily total cents: argmax |n*cum_k - k*total| (exact integers)",
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val w = Window.orderBy("day")
+        val tot = daily.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("cents").cast(dec)).as("total"))
+        daily
+          .select(col("day"),
+            row_number().over(w).cast(dec).as("k"),
+            sum(col("cents").cast(dec))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+          .crossJoin(broadcast(tot))
+          .withColumn("m", col("n") * col("cum") - col("k") * col("total"))
+          .orderBy(abs(col("m")).desc, col("day").asc)
+          .limit(1)
+          .select(
+            col("n").cast("long").as("n_days"),
+            col("day").as("cp_day"),
+            round(col("m").cast("double") / col("n").cast("double"), 4)
+              .as("cusum_cents"),
+            round(col("cum").cast("double") / col("k").cast("double"), 4)
+              .as("mean_before"),
+            // nullif: a change point AT the last day (all-zero series)
+            // has no "after" side — NULL, not a divide-by-zero
+            round((col("total") - col("cum")).cast("double") /
+              nullif((col("n") - col("k")).cast("double"), lit(0.0)), 4)
+              .as("mean_after"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1),
+             |cw AS (
+             |  SELECT day,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS k,
+             |    SUM(CAST(cents AS HUGEINT)) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM daily),
+             |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             |               SUM(CAST(cents AS HUGEINT)) AS total FROM daily),
+             |m AS (
+             |  SELECT day, k, cum, n, total, n * cum - k * total AS m
+             |  FROM cw CROSS JOIN tot)
+             |SELECT CAST(n AS BIGINT) AS n_days, day AS cp_day,
+             |  ROUND(CAST(m AS DOUBLE) / CAST(n AS DOUBLE), 4) AS cusum_cents,
+             |  ROUND(CAST(cum AS DOUBLE) / CAST(k AS DOUBLE), 4) AS mean_before,
+             |  ROUND(CAST(total - cum AS DOUBLE) /
+             |    NULLIF(CAST(n - k AS DOUBLE), 0.0), 4) AS mean_after
+             |FROM m ORDER BY ABS(m) DESC, day ASC LIMIT 1""".stripMargin)),
+
+    // Multiplicative day-of-week seasonal index — the decomposition step
+    // between q_autocorr (detects weekly structure) and q_holt_linear
+    // (forecasts the level): per weekday, the mean daily revenue as a
+    // ratio to the overall daily mean, plus each weekday's peak day
+    // (rank by cents DESC, day ASC — deterministic ties). All divisions
+    // are double ops on identical exact-integer inputs in both engines.
+    // Scale: same fact-once shape — one partial+final reduce to the
+    // day series, then everything is ≤|days| rows; the seasonal table
+    // itself is exactly 7 rows at any SF.
+    "q_seasonal_index" -> QueryDef(
+      "Day-of-week multiplicative seasonal index of daily cents + per-dow peak day",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+          .withColumn("dow", dayofweek(col("day")) - 1)
+        val tot = daily.agg(count(lit(1)).as("n_all"), sum("cents").as("sum_all"))
+        val peak = Window.partitionBy("dow").orderBy(col("cents").desc, col("day").asc)
+        daily
+          .withColumn("pk", row_number().over(peak))
+          .groupBy("dow")
+          .agg(count(lit(1)).as("n_days"),
+            sum("cents").as("sum_cents"),
+            max(when(col("pk") === 1, col("day"))).as("peak_day"),
+            max(when(col("pk") === 1, col("cents"))).as("peak_cents"))
+          .crossJoin(broadcast(tot))
+          .select(col("dow"), col("n_days"),
+            round(col("sum_cents").cast("double") / col("n_days").cast("double"), 4)
+              .as("avg_cents"),
+            round((col("sum_cents").cast("double") / col("n_days").cast("double")) /
+              (col("sum_all").cast("double") / col("n_all").cast("double")), 6)
+              .as("seasonal_index"),
+            col("peak_day"), col("peak_cents"))
+          .orderBy("dow")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1),
+             |d AS (SELECT day, cents, dayofweek(day) AS dow,
+             |        ROW_NUMBER() OVER (PARTITION BY dayofweek(day)
+             |                           ORDER BY cents DESC, day ASC) AS pk
+             |      FROM daily),
+             |tot AS (SELECT COUNT(*) AS n_all, SUM(cents) AS sum_all FROM daily),
+             |g AS (
+             |  SELECT dow, COUNT(*) AS n_days, SUM(cents) AS sum_cents,
+             |    MAX(CASE WHEN pk = 1 THEN day END) AS peak_day,
+             |    MAX(CASE WHEN pk = 1 THEN cents END) AS peak_cents
+             |  FROM d GROUP BY dow)
+             |SELECT CAST(dow AS INT) AS dow, n_days,
+             |  ROUND(CAST(sum_cents AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS avg_cents,
+             |  ROUND((CAST(sum_cents AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+             |    (CAST(sum_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6) AS seasonal_index,
+             |  peak_day, CAST(peak_cents AS BIGINT) AS peak_cents
+             |FROM g CROSS JOIN tot ORDER BY dow""".stripMargin)),
+
     // IGNORE NULLS lag: carry the most recent HIGH-value order's price
     // past any number of low-value orders — the sparse-series lookup
     // shape (sensor last-reading, last-known-price) that a plain lag(1)

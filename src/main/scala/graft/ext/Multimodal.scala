@@ -60,6 +60,21 @@ object Multimodal {
     }
   }
 
+  /** Batched perceptual hashing over partitions — the same vectorized
+    * codec-boundary shape as [[extractFeatures]], emitting one
+    * (asset_id, phash, n_bytes) row per asset. Partition-local, no
+    * shuffle; the hash is 8 bytes, so everything downstream (banding,
+    * hamming verification) shuffles signatures, never payloads.
+    */
+  def perceptualHashes(assets: Dataset[Asset], batchSize: Int = 64): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(a => (a.asset_id, MediaCodec.perceptualHash(a), a.bytes.length))
+      }
+    }.toDF("asset_id", "phash", "n_bytes")
+  }
+
   /** Frame sampling for 'video' payloads: every `stride`-th fixed-size
     * chunk of the payload as its own binary "frame" — the partition-local
     * slicing pattern real frame extraction follows.
@@ -84,6 +99,40 @@ object MediaCodec {
     * image/audio libs in this container). A real implementation decodes
     * `a.bytes` per `a.meta.format` and runs the feature model.
     */
+  /** 60-bit perceptual AVERAGE-HASH of a payload — the aHash shape
+    * (resize to a fixed grid, threshold each cell against the global
+    * mean) over the decode stub's view of the bytes: the payload is
+    * split into 60 equal spans (cell j of byte i = ⌊i·60/n⌋), and bit j
+    * is set when cell j's mean exceeds the payload mean. The comparison
+    * runs on INTEGER cross-products (sum_j·n > total·cnt_j — exact, no
+    * doubles), so the DuckDB oracle replays every bit from the hex dump.
+    * A real deployment swaps the byte spans for decoded luma cells; the
+    * banding/verify relational plumbing downstream is the part that
+    * matters at 100 TB.
+    */
+  def perceptualHash(a: Multimodal.Asset): Long = {
+    val bytes = a.bytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](60)
+    val cnts = new Array[Long](60)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val j = (i.toLong * 60 / n).toInt
+      val v = (bytes(i) & 0xff).toLong
+      sums(j) += v; cnts(j) += 1; tot += v
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 60) {
+      if (cnts(j) > 0 && sums(j) * n > tot * cnts(j)) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+
   def decodeStub(a: Multimodal.Asset): Multimodal.AssetFeatures = {
     val n = a.bytes.length
     val mean = if (n == 0) 0.0 else a.bytes.map(b => (b & 0xff).toDouble).sum / n

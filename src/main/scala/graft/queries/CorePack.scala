@@ -546,6 +546,57 @@ object CorePack extends QueryPack {
 
     // Salted two-phase aggregation in the graded set: semantics-preserving
     // (ops/Salting), so the oracle is the plain GROUP BY.
+    // Key-skew profiler — the diagnostic that DECIDES when the salted
+    // paths (q_salted_agg, q_skew_join_salted) and AQE skew splitting
+    // are worth their overhead: per candidate shuffle key, the
+    // cardinality, the hottest key's row share, and the p50/p99 of
+    // per-key counts. Everything reduces in one partial+final count per
+    // key column (the per-key count table IS the profile input), and
+    // the percentile runs over |keys| counts, never rows. Shares are
+    // one double division of exact counts; engines agree bit-for-bit.
+    "q_key_skew_profile" -> QueryDef(
+      "Shuffle-key skew profile (suppkey/partkey/custkey): cardinality, top-key share, count quantiles",
+      (s, dir) => {
+        def profile(df: org.apache.spark.sql.DataFrame, key: String, label: String) = {
+          val cnts = df.groupBy(key).agg(count(lit(1)).as("cnt"))
+          cnts.agg(
+            lit(label).as("key_col"),
+            sum("cnt").as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max("cnt").as("max_cnt"),
+            expr("percentile(cnt, 0.5D)").as("p50_cnt"),
+            expr("percentile(cnt, 0.99D)").as("p99_cnt"))
+        }
+        val li = Tables.lineitem(s, dir)
+        profile(li, "l_suppkey", "lineitem.l_suppkey")
+          .unionAll(profile(li, "l_partkey", "lineitem.l_partkey"))
+          .unionAll(profile(Tables.orders(s, dir), "o_custkey", "orders.o_custkey"))
+          .select(col("key_col"), col("n_rows"), col("n_keys"), col("max_cnt"),
+            round(col("max_cnt").cast("double") / col("n_rows").cast("double"), 6)
+              .as("top_share"),
+            round(col("p50_cnt"), 4).as("p50_cnt"),
+            round(col("p99_cnt"), 4).as("p99_cnt"))
+          .orderBy("key_col")
+      },
+      Some("""WITH p AS (
+             |  SELECT 'lineitem.l_suppkey' AS key_col, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY key_col, l_suppkey
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey', COUNT(*) FROM lineitem
+             |  GROUP BY 1, l_partkey
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey', COUNT(*) FROM orders
+             |  GROUP BY 1, o_custkey)
+             |SELECT key_col,
+             |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |  COUNT(*) AS n_keys,
+             |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             |  ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             |    AS top_share,
+             |  ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+             |  ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+             |FROM p GROUP BY key_col ORDER BY key_col""".stripMargin)),
+
     "q_salted_agg" -> QueryDef(
       "Skew-safe salted sum/count of quantities per returnflag",
       (s, dir) =>

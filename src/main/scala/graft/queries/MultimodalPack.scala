@@ -181,6 +181,80 @@ object MultimodalPack extends QueryPack {
              |  COUNT(DISTINCT CASE (doc_id % 3) WHEN 0 THEN 'image'
              |        WHEN 1 THEN 'audio' ELSE 'video' END) AS n_kinds
              |FROM documents
-             |GROUP BY h HAVING COUNT(*) >= 2 ORDER BY h""".stripMargin))
+             |GROUP BY h HAVING COUNT(*) >= 2 ORDER BY h""".stripMargin)),
+
+    // PERCEPTUAL near-dup over asset payloads — mm_dedup catches
+    // byte-identical content; this catches re-encodes/crops (modeled by
+    // the 60-bit average-hash, MediaCodec.perceptualHash). The scale
+    // shape is the dedup_simhash/LSH posture applied to media: hashes
+    // band into 4×15-bit keys (a pair within hamming ≤ 10 of a 60-bit
+    // hash agrees exactly on ≥1 band whenever its flipped bits fall in
+    // ≤3 bands — banding trades recall for never-all-pairs), candidates
+    // meet on (band, key), and hamming verifies candidates only. The
+    // codec boundary is the same batched mapPartitions as
+    // mm_decode_features; every downstream join moves 8-byte signatures,
+    // never payloads. The oracle replays the hash bit-for-bit from the
+    // hex dump (integer cross-product cell thresholds — no doubles
+    // anywhere in the signature).
+    "mm_phash_neardup" -> QueryDef(
+      "Perceptual-hash near-dup assets: 60-bit aHash, 4x15-bit bands, hamming <= 10",
+      (s, dir) => {
+        import s.implicits._
+        val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+          .as[Multimodal.Asset]
+        val ph = Multimodal.perceptualHashes(assets)
+          .filter(col("n_bytes") > 0).select("asset_id", "phash")
+        val banded = ph.select(col("asset_id"), col("phash"),
+            explode(array((0 until 4).map(b =>
+              struct(lit(b).as("band"),
+                shiftrightunsigned(col("phash"), 15 * b)
+                  .bitwiseAND(lit(0x7FFFL)).as("key"))): _*)).as("bk"))
+          .select(col("asset_id"), col("phash"), col("bk.band"), col("bk.key"))
+        val cand = banded.select(col("band"), col("key"),
+            col("asset_id").as("asset_a"), col("phash").as("ph_a"))
+          .join(banded.select(col("band"), col("key"),
+            col("asset_id").as("asset_b"), col("phash").as("ph_b")), Seq("band", "key"))
+          .filter(col("asset_a") < col("asset_b"))
+          .dropDuplicates("asset_a", "asset_b")
+        cand
+          .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+          .filter(col("hamming") <= 10)
+          .select("asset_a", "asset_b", "hamming")
+          .orderBy("asset_a", "asset_b")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS n
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |y AS (
+             |  SELECT doc_id, n,
+             |    16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i-1 AS INT), 1)) - 1)
+             |       + (strpos('0123456789ABCDEF', substring(h, CAST(2*i   AS INT), 1)) - 1) AS byte,
+             |    ((i - 1) * 60) // n AS cell
+             |  FROM (SELECT doc_id, n, h, unnest(generate_series(1, n)) AS i FROM b)),
+             |cells AS (
+             |  SELECT doc_id, cell, SUM(byte) AS sj, COUNT(*) AS cj
+             |  FROM y GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT doc_id, SUM(byte) AS st, COUNT(*) AS n FROM y GROUP BY 1),
+             |ph AS (
+             |  SELECT cells.doc_id,
+             |    CAST(SUM(CASE WHEN sj * n > st * cj
+             |                  THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END)
+             |      AS BIGINT) AS phash
+             |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id
+             |  GROUP BY cells.doc_id),
+             |bands AS (
+             |  SELECT doc_id, phash, band,
+             |    (phash >> CAST(15 * band AS INT)) & 32767 AS key
+             |  FROM ph, (SELECT unnest(range(4)) AS band)),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS asset_a, y2.doc_id AS asset_b,
+             |    x.phash AS ph_a, y2.phash AS ph_b
+             |  FROM bands x JOIN bands y2
+             |    ON x.band = y2.band AND x.key = y2.key AND x.doc_id < y2.doc_id)
+             |SELECT asset_a, asset_b, bit_count(xor(ph_a, ph_b)) AS hamming
+             |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 10
+             |ORDER BY asset_a, asset_b""".stripMargin))
   )
 }

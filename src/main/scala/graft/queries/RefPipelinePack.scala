@@ -1181,6 +1181,55 @@ object RefPipelinePack extends QueryPack {
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Snapshot-expiry GC (io/VersionedTable.vacuum) — the lifecycle
+    // piece after time travel / WAP / merge / compaction: manifests
+    // below the retention floor are deleted and every data directory no
+    // retained manifest references is physically removed. The history
+    // is built so the expired set is EXACTLY KNOWN (v1 overwrite dir +
+    // v2 append delta — v3 is an overwrite, so it references only its
+    // own dir): the vacuum counters land in the gated output as data,
+    // and the latest snapshot must read back bit-identically AFTER its
+    // history is gone — GC must be read-invisible at the retained
+    // version, which is the whole contract. Counters persist beside the
+    // table so the once-per-corpus-version build (IndexCatalog) serves
+    // cache hits too. Scale: vacuum is manifest-count file ops + one
+    // directory listing — no data is read, ever.
+    "q_versioned_vacuum" -> QueryDef(
+      "Vacuum expires v1/v2 (2 manifests + 2 data dirs); latest snapshot unchanged",
+      (s, dir) => {
+        val tdir = graft.io.IndexCatalog.resolve(
+          s, "vervacuum", s"$dir/events.parquet") { tmp =>
+          val ev = Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+          graft.io.VersionedTable.commit(s, s"$tmp/t",
+            ev.filter(col("event_id") % 2 === 0), overwrite = true)
+          graft.io.VersionedTable.commit(s, s"$tmp/t",
+            ev.filter(col("event_id") % 2 === 1))
+          graft.io.VersionedTable.commit(s, s"$tmp/t",
+            ev.filter(col("event_type") =!= "click"), overwrite = true)
+          val (nm, nd) = graft.io.VersionedTable.vacuum(s, s"$tmp/t", keepFrom = 3)
+          import s.implicits._
+          Seq((nm.toLong, nd.toLong)).toDF("manifests_removed", "dirs_removed")
+            .coalesce(1).write.parquet(s"$tmp/gc")
+          ()
+        }
+        val gc = s.read.parquet(s"$tdir/gc")
+        graft.io.VersionedTable.readAt(s, s"$tdir/t")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .crossJoin(broadcast(gc))
+          .select("event_type", "n", "sum_cents", "manifests_removed", "dirs_removed")
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents,
+             |  CAST(2 AS BIGINT) AS manifests_removed,
+             |  CAST(2 AS BIGINT) AS dirs_removed
+             |FROM events WHERE event_type <> 'click'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Row-level MERGE as a COMMIT (io/VersionedTable.merge) — q_upsert's
     // full-outer/COALESCE semantics upgraded with atomicity and history:
     // updates reprice the %10 keys, inserts add synthetic keys beyond

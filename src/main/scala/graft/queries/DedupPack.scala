@@ -626,7 +626,62 @@ object DedupPack extends QueryPack {
            |SELECT cluster, COUNT(*) AS n_docs,
            |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS best_doc,
            |  ROUND(MAX(CASE WHEN rk = 1 THEN q END), 4) AS best_q
-           |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin))
+           |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    // Near-dup-AWARE train/val/test split — the leakage
+    // train_split_grouped cannot see: two near-duplicate documents from
+    // DIFFERENT sources can straddle train/eval under any per-doc (or
+    // per-domain) hash, leaking eval content into training. Here the
+    // split hash runs on each doc's near-dup CLUSTER representative
+    // (the component min id; singletons represent themselves), so a
+    // whole cluster moves as one unit BY CONSTRUCTION — the gated
+    // n_straddling_clusters column must be 0. Scale: reuses the
+    // standing CC label table (built once per corpus version); the
+    // split itself is one label join + map-side md5 bucket.
+    "train_split_dedup_aware" -> QueryDef(
+      "90/5/5 split hashed on near-dup cluster representatives (clusters never straddle)",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val labels = s.read.parquet(s"${ccLabelsDir(s, dir)}/labels")
+        val rep = coalesce(col("cluster"), col("doc_id"))
+        val bucket = pmod(Hashing.portableTokenHash(rep.cast("string")), lit(20L))
+        val split = when(bucket < 18, "train").when(bucket === 18, "val")
+          .otherwise("test")
+        val tagged = docs.join(broadcast(labels), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"), rep.as("rep"), split.as("split"))
+        val straddle = tagged.groupBy("rep")
+          .agg(count_distinct(col("split")).as("n_splits"))
+          .agg(count(when(col("n_splits") > 1, 1)).as("n_straddling_clusters"))
+        tagged.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("rep")).as("n_reps"),
+            sum("n_chars").as("sum_chars"))
+          .crossJoin(broadcast(straddle))
+          .orderBy("split")
+      },
+      Some(CcLabelsCte +
+        """,
+          |tagged AS (
+          |  SELECT d.doc_id, d.n_chars,
+          |    COALESCE(l.cluster, d.doc_id) AS rep,
+          |    CASE WHEN CAST(('0x'||substring(md5(
+          |             CAST(COALESCE(l.cluster, d.doc_id) AS VARCHAR)),1,8)) AS BIGINT)
+          |           % 20 < 18 THEN 'train'
+          |         WHEN CAST(('0x'||substring(md5(
+          |             CAST(COALESCE(l.cluster, d.doc_id) AS VARCHAR)),1,8)) AS BIGINT)
+          |           % 20 = 18 THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+          |straddle AS (
+          |  SELECT COUNT(*) FILTER (WHERE n_splits > 1) AS n_straddling_clusters
+          |  FROM (SELECT rep, COUNT(DISTINCT split) AS n_splits
+          |        FROM tagged GROUP BY rep))
+          |SELECT split, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT rep) AS n_reps,
+          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          |  ANY_VALUE(n_straddling_clusters) AS n_straddling_clusters
+          |FROM tagged CROSS JOIN straddle
+          |GROUP BY split ORDER BY split""".stripMargin))
   )
 
   /** Shared oracle prefix: 3-gram Jaccard pairs (same CTE as

@@ -447,6 +447,62 @@ object SimilarityPack extends QueryPack {
               |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
               |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
 
+    // Matryoshka-truncation eval (MRL shape): recall@5 of the 16-dim
+    // PREFIX of each embedding (truncate, renormalize, exact cosine)
+    // against the full 64-dim top-5 — the measurement that decides
+    // whether the 4× cheaper truncated index is servable, next to
+    // sim_recall_eval (probe-count) and sq8/pq (quantization error).
+    // Both towers are the engine's own brute-force operator on a
+    // sampled query panel, so eval cost is panel-sized; the full-corpus
+    // serve path for truncated vectors is the same IVF/LSH machinery
+    // with 4× smaller rows.
+    "emb_matryoshka_eval" -> QueryDef(
+      "Recall@5 of 16-dim truncated (matryoshka) embeddings vs the full 64-dim top-5",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val full = Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val t = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"),
+          col("label"))
+        val trunc = Similarity.bruteForceTopK(t.filter(col("vec_id") < 8), t, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        full.join(trunc, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hit"))
+          .select(col("query_id"), col("n_hit"),
+            (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH ${normCte("")},
+              |e16 AS (
+              |  SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+              |  FROM (SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS v,
+              |          sqrt(list_dot_product(CAST(embedding[1:16] AS DOUBLE[]),
+              |                                CAST(embedding[1:16] AS DOUBLE[]))) AS nrm
+              |        FROM embeddings)),
+              |bf AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |                       ORDER BY list_dot_product(q.nv, c.nv) DESC,
+              |                                c.vec_id ASC) AS rank
+              |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 8),
+              |bf5 AS (SELECT query_id, neighbor_id FROM bf WHERE rank <= 5),
+              |tf AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |                       ORDER BY list_dot_product(q.nv, c.nv) DESC,
+              |                                c.vec_id ASC) AS rank
+              |  FROM e16 q JOIN e16 c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 8),
+              |t5 AS (SELECT query_id, neighbor_id FROM tf WHERE rank <= 5)
+              |SELECT b.query_id,
+              |  CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hit,
+              |  COUNT(t.neighbor_id) / 5.0 AS recall
+              |FROM bf5 b LEFT JOIN t5 t
+              |  ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+              |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
+
     // Embedding-space drift — quality_drift lifted to vectors: per label,
     // the L2 distance between the centroid of the even-vec_id half and
     // the odd half (re-encoded batches / domain shift move per-class

@@ -582,6 +582,51 @@ object Dedup {
     starLabels(edges, maxIter)
   }
 
+  /** INCREMENTAL component maintenance — admit a batch of new edges
+    * into a STANDING label table without re-running global CC: labels
+    * are a lossless connectivity summary (every member connects to its
+    * representative), so the only graph that needs solving is the
+    * CONTRACTED one — new edges with both endpoints mapped to their
+    * current representative (unlabeled endpoints represent themselves).
+    * That graph is ≤ 2·|batch| nodes regardless of corpus size; its CC
+    * labels (min representative id = min member id of the merged
+    * component, since each representative is already its component's
+    * min) relabel the standing table through ONE broadcast join —
+    * the standing labels never shuffle and the historical edge list is
+    * never revisited. Output = exactly a full rebuild over
+    * (old graph ∪ batch), spec- and oracle-gated.
+    */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val reps = labels.select(col("doc_id"), col("cluster"))
+    val a = newPairs.select(col(aCol).cast("long").as("doc_id")).distinct()
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id").as("ea"), coalesce(col("cluster"), col("doc_id")).as("ra"))
+    val b = newPairs.select(col(bCol).cast("long").as("doc_id")).distinct()
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id").as("eb"), coalesce(col("cluster"), col("doc_id")).as("rb"))
+    val contracted = newPairs
+      .join(a, newPairs(aCol).cast("long") === col("ea"))
+      .join(b, newPairs(bCol).cast("long") === col("eb"))
+      .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
+    // contracted CC labels: (rep, newRep) — batch-sized by construction
+    val relabel = connectedComponents(contracted)
+      .select(col("doc_id").as("cluster"), col("cluster").as("new_cluster"))
+    // standing members relabel through the broadcast map; reps untouched
+    // by the batch keep their label
+    val updatedOld = labels.join(broadcast(relabel), Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("new_cluster"), col("cluster")).as("cluster"))
+    // batch endpoints that were not in the standing table join as new rows
+    val newNodes = a.select(col("ea").as("doc_id"), col("ra").as("rep"))
+      .union(b.select(col("eb").as("doc_id"), col("rb").as("rep")))
+      .distinct()
+      .join(reps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(relabel.select(col("cluster").as("rep"), col("new_cluster"))),
+        Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("new_cluster"), col("rep")).as("cluster"))
+    updatedOld.unionByName(newNodes)
+  }
+
   /** Distributed component labels by alternating large-star/small-star
     * contraction (the MapReduce CC algorithm of Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14): each

@@ -558,6 +558,37 @@ object DedupPack extends QueryPack {
           |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
           |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    // INCREMENTAL cluster maintenance, oracle-gated end-to-end: the
+    // standing label table is built over the doc_id<300 subgraph only,
+    // the remaining near-dup edges arrive as a BATCH through
+    // Dedup.incrementalComponents — which solves CC on the CONTRACTED
+    // representative graph (≤ 2·|batch| nodes, independent of corpus
+    // size) and relabels the standing table through one broadcast join;
+    // global CC never re-runs and the historical edge list is never
+    // revisited. The oracle is the FULL-graph recursive closure — the
+    // driver hash gate IS the incremental ≡ rebuild proof, the
+    // refresh posture of every other standing index applied to the last
+    // one without it (cluster labels).
+    "dedup_cc_incremental" -> QueryDef(
+      "CC labels maintained incrementally (base <300 subgraph + edge batch) == full rebuild",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+          .select("doc_a", "doc_b").localCheckpoint()
+        val base = pairs.filter(col("doc_a") < 300 && col("doc_b") < 300)
+        val batch = pairs.filter(col("doc_a") >= 300 || col("doc_b") >= 300)
+        val labels0 = Dedup.connectedComponents(base)
+        Dedup.incrementalComponents(labels0, batch)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("cluster")
+      },
+      Some(CcLabelsCte +
+        """
+          |SELECT cluster, COUNT(*) AS n_docs,
+          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
     // The dedup DELIVERABLE: survivor counts after keeping one canonical
     // doc (the min id) per near-dup cluster.
     "dedup_survivors" -> QueryDef(

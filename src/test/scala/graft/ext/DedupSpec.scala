@@ -264,6 +264,38 @@ class DedupSpec extends AnyFunSuite {
     assert(asMap(Dedup.connectedComponents(pairs, driverEdgeLimit = -1L)) == expected)
   }
 
+  test("incremental components: batch admission equals full rebuild on every edge shape") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // standing graph: {1,2,3} (min 1), {10,11} (min 10), singleton via self-loop {20}
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("doc_a", "doc_b")
+    val labels0 = Dedup.connectedComponents(base)
+    // batch exercises every shape at once: a bridge MERGING two standing
+    // components (3-10), a new node attaching to a standing component
+    // (11-40), a brand-new disjoint component (50-51), and a batch edge
+    // touching the self-loop singleton (20-60)
+    val batch = Seq((3L, 10L), (11L, 40L), (50L, 51L), (20L, 60L)).toDF("doc_a", "doc_b")
+    val got = asMap(Dedup.incrementalComponents(labels0, batch))
+    val full = asMap(Dedup.connectedComponents(base.unionAll(batch)))
+    assert(got == full)
+    // the merged {1,2,3,10,11,40} component took the GLOBAL min label
+    assert(got(40L) == 1L && got(10L) == 1L && got(60L) == 20L && got(51L) == 50L)
+
+    // randomized: any split of a random edge set into base+batch converges
+    // to the same labels as one rebuild
+    val rnd = new scala.util.Random(12)
+    val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    (1 to 3).foreach { k =>
+      val (b0, b1) = edges.splitAt(20 * k)
+      if (b0.nonEmpty && b1.nonEmpty) {
+        val inc = asMap(Dedup.incrementalComponents(
+          Dedup.connectedComponents(b0.toDF("doc_a", "doc_b")), b1.toDF("doc_a", "doc_b")))
+        val reb = asMap(Dedup.connectedComponents(edges.toDF("doc_a", "doc_b")))
+        assert(inc == reb, s"split at ${20 * k} diverged")
+      }
+    }
+  }
+
   test("materialized near-dup index serves identical verdicts to the inline form") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val docs = Tables.documents(spark, sf)

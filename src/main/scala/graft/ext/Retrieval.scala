@@ -160,6 +160,46 @@ object Retrieval {
     } finally delta.unpersist()
   }
 
+  /** POSITIONAL index table: one (doc_id, tok, pos) row per token
+    * occurrence (0-based position) — what phrase and proximity queries
+    * consume, the standard upgrade over the tf-only postings. Built in
+    * the same one-tokenize pass discipline as [[writeInvertedIndex]]
+    * (posexplode on the bound token array); at 100 TB the positions
+    * table is the corpus's token stream at 16 bytes/row, partitioned by
+    * the lake layout like tf.
+    */
+  def writePositionalIndex(docs: DataFrame, dir: String): Unit =
+    docs.select(col("doc_id"),
+        explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .write.mode("overwrite").parquet(s"$dir/pos")
+
+  /** Exact PHRASE match over the positional index: occurrences are
+    * positions p where term i of the phrase sits at p + i for every i —
+    * the classic adjacency join on postings. Each phrase term pulls ONLY
+    * its own posting slice (query-vocab-sized, index-pruned by the tok
+    * filter), the first term's slice anchors the join, and every
+    * subsequent term joins on (doc_id, pos + i) — so work is bounded by
+    * the RAREST prefix's occurrence count, never the corpus. Returns
+    * per-doc occurrence counts, rank-ordered (count DESC, doc_id ASC).
+    */
+  def phraseTopK(spark: SparkSession, dir: String, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val pos = spark.read.parquet(s"$dir/pos")
+    val anchor = pos.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchor) { case (acc, (t, i)) =>
+      acc.join(
+        pos.filter(col("tok") === t)
+          .select(col("doc_id"), (col("pos") - i).as("p0")),
+        Seq("doc_id", "p0"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** BM25 (k1=1.2, b=0.75) per-(query, doc) scores served from the
     * standing index: the query token set broadcasts, every other input
     * is an index table. `qtoks` must be (query_id, tok) distinct rows.

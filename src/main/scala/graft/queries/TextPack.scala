@@ -808,6 +808,40 @@ object TextPack extends QueryPack {
     // refresh ≡ full-rebuild proof, the dedup_minhash_incremental
     // pattern applied to retrieval. Cached per corpus content version
     // (IndexCatalog), like every standing index.
+    // Exact PHRASE search over a POSITIONAL index — the standard
+    // postings upgrade past tf-only BM25 (bag-of-words cannot tell
+    // "slow hash batch" from the three terms scattered): one
+    // (doc_id, tok, pos) row per occurrence, built once per corpus
+    // version; the phrase match is the classic adjacency join — each
+    // term pulls only its own index-pruned posting slice and joins on
+    // (doc_id, anchor_pos + i), so query cost is bounded by the rarest
+    // prefix's occurrences, never the corpus. The test phrase occurs 8
+    // times across 5 docs at sf0.01, so the count/tie ordering is
+    // genuinely exercised.
+    "retrieval_phrase" -> QueryDef(
+      "Exact phrase search ('slow hash batch') over the positional index, top-10 by occurrences",
+      (s, dir) => {
+        import graft.ext.Retrieval
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "posidx", s"$dir/documents.parquet")(
+          tmp => Retrieval.writePositionalIndex(Tables.documents(s, dir), tmp))
+        Retrieval.phraseTopK(s, idx, Seq("slow", "hash", "batch"), k = 10)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+             |  FROM d),
+             |a AS (SELECT doc_id, pos AS p0 FROM p WHERE tok = 'slow'),
+             |m1 AS (SELECT a.doc_id, a.p0 FROM a JOIN p
+             |       ON p.doc_id = a.doc_id AND p.pos = a.p0 + 1 AND p.tok = 'hash'),
+             |m2 AS (SELECT m1.doc_id, m1.p0 FROM m1 JOIN p
+             |       ON p.doc_id = m1.doc_id AND p.pos = m1.p0 + 2 AND p.tok = 'batch')
+             |SELECT doc_id, COUNT(*) AS n_occurrences
+             |FROM m2 GROUP BY doc_id
+             |ORDER BY n_occurrences DESC, doc_id ASC LIMIT 10""".stripMargin)),
+
     "retrieval_bm25_refresh" -> QueryDef(
       "BM25 top-5 served from an incrementally refreshed inverted index",
       (s, dir) => {

@@ -200,6 +200,30 @@ object Retrieval {
       .limit(k)
   }
 
+  /** PROXIMITY search over the positional index: documents where both
+    * terms co-occur within `window` token positions, scored by the pair
+    * count and the MINIMUM absolute distance (the tightest co-occurrence
+    * — what proximity ranking boosts). Same posting-slice discipline as
+    * [[phraseTopK]]: each term pulls only its own index-pruned slice,
+    * and the position join is a doc-keyed band join |pa − pb| ≤ window —
+    * bounded by per-doc occurrence counts of the two terms, never doc
+    * length.
+    */
+  def proximityTopK(spark: SparkSession, dir: String, termA: String, termB: String,
+      window: Int, k: Int): DataFrame = {
+    val pos = spark.read.parquet(s"$dir/pos")
+    val a = pos.filter(col("tok") === termA).select(col("doc_id"), col("pos").as("pa"))
+    val b = pos.filter(col("tok") === termB).select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        // long: posexplode positions are ints, the oracle's are BIGINT
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+      .orderBy(col("min_dist").asc, col("n_pairs").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** BM25 (k1=1.2, b=0.75) per-(query, doc) scores served from the
     * standing index: the query token set broadcasts, every other input
     * is an index table. `qtoks` must be (query_id, tok) distinct rows.

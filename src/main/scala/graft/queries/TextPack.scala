@@ -842,6 +842,36 @@ object TextPack extends QueryPack {
              |FROM m2 GROUP BY doc_id
              |ORDER BY n_occurrences DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
+    // Proximity ranking over the same positional index — the relevance
+    // signal between bag-of-words (BM25) and the exact phrase: both
+    // terms within 4 positions, ranked by tightest co-occurrence then
+    // pair count. The position join is doc-keyed and bounded by the two
+    // terms' per-doc occurrence counts; the window predicate is the
+    // q_band_join shape on postings.
+    "retrieval_proximity" -> QueryDef(
+      "Proximity search: 'hash' near 'join' (window 4) over the positional index, top-10",
+      (s, dir) => {
+        import graft.ext.Retrieval
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "posidx", s"$dir/documents.parquet")(
+          tmp => Retrieval.writePositionalIndex(Tables.documents(s, dir), tmp))
+        Retrieval.proximityTopK(s, idx, "hash", "join", window = 4, k = 10)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+             |  FROM d),
+             |pr AS (
+             |  SELECT a.doc_id, ABS(a.pos - b.pos) AS dist
+             |  FROM (SELECT doc_id, pos FROM p WHERE tok = 'hash') a
+             |  JOIN (SELECT doc_id, pos FROM p WHERE tok = 'join') b
+             |    ON b.doc_id = a.doc_id AND ABS(a.pos - b.pos) <= 4)
+             |SELECT doc_id, COUNT(*) AS n_pairs, MIN(dist) AS min_dist
+             |FROM pr GROUP BY doc_id
+             |ORDER BY min_dist ASC, n_pairs DESC, doc_id ASC LIMIT 10""".stripMargin)),
+
     "retrieval_bm25_refresh" -> QueryDef(
       "BM25 top-5 served from an incrementally refreshed inverted index",
       (s, dir) => {

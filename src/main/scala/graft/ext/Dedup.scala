@@ -170,6 +170,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** ASYMMETRIC containment pairs — |A ∩ B| / |A| ≥ threshold, the
+    * sub-document duplication detector Jaccard structurally misses: a
+    * short doc quoted whole inside a long one has containment ≈ 1 while
+    * Jaccard ≈ |A|/|B| ≈ 0 (the union is dominated by the container).
+    * Same inverted-index discipline as [[ngramJaccardPairs]] — pairs
+    * meet only through shared shingles (containment > 0 requires one),
+    * per-doc set sizes join from the counts table — but DIRECTED:
+    * (inner, outer) and (outer, inner) are distinct rows with their own
+    * score. At 100 TB the same Σ df² cost model and hot-shingle valves
+    * apply.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val s = shingleRows(docs, n)
+    val counts = s.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = s.select(col("doc_id").as("doc_inner"), col("sh"))
+      .join(s.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
+        Seq("sh"))
+      .filter(col("doc_inner") =!= col("doc_outer"))
+      .groupBy("doc_inner", "doc_outer")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_inner"), col("n_sh").as("n_a")),
+        Seq("doc_inner"))
+      .withColumn("containment", col("n_inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_inner"), col("doc_outer"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** Prefix-filtered n-gram Jaccard ≥ threshold — the SSJoin/PPJoin
     * family's candidate generator (Chaudhuri et al., ICDE'06), LOSSLESS
     * unlike LSH banding: order every doc's shingles by ascending global

@@ -271,6 +271,34 @@ object DedupPack extends QueryPack {
           .orderBy("doc_a", "doc_b"),
       Some(exactJaccardPairsOracle(0.3))),
 
+    // ASYMMETRIC containment — the sub-document duplication detector
+    // Jaccard structurally misses: a short doc quoted whole inside a
+    // long one has containment ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0. Rows
+    // are DIRECTED (inner, outer). On this corpus document lengths are
+    // uniform, so containment ≈ Jaccard and the 50 gated rows pin the
+    // arithmetic; the operator's distinct value (quote/boilerplate-
+    // embedding detection) shows on real mixed-length corpora.
+    "dedup_containment" -> QueryDef(
+      "Directed 3-gram containment >= 0.5 via inverted-index join (|A-intersect-B|/|A|)",
+      (s, dir) =>
+        Dedup.containmentPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+          .orderBy("doc_inner", "doc_outer"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+             |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+             |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+             |  FROM d),
+             |p AS (
+             |  SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+             |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS cont
+             |  FROM s a JOIN s b ON a.doc_id <> b.doc_id AND len(a.sh) > 0)
+             |SELECT doc_inner, doc_outer, ROUND(cont, 4) AS containment
+             |FROM p WHERE cont >= 0.5 ORDER BY doc_inner, doc_outer""".stripMargin)),
+
     // Same exact-pairs contract as dedup_ngram_jaccard (the oracle is
     // literally shared — prefix filtering is LOSSLESS), but candidates
     // meet only on each doc's rarest shingles, so the join never rides

@@ -94,7 +94,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
-    println(s"""{"queries":$qs,"calib_sec":${fmt(calib)},"calib_mt_sec":${fmt(calibMt)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum}""")
+    val line = s"""{"queries":$qs,"calib_sec":${fmt(calib)},"calib_mt_sec":${fmt(calibMt)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum}"""
+    println(line)
+    // The COMPLETE per-query artifact, self-emitted: the driver's
+    // BENCH_r{N}.json capture retains only a bounded stdout tail (r12
+    // kept 76 of 263 per-query numbers), so cross-round per-query
+    // regression diffing must never depend on it. Every run also lands
+    // the full line at a stable path (the round snapshot commits it as
+    // BENCH_SELF_r{N}.json).
+    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(selfPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] self-artifact write failed: $e") }
     spark.stop()
   }
 }

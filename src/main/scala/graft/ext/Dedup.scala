@@ -178,12 +178,35 @@ object Dedup {
     * meet only through shared shingles (containment > 0 requires one),
     * per-doc set sizes join from the counts table — but DIRECTED:
     * (inner, outer) and (outer, inner) are distinct rows with their own
-    * score. At 100 TB the same Σ df² cost model and hot-shingle valves
-    * apply.
+    * score.
+    *
+    * `maxShingleDf` is the same hot-shingle valve as
+    * [[ngramJaccardPairs]]'s: shingles with document frequency above
+    * the cap are dropped from the JOIN only, while n_a stays exact —
+    * a capped n_inter can only shrink, so the capped output is a
+    * no-false-positive SUBSET of the exact pairs (recall traded for
+    * bounded bucket width; None = exact, the oracled default). The
+    * LOSSLESS scale path is [[containmentPrefixPairs]].
     */
-  def containmentPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val s = shingleRows(docs, n)
-    val counts = s.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    // capped path materializes the shingle stream once (counts, the df
+    // aggregate, and both join sides all read it) — same economy note
+    // as ngramJaccardPairs
+    val all =
+      if (maxShingleDf.isDefined) shingleRows(docs, n).localCheckpoint()
+      else shingleRows(docs, n)
+    val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val s = maxShingleDf match {
+      case Some(cap) =>
+        val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        all.join(hot, Seq("sh"), "left_anti")
+      case None => all
+    }
     val inter = s.select(col("doc_id").as("doc_inner"), col("sh"))
       .join(s.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
         Seq("sh"))
@@ -194,6 +217,56 @@ object Dedup {
       .join(counts.select(col("doc_id").as("doc_inner"), col("n_sh").as("n_a")),
         Seq("doc_inner"))
       .withColumn("containment", col("n_inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_inner"), col("doc_outer"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  /** Prefix-filtered DIRECTED containment — the asymmetric analogue of
+    * [[jaccardPrefixPairs]], LOSSLESS unlike the `maxShingleDf` valve:
+    * containment(A→B) ≥ τ means |A ∩ B| ≥ ⌈τ·|A|⌉, so at most
+    * |A| − ⌈τ·|A|⌉ of A's shingles lie outside B — among A's first
+    * |A| − ⌈τ·|A|⌉ + 1 shingles in ANY fixed order, at least one is
+    * shared with B. Ordering by ascending global document frequency
+    * makes that prefix A's RAREST shingles, so the candidate join never
+    * rides the hot boilerplate keys that dominate Σ df². The filter is
+    * one-sided by necessity: only the CONTAINED side's intersection is
+    * lower-bounded by τ, so the inner side joins its prefix while the
+    * outer side exposes its full (hashed, 8-byte) shingle rows — any of
+    * B's shingles can witness the pair. Exact verification intersects
+    * the two per-doc hashed-set arrays map-side, making the output
+    * IDENTICAL to [[containmentPairs]] over the same hashed sets
+    * (DuckDB replays the md5-derived hash, so parity is bit-exact).
+    */
+  def containmentPrefixPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val rows = shingleRows(docs, n)
+      .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("sh"))
+      .distinct()
+    val dfTab = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+    // one doc-keyed shuffle builds the rarity-sorted hashed set and its
+    // directed prefix slice (|A| − ⌈τ·|A|⌉ + 1 rarest shingles) — the
+    // jaccardPrefixPairs per-doc frame with the asymmetric prefix length
+    val perDoc = rows.join(dfTab, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("sh"))).as("a"))
+      .select(col("doc_id"),
+        expr("transform(array_sort(a), x -> x.sh)").as("hs"),
+        expr(s"transform(slice(array_sort(a), 1," +
+          s" size(a) - ceil($threshold * size(a)) + 1), x -> x.sh)").as("pre"))
+      .cache()
+    val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
+    val cand = prefix.select(col("doc_id").as("doc_inner"), col("sh"))
+      .join(rows.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
+        Seq("sh"))
+      .filter(col("doc_inner") =!= col("doc_outer"))
+      .select("doc_inner", "doc_outer").distinct()
+    cand
+      .join(perDoc.select(col("doc_id").as("doc_inner"), col("hs").as("hs_a")),
+        Seq("doc_inner"))
+      .join(perDoc.select(col("doc_id").as("doc_outer"), col("hs").as("hs_b")),
+        Seq("doc_outer"))
+      .withColumn("containment",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
       .filter(col("containment") >= threshold)
       .select(col("doc_inner"), col("doc_outer"),
         round(col("containment"), 4).as("containment"))
@@ -624,6 +697,17 @@ object Dedup {
     * the standing labels never shuffle and the historical edge list is
     * never revisited. Output = exactly a full rebuild over
     * (old graph ∪ batch), spec- and oracle-gated.
+    *
+    * PRECONDITION (the contracted-graph argument depends on it): every
+    * `cluster` value in `labels` must be the component's MINIMUM member
+    * id — i.e. a table produced by [[connectedComponents]] or by a prior
+    * call to this method. A table under any other labeling silently
+    * diverges from a rebuild, so the method ASSERTS the invariant on
+    * exactly the clusters the batch touches: min(member id) over each
+    * touched cluster must equal its label. The probe is one pass over
+    * the standing table pruned map-side by the broadcast touched-rep
+    * set (untouched rows never shuffle; the aggregate output is
+    * batch-sized), so admission cost stays batch-scoped.
     */
   def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
@@ -634,6 +718,22 @@ object Dedup {
     val b = newPairs.select(col(bCol).cast("long").as("doc_id")).distinct()
       .join(reps, Seq("doc_id"), "left")
       .select(col("doc_id").as("eb"), coalesce(col("cluster"), col("doc_id")).as("rb"))
+    // min-label invariant assert (see scaladoc): over every cluster the
+    // batch touches, min(member id) must equal the label — catches
+    // max-labeled and arbitrarily-relabeled tables (whose reps can
+    // still be self-consistent). The broadcast semi-join prunes the
+    // scan map-side; the aggregate is touched-cluster-sized.
+    val touched = a.select(col("ra").as("rep")).union(b.select(col("rb").as("rep"))).distinct()
+    val violation = labels
+      .join(broadcast(touched), labels("cluster") === touched("rep"), "left_semi")
+      .groupBy("cluster").agg(min("doc_id").as("mn"))
+      .filter(col("mn") =!= col("cluster"))
+      .limit(1).collect()
+    require(violation.isEmpty,
+      "incrementalComponents: standing labels violate the min-label invariant " +
+        s"(cluster ${violation.headOption.map(_.get(0)).getOrElse("?")} is labeled " +
+        s"above its minimum member ${violation.headOption.map(_.get(1)).getOrElse("?")}); " +
+        "feed a table produced by connectedComponents/incrementalComponents")
     val contracted = newPairs
       .join(a, newPairs(aCol).cast("long") === col("ea"))
       .join(b, newPairs(bCol).cast("long") === col("eb"))

@@ -25,6 +25,51 @@ object Graph {
     */
   private val RankBase = 1000000000000L
 
+  /** Synchronous label propagation (Raghavan 2007) run to FIXPOINT —
+    * the convergence-gated upgrade over a fixed unrolled round count,
+    * which silently truncates on deeper graphs: labels init to node
+    * ids; every round each node adopts its neighbors' MODE label
+    * (count desc, then smallest label — a total tie-break, so the
+    * sync update is deterministic); iteration stops when NO label
+    * changed (next(labels) = labels is a true fixpoint of the sync
+    * update — every later round is the identity, which is what lets a
+    * fixed-unroll oracle replay a converged run exactly) or at
+    * `maxRounds`. Returns (labels, roundsUsed); `roundsUsed <
+    * maxRounds` proves convergence (logged by the spec the way
+    * [[Dedup.connectedComponents]]'s round cap is).
+    *
+    * `und` is the symmetric adjacency (n, v): both orientations
+    * present. Each round is one (adjacency ⋈ labels) join, a
+    * (node, label) count, and a windowed argmax — V/E-bounded, never
+    * corpus-bounded — plus one batch-sized change probe;
+    * `localCheckpoint` truncates lineage so plan size stays constant
+    * across rounds. Note sync LP can 2-cycle on bipartite-ish
+    * structure — the cap is the documented guard, and the capped
+    * output is still deterministic (exactly `maxRounds` rounds).
+    */
+  def labelPropagationConverged(und: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val wMode = Window.partitionBy("n").orderBy(col("c").desc, col("lab").asc)
+    var cur = und.select(col("n").as("v")).distinct()
+      .select(col("v"), col("v").as("lab")).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = und.join(cur, "v")
+        .groupBy("n", "lab").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wMode)).filter(col("rk") === 1)
+        .select(col("n").as("v"), col("lab"))
+        .localCheckpoint()
+      converged = next
+        .join(cur.select(col("v"), col("lab").as("prev")), "v")
+        .filter(col("lab") =!= col("prev"))
+        .isEmpty
+      cur = next
+      rounds += 1
+    }
+    (cur, rounds)
+  }
+
   /** Per-node degree of an undirected, deduplicated (s < d) edge list. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("s").as("v"))

@@ -595,6 +595,11 @@ object Similarity {
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val tmp = indexDir.stripSuffix("/") + ".compact"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // snapshot the tombstone listing BEFORE reading: the swap below
+    // drops deleted/, so a retraction racing the compaction would be
+    // silently un-deleted — the guard turns the documented
+    // writer/compactor exclusion contract into a loud failure instead
+    val tombSnap = Retrieval.tombstoneVersion(spark, indexDir)
     spark.read.parquet(s"$indexDir/centroids")
       .coalesce(1).write.parquet(s"$tmp/centroids")
     // an empty-corpus index has a centroid table but no cells directory
@@ -608,6 +613,7 @@ object Similarity {
           broadcast(t), cells("neighbor_id") === t("vec_id"), "left_anti"))
         .write.partitionBy("cell").parquet(s"$tmp/cells")
     }
+    Retrieval.guardTombstonesUnchanged(spark, indexDir, tombSnap)
     graft.io.DirSwap.swapInto(fs,
       new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(indexDir))
   }

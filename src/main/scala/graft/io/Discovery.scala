@@ -75,7 +75,15 @@ final class Discovery(transport: Transport, apiKey: Option[String] = None) {
     Map("accept" -> "application/json") ++
       apiKey.map("chave-api-dados-abertos" -> _)
 
-  /** Search the catalog for the IDA dataset; None on any failure. */
+  /** Search the catalog for the IDA dataset; None on any failure.
+    * The FIRST array element's id, parsed driver-side with Jackson —
+    * the reference indexes `datasets[0]` (main.py:74), and a
+    * distributed `spark.read.json` makes no contractual row-order
+    * guarantee for a parsed array, so element order is pinned here
+    * where it is semantic. (A search response is a control-plane
+    * payload of a few KB — driver-side parsing is also the right cost
+    * shape; Spark never needs to see it.)
+    */
   def findDatasetId(spark: SparkSession): Option[String] =
     try {
       val url = s"$BaseUrl/conjuntos-dados?" +
@@ -83,10 +91,11 @@ final class Discovery(transport: Transport, apiKey: Option[String] = None) {
       val resp = transport.get(url, authHeaders, timeoutMs = 15000)
       if (!resp.ok) None
       else {
-        import spark.implicits._
-        spark.read.json(Seq(resp.text).toDS())
-          .select("id").collect()
-          .headOption.map(_.get(0)).filter(_ != null).map(_.toString)
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.text)
+        if (!root.isArray || root.isEmpty) None
+        else Option(root.get(0).get("id"))
+          .filterNot(n => n.isNull || n.isMissingNode)
+          .map(_.asText())
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

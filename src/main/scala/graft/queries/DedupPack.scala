@@ -299,6 +299,42 @@ object DedupPack extends QueryPack {
              |SELECT doc_inner, doc_outer, ROUND(cont, 4) AS containment
              |FROM p WHERE cont >= 0.5 ORDER BY doc_inner, doc_outer""".stripMargin)),
 
+    // The LOSSLESS scale path for containment — the directed prefix
+    // filter (jaccardPrefixPairs' asymmetric analogue): the contained
+    // side joins only its |A|−⌈τ·|A|⌉+1 RAREST shingles (any qualifying
+    // pair must witness on one of them — pigeonhole on |A∖B| ≤
+    // |A|−⌈τ·|A|⌉), the container side its full 8-byte hashed rows, and
+    // map-side array intersection verifies exactly. Output ≡ the
+    // unfiltered containmentPairs over the same hashed sets; the oracle
+    // replays the identical md5-derived hash, so the gate is bit-exact.
+    // This is the plan that survives a boilerplate-heavy 100 TB corpus:
+    // hot shingles are pushed out of every inner prefix, so Σ df² never
+    // rides them (SHUFFLE.md carries both rows for the comparison).
+    "dedup_containment_prefix" -> QueryDef(
+      "Directed 3-gram containment >= 0.5 via prefix-filtered join (lossless, exact-verified)",
+      (s, dir) =>
+        Dedup.containmentPrefixPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+          .orderBy("doc_inner", "doc_outer"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+             |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+             |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+             |  FROM d),
+             |hs AS (
+             |  SELECT doc_id, list_distinct(list_transform(sh,
+             |    g -> CAST(('0x'||substring(md5(g),1,15)) AS BIGINT))) AS h
+             |  FROM s),
+             |p AS (
+             |  SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+             |    len(list_intersect(a.h, b.h))::DOUBLE / len(a.h) AS cont
+             |  FROM hs a JOIN hs b ON a.doc_id <> b.doc_id AND len(a.h) > 0)
+             |SELECT doc_inner, doc_outer, ROUND(cont, 4) AS containment
+             |FROM p WHERE cont >= 0.5 ORDER BY doc_inner, doc_outer""".stripMargin)),
+
     // Same exact-pairs contract as dedup_ngram_jaccard (the oracle is
     // literally shared — prefix filtering is LOSSLESS), but candidates
     // meet only on each doc's rarest shingles, so the join never rides
@@ -388,23 +424,26 @@ object DedupPack extends QueryPack {
     // band configuration before pointing it at a corpus. Verified pairs
     // are cand ∩ true by construction (LSH verifies candidates with the
     // exact Jaccard), so recall = |verified|/|true| measures exactly the
-    // pairs banding loses. Scale: all three towers are the engine's own
-    // banded/inverted-index operators (nothing all-pairs); the eval
-    // joins run over pair sets, and the output is one row.
+    // pairs banding loses — and |cand ∩ true| computes as a pair-set
+    // join, no re-verification needed. Scale: BOTH towers are STANDING
+    // artifacts (the band table and the exact-pairs table, each built
+    // once per corpus version and shared with the CC family), so the
+    // eval itself is the band self-join plus two pair-set-sized joins —
+    // it no longer rebuilds three shingle towers per run.
     "dedup_lsh_recall" -> QueryDef(
       "Recall/precision of MinHash(16)+LSH(4x4) banding vs exact Jaccard >= 0.3",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val banded = Dedup.bandedSignatures(Dedup.shingleRows(docs))
+        val banded = s.read.parquet(s"${lshBandsDir(s, dir)}/bands")
+        val truth = s.read.parquet(s"${jaccardPairsDir(s, dir)}/pairs")
+          .select("doc_a", "doc_b")
         val cand = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
           .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b")),
             Seq("band", "key"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
         val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-        val nTrue = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
-          .agg(count(lit(1)).as("n_true"))
-        val nVerified = Dedup.minHashLshPairs(docs, threshold = 0.3)
+        val nTrue = truth.agg(count(lit(1)).as("n_true"))
+        val nVerified = cand.join(truth, Seq("doc_a", "doc_b"))
           .agg(count(lit(1)).as("n_verified"))
         nTrue.crossJoin(nCand).crossJoin(nVerified)
           .select(col("n_true"), col("n_candidates"), col("n_verified"),
@@ -600,8 +639,8 @@ object DedupPack extends QueryPack {
     "dedup_cc_incremental" -> QueryDef(
       "CC labels maintained incrementally (base <300 subgraph + edge batch) == full rebuild",
       (s, dir) => {
-        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
-          .select("doc_a", "doc_b").localCheckpoint()
+        val pairs = s.read.parquet(s"${jaccardPairsDir(s, dir)}/pairs")
+          .select("doc_a", "doc_b")
         val base = pairs.filter(col("doc_a") < 300 && col("doc_b") < 300)
         val batch = pairs.filter(col("doc_a") >= 300 || col("doc_b") >= 300)
         val labels0 = Dedup.connectedComponents(base)
@@ -764,12 +803,41 @@ object DedupPack extends QueryPack {
     * IndexCatalog's content-version key rebuilds it when the corpus
     * changes.
     */
-  private def ccLabelsDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+  /** Materialized exact 3-gram Jaccard ≥ 0.3 pair table — the "ground
+    * truth" tower THREE consumers previously each rebuilt per run (the
+    * CC label build, dedup_cc_incremental's edge source, and
+    * dedup_lsh_recall's truth side). Built once per corpus content
+    * version; every consumer reads the parquet. Resolved OUTSIDE any
+    * other index's builder (nested `computeIfAbsent` on one
+    * ConcurrentHashMap is illegal), hence the sequential resolve in
+    * [[ccLabelsDir]].
+    */
+  private def jaccardPairsDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.io.IndexCatalog.resolve(s, "jaccard-pairs", s"$dir/documents.parquet") { tmp =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+        .write.mode("overwrite").parquet(s"$tmp/pairs")
+    }
+
+  /** Materialized full-corpus MinHash band table (band, key, doc_id) —
+    * the candidate filter dedup_lsh_recall evaluates. The batch-vs-
+    * corpus "neardup" index is built over the corpus SUBSET, so the eval
+    * needs its own full-corpus tower; like every standing index it is
+    * built once per corpus version and served from parquet.
+    */
+  private def lshBandsDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.io.IndexCatalog.resolve(s, "lsh-bands", s"$dir/documents.parquet") { tmp =>
+      Dedup.bandedSignatures(Dedup.shingleRows(Tables.documents(s, dir)))
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+    }
+
+  private def ccLabelsDir(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    // resolve the pairs artifact FIRST (sequentially — see jaccardPairsDir)
+    val pairs = jaccardPairsDir(s, dir)
     graft.io.IndexCatalog.resolve(s, "cc-labels", s"$dir/documents.parquet") { tmp =>
-      Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3))
+      Dedup.connectedComponents(s.read.parquet(s"$pairs/pairs"))
         .write.mode("overwrite").parquet(s"$tmp/labels")
     }
+  }
 
   private val CcLabelsCte: String =
     """WITH RECURSIVE raw AS (

@@ -287,25 +287,55 @@ object GraphPack extends QueryPack {
           .orderBy(col("n_members").desc, col("community").asc)
           .limit(20)
       },
-      Some {
-        def lpCte(t: Int): String =
-          s"""lp$t AS (
-             |  SELECT n AS v, lab FROM (
-             |    SELECT u.n, l.lab,
-             |      ROW_NUMBER() OVER (PARTITION BY u.n
-             |                         ORDER BY COUNT(*) DESC, l.lab ASC) AS rk
-             |    FROM und u JOIN lp${t - 1} l ON u.v = l.v
-             |    GROUP BY u.n, l.lab)
-             |  WHERE rk = 1)""".stripMargin
-        s"""$edgeCte,
-           |und AS (
-           |  SELECT s AS n, d AS v FROM e UNION ALL SELECT d AS n, s AS v FROM e),
-           |lp0 AS (SELECT v, v AS lab FROM deg),
-           |${lpCte(1)},
-           |${lpCte(2)},
-           |${lpCte(3)}
-           |SELECT lab AS community, COUNT(*) AS n_members, MIN(v) AS min_member
-           |FROM lp3 GROUP BY lab
-           |ORDER BY n_members DESC, community ASC LIMIT 20""".stripMargin
-      }))
+      Some(lpUnrolledOracle(3))),
+
+    // The CONVERGENCE-GATED variant — the fixed 3-round form above is
+    // correct for its gate but silently truncated on deeper graphs;
+    // here the engine iterates until NO label changes (capped at 8,
+    // rounds-used surfaced to the spec, which asserts the fixture
+    // reaches a true fixpoint inside the cap). The oracle is the SAME
+    // sync update unrolled to the cap: a converged run's labels are a
+    // fixpoint, so every post-convergence round is the identity and
+    // fixed-unroll-to-cap replays stop-at-convergence exactly — with
+    // the cap itself covering the (bipartite 2-cycle) non-converging
+    // case, where both engines deterministically run all 8 rounds.
+    "graph_label_propagation_converged" -> QueryDef(
+      "Top-20 communities at the label-propagation fixpoint (converged, cap 8)",
+      (s, dir) => {
+        val idx = graphIndexDir(s, dir)
+        val o = s.read.parquet(s"$idx/oriented")
+        val und = o.select(col("u").as("n"), col("w").as("v"))
+          .unionAll(o.select(col("w").as("n"), col("u").as("v")))
+        val (labels, _) = Graph.labelPropagationConverged(und, maxRounds = 8)
+        labels.groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_member"))
+          .orderBy(col("n_members").desc, col("community").asc)
+          .limit(20)
+      },
+      Some(lpUnrolledOracle(8))))
+
+  /** The synchronous label-propagation oracle, unrolled to `rounds`:
+    * shared by the fixed-round gate (3) and the converged gate (8 = the
+    * cap; see graph_label_propagation_converged for why fixed-unroll
+    * replays stop-at-convergence exactly).
+    */
+  private def lpUnrolledOracle(rounds: Int): String = {
+    def lpCte(t: Int): String =
+      s"""lp$t AS (
+         |  SELECT n AS v, lab FROM (
+         |    SELECT u.n, l.lab,
+         |      ROW_NUMBER() OVER (PARTITION BY u.n
+         |                         ORDER BY COUNT(*) DESC, l.lab ASC) AS rk
+         |    FROM und u JOIN lp${t - 1} l ON u.v = l.v
+         |    GROUP BY u.n, l.lab)
+         |  WHERE rk = 1)""".stripMargin
+    s"""$edgeCte,
+       |und AS (
+       |  SELECT s AS n, d AS v FROM e UNION ALL SELECT d AS n, s AS v FROM e),
+       |lp0 AS (SELECT v, v AS lab FROM deg),
+       |${(1 to rounds).map(lpCte).mkString(",\n")}
+       |SELECT lab AS community, COUNT(*) AS n_members, MIN(v) AS min_member
+       |FROM lp$rounds GROUP BY lab
+       |ORDER BY n_members DESC, community ASC LIMIT 20""".stripMargin
+  }
 }

@@ -20,6 +20,29 @@ object TextPack extends QueryPack {
     * compacted) is exactly the parity claim: the layout must never
     * change scores.
     */
+  /** Shared oracle for every positional-index phrase query — the bm25
+    * pattern: one SQL (phrase 'slow hash batch', adjacency-joined from
+    * the raw documents, optionally restricted by `where` for the
+    * retraction gates) serving every physical layout (one-shot build,
+    * incremental refresh, streaming batch files, tombstoned
+    * merge-on-read, compacted). The layout must never change hits.
+    */
+  private def phraseOracle(where: String = ""): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents$where),
+       |p AS (
+       |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+       |  FROM d),
+       |a AS (SELECT doc_id, pos AS p0 FROM p WHERE tok = 'slow'),
+       |m1 AS (SELECT a.doc_id, a.p0 FROM a JOIN p
+       |       ON p.doc_id = a.doc_id AND p.pos = a.p0 + 1 AND p.tok = 'hash'),
+       |m2 AS (SELECT m1.doc_id, m1.p0 FROM m1 JOIN p
+       |       ON p.doc_id = m1.doc_id AND p.pos = m1.p0 + 2 AND p.tok = 'batch')
+       |SELECT doc_id, COUNT(*) AS n_occurrences
+       |FROM m2 GROUP BY doc_id
+       |ORDER BY n_occurrences DESC, doc_id ASC LIMIT 10""".stripMargin
+
   private def bm25TopKOracle(where: String = ""): String =
     s"""WITH toked AS (
       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
@@ -827,20 +850,106 @@ object TextPack extends QueryPack {
           tmp => Retrieval.writePositionalIndex(Tables.documents(s, dir), tmp))
         Retrieval.phraseTopK(s, idx, Seq("slow", "hash", "batch"), k = 10)
       },
-      Some("""WITH d AS (
-             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
-             |  FROM documents),
-             |p AS (
-             |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
-             |  FROM d),
-             |a AS (SELECT doc_id, pos AS p0 FROM p WHERE tok = 'slow'),
-             |m1 AS (SELECT a.doc_id, a.p0 FROM a JOIN p
-             |       ON p.doc_id = a.doc_id AND p.pos = a.p0 + 1 AND p.tok = 'hash'),
-             |m2 AS (SELECT m1.doc_id, m1.p0 FROM m1 JOIN p
-             |       ON p.doc_id = m1.doc_id AND p.pos = m1.p0 + 2 AND p.tok = 'batch')
-             |SELECT doc_id, COUNT(*) AS n_occurrences
-             |FROM m2 GROUP BY doc_id
-             |ORDER BY n_occurrences DESC, doc_id ASC LIMIT 10""".stripMargin)),
+      Some(phraseOracle())),
+
+    // Positional-index RETRACTION, oracle-gated end-to-end — the
+    // lifecycle asymmetry the round-12 audit flagged: the inverted and
+    // IVF indexes had tombstoned deletes, but a doc deleted from the
+    // corpus kept serving phrase hits. Here every doc_id%7==3 document
+    // is tombstoned (|batch| rows written, nothing rescanned) and the
+    // phrase serves MERGE-ON-READ: dead docs drop from each term's
+    // index-pruned posting slice via the broadcast anti join. Oracle =
+    // the phrase over SURVIVING documents only — the hash gate proves
+    // tombstoned serving ≡ rebuild-without-the-deleted.
+    "retrieval_phrase_retract" -> QueryDef(
+      "Phrase search after tombstone retraction of doc_id%7==3 (merge-on-read)",
+      (s, dir) => {
+        import graft.ext.Retrieval
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "posidx-retract", s"$dir/documents.parquet") { tmp =>
+          Retrieval.writePositionalIndex(docs, tmp)
+          Retrieval.retractFromPositionalIndex(
+            docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), tmp)
+        }
+        Retrieval.phraseTopK(s, idx, Seq("slow", "hash", "batch"), k = 10)
+      },
+      Some(phraseOracle(" WHERE doc_id % 7 <> 3"))),
+
+    // Incremental positional admission ≡ rebuild: the index is built
+    // over 90% of the corpus, the rest arrives as a delta through
+    // refreshPositionalIndex (only the delta is tokenized — positions
+    // are per-doc, so admission is a pure append, no cross-doc merge),
+    // and the full-corpus oracle hash gate IS the refresh ≡ rebuild
+    // proof — the inverted index's retrieval_bm25_refresh pattern.
+    "retrieval_phrase_refresh" -> QueryDef(
+      "Phrase search served from an incrementally refreshed positional index",
+      (s, dir) => {
+        import graft.ext.Retrieval
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "posidx-refresh", s"$dir/documents.parquet") { tmp =>
+          Retrieval.writePositionalIndex(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), tmp)
+          Retrieval.refreshPositionalIndex(
+            docs.filter(pmod(col("doc_id"), lit(10)) === 7), tmp)
+        }
+        Retrieval.phraseTopK(s, idx, Seq("slow", "hash", "batch"), k = 10)
+      },
+      Some(phraseOracle())),
+
+    // STREAM-maintained positional index ≡ one-shot build: the corpus
+    // arrives as three micro-batches through RetrievalIngest
+    // (withPositions — occurrence rows land as replay-idempotent batch
+    // files alongside tf/dlen/df), batch 1 is REPLAYED to prove a retry
+    // converges, and the phrase serves from the landed files. Full-
+    // corpus oracle: stream-maintained ≡ batch-built, across the replay
+    // — the retrieval_stream_bm25 guarantee extended to positions.
+    "retrieval_phrase_stream" -> QueryDef(
+      "Phrase search served from a stream-maintained positional index (3 batches, one replayed)",
+      (s, dir) => {
+        import graft.ext.Retrieval
+        import graft.streaming.RetrievalIngest
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "posidx-stream", s"$dir/documents.parquet") { tmp =>
+          (0L to 2L).foreach(b =>
+            RetrievalIngest.ingestBatch(
+              docs.filter(pmod(col("doc_id"), lit(3)) === b), b, tmp,
+              withPositions = true))
+          RetrievalIngest.ingestBatch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1L), 1L, tmp,
+            withPositions = true)
+        }
+        Retrieval.phraseTopK(s, idx, Seq("slow", "hash", "batch"), k = 10)
+      },
+      Some(phraseOracle())),
+
+    // The full positional LIFECYCLE in one gate — stream ingest +
+    // tombstone retraction + COMPACTION (occurrence rows of dead docs
+    // drop, append deltas collapse, one root-dir swap with the racing-
+    // retraction guard). Serving runs the canonical fast path (no
+    // merge-on-read left); oracle = phrase over survivors, proving
+    // compaction changed the physical layout and nothing else.
+    "retrieval_phrase_compacted" -> QueryDef(
+      "Phrase search after stream-ingest + retraction + positional compaction",
+      (s, dir) => {
+        import graft.ext.Retrieval
+        import graft.streaming.RetrievalIngest
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "posidx-compact", s"$dir/documents.parquet") { tmp =>
+          (0L to 2L).foreach(b =>
+            RetrievalIngest.ingestBatch(
+              docs.filter(pmod(col("doc_id"), lit(3)) === b), b, tmp,
+              withPositions = true))
+          Retrieval.retractFromPositionalIndex(
+            docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), tmp)
+          Retrieval.compactPositionalIndex(s, tmp)
+        }
+        Retrieval.phraseTopK(s, idx, Seq("slow", "hash", "batch"), k = 10)
+      },
+      Some(phraseOracle(" WHERE doc_id % 7 <> 3"))),
 
     // Proximity ranking over the same positional index — the relevance
     // signal between bag-of-words (BM25) and the exact phrase: both
@@ -871,6 +980,44 @@ object TextPack extends QueryPack {
              |SELECT doc_id, COUNT(*) AS n_pairs, MIN(dist) AS min_dist
              |FROM pr GROUP BY doc_id
              |ORDER BY min_dist ASC, n_pairs DESC, doc_id ASC LIMIT 10""".stripMargin)),
+
+    // K-TERM windowed proximity — the general query shape the two-term
+    // form special-cases, and what real retrieval serves ("all of these
+    // words near each other"): every occurrence combination of the 3
+    // terms spanning ≤ 8 positions, ranked by tightest span then
+    // combination count. The engine's k-way doc-keyed join applies the
+    // span bound PROGRESSIVELY (a tuple's span only grows, so early
+    // pruning is lossless); the oracle replays the same k-tuple algebra
+    // flat. At sf0.01 the fixture has span ties at both rank keys, so
+    // the total ordering is genuinely exercised.
+    "retrieval_proximity_kterm" -> QueryDef(
+      "3-term proximity: slow+hash+join within 8 positions, ranked by tightest span, top-10",
+      (s, dir) => {
+        import graft.ext.Retrieval
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "posidx", s"$dir/documents.parquet")(
+          tmp => Retrieval.writePositionalIndex(Tables.documents(s, dir), tmp))
+        Retrieval.proximityKTermTopK(
+          s, idx, Seq("slow", "hash", "join"), window = 8, k = 10)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+             |  FROM d),
+             |pr AS (
+             |  SELECT a.doc_id,
+             |    GREATEST(a.pos, b.pos, c.pos) - LEAST(a.pos, b.pos, c.pos) AS span
+             |  FROM (SELECT doc_id, pos FROM p WHERE tok = 'slow') a
+             |  JOIN (SELECT doc_id, pos FROM p WHERE tok = 'hash') b
+             |    ON b.doc_id = a.doc_id
+             |  JOIN (SELECT doc_id, pos FROM p WHERE tok = 'join') c
+             |    ON c.doc_id = a.doc_id
+             |  WHERE GREATEST(a.pos, b.pos, c.pos) - LEAST(a.pos, b.pos, c.pos) <= 8)
+             |SELECT doc_id, COUNT(*) AS n_windows, MIN(span) AS min_span
+             |FROM pr GROUP BY doc_id
+             |ORDER BY min_span ASC, n_windows DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
     "retrieval_bm25_refresh" -> QueryDef(
       "BM25 top-5 served from an incrementally refreshed inverted index",

@@ -34,16 +34,36 @@ object RetrievalIngest {
 
   /** Land one batch of documents' index contributions. Directly
     * callable for replay testing — a second call with the same batchId
-    * replaces the first call's files exactly.
+    * replaces the first call's files exactly. With `withPositions` the
+    * batch's (doc_id, pos, tok) occurrence rows ALSO land as batch
+    * files in `pos/` — the positional table gets the same replay-
+    * idempotent stream maintenance as tf/dlen/df, so phrase/proximity
+    * serving ([[Retrieval.phraseTopK]] reads `pos/` flat) stays
+    * continuously current. Still one tokenize pass: positions become
+    * the root table and tf derives from them by aggregation.
     */
-  def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String): Unit = {
-    // tokenize the batch once; tf is the root every other table derives
-    // from (dlen = per-doc SUM(tf), df delta = per-token doc count)
-    val tf = batch.select(col("doc_id"),
-      explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .persist()
+  def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      withPositions: Boolean = false): Unit =
+    if (withPositions) {
+      val pos = Retrieval.positionRows(batch).persist()
+      try {
+        BatchFiles.land(pos, s"$indexDir/pos", batchId)
+        landTfFamily(
+          pos.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")), batchId, indexDir)
+      } finally pos.unpersist()
+    } else
+      // tokenize the batch once; tf is the root every other table
+      // derives from (dlen = per-doc SUM(tf), df delta = per-token doc
+      // count)
+      landTfFamily(
+        batch.select(col("doc_id"),
+          explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")),
+        batchId, indexDir)
+
+  private def landTfFamily(tf0: DataFrame, batchId: Long, indexDir: String): Unit = {
+    val tf = tf0.persist()
     try {
       BatchFiles.land(tf, s"$indexDir/tf", batchId)
       BatchFiles.land(
@@ -58,10 +78,11 @@ object RetrievalIngest {
     * [[Retrieval.refreshInvertedIndex]] (dedup upstream decides
     * identity).
     */
-  def start(stream: DataFrame, indexDir: String, checkpointDir: String): StreamingQuery =
+  def start(stream: DataFrame, indexDir: String, checkpointDir: String,
+      withPositions: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, id: Long) => ingestBatch(b, id, indexDir))
+      .foreachBatch((b: DataFrame, id: Long) => ingestBatch(b, id, indexDir, withPositions))
       .start()
 
   /** BM25 served from the streaming delta-log layout: df aggregates its

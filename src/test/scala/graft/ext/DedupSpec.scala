@@ -255,6 +255,66 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((7L, 8L)))
   }
 
+  test("df-capped containment join: no false positives, generous cap = exact") {
+    val docs = Tables.documents(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.containmentPairs(docs, 3, 0.5))
+    assert(exact.nonEmpty, "fixture should contain containment pairs")
+    val generous = pairSet(
+      Dedup.containmentPairs(docs, 3, 0.5, maxShingleDf = Some(1000000L)))
+    assert(generous == exact)
+    // a tight cap may drop pairs (lower counted intersections; n_a stays
+    // exact) but can never invent them
+    val tight = pairSet(Dedup.containmentPairs(docs, 3, 0.5, maxShingleDf = Some(3L)))
+    assert(tight.subsetOf(exact))
+  }
+
+  test("prefix-filtered containment join: identical rows to the inverted-index join") {
+    val docs = Tables.documents(spark, sf)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rowSet(Dedup.containmentPairs(docs, 3, 0.5))
+    // lossless and DIRECTED: both orientations and scores must survive
+    // the prefix filter (values agree because the fixture's 60-bit
+    // hashed shingle sets are collision-free, so |A∩B|/|A| is the same
+    // over strings and hashes)
+    assert(rowSet(Dedup.containmentPrefixPairs(docs, 3, 0.5)) == exact)
+  }
+
+  test("prefix-filtered containment: a quoted sub-document meets through its rare prefix") {
+    // doc 2 quotes doc 1 whole inside boilerplate shared with docs 3-6:
+    // containment(1→2) = 1 even though jaccard is low; the shared
+    // boilerplate shingles are hot (df≥5) and fall out of every prefix,
+    // yet the pair must still meet on doc 1's rare content shingles
+    val quoted = "alpha beta gamma delta epsilon"
+    val docs = (Seq(
+      (1L, quoted),
+      (2L, s"the same header intro $quoted the same footer outro")) ++
+      (3L to 6L).map(i =>
+        (i, s"the same header u$i v$i w$i the same footer x$i"))).toDF("doc_id", "text")
+    val got = Dedup.containmentPrefixPairs(docs, 3, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == 1.0)
+  }
+
+  test("incremental components: a non-min-labeled standing table is rejected") {
+    // labels where cluster is the MAX member — connectivity-equivalent
+    // but violates the min-label invariant the contraction argument needs
+    val bogus = Seq((1L, 3L), (2L, 3L), (3L, 3L)).toDF("doc_id", "cluster")
+    val batch = Seq((3L, 10L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalComponents(bogus, batch).collect()
+    }
+    assert(e.getMessage.contains("min-label invariant"))
+    // and a genuinely min-labeled table passes the same probe
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster")
+    val out = Dedup.incrementalComponents(good, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L))
+  }
+
   test("connected components: self-loop pairs label the node on both paths") {
     val pairs = Seq((7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
     def asMap(df: org.apache.spark.sql.DataFrame) =

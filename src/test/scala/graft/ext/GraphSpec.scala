@@ -68,6 +68,33 @@ class GraphSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("labelPropagationConverged: true fixpoint inside the cap; unroll-to-cap replays it") {
+    import org.apache.spark.sql.expressions.Window
+    // two triangles joined by a bridge — communities {1,2,3} and {4,5,6}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val adjacency = und(edges)
+    val (labels, rounds) = Graph.labelPropagationConverged(adjacency, maxRounds = 8)
+    assert(rounds < 8, "fixture must converge inside the cap")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = asMap(labels)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // one more synchronous update is the IDENTITY — the property that
+    // lets the fixed-unroll oracle replay a converged run exactly
+    val wMode = Window.partitionBy("n").orderBy(col("c").desc, col("lab").asc)
+    def step(cur: org.apache.spark.sql.DataFrame) =
+      adjacency.join(cur, "v")
+        .groupBy("n", "lab").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wMode)).filter(col("rk") === 1)
+        .select(col("n").as("v"), col("lab"))
+    assert(asMap(step(labels)) == got)
+    // and the full 8-round unroll (what the DuckDB oracle runs) agrees
+    val init = adjacency.select(col("n").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    val unrolled = (1 to 8).foldLeft(init)((cur, _) => step(cur).localCheckpoint())
+    assert(asMap(unrolled) == got)
+  }
+
   test("triangleStats: exact count on a known graph") {
     // K4 has 4 triangles, 12 wedges, clustering 1.0
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("s", "d")

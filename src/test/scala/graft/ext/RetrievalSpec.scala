@@ -100,6 +100,104 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("positional lifecycle: retract/refresh/stream/compact all serve the survivor rebuild") {
+    val docs = Tables.documents(spark, sf)
+    val dead = pmod(col("doc_id"), lit(5)) === 2
+    // phrase common enough in the fixture corpus to return hits
+    val phrase = Seq("the", "slow")
+    def hits(d: String) = Retrieval.phraseTopK(spark, d, phrase, k = 20)
+      .collect().map(_.toSeq).toSeq
+
+    val survivors = java.nio.file.Files.createTempDirectory("pos-survivors").toString
+    Retrieval.writePositionalIndex(docs.filter(!dead), survivors)
+    val want = hits(survivors)
+    assert(want.nonEmpty, "fixture phrase should match")
+
+    // tombstoned merge-on-read; duplicate retracts absorbed
+    val dir = java.nio.file.Files.createTempDirectory("pos-retract").toString
+    Retrieval.writePositionalIndex(docs, dir)
+    assert(hits(dir) != want, "retraction must change something for the test to mean anything")
+    Retrieval.retractFromPositionalIndex(docs.filter(dead).select("doc_id"), dir)
+    Retrieval.retractFromPositionalIndex(docs.filter(dead).select("doc_id"), dir)
+    assert(hits(dir) == want)
+    // k-term proximity serves under the same tombstones
+    val kt = Retrieval.proximityKTermTopK(spark, dir, Seq("the", "slow"), 6, 20)
+      .collect().map(_.toSeq).toSeq
+    val ktWant = Retrieval.proximityKTermTopK(spark, survivors, Seq("the", "slow"), 6, 20)
+      .collect().map(_.toSeq).toSeq
+    assert(kt == ktWant && kt.nonEmpty)
+
+    // compaction applies tombstones physically and serving is unchanged
+    Retrieval.compactPositionalIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/deleted").exists())
+    assert(canon(dir, "pos") == canon(survivors, "pos"))
+    assert(hits(dir) == want)
+
+    // refresh ≡ rebuild: base 4/5 of the survivors + delta 1/5
+    val isDelta = pmod(col("doc_id"), lit(4)) === 1
+    val refreshed = java.nio.file.Files.createTempDirectory("pos-refresh").toString
+    Retrieval.writePositionalIndex(docs.filter(!dead && !isDelta), refreshed)
+    Retrieval.refreshPositionalIndex(docs.filter(!dead && isDelta), refreshed)
+    assert(hits(refreshed) == want)
+
+    // stream-maintained (3 batches, one REPLAYED) ≡ one-shot build
+    val streamed = java.nio.file.Files.createTempDirectory("pos-stream").toString
+    (0L to 2L).foreach { b =>
+      graft.streaming.RetrievalIngest.ingestBatch(
+        docs.filter(!dead && pmod(col("doc_id"), lit(3)) === b).select("doc_id", "text"),
+        b, streamed, withPositions = true)
+    }
+    graft.streaming.RetrievalIngest.ingestBatch(
+      docs.filter(!dead && pmod(col("doc_id"), lit(3)) === 1L).select("doc_id", "text"),
+      1L, streamed, withPositions = true)
+    assert(canon(streamed, "pos") == canon(survivors, "pos"))
+    assert(hits(streamed) == want)
+  }
+
+  test("compaction aborts loudly when a retraction races it") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("pos-race").toString
+    Retrieval.writePositionalIndex(docs, dir)
+    Retrieval.retractFromPositionalIndex(
+      docs.filter(col("doc_id") < 5).select("doc_id"), dir)
+    // simulate the race: a retraction lands AFTER the compactor's
+    // snapshot; the guard must refuse the swap (prior layout intact)
+    val snap = Retrieval.tombstoneVersion(spark, dir)
+    Retrieval.retractFromPositionalIndex(
+      docs.filter(col("doc_id") === 7).select("doc_id"), dir)
+    val e = intercept[java.io.IOException] {
+      Retrieval.guardTombstonesUnchanged(spark, dir, snap)
+    }
+    assert(e.getMessage.contains("concurrent retraction"))
+    // an unchanged tombstone set passes
+    Retrieval.guardTombstonesUnchanged(
+      spark, dir, Retrieval.tombstoneVersion(spark, dir))
+  }
+
+  test("k-term proximity: spans and counts on a hand-built doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a x b x x c"), // one (a,b,c) combo, span 5
+      (2L, "a b c a"), // combos: (0,1,2) s2, (3,1,2) s2 -> 2 windows, min 2
+      (3L, "a b x x x x x x x c") // span 9 > window 6: no hit
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pos-kterm").toString
+    Retrieval.writePositionalIndex(docs, dir)
+    val got = Retrieval.proximityKTermTopK(spark, dir, Seq("a", "b", "c"), 6, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 2L, 2L), (1L, 1L, 5L)))
+    // two-term form stays consistent with the k=2 general form
+    val two = Retrieval.proximityTopK(spark, dir, "a", "b", 6, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gen2 = Retrieval.proximityKTermTopK(spark, dir, Seq("a", "b"), 6, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(two == gen2)
+    // repeated terms are rejected (an occurrence would pair with itself)
+    intercept[IllegalArgumentException] {
+      Retrieval.proximityKTermTopK(spark, dir, Seq("a", "a"), 6, 10)
+    }
+  }
+
   test("refresh tokenizes only the delta: base tf rows are untouched files") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("retr-admission").toString

@@ -66,7 +66,9 @@ object PlanDump {
       "q_interval_join" -> "interval overlap as a bucketed equi join + residual predicate — no nested loop",
       "train_tokens_budget" -> "token-budget selection: rank histogram + boundary-stratum prefix, no corpus sort, no WindowExec",
       "sketch_bitmap_distinct" -> "EXACT mergeable distinct: map-side bitmap_construct partials, OR-merge second aggregate over bitmaps — ids never shuffle twice",
-      "q_delete_vectors" -> "position deletes: broadcast left-anti on (_metadata.file_path, row_index), data files unrewritten")
+      "q_delete_vectors" -> "position deletes: broadcast left-anti on (_metadata.file_path, row_index), data files unrewritten",
+      "dedup_span_mask" -> "span masking: df-filtered gram join-back (linear in df), per-doc lag+running-sum interval merge",
+      "sim_range_ivf" -> "IVF range search: broadcast probes dynamically prune the cell-partitioned index scan; scalar radius filter, no candidate-stream window")
 
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -112,6 +112,71 @@ object Dedup {
     toked.select(col(keyCol), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
   }
 
+  /** POSITIONED n-gram rows (doc_id, pos, gram): like [[shingleRows]]
+    * but keeping every occurrence with its 0-based start position and
+    * WITHOUT the distinct — the stream [[duplicateSpans]] needs, since
+    * masking has to know WHERE a duplicated n-gram sits, not just that
+    * the doc contains it. Same explode(array(...)) tokenize-once
+    * barrier; docs shorter than n produce no rows.
+    */
+  def positionedShingleRows(docs: DataFrame, n: Int, keyCol: String = "doc_id"): DataFrame = {
+    val toked = docs.select(col(keyCol),
+      explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
+    toked
+      .filter(size(col("toks")) >= n)
+      .select(col(keyCol), posexplode(
+        transform(
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
+      .select(col(keyCol), col("pos").cast("long").as("pos"), col("col").as("gram"))
+  }
+
+  /** Duplicate n-gram SPAN MASKING — the sub-document exact-substring
+    * dedup a training pipeline runs before tokenization (the shape of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": repeated substrings are removed, not whole documents):
+    * every token position covered by a width-`n` n-gram that appears in
+    * ≥ `minDf` DISTINCT documents is "masked", and runs of masked
+    * positions coalesce into maximal spans (doc_id, span_start,
+    * span_end, span_len) — the byte ranges a cleaner would cut.
+    *
+    * Plan shape: one n-gram-keyed shuffle computes the df table; df ≥
+    * minDf grams join back to the positioned stream (a duplicated gram
+    * in d docs contributes d rows here — LINEAR in df, never the d² of
+    * the pair-join family, so no hot-shingle valve is needed); interval
+    * coalescing is a per-doc window (lag + running sum — bounded by
+    * document length, never corpus size) over the COVERED positions
+    * only, a stream already shrunk to the duplicated fraction of the
+    * corpus. Since all intervals share width n, the classic
+    * running-max-end merge reduces to a lag: a new span starts exactly
+    * when pos > prev_pos + n (the previous n-gram's coverage
+    * [prev, prev+n−1] can no longer touch [pos, pos+n−1]).
+    *
+    * At 100 TB the gram key would be its 8-byte hash; kept textual here
+    * so the DuckDB oracle replays byte-identically (the text_chunk_dedup
+    * convention). Within-doc repeats of a corpus-unique gram do NOT mask
+    * (df counts distinct docs) — the cross-document notion of duplication,
+    * matching the dedup family's semantics.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int, minDf: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = positionedShingleRows(docs, n)
+    val dup = g.groupBy("gram").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    val covered = g.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    covered
+      .withColumn("prev", lag("pos", 1).over(byPos))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("pos") > col("prev") + n, 1L).otherwise(0L))
+      .withColumn("span_id", sum("new_span").over(byPos))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min("pos").as("span_start"), (max(col("pos")) + (n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
   /** Jaccard of two docs' shingle sets from per-doc set sizes and the
     * pair's intersection size — plain integer/double arithmetic.
     */

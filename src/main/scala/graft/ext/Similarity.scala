@@ -447,6 +447,26 @@ object Similarity {
       nProbe: Int,
       idCol: String,
       vecCol: String): DataFrame = {
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    ivfCandidates(assigned, centroids, queries, nProbe, idCol, vecCol)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** The probed-candidate stream (query_id, neighbor_id, cos) both IVF
+    * serving shapes cut from: [[ivfProbe]] ranks it to top-k,
+    * [[ivfRangeIndexed]] filters it by a cosine radius. Probes are
+    * nProbe nearest cells per query; candidates are exact cosines over
+    * the probed cells' members only.
+    */
+  private def ivfCandidates(
+      assigned: DataFrame,
+      centroids: Array[(Long, Array[Double])],
+      queries: DataFrame,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     // probe list: nProbe nearest cells per query (queries are few — the
     // window runs over a broadcast-sized frame)
     val q = broadcast(
@@ -462,15 +482,53 @@ object Similarity {
       .filter(col("prk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
 
-    // candidates = corpus vectors in probed cells; exact re-rank. Project
-    // to (ids, cos) before the rank window — no vectors in the shuffle.
-    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    // candidates = corpus vectors in probed cells; exact scoring. Project
+    // to (ids, cos) before any downstream shuffle — no vectors move.
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** RANGE (radius) search from the MATERIALIZED IVF index: every corpus
+    * vector within the probed cells whose exact cosine to the query is
+    * ≥ `minCosine` — the "all matches above a similarity floor" serving
+    * shape (dedup candidate pulls, near-duplicate audits, RAG recall
+    * floors) that top-k cannot express because the hit count per query
+    * is data-dependent. Same trained model, tombstone merge-on-read and
+    * cell-pruned scan as [[ivfTopKIndexed]]; the only difference is the
+    * cut: a scalar threshold instead of a rank window, so NO window ever
+    * touches the candidate stream (the single remaining window ranks the
+    * broadcast-sized probe list — |queries| × nCentroids rows) and a
+    * per-query hit explosion can never single-partition a rank.
+    * Approximate in the same sense as top-k (recall bounded by the
+    * probed cells); exactly replayed by the DuckDB oracle.
+    */
+  def ivfRangeIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      minCosine: Double,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids: Array[(Long, Array[Double])] =
+      spark.read.parquet(s"$indexDir/centroids")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    if (centroids.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("query_id", "neighbor_id", "cosine")
+    }
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .withColumn("cell", col("cell").cast("long"))
+    val assigned = ivfTombstonesOpt(spark, indexDir)
+      .fold(cells)(t => cells.join(
+        broadcast(t), cells("neighbor_id") === t("vec_id"), "left_anti"))
+    ivfCandidates(assigned, centroids, queries, nProbe, idCol, vecCol)
+      .filter(col("cos") >= minCosine)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
   /** Materialize the IVF index: `centroids/` (the trained model, tiny)

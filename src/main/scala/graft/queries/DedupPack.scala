@@ -335,6 +335,93 @@ object DedupPack extends QueryPack {
              |SELECT doc_inner, doc_outer, ROUND(cont, 4) AS containment
              |FROM p WHERE cont >= 0.5 ORDER BY doc_inner, doc_outer""".stripMargin)),
 
+    // Sub-document dedup (the Lee et al. 2022 shape): positions covered
+    // by a 5-gram appearing in >= 2 distinct docs coalesce into maximal
+    // masked spans — the ranges an exact-substring cleaner cuts instead
+    // of dropping whole documents. Join-back of duplicated grams is
+    // LINEAR in df (d rows for a gram in d docs, never the pair family's
+    // d²), so this shape needs no hot-shingle valve; the interval merge
+    // is a per-doc window over the already-shrunk covered stream.
+    "dedup_span_mask" -> QueryDef(
+      "Maximal cross-doc duplicated 5-gram spans per document (sub-document dedup)",
+      (s, dir) =>
+        Dedup.duplicateSpans(Tables.documents(s, dir), n = 5)
+          .orderBy("doc_id", "span_start"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+             |        FROM d WHERE len(t) >= 5)),
+             |f AS (SELECT gram FROM (
+             |        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram) x
+             |      WHERE df >= 2),
+             |c AS (SELECT doc_id, pos FROM g JOIN f USING (gram)),
+             |m AS (SELECT doc_id, pos,
+             |        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM c),
+             |sid AS (SELECT doc_id, pos,
+             |          SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+             |        FROM m)
+             |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+             |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+             |FROM sid GROUP BY doc_id, span_id
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The corpus-level report over the same spans: how much of each
+    // source is cross-document duplicated text. One extra broadcast-side
+    // join (per-doc token counts) and a source-keyed final aggregate.
+    "dedup_span_stats" -> QueryDef(
+      "Per-source duplicated-span profile: masked docs, tokens, masked %",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val perDoc = Dedup.duplicateSpans(docs, n = 5)
+          .groupBy("doc_id").agg(sum("span_len").as("masked"))
+        docs.select(col("doc_id"), col("source"),
+            size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("masked").isNotNull, 1L).otherwise(0L)).as("n_masked_docs"),
+            coalesce(sum("masked"), lit(0L)).as("masked_tokens"),
+            round(coalesce(sum("masked"), lit(0L)) * 100.0 / sum("n_tok"), 2)
+              .as("masked_pct"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+             |        FROM d WHERE len(t) >= 5)),
+             |f AS (SELECT gram FROM (
+             |        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram) x
+             |      WHERE df >= 2),
+             |c AS (SELECT doc_id, pos FROM g JOIN f USING (gram)),
+             |m AS (SELECT doc_id, pos,
+             |        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM c),
+             |sid AS (SELECT doc_id, pos,
+             |          SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+             |        FROM m),
+             |sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+             |       FROM sid GROUP BY doc_id, span_id),
+             |per AS (SELECT doc_id, SUM(span_end - span_start + 1) AS masked
+             |        FROM sp GROUP BY doc_id),
+             |tok AS (SELECT doc_id, source, len(t) AS n_tok FROM d)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN masked IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_masked_docs,
+             |  CAST(COALESCE(SUM(masked), 0) AS BIGINT) AS masked_tokens,
+             |  ROUND(COALESCE(SUM(masked), 0) * 100.0 / SUM(n_tok), 2) AS masked_pct
+             |FROM tok LEFT JOIN per USING (doc_id)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Same exact-pairs contract as dedup_ngram_jaccard (the oracle is
     // literally shared — prefix filtering is LOSSLESS), but candidates
     // meet only on each doc's rarest shingles, so the join never rides

@@ -326,6 +326,28 @@ object SimilarityPack extends QueryPack {
       },
       Some(ivfTopKOracle())),
 
+    // RANGE search from the same standing index: every probed-cell
+    // member with exact cosine >= the radius — the data-dependent-count
+    // serving shape top-k cannot express (dedup candidate pulls, recall
+    // floors). No window in the plan at all: candidates stream through
+    // a codegen'd scalar filter, so per-query hit explosions never
+    // single-partition a rank. The oracle replays the identical trained
+    // probe and cuts `cand` by the same threshold.
+    "sim_range_ivf" -> QueryDef(
+      "ANN radius search (cosine >= 0.25) via the materialized IVF index",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(s, "ivf", s"$dir/embeddings.parquet")(
+          t => Similarity.writeIvfIndex(Tables.embeddings(s, dir), t))
+        Similarity.ivfRangeIndexed(s, idx, e.filter(col("vec_id") < 8), minCosine = 0.25)
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some(s"""WITH $trainedAssignCtes,
+              |${ivfRankedCtes()}
+              |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine
+              |FROM cand WHERE cos >= 0.25
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
     // Incremental ANN admission, oracle-gated end-to-end: the index is
     // built over the training slice only (vec_id < 256 — exactly the
     // vectors the model trains on, so the centroid model is identical

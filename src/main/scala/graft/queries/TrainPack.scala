@@ -729,6 +729,39 @@ object TrainPack extends QueryPack {
               |  ROUND(AVG(q), 4) AS avg_quality
               |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Quality-curriculum ordering: rank docs by quality WITHIN each
+    // source, then interleave domains round-robin by (rank, source) —
+    // the deterministic "easy/clean first, every domain represented in
+    // every stripe" ordering curriculum training consumes. The rank
+    // window partitions by source (never a global single-partition
+    // sort); at full scale the curriculum is WRITTEN in this order via
+    // repartitionByRange(rank, source) + sortWithinPartitions — the
+    // ORDER BY here is the gate-sized readout of the same keys.
+    "train_curriculum" -> QueryDef(
+      "Curriculum order: per-source quality rank <= 10, domains interleaved",
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("rank"), col("source"), col("doc_id"), col("quality"))
+          .orderBy("rank", "source")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, source,
+              |    ${graft.OracleFragments.qualityScoreSql} AS q
+              |  FROM documents),
+              |rk AS (
+              |  SELECT doc_id, source, q,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |                       ORDER BY q DESC, doc_id ASC) AS rank
+              |  FROM scored)
+              |SELECT rank, source, doc_id, q AS quality FROM rk
+              |WHERE rank <= 10 ORDER BY rank, source""".stripMargin)),
+
     // Time-weighted engagement: dwell = gap to the user's next event
     // (LEAD over the user timeline); millisecond integers end-to-end so
     // sums are exact.

@@ -310,4 +310,29 @@ class PlanSpec extends AnyFunSuite {
       "LAG window must partition by grupo_economico")
     assert(p.contains("HashAggregate"))
   }
+
+  test("dedup_span_mask: equi joins only, per-doc windows, no cartesian") {
+    val p = plan("dedup_span_mask")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span masking must never cross-join the corpus")
+    // every window in the interval merge partitions by doc_id — bounded
+    // by document length, never a single-partition global sort
+    val specs = "windowspecdefinition\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs == Set("doc_id"),
+      s"interval-merge windows must partition by doc_id only, got $specs")
+    assert(p.contains("HashAggregate"), "df table must build via hash aggregation")
+  }
+
+  test("sim_range_ivf: no window over candidates; cell scan dynamically pruned") {
+    // the range serving shape's point: a per-query hit explosion can
+    // never single-partition a rank, because the candidate stream has no
+    // rank — the only window orders the broadcast-sized probe list
+    val p = plan("sim_range_ivf")
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"only the probe-rank window may plan, got $windows")
+    assert(p.contains("dynamicpruning"),
+      "probed cells must prune the cell-partitioned scan at runtime")
+    assert(p.contains(">= 0.25"), "the radius must cut as a scalar predicate")
+  }
 }

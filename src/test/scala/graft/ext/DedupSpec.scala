@@ -375,4 +375,50 @@ class DedupSpec extends AnyFunSuite {
       Dedup.incrementalNearDupIndexed(spark, idx, docs.filter(isNew), 0.3))
     assert(indexed == inline && indexed.nonEmpty)
   }
+
+  test("duplicate spans: shared regions mask, gaps split, within-doc repeats don't") {
+    val docs = Seq(
+      // docs 1/2 share exactly the 5-grams at positions 0 and 1 -> one
+      // merged span [0,5] in each
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f z1 z2 z3 z4"),
+      // unique doc: nothing masks
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8"),
+      // docs 4/5 share two regions separated by a > n gap -> two spans
+      (4L, "m1 m2 m3 m4 m5 g1 g2 g3 g4 g5 g6 n1 n2 n3 n4 n5"),
+      (5L, "m1 m2 m3 m4 m5 h1 h2 h3 h4 h5 h6 n1 n2 n3 n4 n5"),
+      // a 5-gram repeated WITHIN one doc only: df(distinct docs)=1, no mask
+      (6L, "r1 r2 r3 r4 r5 q0 r1 r2 r3 r4 r5")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, n = 5)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 0L, 5L, 6L), (2L, 0L, 5L, 6L),
+      (4L, 0L, 4L, 5L), (4L, 11L, 15L, 5L),
+      (5L, 0L, 4L, 5L), (5L, 11L, 15L, 5L)))
+  }
+
+  test("duplicate spans: adjacent coverage merges into one maximal span") {
+    // docs share grams at positions 0 and 6 of doc 10: coverage [0,4]
+    // and [6,10] is NOT adjacent (position 5 unmasked) -> two spans;
+    // sharing at 0 and 5 (coverage [0,4]+[5,9]) merges into [0,9]
+    val docs = Seq(
+      (10L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"),
+      (11L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"),
+      (12L, "a1 a2 a3 a4 a5 c0 b1 b2 b3 b4 b5"),
+      (13L, "a1 a2 a3 a4 a5 c9 b1 b2 b3 b4 b5")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, n = 5)
+      .filter(col("doc_id") === 12L).orderBy("span_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // doc 12 shares "a1..a5" (pos 0) and "b1..b5" (pos 6) with doc 13 and
+    // 10/11; position 5 (c0) is never covered -> spans [0,4] and [6,10]
+    assert(spans.toSeq == Seq((0L, 4L), (6L, 10L)))
+    // docs 10/11 are identical: every position covered, ONE span [0,9]
+    val whole = Dedup.duplicateSpans(docs, n = 5)
+      .filter(col("doc_id") === 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(whole.toSeq == Seq((0L, 9L, 10L)))
+  }
 }

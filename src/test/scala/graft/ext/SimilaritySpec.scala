@@ -247,6 +247,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed == inline && indexed.nonEmpty)
   }
 
+  test("IVF range search: equals unbounded top-k cut by the radius, respects tombstones") {
+    val e = Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-range-spec").toString
+    Similarity.writeIvfIndex(e, idx)
+    val queries = e.filter(col("vec_id") < 8)
+    val tau = 0.3
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine")
+        .orderBy("query_id", "neighbor_id").collect().map(_.toSeq).toSeq
+    // k far above any probed-cell population: top-k becomes "all
+    // candidates ranked", so range == that set cut at the radius
+    val unbounded = Similarity.ivfTopKIndexed(spark, idx, queries, k = 1000000)
+      .filter(col("cosine") >= tau)
+    val range = Similarity.ivfRangeIndexed(spark, idx, queries, minCosine = tau)
+    val before = rows(range)
+    assert(before == rows(unbounded) && before.nonEmpty)
+    // retraction: tombstoned neighbors drop from range hits too
+    val victimId = before.map(_(1).asInstanceOf[Long]).min
+    import spark.implicits._
+    Similarity.retractFromIvfIndex(Seq(victimId).toDF("vec_id"), idx)
+    val after = rows(Similarity.ivfRangeIndexed(spark, idx, queries, minCosine = tau))
+    assert(!after.exists(_(1) == victimId))
+    assert(after == before.filterNot(_(1) == victimId))
+  }
+
   test("IVF refresh: base build + delta admission equals a full rebuild") {
     val e = Tables.embeddings(spark, sf)
     val refreshed = java.nio.file.Files.createTempDirectory("ivf-refresh-spec").toString

@@ -159,12 +159,22 @@ object Dedup {
     * matching the dedup family's semantics.
     */
   def duplicateSpans(docs: DataFrame, n: Int, minDf: Long = 2L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = positionedShingleRows(docs, n)
     val dup = g.groupBy("gram").agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDf)
       .select("gram")
     val covered = g.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))
+    spansFromCovered(covered, n)
+  }
+
+  /** The interval-merge stage shared by [[duplicateSpans]] and
+    * [[incrementalSpans]]: coalesce covered start positions (each
+    * covering [pos, pos+n−1]) into maximal spans. Equal widths reduce
+    * the classic running-max-end merge to a lag: a new span starts
+    * exactly when pos > prev + n.
+    */
+  private def spansFromCovered(covered: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     covered
       .withColumn("prev", lag("pos", 1).over(byPos))
@@ -175,6 +185,92 @@ object Dedup {
       .agg(min("pos").as("span_start"), (max(col("pos")) + (n - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /** Materialize the standing SPAN-MASK serving index over a corpus:
+    * `postings/` — one (doc_id, pos, g) row per n-gram occurrence, the
+    * gram collapsed to its portable 60-bit hash (8-byte keys, the
+    * [[incrementalNearDup]] economy; the DuckDB oracle replays the
+    * identical md5-derived hash) — plus `df/` (gram → distinct-doc
+    * count) and `spans/` (the current [[duplicateSpans]] output).
+    * Built once per corpus version; every arriving batch is then
+    * admitted by [[incrementalSpans]] without rescanning corpus text.
+    */
+  def writeSpanMaskIndex(corpus: DataFrame, dir: String, n: Int, minDf: Long = 2L): Unit = {
+    val spark = corpus.sparkSession
+    positionedShingleRows(corpus, n)
+      .select(col("doc_id"), col("pos"), Hashing.portableTokenHash60(col("gram")).as("g"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val postings = spark.read.parquet(s"$dir/postings")
+    postings.groupBy("g").agg(countDistinct("doc_id").as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+    val dfT = spark.read.parquet(s"$dir/df")
+    spansFromCovered(
+      postings.join(dfT.filter(col("df") >= minDf).select("g"), Seq("g"))
+        .select("doc_id", "pos"), n)
+      .write.mode("overwrite").parquet(s"$dir/spans")
+  }
+
+  /** Incremental (batch-vs-corpus) SPAN MASKING — [[duplicateSpans]]'s
+    * admission shape, with the property that makes it non-trivial:
+    * duplication is RETROACTIVE. A batch doc quoting a previously-unique
+    * corpus passage flips that passage's grams to duplicated, so the
+    * masking of the OLD document changes too — whole-doc dedup never
+    * propagates backwards like this, span masking must. The standing
+    * corpus participates only through its materialized artifacts
+    * ([[writeSpanMaskIndex]]): corpus text is never rescanned.
+    *
+    * Cost model per batch: one batch tokenize pass; a batch-VOCABULARY-
+    * sized join against `df/` finds the merged counts and the FLIPPED
+    * grams (old df < minDf ≤ new df); two postings scans — one keyed by
+    * gram to find the touched old docs (join side is the flipped set,
+    * batch-bounded), one keyed by doc to pull only the touched docs'
+    * occurrence rows; the interval merge re-runs over touched + batch
+    * docs only. Untouched docs serve their standing `spans/` rows
+    * unchanged. Admission therefore rides |batch| + |touched|, never
+    * corpus size — and since df never DECREASES on admission, old spans
+    * can only grow, exactly what the recompute covers. Returns the full
+    * post-admission span table (≡ [[duplicateSpans]] over corpus ∪
+    * batch — the gate's hash proves it).
+    */
+  def incrementalSpans(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      batch: DataFrame,
+      n: Int,
+      minDf: Long = 2L): DataFrame = {
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val df0 = spark.read.parquet(s"$indexDir/df")
+    val spans0 = spark.read.parquet(s"$indexDir/spans")
+    // batch-sized and consumed three times (counts, coverage, output):
+    // checkpoint so the tokenize pass runs once
+    val bp = positionedShingleRows(batch, n)
+      .select(col("doc_id"), col("pos"), Hashing.portableTokenHash60(col("gram")).as("g"))
+      .localCheckpoint()
+    val db = bp.groupBy("g").agg(countDistinct("doc_id").as("db"))
+    // merged df for every gram the batch touches (batch-vocabulary-sized)
+    val touchedGrams = db.join(df0, Seq("g"), "left")
+      .select(col("g"), coalesce(col("df"), lit(0L)).as("of"),
+        (coalesce(col("df"), lit(0L)) + col("db")).as("nf"))
+    val flipped = touchedGrams
+      .filter(col("of") < minDf && col("nf") >= minDf).select("g")
+    // old docs whose masking changes = docs holding a flipped gram
+    val touchedDocs = postings.join(broadcast(flipped), Seq("g"))
+      .select("doc_id").distinct()
+    // recompute coverage for touched old docs over ALL now-duplicated
+    // grams they hold (previously-duplicated ∪ flipped)
+    val dupAll = df0.filter(col("df") >= minDf).select("g")
+      .union(flipped).distinct()
+    val oldCovered = postings.join(broadcast(touchedDocs), Seq("doc_id"))
+      .join(dupAll, Seq("g"))
+      .select("doc_id", "pos")
+    val batchCovered = bp
+      .join(touchedGrams.filter(col("nf") >= minDf).select("g"), Seq("g"))
+      .select("doc_id", "pos")
+    val recomputed = spansFromCovered(oldCovered.union(batchCovered), n)
+    spans0.join(broadcast(touchedDocs), Seq("doc_id"), "left_anti")
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .union(recomputed)
   }
 
   /** Jaccard of two docs' shingle sets from per-doc set sizes and the

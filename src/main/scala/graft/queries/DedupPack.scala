@@ -422,6 +422,49 @@ object DedupPack extends QueryPack {
              |FROM tok LEFT JOIN per USING (doc_id)
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Incremental span masking — the admission shape with RETROACTIVE
+    // propagation: a batch doc quoting a previously-unique corpus
+    // passage must change the OLD doc's masking too (whole-doc dedup
+    // never propagates backwards; span masking must). Corpus text is
+    // never rescanned: the standing postings/df/spans artifacts serve,
+    // the batch-vocabulary join finds flipped grams, and only touched +
+    // batch docs re-merge intervals. The oracle is the FULL REBUILD over
+    // corpus ∪ batch (with the engine's md5-derived gram hash replayed),
+    // so the hash gate IS the incremental ≡ rebuild proof.
+    "dedup_span_incremental" -> QueryDef(
+      "Batch admission into the standing span-mask index == full rebuild (retroactive masking)",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = pmod(col("doc_id"), lit(5L)) === 4
+        val idx = graft.io.IndexCatalog.resolve(s, "spanmask", s"$dir/documents.parquet")(
+          t => Dedup.writeSpanMaskIndex(docs.filter(!isNew), t, n = 5))
+        Dedup.incrementalSpans(s, idx, docs.filter(isNew), n = 5)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    CAST(('0x'||substring(md5(
+             |      array_to_string(list_slice(t, i, i + 4), ' ')),1,15)) AS BIGINT) AS gram
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+             |        FROM d WHERE len(t) >= 5)),
+             |f AS (SELECT gram FROM (
+             |        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram) x
+             |      WHERE df >= 2),
+             |c AS (SELECT doc_id, pos FROM g JOIN f USING (gram)),
+             |m AS (SELECT doc_id, pos,
+             |        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM c),
+             |sid AS (SELECT doc_id, pos,
+             |          SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+             |        FROM m)
+             |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+             |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+             |FROM sid GROUP BY doc_id, span_id
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Same exact-pairs contract as dedup_ngram_jaccard (the oracle is
     // literally shared — prefix filtering is LOSSLESS), but candidates
     // meet only on each doc's rarest shingles, so the join never rides

@@ -324,6 +324,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "df table must build via hash aggregation")
   }
 
+  test("train_curriculum: the rank<=10 cut plans as a WindowGroupLimit") {
+    // the per-source curriculum rank never sorts whole partitions: the
+    // k=10 cut pushes into WindowGroupLimit, so the marginal cost at
+    // corpus scale is the quality-score scan, not the window
+    val p = plan("train_curriculum")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("sim_range_ivf: no window over candidates; cell scan dynamically pruned") {
     // the range serving shape's point: a per-query hit explosion can
     // never single-partition a rank, because the candidate stream has no

@@ -399,6 +399,40 @@ class DedupSpec extends AnyFunSuite {
       (5L, 0L, 4L, 5L), (5L, 11L, 15L, 5L)))
   }
 
+  test("incremental spans: batch quote retroactively masks the old doc; == rebuild") {
+    val corpus = Seq(
+      (1L, "p1 p2 p3 p4 p5 u1 u2 u3"), // unique passage, unmasked today
+      (2L, "w1 w2 w3 w4 w5 w6")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "intro0 p1 p2 p3 p4 p5 outro0") // quotes doc 1's passage
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("spanmask-spec").toString
+    Dedup.writeSpanMaskIndex(corpus, idx, n = 5)
+    // before admission the corpus has NO spans at all
+    assert(spark.read.parquet(s"$idx/spans").isEmpty)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val inc = rows(Dedup.incrementalSpans(spark, idx, batch, n = 5))
+    // doc 1 (OLD, previously unmasked) now masks positions 0..4 — the
+    // retroactive flip; batch doc 10 masks its quote at 1..5
+    assert(inc == Seq((1L, 0L, 4L, 5L), (10L, 1L, 5L, 5L)))
+    assert(inc == rows(Dedup.duplicateSpans(corpus.union(batch), n = 5)))
+  }
+
+  test("incremental spans == full rebuild on the real corpus split") {
+    val docs = Tables.documents(spark, sf)
+    val isNew = pmod(col("doc_id"), lit(5L)) === 4
+    val idx = java.nio.file.Files.createTempDirectory("spanmask-sf-spec").toString
+    Dedup.writeSpanMaskIndex(docs.filter(!isNew), idx, n = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val inc = rows(Dedup.incrementalSpans(spark, idx, docs.filter(isNew), n = 5))
+    val rebuild = rows(Dedup.duplicateSpans(docs, n = 5))
+    assert(inc == rebuild && inc.nonEmpty)
+  }
+
   test("duplicate spans: adjacent coverage merges into one maximal span") {
     // docs share grams at positions 0 and 6 of doc 10: coverage [0,4]
     // and [6,10] is NOT adjacent (position 5 unmasked) -> two spans;

@@ -187,6 +187,24 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
 
+  /** DECONTAMINATION spans: maximal token spans of `train` docs covered
+    * by a width-`n` n-gram that appears ANYWHERE in the evaluation
+    * benchmark set — the surgical alternative to dropping every
+    * contaminated document (text_contamination's verdict): cut the
+    * leaked span, keep the doc. Same coverage→merge machinery as
+    * [[duplicateSpans]], but the duplicated-gram table is replaced by
+    * the EVAL gram set — benchmark suites are tiny, so the set
+    * broadcasts and the train pass is one map-side join + per-doc
+    * window: no train-keyed shuffle of gram rows at all.
+    */
+  def overlapSpans(train: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val evalGrams = positionedShingleRows(evalDocs, n).select("gram").distinct()
+    val covered = positionedShingleRows(train, n)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select("doc_id", "pos")
+    spansFromCovered(covered, n)
+  }
+
   /** Materialize the standing SPAN-MASK serving index over a corpus:
     * `postings/` — one (doc_id, pos, g) row per n-gram occurrence, the
     * gram collapsed to its portable 60-bit hash (8-byte keys, the
@@ -209,6 +227,57 @@ object Dedup {
       postings.join(dfT.filter(col("df") >= minDf).select("g"), Seq("g"))
         .select("doc_id", "pos"), n)
       .write.mode("overwrite").parquet(s"$dir/spans")
+  }
+
+  /** RETRACT documents from span masking — the inverse of
+    * [[incrementalSpans]] and the direction whole-doc dedup indexes
+    * never face: deleting a doc DECREMENTS its grams' document
+    * frequencies, and any gram falling below `minDf` must retroactively
+    * UN-mask the surviving docs that hold it (their spans shrink or
+    * vanish — a right-to-be-forgotten pass over derived state, not just
+    * the raw rows). Serving shape mirrors admission: the victim set is
+    * deletion-request-sized; one postings scan keyed by gram finds the
+    * down-flipped grams, one keyed by doc pulls only the touched
+    * survivors' occurrence rows; untouched survivors serve their
+    * standing `spans/` unchanged. Returns the post-retraction span
+    * table ≡ [[duplicateSpans]] over the survivors (the gate's hash
+    * proves it).
+    */
+  def retractSpans(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      docIds: DataFrame,
+      n: Int,
+      minDf: Long = 2L): DataFrame = {
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val df0 = spark.read.parquet(s"$indexDir/df")
+    val spans0 = spark.read.parquet(s"$indexDir/spans")
+    val victims = docIds.select(col(docIds.columns.head).as("doc_id")).distinct()
+    val victimPostings = postings.join(broadcast(victims), Seq("doc_id"))
+    // per-gram df decrement = #victim docs holding the gram
+    val delta = victimPostings.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("dd"))
+    val merged = delta.join(df0, Seq("g"))
+      .select(col("g"), col("df").as("of"), (col("df") - col("dd")).as("nf"))
+    val flippedDown = merged
+      .filter(col("of") >= minDf && col("nf") < minDf).select("g")
+    // surviving docs whose masking changes = survivors holding a
+    // down-flipped gram
+    val touchedDocs = postings.join(broadcast(flippedDown), Seq("g"))
+      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .select("doc_id").distinct()
+    // still-duplicated grams = df >= minDf minus the down-flipped set
+    val dupNow = df0.filter(col("df") >= minDf).select("g")
+      .join(broadcast(flippedDown), Seq("g"), "left_anti")
+    val recomputed = spansFromCovered(
+      postings.join(broadcast(touchedDocs), Seq("doc_id"))
+        .join(dupNow, Seq("g"))
+        .select("doc_id", "pos"), n)
+    spans0
+      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .join(broadcast(touchedDocs), Seq("doc_id"), "left_anti")
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .union(recomputed)
   }
 
   /** Incremental (batch-vs-corpus) SPAN MASKING — [[duplicateSpans]]'s

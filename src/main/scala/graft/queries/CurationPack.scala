@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.Curation
+import graft.ext.{Curation, Dedup}
 import graft.{QueryDef, QueryPack, Tables}
 
 /** Corpus-curation operators a pretraining pipeline runs between raw
@@ -13,6 +13,44 @@ import graft.{QueryDef, QueryPack, Tables}
 object CurationPack extends QueryPack {
 
   def queries: Map[String, QueryDef] = Map(
+
+    // Surgical decontamination: instead of DROPPING every contaminated
+    // doc (text_contamination's verdict), mask exactly the leaked
+    // substrings — maximal spans of train-doc positions covered by a
+    // 5-gram that appears anywhere in the eval set. Same broadcast
+    // economy as text_contamination (benchmarks are tiny; the train
+    // pass is map-side), the only shuffle is the per-doc window over
+    // covered positions — a stream already shrunk to the leaked
+    // fraction of the corpus.
+    "text_decontam_spans" -> QueryDef(
+      "Maximal eval-overlap 5-gram spans in train docs (cut the leak, keep the doc)",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isEval = pmod(col("doc_id"), lit(5L)) === 0
+        Dedup.overlapSpans(docs.filter(!isEval), docs.filter(isEval), n = 5)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+             |        FROM d WHERE len(t) >= 5)),
+             |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0),
+             |c AS (SELECT doc_id, pos FROM g JOIN ev USING (gram)
+             |      WHERE doc_id % 5 <> 0),
+             |m AS (SELECT doc_id, pos,
+             |        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM c),
+             |sid AS (SELECT doc_id, pos,
+             |          SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+             |        FROM m)
+             |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+             |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+             |FROM sid GROUP BY doc_id, span_id
+             |ORDER BY doc_id, span_start""".stripMargin)),
 
     // Benchmark-contamination detection: docs whose 5-gram shingles
     // overlap a designated eval set (here doc_id % 23 == 0 stands in for

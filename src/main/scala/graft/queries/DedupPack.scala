@@ -465,6 +465,48 @@ object DedupPack extends QueryPack {
              |FROM sid GROUP BY doc_id, span_id
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // Span-mask RETRACTION — the right-to-be-forgotten pass over DERIVED
+    // state: deleting docs decrements gram dfs, and grams falling below
+    // the threshold retroactively UN-mask the surviving docs that hold
+    // them (spans shrink/vanish — the inverse of dedup_span_incremental's
+    // retroactive masking). Oracle = full rebuild over the survivors
+    // (hashed grams replayed), so the hash gate proves retraction ≡
+    // survivor rebuild — the sim_topk_ivf_retract contract, now for
+    // derived span state rather than index membership.
+    "dedup_span_retract" -> QueryDef(
+      "Doc retraction from the span-mask index == survivor rebuild (retroactive un-masking)",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(s, "spanmask-full", s"$dir/documents.parquet")(
+          t => Dedup.writeSpanMaskIndex(docs, t, n = 5))
+        val victims = docs.filter(pmod(col("doc_id"), lit(7L)) === 2).select("doc_id")
+        Dedup.retractSpans(s, idx, victims, n = 5)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents WHERE doc_id % 7 <> 2),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    CAST(('0x'||substring(md5(
+             |      array_to_string(list_slice(t, i, i + 4), ' ')),1,15)) AS BIGINT) AS gram
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+             |        FROM d WHERE len(t) >= 5)),
+             |f AS (SELECT gram FROM (
+             |        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram) x
+             |      WHERE df >= 2),
+             |c AS (SELECT doc_id, pos FROM g JOIN f USING (gram)),
+             |m AS (SELECT doc_id, pos,
+             |        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM c),
+             |sid AS (SELECT doc_id, pos,
+             |          SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+             |        FROM m)
+             |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+             |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+             |FROM sid GROUP BY doc_id, span_id
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Same exact-pairs contract as dedup_ngram_jaccard (the oracle is
     // literally shared — prefix filtering is LOSSLESS), but candidates
     // meet only on each doc's rarest shingles, so the join never rides

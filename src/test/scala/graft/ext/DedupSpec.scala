@@ -399,6 +399,18 @@ class DedupSpec extends AnyFunSuite {
       (5L, 0L, 4L, 5L), (5L, 11L, 15L, 5L)))
   }
 
+  test("overlap spans: only eval-covered positions mask, clean docs stay whole") {
+    val train = Seq(
+      (1L, "t1 t2 e1 e2 e3 e4 e5 t3 t4"), // quotes the eval passage
+      (2L, "u1 u2 u3 u4 u5 u6")           // clean
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, "pre0 e1 e2 e3 e4 e5 post0")).toDF("doc_id", "text")
+    val spans = Dedup.overlapSpans(train, ev, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the only shared 5-gram is "e1..e5" (train pos 2) -> span [2,6]
+    assert(spans.toSeq == Seq((1L, 2L, 6L, 5L)))
+  }
+
   test("incremental spans: batch quote retroactively masks the old doc; == rebuild") {
     val corpus = Seq(
       (1L, "p1 p2 p3 p4 p5 u1 u2 u3"), // unique passage, unmasked today
@@ -419,6 +431,45 @@ class DedupSpec extends AnyFunSuite {
     // retroactive flip; batch doc 10 masks its quote at 1..5
     assert(inc == Seq((1L, 0L, 4L, 5L), (10L, 1L, 5L, 5L)))
     assert(inc == rows(Dedup.duplicateSpans(corpus.union(batch), n = 5)))
+  }
+
+  test("span retraction: removing the quoting doc retroactively un-masks the old doc") {
+    val corpus = Seq(
+      (1L, "p1 p2 p3 p4 p5 u1 u2 u3"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "intro0 p1 p2 p3 p4 p5 outro0") // the quoting doc
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("spanretract-spec").toString
+    Dedup.writeSpanMaskIndex(corpus, idx, n = 5)
+    // with the quote present, docs 1 and 3 are masked
+    assert(spark.read.parquet(s"$idx/spans").count() == 2)
+    import spark.implicits._
+    val after = Dedup.retractSpans(spark, idx, Seq(3L).toDF("doc_id"), n = 5)
+    // the passage is unique again: NOTHING is masked
+    assert(after.isEmpty)
+    // retracting an unrelated doc leaves the masking intact
+    val partial = Dedup.retractSpans(spark, idx, Seq(2L).toDF("doc_id"), n = 5)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(partial == Seq(1L, 3L))
+  }
+
+  test("span retraction == survivor rebuild on the real corpus split") {
+    val docs = Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("spanretract-sf-spec").toString
+    Dedup.writeSpanMaskIndex(docs, idx, n = 5)
+    val victims = docs.filter(pmod(col("doc_id"), lit(7L)) === 2).select("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val retracted = rows(Dedup.retractSpans(spark, idx, victims, n = 5))
+    val rebuild = rows(Dedup.duplicateSpans(
+      docs.filter(pmod(col("doc_id"), lit(7L)) =!= 2), n = 5))
+    assert(retracted == rebuild && retracted.nonEmpty)
+    // and some surviving doc's masking actually changed (the retroactive
+    // part is exercised, not vacuous)
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    val before = rows(Dedup.duplicateSpans(docs, n = 5))
+      .filterNot(r => victimIds.contains(r.head.asInstanceOf[Long]))
+    assert(retracted != before)
   }
 
   test("incremental spans == full rebuild on the real corpus split") {

@@ -173,7 +173,7 @@ object Dedup {
     * the classic running-max-end merge to a lag: a new span starts
     * exactly when pos > prev + n.
     */
-  private def spansFromCovered(covered: DataFrame, n: Int): DataFrame = {
+  private[graft] def spansFromCovered(covered: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     covered

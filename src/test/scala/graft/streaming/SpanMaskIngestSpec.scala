@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ext.Dedup
+
+/** The stream-maintained span-mask index must serve spans identical to a
+  * one-shot [[Dedup.duplicateSpans]] over every document ingested so far
+  * — INCLUDING the retroactive re-masking of early docs by later
+  * arrivals, which is what makes streaming this operator non-trivial —
+  * and converge (not double-count) on a replayed batch.
+  */
+class SpanMaskIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+
+  test("streamed span index == one-shot build; replayed batch converges") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("span-stream").toString
+    val src = java.nio.file.Files.createTempDirectory("span-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      src.resolve("documents.parquet"))
+    val ckpt = java.nio.file.Files.createTempDirectory("span-stream-ckpt").toString
+    val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
+      .select("doc_id", "text")
+    val q = SpanMaskIngest.start(stream, idx, ckpt, n = 5)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val expect = rows(Dedup.duplicateSpans(docs, n = 5))
+    assert(rows(SpanMaskIngest.servedSpans(spark, idx, n = 5)) == expect
+      && expect.nonEmpty)
+
+    // replayed delivery of batch 0: file set converges, served spans
+    // unchanged
+    val postingsBefore = spark.read.parquet(s"$idx/postings").count()
+    SpanMaskIngest.ingestBatch(docs.select("doc_id", "text"), 0L, idx, n = 5)
+    assert(spark.read.parquet(s"$idx/postings").count() == postingsBefore,
+      "replayed batch double-counted posting rows")
+    assert(rows(SpanMaskIngest.servedSpans(spark, idx, n = 5)) == expect)
+  }
+
+  test("a later batch retroactively re-masks an earlier batch's doc") {
+    val idx = java.nio.file.Files.createTempDirectory("span-stream-retro").toString
+    SpanMaskIngest.ingestBatch(
+      Seq((1L, "p1 p2 p3 p4 p5 u1 u2 u3")).toDF("doc_id", "text"), 0L, idx, n = 5)
+    // nothing duplicated yet
+    assert(SpanMaskIngest.servedSpans(spark, idx, n = 5).isEmpty)
+    SpanMaskIngest.ingestBatch(
+      Seq((10L, "intro0 p1 p2 p3 p4 p5 outro0")).toDF("doc_id", "text"), 1L, idx, n = 5)
+    // the batch-0 doc is NOW masked — served state looked backwards
+    assert(rows(SpanMaskIngest.servedSpans(spark, idx, n = 5)) ==
+      Seq(Seq(1L, 0L, 4L, 5L), Seq(10L, 1L, 5L, 5L)))
+  }
+
+  test("after each batch the served spans equal a one-shot build over docs so far") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("span-stream-inc").toString
+    (0L to 2L).foreach { b =>
+      SpanMaskIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b).select("doc_id", "text"),
+        b, idx, n = 5)
+      val sofar = docs.filter(pmod(col("doc_id"), lit(3)) <= b)
+      assert(rows(SpanMaskIngest.servedSpans(spark, idx, n = 5)) ==
+        rows(Dedup.duplicateSpans(sofar, n = 5)), s"diverged after batch $b")
+    }
+  }
+}

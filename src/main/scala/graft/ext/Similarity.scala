@@ -771,6 +771,69 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** The 64-bit SIGN signature of a normalized 64-dim vector: bit i set
+    * iff component i > 0. Bit 63 is the BIGINT sign bit — Spark's
+    * shiftleft(1L, 63) wraps to Long.MinValue but DuckDB raises on
+    * `1::BIGINT << 63`, so BOTH sides special-case the last dimension
+    * as an explicit Long.MinValue addend (the sum stays in range:
+    * MIN_VALUE + at most 2⁶³−1 = −1). Shared by [[binaryTopK]]'s corpus
+    * and query sides so signatures are engine-identical.
+    */
+  private def signSignature(vec: Column): Column = {
+    val low = aggregate(
+      transform(sequence(lit(0), lit(62)),
+        i => when(element_at(vec, i + 1) > 0d,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+    low + when(element_at(vec, 64) > 0d, lit(Long.MinValue)).otherwise(lit(0L))
+  }
+
+  /** ANN top-k via BINARY (1-bit) quantization — the last rung of the
+    * quantization ladder (float32 → SQ8 → PQ → 1 bit): each normalized
+    * 64-dim vector collapses to ONE BIGINT of sign bits (64× smaller
+    * than float64 at rest and in every shuffle), candidates rank by
+    * HAMMING distance (bit_count(xor) — two codegen'd integer ops per
+    * pair, the cheapest possible scan), and the top `rerank` per query
+    * re-score with full-precision cosine. Sign-of-component is the
+    * random-hyperplane LSH limit case (axis-aligned planes), so hamming
+    * approximates angle; the exact re-rank restores precision where it
+    * matters. Deterministic end to end (integer hamming, then the usual
+    * cos-desc/id-asc ties), so the DuckDB oracle replays every bit.
+    */
+  def binaryTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      rerank: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(
+      withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "qv")
+        .select(col("query_id"), col("qv"), signSignature(col("qv")).as("qs")))
+    val c = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol, "cv")
+      .select("neighbor_id", "cv")
+    val sigs = c.select(col("neighbor_id"), signSignature(col("cv")).as("sg"))
+
+    // hamming scan over 8-byte signatures only — vectors stay out of it
+    val wHam = Window.partitionBy("query_id").orderBy(col("ham").asc, col("neighbor_id").asc)
+    val cand = sigs.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("sg").bitwiseXOR(col("qs"))).as("ham"))
+      .withColumn("rk", row_number().over(wHam))
+      .filter(col("rk") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // full-precision re-rank of the candidate slice
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .join(c, Seq("neighbor_id"))
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** ANN top-k via product quantization (PQ): the vector space is split
     * into `m` subspaces; each subspace has a 16-entry codebook (the
     * sub-vectors of the first 16 corpus vectors — a sampled codebook,

@@ -326,6 +326,48 @@ object SimilarityPack extends QueryPack {
       },
       Some(ivfTopKOracle())),
 
+    // The quantization ladder's last rung: 1-bit sign signatures (ONE
+    // BIGINT per 64-dim vector — 64x smaller than float64), hamming
+    // candidate scan (bit_count(xor): two integer ops per pair), exact
+    // cosine re-rank of the top 50. Bit 63 is the sign bit: Spark wraps
+    // shiftleft(1L,63) but DuckDB raises on 1<<63, so both engines
+    // special-case dim 64 as an explicit Long.MinValue addend.
+    "sim_topk_binary" -> QueryDef(
+      "ANN top-5 via 1-bit sign signatures + hamming scan + exact re-rank of top 50",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.binaryTopK(e.filter(col("vec_id") < 8), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${normCte("")},
+              |sig AS (
+              |  SELECT vec_id, nv,
+              |    CAST(list_sum(list_transform(range(0, 63),
+              |      i -> CASE WHEN nv[i + 1] > 0 THEN (1::BIGINT << CAST(i AS INTEGER))
+              |           ELSE 0::BIGINT END)) AS BIGINT)
+              |    + CASE WHEN nv[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END AS sg
+              |  FROM e),
+              |q AS (SELECT vec_id AS query_id, nv AS qv, sg AS qs
+              |      FROM sig WHERE vec_id < 8),
+              |h AS (
+              |  SELECT q.query_id, s.vec_id AS neighbor_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |                       ORDER BY bit_count(xor(q.qs, s.sg)) ASC,
+              |                                s.vec_id ASC) AS rk
+              |  FROM q JOIN sig s ON s.vec_id <> q.query_id),
+              |cand AS (SELECT query_id, neighbor_id FROM h WHERE rk <= 50),
+              |rr AS (
+              |  SELECT cand.query_id, cand.neighbor_id,
+              |    list_dot_product(q.qv, s.nv) AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+              |                       ORDER BY list_dot_product(q.qv, s.nv) DESC,
+              |                                cand.neighbor_id ASC) AS rank
+              |  FROM cand
+              |  JOIN q ON q.query_id = cand.query_id
+              |  JOIN sig s ON s.vec_id = cand.neighbor_id)
+              |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+              |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // RANGE search from the same standing index: every probed-cell
     // member with exact cosine >= the radius — the data-dependent-count
     // serving shape top-k cannot express (dedup candidate pulls, recall

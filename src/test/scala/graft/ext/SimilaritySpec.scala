@@ -247,6 +247,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed == inline && indexed.nonEmpty)
   }
 
+  test("binary top-k: rerank >= corpus size degrades to exact brute force") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+    val queries = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // with every corpus vector a candidate, the exact re-rank IS the
+    // brute-force answer — the approximation lives only in the cut
+    val all = rows(Similarity.binaryTopK(queries, e, k = 5, rerank = 100000))
+    val exact = rows(Similarity.bruteForceTopK(queries, e, k = 5))
+    assert(all == exact && all.nonEmpty)
+    // the default cut keeps signatures useful: top-1 survives hamming
+    // preselection on this corpus (sign-LSH at 64 planes is tight)
+    val cut = rows(Similarity.binaryTopK(queries, e, k = 1))
+    assert(cut == rows(Similarity.bruteForceTopK(queries, e, k = 1)))
+  }
+
   test("IVF range search: equals unbounded top-k cut by the radius, respects tombstones") {
     val e = Tables.embeddings(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("ivf-range-spec").toString

@@ -70,6 +70,38 @@ object Graph {
     (cur, rounds)
   }
 
+  /** k-CORE decomposition by iterative peeling run to FIXPOINT: delete
+    * every node of degree < k, recompute degrees on the surviving
+    * subgraph, repeat until a round deletes nothing (or `maxRounds`).
+    * Returns (per-node degree WITHIN the core, roundsUsed). The classic
+    * cascades are covered: removing a leaf can drop its neighbor below
+    * k next round. Each round is one degree aggregate + two semi-shaped
+    * joins on the shrinking edge set — E-bounded, never fact-bounded —
+    * with `localCheckpoint` truncating lineage (the
+    * [[labelPropagationConverged]] posture). Peeling is monotone, so a
+    * converged run is a true fixpoint: every later round is the
+    * identity, which lets a fixed-unroll-to-cap oracle replay a
+    * converged run exactly.
+    */
+  def kCoreConverged(und: DataFrame, k: Int, maxRounds: Int): (DataFrame, Int) = {
+    var edges = und.select("n", "v").localCheckpoint()
+    var m = edges.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val keep = edges.groupBy("n").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select("n")
+      val next = edges
+        .join(keep, Seq("n"))
+        .join(keep.select(col("n").as("v")), Seq("v"))
+        .select("n", "v").localCheckpoint()
+      val m2 = next.count()
+      converged = m2 == m
+      edges = next; m = m2; rounds += 1
+    }
+    (edges.groupBy("n").agg(count(lit(1)).as("core_deg")), rounds)
+  }
+
   /** Per-node degree of an undirected, deduplicated (s < d) edge list. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("s").as("v"))

@@ -312,13 +312,56 @@ object GraphPack extends QueryPack {
           .orderBy(col("n_members").desc, col("community").asc)
           .limit(20)
       },
-      Some(lpUnrolledOracle(8))))
+      Some(lpUnrolledOracle(8))),
+
+    // k-core: the degeneracy-ordering classic (dense-subgraph mining,
+    // spam-cluster detection) — iterative peeling with the cascade
+    // (removing a leaf can drop its neighbor below k next round), run to
+    // a detected fixpoint under the same cap-with-unrolled-oracle
+    // contract as the converged LP above. Each round shrinks the edge
+    // set, so rounds get CHEAPER as peeling proceeds; served from the
+    // standing adjacency index, the fact table untouched.
+    "graph_kcore" -> QueryDef(
+      "5-core of the co-purchase graph: per-node within-core degree (converged peel, cap 8)",
+      (s, dir) => {
+        val idx = graphIndexDir(s, dir)
+        val o = s.read.parquet(s"$idx/oriented")
+        val und = o.select(col("u").as("n"), col("w").as("v"))
+          .unionAll(o.select(col("w").as("n"), col("u").as("v")))
+        val (core, _) = Graph.kCoreConverged(und, k = 5, maxRounds = 8)
+        core.select(col("n").as("v"), col("core_deg")).orderBy("v")
+      },
+      Some(kCoreOracle(5, 8))))
 
   /** The synchronous label-propagation oracle, unrolled to `rounds`:
     * shared by the fixed-round gate (3) and the converged gate (8 = the
     * cap; see graph_label_propagation_converged for why fixed-unroll
     * replays stop-at-convergence exactly).
     */
+  /** Iterative peel unrolled to the cap — a converged engine run equals
+    * it because peeling is monotone (post-fixpoint rounds are the
+    * identity). The peel CTEs reference their predecessor THREE times
+    * (degree count + both endpoint semi-joins), so they are forced
+    * MATERIALIZED: DuckDB would otherwise inline the references and
+    * re-evaluate the chain 3^rounds times.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    def peel(t: Int): String =
+      s"""k$t AS MATERIALIZED (
+         |  SELECT n FROM (SELECT n, COUNT(*) AS c FROM p${t - 1} GROUP BY n) x
+         |  WHERE c >= $k),
+         |p$t AS MATERIALIZED (
+         |  SELECT p.n, p.v FROM p${t - 1} p
+         |  JOIN k$t a ON p.n = a.n JOIN k$t b ON p.v = b.n)""".stripMargin
+    s"""$edgeCte,
+       |und AS MATERIALIZED (
+       |  SELECT s AS n, d AS v FROM e UNION ALL SELECT d AS n, s AS v FROM e),
+       |p0 AS MATERIALIZED (SELECT n, v FROM und),
+       |${(1 to rounds).map(peel).mkString(",\n")}
+       |SELECT n AS v, COUNT(*) AS core_deg FROM p$rounds
+       |GROUP BY n ORDER BY v""".stripMargin
+  }
+
   private def lpUnrolledOracle(rounds: Int): String = {
     def lpCte(t: Int): String =
       s"""lp$t AS (

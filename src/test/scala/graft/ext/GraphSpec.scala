@@ -104,6 +104,29 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getAs[Double]("clustering") == 1.0)
   }
 
+  test("kCoreConverged: cascading peel reaches a fixpoint; one more peel is the identity") {
+    // triangle {1,2,3} with a tail 3-4-5: the 2-core is the triangle, but
+    // ONLY via the cascade — round 1 peels leaf 5, which makes 4 a leaf
+    // for round 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val und = edges.select(col("s").as("n"), col("d").as("v"))
+      .unionAll(edges.select(col("d").as("n"), col("s").as("v")))
+    val (core, rounds) = Graph.kCoreConverged(und, k = 2, maxRounds = 8)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(rounds >= 3 && rounds < 8, s"cascade takes 2 peels + 1 identity round, got $rounds")
+    // fixpoint: peeling the CORE again deletes nothing
+    val coreEdges = und
+      .join(core.select(col("n")), Seq("n"))
+      .join(core.select(col("n").as("v")), Seq("v"))
+    val (again, roundsAgain) = Graph.kCoreConverged(coreEdges.select("n", "v"), k = 2, maxRounds = 8)
+    assert(roundsAgain == 1 &&
+      again.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+    // k above the max degree: everything peels, empty core
+    val (empty, _) = Graph.kCoreConverged(und, k = 10, maxRounds = 8)
+    assert(empty.isEmpty)
+  }
+
   test("incremental edge admission: anti-join append equals full-build distinct") {
     // batch A and batch B share edge (2,3) — admission must not double it
     val batchA = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")

@@ -44,7 +44,11 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_jaccard_prefix", // frequency-ordered prefixes + exact verify
     "graph_triangles",      // materialized-index build on first run, serve on second
     "q_fileskip_agg",       // index build + boundary-file residual
-    "q_compact_roundtrip")  // in-place rewrite on first run, plain read after
+    "q_compact_roundtrip",  // in-place rewrite on first run, plain read after
+    "sim_topk_binary",      // hamming candidate cut + rerank tie-breaks
+    "graph_kcore",          // iterative peel with a count-based fixpoint probe
+    "dedup_span_incremental", // standing-index build on first run, admission window
+    "dedup_span_stream")    // delta-log build on first run, serve-time view after
 
   test("hash/sample/rank-driven queries return identical rows on a double run") {
     val diffs = audited.flatMap { name =>

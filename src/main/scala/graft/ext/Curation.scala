@@ -46,6 +46,82 @@ object Curation {
           .otherwise(col("n_hit").cast("double") / col("n_sh")))
   }
 
+  /** EXACT per-group top-k (rank by `scoreCol` desc, `idCol` asc, keep
+    * rank ≤ k) computed WITHOUT ranking the full input — the
+    * quality-curriculum shape at 100 TB, where the naive per-group
+    * window sorts the whole scored corpus (the round-13 SCALING tables'
+    * steepest row). Sketch-prefilter-then-exact-rank:
+    *
+    *  1. one map-side pass builds a per-group KLL quantile sketch of
+    *     the score (a few KB per group — only sketches shuffle);
+    *  2. the driver reads each group's threshold at the quantile that
+    *     keeps ≈ `margin`·k rows (group count from the sketch itself),
+    *     clamping small groups to keep-everything;
+    *  3. a second map-side pass keeps rows above the group's broadcast
+    *     threshold — the only rows the exact rank window ever sees;
+    *  4. LOSSLESSNESS is verified, not assumed: any group with fewer
+    *     than k survivors (sketch rank error, ties exactly at the
+    *     threshold) falls back to ALL its rows via one more filtered
+    *     pass. If a group has ≥ k rows ≥ t, the k best rows all score
+    *     ≥ t and are all kept — so the exact window over survivors
+    *     returns IDENTICAL rows to the full-input window, independent
+    *     of sketch accuracy (KLL compaction is randomized; the output
+    *     is not).
+    *
+    * Cost: two (worst case three) map scans + a window over
+    * ≈ margin·k·|groups| rows, instead of a full-corpus shuffle-sort
+    * per group. Returns the input columns + `rank`.
+    */
+  def topKPerGroup(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      k: Int,
+      margin: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && margin >= 1, s"need k > 0 (got $k) and margin >= 1 (got $margin)")
+    val spark = scored.sparkSession
+    // (group, sketch): one mergeable KLL per group, built map-side
+    val sk = KllSketches.keyedSketches(scored, groupCol, scoreCol)
+      .collect().map { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val skk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(bytes))
+        val n = skk.getN
+        val target = (margin.toLong * k).toDouble
+        // keep-everything for small groups; otherwise the value whose
+        // upper rank leaves ~margin*k rows above it
+        val thr =
+          if (n <= margin.toLong * k) Double.NegativeInfinity
+          else skk.getQuantile(math.max(0.0, 1.0 - target / n))
+        key -> thr
+      }.toMap
+    import spark.implicits._
+    val thrDf = broadcast(sk.toSeq.toDF("__g", "__thr"))
+    val survivors = scored
+      .join(thrDf, scored(groupCol).cast("string") === col("__g"), "left")
+      .filter(col(scoreCol) >= coalesce(col("__thr"), lit(Double.NegativeInfinity)))
+      .drop("__g", "__thr")
+      .localCheckpoint()
+    // losslessness check: a FILTERED group (finite threshold — groups at
+    // or below margin*k rows kept everything) must retain at least k
+    // survivors, else it falls back to all its rows
+    val filtered = sk.collect { case (g, t) if t > Double.NegativeInfinity => g }.toSet
+    val short = survivors.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .filter(col("n") < k).select(groupCol)
+      .collect().map(_.get(0).toString).toSet
+      .intersect(filtered)
+    val pool =
+      if (short.isEmpty) survivors
+      else survivors.filter(!col(groupCol).cast("string").isin(short.toSeq: _*))
+        .unionByName(scored.filter(col(groupCol).cast("string").isin(short.toSeq: _*)))
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol).asc)
+    pool.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** One row per distinct (doc, chunk): docs cut into consecutive
     * `width`-token chunks (stride = width, tail shorter than `width`
     * dropped) — the paragraph-dedup unit when the corpus has no

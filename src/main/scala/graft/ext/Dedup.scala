@@ -301,6 +301,17 @@ object Dedup {
     * can only grow, exactly what the recompute covers. Returns the full
     * post-admission span table (≡ [[duplicateSpans]] over corpus ∪
     * batch — the gate's hash proves it).
+    *
+    * PRECONDITION (same admission contract as every standing index,
+    * and ASSERTED here because violating it corrupts silently): `batch`
+    * doc_ids must be genuinely NEW — a doc_id already in the standing
+    * index would keep its stale `spans0` rows (unless it happened to be
+    * "touched") while its recomputed batch spans union in, yielding
+    * duplicate and contradictory span rows for the same document. The
+    * probe is one postings scan pruned map-side by the broadcast batch
+    * id set (the [[incrementalComponents]] min-label-assert posture),
+    * so admission cost stays batch-scoped. Re-admitting a changed doc
+    * is retract-then-admit: [[retractSpans]] first.
     */
   def incrementalSpans(
       spark: org.apache.spark.sql.SparkSession,
@@ -311,6 +322,13 @@ object Dedup {
     val postings = spark.read.parquet(s"$indexDir/postings")
     val df0 = spark.read.parquet(s"$indexDir/df")
     val spans0 = spark.read.parquet(s"$indexDir/spans")
+    val clash = postings
+      .join(broadcast(batch.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+      .select("doc_id").limit(1).collect()
+    require(clash.isEmpty,
+      s"incrementalSpans: batch doc_id ${clash.headOption.map(_.get(0)).getOrElse("?")} " +
+        "already exists in the standing index — admission is new-doc_ids-only " +
+        "(retractSpans first, or dedup upstream)")
     // batch-sized and consumed three times (counts, coverage, output):
     // checkpoint so the tokenize pass runs once
     val bp = positionedShingleRows(batch, n)
@@ -358,46 +376,63 @@ object Dedup {
     * shingle appearing in d documents contributes d² join work, so
     * boilerplate shingles (stopword runs, headers) dominate cost while
     * contributing least similarity signal. Capping drops shingles with
-    * document frequency > cap from the JOIN only (per-doc set sizes stay
-    * exact), which can only LOWER a pair's counted intersection — the
-    * capped result is a subset of the exact pairs (no false positives;
-    * recall traded for bounded bucket width). None = exact (the oracled
-    * default).
+    * document frequency > cap from the CANDIDATE join only; surviving
+    * candidate pairs are then re-verified with the EXACT per-doc
+    * intersection (map-side array_intersect over doc-bounded shingle
+    * arrays — the [[jaccardPrefixPairs]] verify stage), so every
+    * emitted row carries its true Jaccard, never a capped lower bound.
+    * What the cap trades is RECALL alone: a pair whose every shared
+    * shingle is hot never becomes a candidate — the capped output is a
+    * no-false-positive, exact-valued subset of the exact pairs. None =
+    * exact (the oracled default).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int,
       threshold: Double,
-      maxShingleDf: Option[Long] = None): DataFrame = {
-    // capped path materializes the shingle stream once: counts, the df
-    // aggregate, and both self-join sides all read it, and the anti-join
-    // breaks the exchange-reuse the uncapped plan gets for free
-    val all =
-      if (maxShingleDf.isDefined) shingleRows(docs, n).localCheckpoint()
-      else shingleRows(docs, n)
-    val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val s = maxShingleDf match {
-      case Some(cap) =>
-        val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sh")
-        all.join(hot, Seq("sh"), "left_anti")
-      case None => all
-    }
-    // shuffle_hash, explicitly: the shingle stream is the FULL corpus
-    // (never broadcastable at scale — the session's raised broadcast
-    // threshold otherwise collects it onto the driver), and both sides
-    // hash-partition by sh with no sort needed
-    val inter = s.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(s.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-      .withColumn("jac", jaccardFromCounts(col("n_inter"), col("n_a"), col("n_b")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      maxShingleDf: Option[Long] = None): DataFrame = maxShingleDf match {
+    case None =>
+      val all = shingleRows(docs, n)
+      val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      // shuffle_hash, explicitly: the shingle stream is the FULL corpus
+      // (never broadcastable at scale — the session's raised broadcast
+      // threshold otherwise collects it onto the driver), and both sides
+      // hash-partition by sh with no sort needed
+      val inter = all.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(all.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+        .withColumn("jac", jaccardFromCounts(col("n_inter"), col("n_a"), col("n_b")))
+        .filter(col("jac") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+    case Some(cap) =>
+      // capped path materializes the shingle stream once: the df
+      // aggregate, both candidate-join sides, and the per-doc verify
+      // arrays all read it
+      val all = shingleRows(docs, n).localCheckpoint()
+      val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("sh")
+      val s = all.join(hot, Seq("sh"), "left_anti")
+      val cand = s.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(s.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      // exact verify over candidates only: the per-doc FULL shingle
+      // array (doc-bounded) intersects map-side, so surviving pairs
+      // report the true Jaccard — hot shingles count toward it even
+      // though they never joined
+      val perDoc = all.groupBy("doc_id").agg(collect_list("sh").as("shs"))
+      cand
+        .join(perDoc.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
+        .join(perDoc.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+        .withColumn("jac", jaccardFromCounts(
+          size(array_intersect(col("sa"), col("sb"))), size(col("sa")), size(col("sb"))))
+        .filter(col("jac") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
   /** ASYMMETRIC containment pairs — |A ∩ B| / |A| ≥ threshold, the
@@ -412,44 +447,58 @@ object Dedup {
     *
     * `maxShingleDf` is the same hot-shingle valve as
     * [[ngramJaccardPairs]]'s: shingles with document frequency above
-    * the cap are dropped from the JOIN only, while n_a stays exact —
-    * a capped n_inter can only shrink, so the capped output is a
-    * no-false-positive SUBSET of the exact pairs (recall traded for
-    * bounded bucket width; None = exact, the oracled default). The
-    * LOSSLESS scale path is [[containmentPrefixPairs]].
+    * the cap are dropped from the CANDIDATE join only, and surviving
+    * candidate pairs re-verify with the EXACT per-doc intersection
+    * (map-side array_intersect, doc-bounded arrays) — so emitted
+    * containment scores are true values, never capped lower bounds,
+    * and the recall trade is confined to pairs whose every shared
+    * shingle is hot (no false positives; None = exact, the oracled
+    * default). The LOSSLESS scale path is [[containmentPrefixPairs]].
     */
   def containmentPairs(
       docs: DataFrame,
       n: Int,
       threshold: Double,
-      maxShingleDf: Option[Long] = None): DataFrame = {
-    // capped path materializes the shingle stream once (counts, the df
-    // aggregate, and both join sides all read it) — same economy note
-    // as ngramJaccardPairs
-    val all =
-      if (maxShingleDf.isDefined) shingleRows(docs, n).localCheckpoint()
-      else shingleRows(docs, n)
-    val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val s = maxShingleDf match {
-      case Some(cap) =>
-        val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sh")
-        all.join(hot, Seq("sh"), "left_anti")
-      case None => all
-    }
-    val inter = s.select(col("doc_id").as("doc_inner"), col("sh"))
-      .join(s.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
-        Seq("sh"))
-      .filter(col("doc_inner") =!= col("doc_outer"))
-      .groupBy("doc_inner", "doc_outer")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.select(col("doc_id").as("doc_inner"), col("n_sh").as("n_a")),
-        Seq("doc_inner"))
-      .withColumn("containment", col("n_inter").cast("double") / col("n_a"))
-      .filter(col("containment") >= threshold)
-      .select(col("doc_inner"), col("doc_outer"),
-        round(col("containment"), 4).as("containment"))
+      maxShingleDf: Option[Long] = None): DataFrame = maxShingleDf match {
+    case None =>
+      val all = shingleRows(docs, n)
+      val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = all.select(col("doc_id").as("doc_inner"), col("sh"))
+        .join(all.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
+          Seq("sh"))
+        .filter(col("doc_inner") =!= col("doc_outer"))
+        .groupBy("doc_inner", "doc_outer")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(counts.select(col("doc_id").as("doc_inner"), col("n_sh").as("n_a")),
+          Seq("doc_inner"))
+        .withColumn("containment", col("n_inter").cast("double") / col("n_a"))
+        .filter(col("containment") >= threshold)
+        .select(col("doc_inner"), col("doc_outer"),
+          round(col("containment"), 4).as("containment"))
+    case Some(cap) =>
+      // capped path materializes the shingle stream once (the df
+      // aggregate, both candidate sides, and the verify arrays read it)
+      val all = shingleRows(docs, n).localCheckpoint()
+      val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("sh")
+      val s = all.join(hot, Seq("sh"), "left_anti")
+      val cand = s.select(col("doc_id").as("doc_inner"), col("sh"))
+        .join(s.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
+          Seq("sh"))
+        .filter(col("doc_inner") =!= col("doc_outer"))
+        .select("doc_inner", "doc_outer").distinct()
+      val perDoc = all.groupBy("doc_id").agg(collect_list("sh").as("shs"))
+      cand
+        .join(perDoc.select(col("doc_id").as("doc_inner"), col("shs").as("sa")),
+          Seq("doc_inner"))
+        .join(perDoc.select(col("doc_id").as("doc_outer"), col("shs").as("sb")),
+          Seq("doc_outer"))
+        .withColumn("containment",
+          size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa")))
+        .filter(col("containment") >= threshold)
+        .select(col("doc_inner"), col("doc_outer"),
+          round(col("containment"), 4).as("containment"))
   }
 
   /** Prefix-filtered DIRECTED containment — the asymmetric analogue of
@@ -484,22 +533,29 @@ object Dedup {
         expr(s"transform(slice(array_sort(a), 1," +
           s" size(a) - ceil($threshold * size(a)) + 1), x -> x.sh)").as("pre"))
       .cache()
-    val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
-    val cand = prefix.select(col("doc_id").as("doc_inner"), col("sh"))
-      .join(rows.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
-        Seq("sh"))
-      .filter(col("doc_inner") =!= col("doc_outer"))
-      .select("doc_inner", "doc_outer").distinct()
-    cand
-      .join(perDoc.select(col("doc_id").as("doc_inner"), col("hs").as("hs_a")),
-        Seq("doc_inner"))
-      .join(perDoc.select(col("doc_id").as("doc_outer"), col("hs").as("hs_b")),
-        Seq("doc_outer"))
-      .withColumn("containment",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
-      .filter(col("containment") >= threshold)
-      .select(col("doc_inner"), col("doc_outer"),
-        round(col("containment"), 4).as("containment"))
+    try {
+      val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
+      val cand = prefix.select(col("doc_id").as("doc_inner"), col("sh"))
+        .join(rows.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
+          Seq("sh"))
+        .filter(col("doc_inner") =!= col("doc_outer"))
+        .select("doc_inner", "doc_outer").distinct()
+      // the eager localCheckpoint consumes the cache HERE (the output is
+      // pair-set-sized — dup-density-bounded, tiny beside the per-doc
+      // arrays), so perDoc can unpersist before returning instead of
+      // lingering token-scale in the executor store
+      cand
+        .join(perDoc.select(col("doc_id").as("doc_inner"), col("hs").as("hs_a")),
+          Seq("doc_inner"))
+        .join(perDoc.select(col("doc_id").as("doc_outer"), col("hs").as("hs_b")),
+          Seq("doc_outer"))
+        .withColumn("containment",
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
+        .filter(col("containment") >= threshold)
+        .select(col("doc_inner"), col("doc_outer"),
+          round(col("containment"), 4).as("containment"))
+        .localCheckpoint()
+    } finally perDoc.unpersist()
   }
 
   /** Prefix-filtered n-gram Jaccard ≥ threshold — the SSJoin/PPJoin
@@ -545,22 +601,28 @@ object Dedup {
         expr(s"transform(slice(array_sort(a), 1," +
           s" size(a) - ceil($threshold * size(a)) + 1), x -> x.sh)").as("pre"))
       .cache()
-    val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // exact verify MAP-SIDE: candidates broadcast-join the two per-doc
-    // hashed-set arrays and intersect in place — no shuffle touches the
-    // shingle stream again
-    cand
-      .join(perDoc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(perDoc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-      .withColumn("jac", jaccardFromCounts(
-        size(array_intersect(col("hs_a"), col("hs_b"))),
-        size(col("hs_a")), size(col("hs_b"))))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+    try {
+      val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
+      val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(prefix.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      // exact verify MAP-SIDE: candidates broadcast-join the two per-doc
+      // hashed-set arrays and intersect in place — no shuffle touches the
+      // shingle stream again. The eager localCheckpoint consumes the
+      // cache HERE (the output is pair-set-sized — dup-density-bounded),
+      // so perDoc unpersists before returning instead of lingering
+      // token-scale in the executor store.
+      cand
+        .join(perDoc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+        .join(perDoc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+        .withColumn("jac", jaccardFromCounts(
+          size(array_intersect(col("hs_a"), col("hs_b"))),
+          size(col("hs_a")), size(col("hs_b"))))
+        .filter(col("jac") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+        .localCheckpoint()
+    } finally perDoc.unpersist()
   }
 
   /** Banded MinHash signatures from shingle ROWS: (doc_id, band, key) —

@@ -39,35 +39,41 @@ object Graph {
     * [[Dedup.connectedComponents]]'s round cap is).
     *
     * `und` is the symmetric adjacency (n, v): both orientations
-    * present. Each round is one (adjacency ⋈ labels) join, a
-    * (node, label) count, and a windowed argmax — V/E-bounded, never
-    * corpus-bounded — plus one batch-sized change probe;
-    * `localCheckpoint` truncates lineage so plan size stays constant
-    * across rounds. Note sync LP can 2-cycle on bipartite-ish
-    * structure — the cap is the documented guard, and the capped
-    * output is still deterministic (exactly `maxRounds` rounds).
+    * present. Each round is ONE job: the (adjacency ⋈ labels) join, a
+    * (node, label) count, a map-side-combinable struct-max argmax
+    * (count desc, label asc — encoded as max(c, −lab), identical
+    * tie-break to the windowed rank but no per-partition sort), and the
+    * node's own previous label joined back IN THE SAME PASS to emit a
+    * `changed` flag — so the convergence probe is a scan of the
+    * checkpointed round output, not the second V-sized join + action an
+    * earlier formulation paid per round. All V/E-bounded, never
+    * corpus-bounded; `localCheckpoint` truncates lineage so plan size
+    * stays constant across rounds. Note sync LP can 2-cycle on
+    * bipartite-ish structure — the cap is the documented guard, and the
+    * capped output is still deterministic (exactly `maxRounds` rounds).
     */
   def labelPropagationConverged(und: DataFrame, maxRounds: Int): (DataFrame, Int) = {
-    import org.apache.spark.sql.expressions.Window
-    val wMode = Window.partitionBy("n").orderBy(col("c").desc, col("lab").asc)
     var cur = und.select(col("n").as("v")).distinct()
       .select(col("v"), col("v").as("lab")).localCheckpoint()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      // max(struct(c, -lab)) = highest count, then LOWEST label — the
+      // same total tie-break as a (c desc, lab asc) rank-1 window, but
+      // a partial-aggregable max instead of a WindowExec sort
       val next = und.join(cur, "v")
         .groupBy("n", "lab").agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(wMode)).filter(col("rk") === 1)
-        .select(col("n").as("v"), col("lab"))
-        .localCheckpoint()
-      converged = next
+        .groupBy("n")
+        .agg(max(struct(col("c").as("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("n").as("v"), (-col("m.nl")).as("lab"))
         .join(cur.select(col("v"), col("lab").as("prev")), "v")
-        .filter(col("lab") =!= col("prev"))
-        .isEmpty
-      cur = next
+        .select(col("v"), col("lab"), (col("lab") =!= col("prev")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      cur = next.select("v", "lab")
       rounds += 1
     }
-    (cur, rounds)
+    (cur.select("v", "lab"), rounds)
   }
 
   /** k-CORE decomposition by iterative peeling run to FIXPOINT: delete
@@ -112,9 +118,16 @@ object Graph {
     * higher-rank `w`; carries `wr` (= rank of `w`) so wedge enumeration can
     * order the two far endpoints without another join.
     */
-  def orient(edges: DataFrame): DataFrame = {
-    val rk = degrees(edges)
-      .select(col("v"), (col("deg") * RankBase + col("v")).as("r"))
+  def orient(edges: DataFrame): DataFrame = orientWith(edges, degrees(edges))
+
+  /** [[orient]] against an EXPLICIT degree table — what the incremental
+    * index maintenance needs: ranks must come from the post-admission
+    * GLOBAL degrees, not from the (victim-sliced) edge subset being
+    * re-oriented. `deg` needs rows only for the endpoints `edges`
+    * actually touches (callers prune it map-side to stay batch-bounded).
+    */
+  def orientWith(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val rk = deg.select(col("v"), (col("deg") * RankBase + col("v")).as("r"))
     edges
       .join(rk.select(col("v").as("s"), col("r").as("sr")), "s")
       .join(rk.select(col("v").as("d"), col("r").as("dr")), "d")
@@ -122,6 +135,97 @@ object Graph {
         when(col("sr") < col("dr"), col("s")).otherwise(col("d")).as("u"),
         when(col("sr") < col("dr"), col("d")).otherwise(col("s")).as("w"),
         greatest(col("sr"), col("dr")).as("wr"))
+  }
+
+  /** Incremental maintenance of the STANDING oriented-adjacency index —
+    * the genuinely non-trivial part of admitting edges into the graph
+    * family's serving tables (layout: `edges/` raw s<d distinct,
+    * `degrees/`, `oriented/`): orientation ranks on GLOBAL (degree, id),
+    * so an admitted batch does not just append oriented rows — a degree
+    * change at either endpoint can FLIP the orientation (or shift the
+    * carried `wr` rank) of OLD edges. The victim set is exactly the
+    * standing edges touching a degree-changed endpoint: bounded by
+    * Σ deg over the batch's endpoints (the [[Dedup.incrementalSpans]]
+    * touched-set posture), never the graph.
+    *
+    * Per admission: the batch anti-joins the standing edge set
+    * (edge-set-keyed, never fact-sized) to find genuinely new edges,
+    * which land as replay-idempotent batch files
+    * ([[graft.io.BatchFiles]]) keyed by `batchId`; degrees recompute
+    * from the landed edge table (graph-bound, never fact-bound — the
+    * graph_degrees_refresh posture, and what makes a REPLAY converge:
+    * every derived table is a function of the post-land edge set, and a
+    * replayed batch replaces its own files exactly) and swap in
+    * ([[graft.io.DirSwap]]); untouched oriented rows — pair-anti-joined
+    * against the broadcast victim ∪ new set, so both their endpoints'
+    * degrees, hence both ranks and the flip comparison, are provably
+    * unchanged — are kept verbatim, and only victims ∪ new edges
+    * re-orient, against the updated degree table pruned map-side to
+    * their endpoints. Serving ([[triangleStatsFrom]], LP, k-core) sees
+    * refresh ≡ rebuild — the gate's hash proves it.
+    *
+    * The standing edge set is read EXCLUDING this `batchId`'s own files
+    * when deriving "new", so a replayed admission recomputes the same
+    * new-edge set, re-lands the same files, and re-derives the same
+    * degrees and oriented rows — idempotence by recomputation, the
+    * [[graft.streaming.SpanMaskIngest]] contract.
+    */
+  def refreshOrientedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      batchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // standing edges, this batch's own (possibly replayed) files excluded
+    val ownPrefix = f"batch$batchId%06d_"
+    val standingFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/edges"))
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith(ownPrefix))
+      .map(_.toString)
+    require(standingFiles.nonEmpty,
+      s"refreshOrientedIndex: no standing edge table under $dir/edges — build the index first")
+    val edges0 = spark.read.parquet(standingFiles.toIndexedSeq: _*)
+    val oriented0 = spark.read.parquet(s"$dir/oriented")
+    // genuinely new edges; batch-bounded and consumed repeatedly
+    val newEdges = batch.select("s", "d").distinct()
+      .join(edges0, Seq("s", "d"), "left_anti")
+      .localCheckpoint()
+    graft.io.BatchFiles.land(newEdges, s"$dir/edges", batchId)
+    // degrees from the post-land edge table: graph-bound aggregate,
+    // idempotent under replay by construction
+    degrees(spark.read.parquet(s"$dir/edges"))
+      .write.mode("overwrite").parquet(s"$dir/degrees.next")
+    graft.io.DirSwap.swapInto(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/degrees.next"),
+      new org.apache.hadoop.fs.Path(s"$dir/degrees"))
+    val degNew = spark.read.parquet(s"$dir/degrees")
+    // victims: standing edges touching an endpoint whose degree changed
+    val touched = newEdges.select(col("s").as("v"))
+      .unionAll(newEdges.select(col("d").as("v"))).distinct()
+    val victims = edges0
+      .join(broadcast(touched.select(col("v").as("s"))), Seq("s"), "left_semi")
+      .unionByName(edges0
+        .join(broadcast(touched.select(col("v").as("d"))), Seq("d"), "left_semi"))
+      .distinct()
+    val toOrient = victims.unionByName(newEdges).localCheckpoint()
+    // untouched rows keep orientation AND rank: their pair is not in
+    // the victim set, so neither endpoint's degree moved (map-side
+    // broadcast pair-anti-join; edges are stored s < d)
+    val kept = oriented0
+      .select(least(col("u"), col("w")).as("s"), greatest(col("u"), col("w")).as("d"),
+        col("u"), col("w"), col("wr"))
+      .join(broadcast(toOrient), Seq("s", "d"), "left_anti")
+      .select("u", "w", "wr")
+    // ranks only for the endpoints the re-orientation touches
+    val ends = toOrient.select(col("s").as("v"))
+      .unionAll(toOrient.select(col("d").as("v"))).distinct()
+    val degSlice = degNew.join(broadcast(ends), Seq("v"), "left_semi")
+    kept.unionByName(orientWith(toOrient, degSlice))
+      .write.mode("overwrite").parquet(s"$dir/oriented.next")
+    graft.io.DirSwap.swapInto(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/oriented.next"),
+      new org.apache.hadoop.fs.Path(s"$dir/oriented"))
   }
 
   /** [[triangleStats]] over PRE-MATERIALIZED oriented edges and degrees —

@@ -112,22 +112,45 @@ object Retrieval {
         .write.parquet(s"$tmp/pos")
     }
     guardTombstonesUnchanged(spark, dir, tombSnap)
-    graft.io.DirSwap.swapInto(fs,
-      new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    guardedSwapInto(spark, tmp, dir, tombSnap)
   }
 
-  /** Listing fingerprint of the tombstone table — the cheap token the
-    * compactors use to detect a retraction racing the compaction.
+  /** PATH-INDEPENDENT listing fingerprint of the tombstone table — the
+    * token the compactors use to detect a retraction racing the
+    * compaction. Fingerprints (file name, length, mtime) of the files
+    * directly under `deleted/`, NOT their absolute paths: the post-swap
+    * re-check ([[guardedSwapInto]]) compares the RETIRED layout's
+    * tombstones (renamed to `.swap-old/deleted`) against a snapshot
+    * taken at `dir/deleted`, and an absolute-path fingerprint would
+    * never match across the rename.
     */
-  private[graft] def tombstoneVersion(spark: SparkSession, dir: String): String =
-    graft.io.IndexCatalog.contentVersion(spark, s"$dir/deleted")
+  private[graft] def tombstoneVersion(spark: SparkSession, dir: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    tombstoneFingerprint(fs, new org.apache.hadoop.fs.Path(s"$dir/deleted"))
+  }
+
+  private def tombstoneFingerprint(
+      fs: org.apache.hadoop.fs.FileSystem,
+      deleted: org.apache.hadoop.fs.Path): String = {
+    if (!fs.exists(deleted)) return "absent"
+    val lines = fs.listStatus(deleted)
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+      .map(st => s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
+      .sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    lines.foreach(l => md.update(l.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** Fail LOUDLY if a retraction landed between a compaction's snapshot
-    * read and its root-dir swap: the swap drops `deleted/`, so an
-    * unseen tombstone would be silently un-deleted — the documented
-    * writer/compactor exclusion contract, now enforced instead of
-    * assumed. The prior layout is intact when this throws; the caller
-    * re-runs the compaction to pick the new tombstones up.
+    * read and this check: the swap drops `deleted/`, so an unseen
+    * tombstone would be silently un-deleted. Best-effort EARLY
+    * detection only — the authoritative check is [[guardedSwapInto]]'s
+    * post-rename re-check on the retired layout; a retraction can still
+    * land in the instants around the renames themselves, so the
+    * writer/compactor exclusion contract remains required.
     */
   private[graft] def guardTombstonesUnchanged(
       spark: SparkSession, dir: String, snapshot: String): Unit =
@@ -135,6 +158,54 @@ object Retrieval {
       throw new java.io.IOException(
         s"compaction aborted: tombstones under $dir/deleted changed since the " +
           "snapshot read (concurrent retraction) — re-run the compaction")
+
+  /** [[graft.io.DirSwap.swapInto]] with the tombstone race narrowed to
+    * the rename instants: the old layout's deletion is DEFERRED until
+    * its `deleted/` table is re-fingerprinted against the compaction's
+    * snapshot. A retraction that landed any time between the snapshot
+    * read and the swap (the window spanning the whole compaction
+    * compute — previously undetectable, because [[guardTombstonesUnchanged]]
+    * ran before the swap and the files were destroyed with the old
+    * root) is now found sitting in the retired `.swap-old/deleted`,
+    * the swap ROLLS BACK (new layout returns to tmp, old layout
+    * returns to serve), and the caller re-runs the compaction. What
+    * remains uncovered is a retraction interleaving with the renames
+    * themselves — the documented writer/compactor exclusion.
+    */
+  private[graft] def guardedSwapInto(
+      spark: SparkSession, tmp: String, dir: String, snapshot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(dir)
+    val tmpP = new Path(tmp)
+    val old = new Path(dir.stripSuffix("/") + ".swap-old")
+    // stale .old from a crashed prior run (same recovery as DirSwap)
+    if (fs.exists(old)) {
+      if (!fs.exists(dest)) graft.io.DirSwap.renameOrFail(fs, old, dest)
+      else fs.delete(old, true)
+    }
+    val hadDest = fs.exists(dest)
+    if (hadDest) graft.io.DirSwap.renameOrFail(fs, dest, old)
+    try graft.io.DirSwap.renameOrFail(fs, tmpP, dest)
+    catch {
+      case e: java.io.IOException =>
+        if (fs.exists(old) && !fs.exists(dest)) graft.io.DirSwap.renameOrFail(fs, old, dest)
+        throw e
+    }
+    // authoritative re-check on the RETIRED layout before destroying it
+    val retired =
+      if (hadDest) tombstoneFingerprint(fs, new Path(old, "deleted")) else "absent"
+    if (retired != snapshot) {
+      graft.io.DirSwap.renameOrFail(fs, dest, tmpP)
+      if (hadDest) graft.io.DirSwap.renameOrFail(fs, old, dest)
+      throw new java.io.IOException(
+        s"compaction aborted: a retraction landed under $dir/deleted during the " +
+          "compaction (detected in the retired layout); the swap was rolled " +
+          "back — re-run the compaction")
+    }
+    if (hadDest) fs.delete(old, true)
+  }
 
   /** The distinct tombstone set, if any retraction has happened. */
   private[graft] def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
@@ -212,15 +283,21 @@ object Retrieval {
 
   /** Incremental admission into the positional index — the
     * [[refreshInvertedIndex]] posture: `newDocs` (and ONLY them) are
-    * tokenized once and their occurrence rows APPEND; the standing
-    * corpus is never re-tokenized, and the refreshed index serves
-    * exactly what a full rebuild over (corpus ∪ batch) would
+    * tokenized once and their occurrence rows land as
+    * REPLAY-IDEMPOTENT batch files ([[graft.io.BatchFiles]], keyed by
+    * `batchId`) — a retried refresh replaces its own files instead of
+    * double-counting, and a reader racing the admission sees whole
+    * batch files, never a partial `mode("append")` file set. The
+    * standing corpus is never re-tokenized, and the refreshed index
+    * serves exactly what a full rebuild over (corpus ∪ batch) would
     * (positions are per-doc, so admission has no cross-doc state to
     * merge — no df-style delta needed). Same new-doc_ids-only
-    * admission contract as every other standing index.
+    * admission contract as every other standing index; `batchId` must
+    * be unique per ADMISSION (reusing one replaces that admission —
+    * that is the replay semantics).
     */
-  def refreshPositionalIndex(newDocs: DataFrame, dir: String): Unit =
-    positionRows(newDocs).write.mode("append").parquet(s"$dir/pos")
+  def refreshPositionalIndex(newDocs: DataFrame, dir: String, batchId: Long): Unit =
+    graft.io.BatchFiles.land(positionRows(newDocs), s"$dir/pos", batchId)
 
   /** RETRACT documents from the positional index — closing the
     * lifecycle asymmetry the inverted index (tombstones at
@@ -240,10 +317,21 @@ object Retrieval {
     * drop (also collapsing refresh/stream append deltas into one file
     * set), and the new layout lands through ONE root-dir swap — with
     * the same racing-retraction guard as [[compactIndex]].
+    *
+    * A COMBINED layout (pos/ sharing the root with tf/dlen/df —
+    * what [[graft.streaming.RetrievalIngest]] lands with
+    * `withPositions = true`) routes through [[compactIndex]], which
+    * rewrites ALL the tables under one swap: compacting only pos/ and
+    * swapping the root would delete the sibling tables with it, and
+    * BM25 served from the dir afterwards would fail on missing parquet.
     */
   def compactPositionalIndex(spark: SparkSession, dir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tf"))) {
+      compactIndex(spark, dir)
+      return
+    }
     val tmp = dir.stripSuffix("/") + ".compact"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val tombSnap = tombstoneVersion(spark, dir)
@@ -252,8 +340,7 @@ object Retrieval {
       .fold(pos)(t => pos.join(broadcast(t), Seq("doc_id"), "left_anti"))
       .write.parquet(s"$tmp/pos")
     guardTombstonesUnchanged(spark, dir, tombSnap)
-    graft.io.DirSwap.swapInto(fs,
-      new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    guardedSwapInto(spark, tmp, dir, tombSnap)
   }
 
   /** The live positional view: the occurrence table with tombstoned

@@ -672,8 +672,7 @@ object Similarity {
         .write.partitionBy("cell").parquet(s"$tmp/cells")
     }
     Retrieval.guardTombstonesUnchanged(spark, indexDir, tombSnap)
-    graft.io.DirSwap.swapInto(fs,
-      new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(indexDir))
+    Retrieval.guardedSwapInto(spark, tmp, indexDir, tombSnap)
   }
 
   /** Probe a MATERIALIZED IVF index ([[writeIvfIndex]]) — identical
@@ -778,6 +777,12 @@ object Similarity {
     * as an explicit Long.MinValue addend (the sum stays in range:
     * MIN_VALUE + at most 2⁶³−1 = −1). Shared by [[binaryTopK]]'s corpus
     * and query sides so signatures are engine-identical.
+    *
+    * The width is a hard contract, ENFORCED row-side: for a shorter
+    * vector `element_at` returns null and bits would silently drop to
+    * 0, and dimensions past 64 would silently not vote — either way a
+    * wrong signature with no error — so any non-64-dim row raises
+    * instead of producing wrong candidates.
     */
   private def signSignature(vec: Column): Column = {
     val low = aggregate(
@@ -785,7 +790,11 @@ object Similarity {
         i => when(element_at(vec, i + 1) > 0d,
           call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (a, x) => a + x)
-    low + when(element_at(vec, 64) > 0d, lit(Long.MinValue)).otherwise(lit(0L))
+    val sig = low + when(element_at(vec, 64) > 0d, lit(Long.MinValue)).otherwise(lit(0L))
+    when(size(vec) === 64, sig).otherwise(
+      raise_error(concat(
+        lit("signSignature requires exactly 64 dimensions, got "),
+        size(vec).cast("string"))).cast("long"))
   }
 
   /** ANN top-k via BINARY (1-bit) quantization — the last rung of the
@@ -827,6 +836,97 @@ object Similarity {
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     cand
       .join(c, Seq("neighbor_id"))
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** The 4 × 16-bit MULTI-INDEX band keys of a 64-bit sign signature
+    * (Norouzi et al., "Fast Search in Hamming Space with Multi-Index
+    * Hashing"): band i = bits [16i, 16i+16). Arithmetic shiftright
+    * sign-extends past bit 63, but the & 0xFFFF mask discards the
+    * extension, so band 3 is exact despite the signature's sign bit.
+    */
+  private def sigBand(sig: Column, i: Int): Column =
+    shiftright(sig, 16 * i).bitwiseAND(lit(0xFFFFL))
+
+  /** Materialize the BINARY (1-bit) ANN index — the indexed sibling of
+    * the [[binaryTopK]] scan: `sigs/` holds one row per corpus vector
+    * with its 64-bit sign signature AND the signature split into
+    * 4 × 16-bit multi-index band keys b0..b3 (at cluster scale each
+    * band is bucketed by its key, so a probe is a bucket-pruned
+    * lookup); `vecs/` holds the normalized vectors the exact re-rank
+    * fetches. ~40 bytes/vector total beside the corpus.
+    */
+  def writeBinaryIndex(
+      corpus: DataFrame,
+      dir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val c = withNormalized(corpus.select(col(idCol), col(vecCol)), vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
+    c.select(col("neighbor_id"), signSignature(col("cv")).as("sg"))
+      .select(col("neighbor_id") +: col("sg") +:
+        (0 until 4).map(i => sigBand(col("sg"), i).as(s"b$i")): _*)
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    c.write.mode("overwrite").parquet(s"$dir/vecs")
+  }
+
+  /** Radius-bounded binary ANN served from the MATERIALIZED band index
+    * — the indexed twin the unpruned [[binaryTopK]] scan lacked:
+    * candidates come from 4 band equi-joins (pigeonhole: ≤ `radius` ≤ 3
+    * differing bits spread over 4 disjoint 16-bit bands leave at least
+    * one band IDENTICAL, so exact band lookups are a COMPLETE candidate
+    * generator at radius ≤ 3 — never a recall trade), hamming-verified
+    * against the full signature, ranked (hamming asc, id asc), and the
+    * top `rerank` re-scored with exact cosine. The serving shape of
+    * 1-bit near-duplicate lookup: "find what this slightly-edited
+    * embedding is a copy of". Larger radii need query-side key
+    * enumeration (probe each band with keys within ⌊radius/4⌋ bits —
+    * full MIH); this entry point enforces the exact-lookup regime.
+    *
+    * Scale: each band join touches only rows colliding on a 16-bit
+    * key (expected corpus/65536 per key, vs the scan's every-signature
+    * row); candidates and everything after ride the collision set.
+    * Queries broadcast; vectors join only for the rerank slice.
+    */
+  def binaryTopKIndexed(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      radius: Int = 3,
+      rerank: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(radius >= 0 && radius <= 3,
+      s"radius $radius outside the exact-lookup regime: 4 disjoint bands " +
+        "guarantee completeness only for radius <= 3 (larger radii need MIH key enumeration)")
+    val q = broadcast(
+      withNormalized(queries.select(col(idCol), col(vecCol)), vecCol, "qv")
+        .select(col(idCol).as("query_id"), col("qv"), signSignature(col("qv")).as("qs")))
+    val sigs = spark.read.parquet(s"$indexDir/sigs")
+    // 4 band lookups; a pair can collide in several bands — distinct once
+    val cand = (0 until 4).map { i =>
+      sigs.select(col("neighbor_id"), col("sg"), col(s"b$i").as("bk"))
+        .join(q.select(col("query_id"), col("qs"), sigBand(col("qs"), i).as("bk")), Seq("bk"))
+        .select("query_id", "neighbor_id", "qs", "sg")
+    }.reduce(_ unionAll _)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("sg").bitwiseXOR(col("qs"))).as("ham"))
+      .filter(col("ham") <= radius)
+      .distinct()
+    val wHam = Window.partitionBy("query_id").orderBy(col("ham").asc, col("neighbor_id").asc)
+    val slice = cand
+      .withColumn("rk", row_number().over(wHam))
+      .filter(col("rk") <= rerank)
+      .select("query_id", "neighbor_id")
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    slice
+      .join(spark.read.parquet(s"$indexDir/vecs"), Seq("neighbor_id"))
       .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(wRank))

@@ -511,6 +511,55 @@ object DedupPack extends QueryPack {
              |FROM sid GROUP BY doc_id, span_id
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // Span-mask index COMPACTION — the family's last missing lifecycle
+    // verb: the stream-maintained delta log (per-batch postings + df
+    // partials, spans a serve-time view) squashes into the BATCH layout
+    // (one postings file set, one df row per gram, spans MATERIALIZED)
+    // through one guarded root-dir swap. The gate serves the compacted
+    // spans/ table directly; oracle = the full one-shot rebuild — so
+    // compacted serve ≡ delta-log serve (dedup_span_stream shares the
+    // oracle) ≡ rebuild, and the spec additionally proves the layout
+    // row-equals writeSpanMaskIndex's and that incrementalSpans /
+    // retractSpans run against it.
+    "dedup_span_compacted" -> QueryDef(
+      "Spans served from the compacted (stream -> batch layout) span-mask index == one-shot build",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "spanmask-compact", s"$dir/documents.parquet") { tmp =>
+          (0L to 2L).foreach(b =>
+            graft.streaming.SpanMaskIngest.ingestBatch(
+              docs.filter(pmod(col("doc_id"), lit(3)) === b), b, tmp, n = 5))
+          graft.streaming.SpanMaskIngest.ingestBatch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1L), 1L, tmp, n = 5)
+          graft.streaming.SpanMaskIngest.compactToBatchLayout(s, tmp, n = 5)
+        }
+        s.read.parquet(s"$idx/spans").orderBy("doc_id", "span_start")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    CAST(('0x'||substring(md5(
+             |      array_to_string(list_slice(t, i, i + 4), ' ')),1,15)) AS BIGINT) AS gram
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+             |        FROM d WHERE len(t) >= 5)),
+             |f AS (SELECT gram FROM (
+             |        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram) x
+             |      WHERE df >= 2),
+             |c AS (SELECT doc_id, pos FROM g JOIN f USING (gram)),
+             |m AS (SELECT doc_id, pos,
+             |        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM c),
+             |sid AS (SELECT doc_id, pos,
+             |          SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+             |        FROM m)
+             |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+             |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+             |FROM sid GROUP BY doc_id, span_id
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Span-mask RETRACTION — the right-to-be-forgotten pass over DERIVED
     // state: deleting docs decrements gram dfs, and grams falling below
     // the threshold retroactively UN-mask the surviving docs that hold

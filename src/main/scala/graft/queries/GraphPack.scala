@@ -173,14 +173,18 @@ object GraphPack extends QueryPack {
     // standing structure is the DISTINCT edge set (the fact self-join +
     // distinct is the expensive derivation); a delta order batch derives
     // its edges from ONLY the arriving slice, anti-joins the standing
-    // set (edge-set-sized, never fact-sized) and appends the genuinely
-    // new rows. Degrees — and, downstream, orientation — recompute from
-    // the edge table, whose size is graph- not corpus-bound, which is
-    // why the admission unit is the raw edge set and not the oriented
-    // form (new edges change degrees, and degree changes can flip the
-    // orientation of OLD edges — orienting at admission time would be
-    // wrong). Oracle = the full-build degree distribution: the driver
-    // hash gate IS the refresh ≡ rebuild proof.
+    // set (edge-set-sized, never fact-sized) and lands the genuinely
+    // new rows as REPLAY-IDEMPOTENT batch files (graft.io.BatchFiles —
+    // a retried admission replaces its own files; a reader racing it
+    // sees whole batch files, never a partial append). Degrees — and,
+    // downstream, orientation — recompute from the edge table, whose
+    // size is graph- not corpus-bound, which is why the admission unit
+    // is the raw edge set and not the oriented form (new edges change
+    // degrees, and degree changes can flip the orientation of OLD edges
+    // — orienting at admission time would be wrong; the maintained
+    // oriented index is graph_triangles_refresh). Oracle = the
+    // full-build degree distribution: the driver hash gate IS the
+    // refresh ≡ rebuild proof.
     "graph_degrees_refresh" -> QueryDef(
       "Degree distribution off an incrementally admitted edge set: refresh == rebuild",
       (s, dir) => {
@@ -189,9 +193,10 @@ object GraphPack extends QueryPack {
           coPurchaseEdgesWhere(s, dir, pmod(col("l_orderkey"), lit(40L)) === 0)
             .write.mode("overwrite").parquet(s"$tmp/edges")
           val standing = s.read.parquet(s"$tmp/edges")
-          coPurchaseEdgesWhere(s, dir, pmod(col("l_orderkey"), lit(40L)) === 20)
-            .join(standing, Seq("s", "d"), "left_anti")
-            .write.mode("append").parquet(s"$tmp/edges")
+          graft.io.BatchFiles.land(
+            coPurchaseEdgesWhere(s, dir, pmod(col("l_orderkey"), lit(40L)) === 20)
+              .join(standing, Seq("s", "d"), "left_anti"),
+            s"$tmp/edges", batchId = 1L)
         }
         Graph.degrees(s.read.parquet(s"$idx/edges"))
           .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
@@ -200,6 +205,59 @@ object GraphPack extends QueryPack {
       Some(s"""$edgeCte
              |SELECT dg AS deg, COUNT(*) AS n_nodes FROM deg
              |GROUP BY dg ORDER BY deg""".stripMargin)),
+
+    // Incremental maintenance of the standing ORIENTED adjacency — the
+    // genuinely non-trivial admission the raw-edge refresh above defers:
+    // orientation ranks on GLOBAL (degree, id), so admitting a batch can
+    // FLIP old edges' orientation. Graph.refreshOrientedIndex keeps
+    // untouched rows verbatim (their endpoints' degrees are provably
+    // unchanged) and re-orients ONLY the victim set (standing edges
+    // touching a degree-changed endpoint — batch-endpoint-bounded) plus
+    // the new edges, against the updated degrees pruned to their
+    // endpoints. Standing = orders %40==0, batch = %40==20, so the
+    // maintained index covers exactly the %20==0 graph — the oracle IS
+    // graph_triangles' full-rebuild replay, and the driver hash gate IS
+    // the refresh ≡ rebuild proof (wedge counts, orientation bound, and
+    // the triangle count all ride the maintained oriented table).
+    "graph_triangles_refresh" -> QueryDef(
+      "Triangle stats over an incrementally maintained oriented adjacency: refresh == rebuild",
+      (s, dir) => {
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "graph-tri-refresh", s"$dir/lineitem.parquet") { tmp =>
+          coPurchaseEdgesWhere(s, dir, pmod(col("l_orderkey"), lit(40L)) === 0)
+            .write.mode("overwrite").parquet(s"$tmp/edges")
+          val e0 = s.read.parquet(s"$tmp/edges")
+          Graph.degrees(e0).write.mode("overwrite").parquet(s"$tmp/degrees")
+          Graph.orient(e0).write.mode("overwrite").parquet(s"$tmp/oriented")
+          Graph.refreshOrientedIndex(s, tmp,
+            coPurchaseEdgesWhere(s, dir, pmod(col("l_orderkey"), lit(40L)) === 20),
+            batchId = 1L)
+        }
+        Graph.triangleStatsFrom(
+          s.read.parquet(s"$idx/oriented"), s.read.parquet(s"$idx/degrees"))
+      },
+      Some(s"""$edgeCte,
+             |rk AS (SELECT v, dg * 1000000000000 + v AS r FROM deg),
+             |o AS (
+             |  SELECT CASE WHEN rs.r < rd.r THEN e.s ELSE e.d END AS u,
+             |         CASE WHEN rs.r < rd.r THEN e.d ELSE e.s END AS w,
+             |         CASE WHEN rs.r < rd.r THEN rd.r ELSE rs.r END AS wr
+             |  FROM e JOIN rk rs ON e.s = rs.v JOIN rk rd ON e.d = rd.v),
+             |wedge AS (
+             |  SELECT a.w AS x, b.w AS y FROM o a JOIN o b ON a.u = b.u AND a.wr < b.wr),
+             |tri AS (
+             |  SELECT COUNT(*) AS n_triangles
+             |  FROM wedge JOIN o ON wedge.x = o.u AND wedge.y = o.w),
+             |degagg AS (
+             |  SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges,
+             |         MAX(dg) AS max_degree, COUNT(*) AS n_nodes FROM deg),
+             |od AS (
+             |  SELECT MAX(c) AS max_outdeg
+             |  FROM (SELECT u, COUNT(*) AS c FROM o GROUP BY u)),
+             |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+             |SELECT n_nodes, n_edges, max_degree, max_outdeg, n_wedges, n_triangles,
+             |       ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering
+             |FROM degagg, od, tri, ne""".stripMargin)),
 
     // BFS reachability layers from the minimum-id node — the traversal
     // primitive the join-shaped family lacked. Three UNROLLED frontier

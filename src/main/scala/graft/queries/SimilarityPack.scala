@@ -368,6 +368,70 @@ object SimilarityPack extends QueryPack {
               |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
               |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // The INDEXED sibling of the 1-bit scan — multi-index hamming
+    // banding (Norouzi et al.): the 64-bit signature splits into 4
+    // disjoint 16-bit band keys; pigeonhole makes exact band lookups a
+    // COMPLETE candidate generator for radius <= 3 (<= 3 differing bits
+    // leave at least one band identical), so candidates come from 4
+    // equi-joins against the materialized band index instead of the
+    // scan's every-signature pass, then hamming-verify + exact cosine
+    // re-rank. The probe fixture is the operator's serving shape:
+    // each query is a corpus vector with dimension 1 SIGN-FLIPPED (a
+    // "slightly-edited embedding", hamming 1 from its source, id offset
+    // +1e6 so the source is not self-excluded) — the index must find
+    // exactly what the edit is a near-copy of. The oracle replays the
+    // radius-bounded SCAN, so the gate hash is the banding-is-complete
+    // proof at the gated radius.
+    "sim_topk_binary_indexed" -> QueryDef(
+      "Near-dup lookup (radius<=3) via multi-index hamming bands over the materialized 1-bit index",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(s, "binary", s"$dir/embeddings.parquet")(
+          t => Similarity.writeBinaryIndex(Tables.embeddings(s, dir), t))
+        val probes = e.filter(col("vec_id") < 8).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(-element_at(col("embedding"), 1)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+        Similarity.binaryTopKIndexed(s, idx, probes, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${normCte("")},
+              |sig AS (
+              |  SELECT vec_id, nv,
+              |    CAST(list_sum(list_transform(range(0, 63),
+              |      i -> CASE WHEN nv[i + 1] > 0 THEN (1::BIGINT << CAST(i AS INTEGER))
+              |           ELSE 0::BIGINT END)) AS BIGINT)
+              |    + CASE WHEN nv[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END AS sg
+              |  FROM e),
+              |q AS (
+              |  SELECT vec_id + 1000000 AS query_id,
+              |    list_concat([-nv[1]], nv[2:]) AS qv
+              |  FROM e WHERE vec_id < 8),
+              |qs AS (
+              |  SELECT query_id, qv,
+              |    CAST(list_sum(list_transform(range(0, 63),
+              |      i -> CASE WHEN qv[i + 1] > 0 THEN (1::BIGINT << CAST(i AS INTEGER))
+              |           ELSE 0::BIGINT END)) AS BIGINT)
+              |    + CASE WHEN qv[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END AS qsg
+              |  FROM q),
+              |h AS (
+              |  SELECT qs.query_id, s.vec_id AS neighbor_id, qs.qv, s.nv,
+              |    bit_count(xor(qs.qsg, s.sg)) AS ham
+              |  FROM qs JOIN sig s ON bit_count(xor(qs.qsg, s.sg)) <= 3),
+              |r AS (
+              |  SELECT query_id, neighbor_id, qv, nv,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY ham ASC, neighbor_id ASC) AS rk
+              |  FROM h),
+              |rr AS (
+              |  SELECT query_id, neighbor_id, list_dot_product(qv, nv) AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY list_dot_product(qv, nv) DESC,
+              |                                neighbor_id ASC) AS rank
+              |  FROM r WHERE rk <= 50)
+              |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+              |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // RANGE search from the same standing index: every probed-cell
     // member with exact cosine >= the radius — the data-dependent-count
     // serving shape top-k cannot express (dedup candidate pulls, recall

@@ -892,7 +892,7 @@ object TextPack extends QueryPack {
           Retrieval.writePositionalIndex(
             docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), tmp)
           Retrieval.refreshPositionalIndex(
-            docs.filter(pmod(col("doc_id"), lit(10)) === 7), tmp)
+            docs.filter(pmod(col("doc_id"), lit(10)) === 7), tmp, batchId = 0L)
         }
         Retrieval.phraseTopK(s, idx, Seq("slow", "hash", "batch"), k = 10)
       },

@@ -732,21 +732,24 @@ object TrainPack extends QueryPack {
     // Quality-curriculum ordering: rank docs by quality WITHIN each
     // source, then interleave domains round-robin by (rank, source) —
     // the deterministic "easy/clean first, every domain represented in
-    // every stripe" ordering curriculum training consumes. The rank
-    // window partitions by source (never a global single-partition
-    // sort); at full scale the curriculum is WRITTEN in this order via
-    // repartitionByRange(rank, source) + sortWithinPartitions — the
-    // ORDER BY here is the gate-sized readout of the same keys.
+    // every stripe" ordering curriculum training consumes. The exact
+    // per-source rank window never sees the full corpus: a per-source
+    // KLL quantile PRE-FILTER (Curation.topKPerGroup) cuts the scored
+    // stream to ~margin·k rows per source map-side first, with a
+    // verified >= k-survivors fallback that makes the output provably
+    // identical to the full-corpus window — the round-13 SCALING
+    // tables' steepest row (the window sorted the whole scored corpus)
+    // flattened to sketch-build + filter passes. At full scale the
+    // curriculum is WRITTEN in this order via repartitionByRange(rank,
+    // source) + sortWithinPartitions — the ORDER BY here is the
+    // gate-sized readout of the same keys.
     "train_curriculum" -> QueryDef(
       "Curriculum order: per-source quality rank <= 10, domains interleaved",
       (s, dir) => {
-        val w = Window.partitionBy("source")
-          .orderBy(col("quality").desc, col("doc_id").asc)
-        Tables.documents(s, dir)
+        val scored = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"),
             TextAnalysis.qualityScore(col("text")).as("quality"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 10)
+        graft.ext.Curation.topKPerGroup(scored, "source", "quality", "doc_id", k = 10)
           .select(col("rank"), col("source"), col("doc_id"), col("quality"))
           .orderBy("rank", "source")
       },

@@ -184,4 +184,44 @@ class CurationSpec extends AnyFunSuite {
     assert(survivors >= 5 && survivors < 120,
       s"hash pre-prune should keep ~40 of 500 hot rows, kept $survivors")
   }
+
+  test("topKPerGroup == the naive full-input window on the real corpus") {
+    val scored = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id").asc)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "source", "doc_id", "q")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val naive = rows(scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10))
+    val pruned = rows(Curation.topKPerGroup(scored, "source", "q", "doc_id", k = 10))
+    assert(pruned == naive && pruned.nonEmpty)
+    // deterministic despite the randomized sketch compaction: the
+    // verified fallback makes the OUTPUT independent of the threshold
+    assert(rows(Curation.topKPerGroup(scored, "source", "q", "doc_id", k = 10)) == naive)
+  }
+
+  test("topKPerGroup: groups smaller than k, heavy ties, and a tight margin all stay exact") {
+    // group a: 100 rows, scores 1..100 with ties every 10 (score = i/10
+    // rounded) — ties at the threshold boundary are the classic way a
+    // prefilter silently drops a qualifying row; group b: 2 rows < k
+    val rows0 = (1L to 100L).map(i => (i, "a", (i / 10L).toDouble)) ++
+      Seq((200L, "b", 5.0), (201L, "b", 5.0))
+    val scored = rows0.toDF("doc_id", "source", "q")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id").asc)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "source", "doc_id", "q")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val naive = canon(scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7))
+    // margin = 1 makes the prefilter as tight as possible — the
+    // >= k-survivors fallback must still guarantee exactness
+    assert(canon(Curation.topKPerGroup(scored, "source", "q", "doc_id", k = 7, margin = 1)) == naive)
+    assert(canon(Curation.topKPerGroup(scored, "source", "q", "doc_id", k = 7)) == naive)
+  }
 }

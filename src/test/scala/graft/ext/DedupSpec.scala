@@ -212,18 +212,21 @@ class DedupSpec extends AnyFunSuite {
       asMap(Dedup.connectedComponents(pairs, driverEdgeLimit = -1L)))
   }
 
-  test("df-capped jaccard join: no false positives, generous cap = exact") {
+  test("df-capped jaccard join: no false positives, generous cap = exact, survivor scores exact") {
     val docs = Tables.documents(spark, sf)
-    def pairSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.3))
+    def rowMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = rowMap(Dedup.ngramJaccardPairs(docs, 3, 0.3))
     // a cap above every shingle's document frequency changes nothing
-    val generous = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.3, maxShingleDf = Some(1000000L)))
+    val generous = rowMap(Dedup.ngramJaccardPairs(docs, 3, 0.3, maxShingleDf = Some(1000000L)))
     assert(generous == exact)
-    // a tight cap may drop pairs (lower counted intersections) but can
-    // never invent them
-    val tight = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.3, maxShingleDf = Some(3L)))
-    assert(tight.subsetOf(exact))
+    // a tight cap may drop pairs (hot shingles leave the candidate
+    // join) but can never invent them — and since survivors re-verify
+    // with the full per-doc intersection, their scores are EXACT, not
+    // capped lower bounds
+    val tight = rowMap(Dedup.ngramJaccardPairs(docs, 3, 0.3, maxShingleDf = Some(3L)))
+    assert(tight.keySet.subsetOf(exact.keySet))
+    tight.foreach { case (pair, jac) => assert(jac == exact(pair)) }
   }
 
   test("prefix-filtered jaccard join: identical rows to the inverted-index join") {
@@ -255,19 +258,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((7L, 8L)))
   }
 
-  test("df-capped containment join: no false positives, generous cap = exact") {
+  test("df-capped containment join: no false positives, generous cap = exact, survivor scores exact") {
     val docs = Tables.documents(spark, sf)
-    def pairSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairSet(Dedup.containmentPairs(docs, 3, 0.5))
+    def rowMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = rowMap(Dedup.containmentPairs(docs, 3, 0.5))
     assert(exact.nonEmpty, "fixture should contain containment pairs")
-    val generous = pairSet(
+    val generous = rowMap(
       Dedup.containmentPairs(docs, 3, 0.5, maxShingleDf = Some(1000000L)))
     assert(generous == exact)
-    // a tight cap may drop pairs (lower counted intersections; n_a stays
-    // exact) but can never invent them
-    val tight = pairSet(Dedup.containmentPairs(docs, 3, 0.5, maxShingleDf = Some(3L)))
-    assert(tight.subsetOf(exact))
+    // a tight cap may drop pairs (hot shingles leave the candidate
+    // join) but can never invent them — and surviving pairs re-verify
+    // with the full per-doc intersection, so their containment is the
+    // TRUE value (hot shingles still count toward it), never a capped
+    // lower bound
+    val tight = rowMap(Dedup.containmentPairs(docs, 3, 0.5, maxShingleDf = Some(3L)))
+    assert(tight.keySet.subsetOf(exact.keySet))
+    tight.foreach { case (pair, c) => assert(c == exact(pair)) }
   }
 
   test("prefix-filtered containment join: identical rows to the inverted-index join") {
@@ -431,6 +438,23 @@ class DedupSpec extends AnyFunSuite {
     // retroactive flip; batch doc 10 masks its quote at 1..5
     assert(inc == Seq((1L, 0L, 4L, 5L), (10L, 1L, 5L, 5L)))
     assert(inc == rows(Dedup.duplicateSpans(corpus.union(batch), n = 5)))
+  }
+
+  test("incremental spans: re-admitting a standing doc_id fails loudly") {
+    val corpus = Seq(
+      (1L, "p1 p2 p3 p4 p5 u1 u2 u3"),
+      (2L, "w1 w2 w3 w4 w5 w6")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("spanmask-clash-spec").toString
+    Dedup.writeSpanMaskIndex(corpus, idx, n = 5)
+    // a batch reusing doc_id 1 would leave stale spans0 rows beside the
+    // recomputed batch rows — the admission contract is asserted, not
+    // just documented
+    val clashing = Seq((1L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalSpans(spark, idx, clashing, n = 5)
+    }
+    assert(e.getMessage.contains("new-doc_ids-only"))
   }
 
   test("span retraction: removing the quoting doc retroactively un-masks the old doc") {

@@ -144,4 +144,70 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(degs == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
+
+  private def orientedRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+  test("oriented-index refresh: admission FLIPS a standing edge's orientation; refresh == rebuild") {
+    // standing: star around node 1 — edges (1,2),(1,3): deg(1)=2 beats
+    // deg(2)=deg(3)=1, so both orient TOWARD 1... rank = deg·B + id, so
+    // (1,2) orients 2→1? rank(1)=2B+1 > rank(2)=B+2 — oriented u=2,w=1.
+    // The batch adds (2,3),(2,4),(2,5): deg(2) jumps to 4, so standing
+    // edge (1,2) must FLIP to u=1,w=2 — the re-orientation admission has
+    // to propagate to an OLD edge, which a pure append never would.
+    val standing = Seq((1L, 2L), (1L, 3L)).toDF("s", "d")
+    val batch = Seq((2L, 3L), (2L, 4L), (2L, 5L)).toDF("s", "d")
+    val dir = java.nio.file.Files.createTempDirectory("graph-orient-refresh").toString
+    standing.write.mode("overwrite").parquet(s"$dir/edges")
+    val e0 = spark.read.parquet(s"$dir/edges")
+    Graph.degrees(e0).write.mode("overwrite").parquet(s"$dir/degrees")
+    Graph.orient(e0).write.mode("overwrite").parquet(s"$dir/oriented")
+    val before = orientedRows(spark.read.parquet(s"$dir/oriented"))
+
+    Graph.refreshOrientedIndex(spark, dir, batch, batchId = 1L)
+    val maintained = orientedRows(spark.read.parquet(s"$dir/oriented"))
+    // rebuild over the union is the ground truth
+    val all = standing.unionAll(batch).distinct()
+    val rebuilt = orientedRows(Graph.orient(all))
+    assert(maintained == rebuilt)
+    assert(Graph.degrees(spark.read.parquet(s"$dir/edges"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Graph.degrees(all).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // the flip genuinely happened: edge {1,2} changed its u endpoint
+    def uOf(rows: Seq[(Long, Long, Long)]) =
+      rows.find(r => Set(r._1, r._2) == Set(1L, 2L)).map(_._1)
+    assert(uOf(before) != uOf(maintained),
+      "fixture must exercise an orientation flip of a standing edge")
+    // and the whole serving surface agrees with a rebuild
+    val got = Graph.triangleStatsFrom(
+      spark.read.parquet(s"$dir/oriented"), spark.read.parquet(s"$dir/degrees"))
+      .collect().map(_.toSeq).toSeq
+    val want = Graph.triangleStatsFrom(Graph.orient(all), Graph.degrees(all))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("oriented-index refresh: a REPLAYED admission converges to the same index") {
+    val standing = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val batch = Seq((2L, 3L), (1L, 2L)).toDF("s", "d") // (1,2) already standing
+    val dir = java.nio.file.Files.createTempDirectory("graph-orient-replay").toString
+    standing.write.mode("overwrite").parquet(s"$dir/edges")
+    val e0 = spark.read.parquet(s"$dir/edges")
+    Graph.degrees(e0).write.mode("overwrite").parquet(s"$dir/degrees")
+    Graph.orient(e0).write.mode("overwrite").parquet(s"$dir/oriented")
+
+    Graph.refreshOrientedIndex(spark, dir, batch, batchId = 7L)
+    def snap = (
+      orientedRows(spark.read.parquet(s"$dir/oriented")),
+      spark.read.parquet(s"$dir/edges").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      spark.read.parquet(s"$dir/degrees").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val first = snap
+    Graph.refreshOrientedIndex(spark, dir, batch, batchId = 7L)
+    assert(snap == first, "replayed admission must replace its own contribution exactly")
+    // and equals the rebuild
+    val all = standing.unionAll(batch).distinct()
+    assert(first._1 == orientedRows(Graph.orient(all)))
+  }
 }

@@ -137,7 +137,18 @@ class RetrievalSpec extends AnyFunSuite {
     val isDelta = pmod(col("doc_id"), lit(4)) === 1
     val refreshed = java.nio.file.Files.createTempDirectory("pos-refresh").toString
     Retrieval.writePositionalIndex(docs.filter(!dead && !isDelta), refreshed)
-    Retrieval.refreshPositionalIndex(docs.filter(!dead && isDelta), refreshed)
+    Retrieval.refreshPositionalIndex(docs.filter(!dead && isDelta), refreshed, batchId = 0L)
+    assert(hits(refreshed) == want)
+    // a REPLAYED refresh batch replaces its own files exactly: same
+    // file names, same rows, same serving — never a double-count
+    def posFiles = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$refreshed/pos"))
+      try l.toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet finally l.close()
+    }
+    val firstLand = posFiles
+    Retrieval.refreshPositionalIndex(docs.filter(!dead && isDelta), refreshed, batchId = 0L)
+    assert(posFiles == firstLand, "replay must converge to the same file set")
+    assert(canon(refreshed, "pos") == canon(survivors, "pos"))
     assert(hits(refreshed) == want)
 
     // stream-maintained (3 batches, one REPLAYED) ≡ one-shot build
@@ -172,6 +183,83 @@ class RetrievalSpec extends AnyFunSuite {
     // an unchanged tombstone set passes
     Retrieval.guardTombstonesUnchanged(
       spark, dir, Retrieval.tombstoneVersion(spark, dir))
+  }
+
+  test("combined-layout compaction keeps the sibling tables: BM25 and phrase both serve after it") {
+    // stream ingest with positions lands tf/dlen/df AND pos under ONE
+    // root — compacting "the positional index" must not destroy the
+    // BM25 tables with the root swap (routes through compactIndex)
+    val docs = Tables.documents(spark, sf)
+    val dead = pmod(col("doc_id"), lit(5)) === 2
+    val dir = java.nio.file.Files.createTempDirectory("pos-combined").toString
+    (0L to 1L).foreach { b =>
+      graft.streaming.RetrievalIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === b).select("doc_id", "text"),
+        b, dir, withPositions = true)
+    }
+    Retrieval.retractFromPositionalIndex(docs.filter(dead).select("doc_id"), dir)
+    Retrieval.compactPositionalIndex(spark, dir)
+
+    val survivors = java.nio.file.Files.createTempDirectory("pos-combined-ref").toString
+    Retrieval.writeInvertedIndex(docs.filter(!dead), survivors)
+    Retrieval.writePositionalIndex(docs.filter(!dead), survivors)
+
+    // every sibling table survived the swap and equals the rebuild
+    Seq("tf", "df", "dlen", "stats", "pos").foreach { t =>
+      assert(canon(dir, t) == canon(survivors, t),
+        s"combined-layout compaction lost or corrupted sibling table '$t'")
+    }
+    // and both serving paths still run against the compacted root
+    val qtoks = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextAnalysis.tokens(col("text")), 1, 6)).as("tok"))
+      .distinct()
+    def bm25(d: String) = Retrieval.bm25Scores(spark, d, qtoks)
+      .orderBy("query_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(bm25(dir) == bm25(survivors) && bm25(dir).nonEmpty)
+    def hits(d: String) = Retrieval.phraseTopK(spark, d, Seq("the", "slow"), 20)
+      .collect().map(_.toSeq).toSeq
+    assert(hits(dir) == hits(survivors) && hits(dir).nonEmpty)
+  }
+
+  test("guarded swap rolls back when a retraction lands during the compaction compute") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("pos-swap-race").toString
+    Retrieval.writePositionalIndex(docs, dir)
+    Retrieval.retractFromPositionalIndex(
+      docs.filter(col("doc_id") < 5).select("doc_id"), dir)
+    val snap = Retrieval.tombstoneVersion(spark, dir)
+    // the compaction's rewrite, computed under the snapshot
+    val tmp = dir.stripSuffix("/") + ".compact"
+    val tombs = spark.read.parquet(s"$dir/deleted").select("doc_id").distinct()
+    spark.read.parquet(s"$dir/pos")
+      .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      .write.parquet(s"$tmp/pos")
+    // the race: a retraction lands AFTER the snapshot (and after the
+    // pre-swap guard would have passed), DURING the compute
+    Retrieval.retractFromPositionalIndex(
+      docs.filter(col("doc_id") === 7).select("doc_id"), dir)
+    val before = canon(dir, "deleted")
+    val e = intercept[java.io.IOException] {
+      Retrieval.guardedSwapInto(spark, tmp, dir, snap)
+    }
+    assert(e.getMessage.contains("rolled back"))
+    // the rollback restored the PRE-swap layout: all tombstones intact
+    // (including the racing one), positions readable, tmp back in place
+    assert(canon(dir, "deleted") == before)
+    assert(spark.read.parquet(s"$dir/pos").count() > 0)
+    assert(new java.io.File(s"$tmp/pos").exists())
+    assert(!new java.io.File(s"$dir.swap-old").exists())
+    // re-running the compaction from a FRESH snapshot now succeeds
+    Retrieval.compactPositionalIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/deleted").exists())
+    val served = Retrieval.phraseTopK(spark, dir, Seq("the", "slow"), 20)
+      .collect().map(_.toSeq).toSeq
+    val survivors = java.nio.file.Files.createTempDirectory("pos-swap-ref").toString
+    Retrieval.writePositionalIndex(
+      docs.filter(col("doc_id") >= 5 && col("doc_id") =!= 7), survivors)
+    assert(served == Retrieval.phraseTopK(spark, survivors, Seq("the", "slow"), 20)
+      .collect().map(_.toSeq).toSeq)
   }
 
   test("k-term proximity: spans and counts on a hand-built doc") {

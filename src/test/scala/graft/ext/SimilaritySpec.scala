@@ -263,6 +263,81 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cut == rows(Similarity.bruteForceTopK(queries, e, k = 1)))
   }
 
+  test("binary signatures reject non-64-dim vectors loudly") {
+    import spark.implicits._
+    // a 32-dim vector would silently sign-extend nulls to 0-bits (wrong
+    // candidates, no error) — the signature asserts the width instead
+    val corpus = Seq(
+      (1L, Array.fill(64)(0.5)),
+      (2L, Array.fill(32)(0.5))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array.fill(64)(1.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.binaryTopK(queries, corpus, k = 2).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("64 dimensions")), msgs.mkString(" | "))
+  }
+
+  test("indexed binary ANN: band candidates are COMPLETE at radius<=3 (== the radius-bounded scan)") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val idx = java.nio.file.Files.createTempDirectory("binary-idx-spec").toString
+    Similarity.writeBinaryIndex(e, idx)
+    // perturbed probes: each corpus vector with dim 1 sign-flipped is
+    // hamming ~1 from its source; id offset so the source isn't
+    // self-excluded
+    val probes = e.filter(col("vec_id") < 8).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(-element_at(col("embedding"), 1)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val indexed = rows(Similarity.binaryTopKIndexed(spark, idx, probes, k = 5))
+    assert(indexed.nonEmpty, "every perturbed probe must find its source")
+    // ground truth: the radius-bounded SCAN over all signatures,
+    // computed inline from the same index tables
+    val sigs = spark.read.parquet(s"$idx/sigs")
+    val q = Similarity.withNormalized(
+      probes.select(col("vec_id").as("query_id"), col("embedding")), "embedding", "qv")
+    val qsig = spark.read.parquet(s"$idx/sigs") // corpus sigs for source lookup
+    // scan: hamming of every (query, corpus) signature pair
+    val qRows = q.collect().map(r => (r.getLong(0), r.getSeq[Double](2).toArray))
+    val sigRows = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = spark.read.parquet(s"$idx/vecs").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def sig64(v: Array[Double]): Long =
+      (0 until 63).map(i => if (v(i) > 0) 1L << i else 0L).sum +
+        (if (v(63) > 0) Long.MinValue else 0L)
+    val want = qRows.flatMap { case (qid, qv) =>
+      val qs = sig64(qv)
+      val cands = sigRows
+        .map { case (nid, sg) => (nid, java.lang.Long.bitCount(sg ^ qs)) }
+        .filter(_._2 <= 3)
+        .sortBy { case (nid, ham) => (ham, nid) }
+        .take(50)
+      cands
+        .map { case (nid, _) =>
+          val cos = qv.zip(vecs(nid)).map { case (a, b) => a * b }.sum
+          (nid, cos)
+        }
+        .sortBy { case (nid, cos) => (-cos, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, cos), i) => (qid, (i + 1).toLong, nid, cos) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    // ids and ranks exactly; cosine within float-fold tolerance (the
+    // engine's dot may fold in a different order than the driver zip)
+    assert(indexed.map(r => (r(0), r(1).asInstanceOf[Int].toLong, r(2))) ==
+      want.map(t => (t._1, t._2, t._3)))
+    indexed.zip(want).foreach { case (got, w) =>
+      assert(math.abs(got(3).asInstanceOf[Double] - w._4) < 1e-5)
+    }
+    assert(qsig.count() == e.count())
+    // the exact-lookup regime is enforced: radius 4 needs MIH enumeration
+    intercept[IllegalArgumentException] {
+      Similarity.binaryTopKIndexed(spark, idx, probes, k = 5, radius = 4)
+    }
+  }
+
   test("IVF range search: equals unbounded top-k cut by the radius, respects tombstones") {
     val e = Tables.embeddings(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("ivf-range-spec").toString

@@ -71,4 +71,50 @@ class SpanMaskIngestSpec extends AnyFunSuite {
         rows(Dedup.duplicateSpans(sofar, n = 5)), s"diverged after batch $b")
     }
   }
+
+  test("compaction squashes the delta log into the batch layout; every batch-layout verb works after it") {
+    val docs = graft.Tables.documents(spark, sf)
+    val standing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    val idx = java.nio.file.Files.createTempDirectory("span-compact").toString
+    (0L to 2L).foreach { b =>
+      SpanMaskIngest.ingestBatch(
+        standing.filter(pmod(col("doc_id"), lit(3)) === b).select("doc_id", "text"),
+        b, idx, n = 5)
+    }
+    val servedBefore = rows(SpanMaskIngest.servedSpans(spark, idx, n = 5))
+
+    SpanMaskIngest.compactToBatchLayout(spark, idx, n = 5)
+
+    // layout now row-equals a direct batch build (writeSpanMaskIndex)
+    val batchBuilt = java.nio.file.Files.createTempDirectory("span-compact-ref").toString
+    Dedup.writeSpanMaskIndex(standing, batchBuilt, n = 5)
+    def canon(dir: String, t: String) =
+      spark.read.parquet(s"$dir/$t").collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    Seq("postings", "df", "spans").foreach { t =>
+      assert(canon(idx, t) == canon(batchBuilt, t),
+        s"compacted table '$t' diverges from the one-shot batch build")
+    }
+    // df really is compacted: one row per gram (the delta log had partials)
+    val dfT = spark.read.parquet(s"$idx/df")
+    assert(dfT.groupBy("g").count().filter(col("count") > 1).isEmpty)
+    // serving is unchanged across the swap, via BOTH paths
+    assert(rows(spark.read.parquet(s"$idx/spans")
+      .select("doc_id", "span_start", "span_end", "span_len")) == servedBefore)
+    assert(rows(SpanMaskIngest.servedSpans(spark, idx, n = 5)) == servedBefore)
+    // batch-layout admission over the compacted index == full rebuild
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    assert(rows(Dedup.incrementalSpans(spark, idx, batch, n = 5)) ==
+      rows(Dedup.duplicateSpans(docs, n = 5)))
+    // batch-layout retraction over the compacted index == survivor rebuild
+    val victims = standing.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id")
+    assert(rows(Dedup.retractSpans(spark, idx, victims, n = 5)) ==
+      rows(Dedup.duplicateSpans(
+        standing.filter(pmod(col("doc_id"), lit(7)) =!= 0), n = 5)))
+    // and the STREAM can resume into the compacted layout: a post-
+    // compaction batch lands beside the compacted file set and serving
+    // still equals the one-shot build over everything
+    SpanMaskIngest.ingestBatch(batch.select("doc_id", "text"), 100L, idx, n = 5)
+    assert(rows(SpanMaskIngest.servedSpans(spark, idx, n = 5)) ==
+      rows(Dedup.duplicateSpans(docs, n = 5)))
+  }
 }

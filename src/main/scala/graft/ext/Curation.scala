@@ -68,7 +68,12 @@ object Curation {
     *     of sketch accuracy (KLL compaction is randomized; the output
     *     is not).
     *
-    * Cost: two (worst case three) map scans + a window over
+    * Cost: ONE evaluation of the scored input (persisted across the
+    * sketch and filter passes — the scoring expression is usually the
+    * expensive part, e.g. regex-heavy quality signals, and evaluating
+    * it once then caching the narrow (group, id, score) rows is cheaper
+    * than scoring the corpus twice; MEMORY_AND_DISK, so at corpus scale
+    * it degrades to spill rather than OOM) + a window over
     * ≈ margin·k·|groups| rows, instead of a full-corpus shuffle-sort
     * per group. Returns the input columns + `rank`.
     */
@@ -81,6 +86,20 @@ object Curation {
       margin: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && margin >= 1, s"need k > 0 (got $k) and margin >= 1 (got $margin)")
+    val spark = scored.sparkSession
+    val sc = scored.persist()
+    try topKPerGroupCached(sc, groupCol, scoreCol, idCol, k, margin)
+    finally sc.unpersist()
+  }
+
+  private def topKPerGroupCached(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      k: Int,
+      margin: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = scored.sparkSession
     // (group, sketch): one mergeable KLL per group, built map-side
     val sk = KllSketches.keyedSketches(scored, groupCol, scoreCol)
@@ -113,10 +132,14 @@ object Curation {
       .filter(col("n") < k).select(groupCol)
       .collect().map(_.get(0).toString).toSet
       .intersect(filtered)
+    // the fallback branch re-reads the (cached) scored input, so it is
+    // checkpointed eagerly — the returned frame must not reference the
+    // input after the caller unpersists it
     val pool =
       if (short.isEmpty) survivors
       else survivors.filter(!col(groupCol).cast("string").isin(short.toSeq: _*))
         .unionByName(scored.filter(col(groupCol).cast("string").isin(short.toSeq: _*)))
+        .localCheckpoint()
     val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol).asc)
     pool.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

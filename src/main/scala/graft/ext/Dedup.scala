@@ -714,6 +714,14 @@ object Dedup {
     * of the standing artifacts, so the measured cost is what a
     * production ingest pays per batch: shingle the batch, join the
     * band files, verify against the shingle files.
+    *
+    * Under tombstones ([[retractFromNearDupIndex]]) the band table is
+    * filtered merge-on-read — a retracted corpus doc stops generating
+    * candidates, so it can never be anyone's match; verification only
+    * ever touches candidate corpus_ids, so the dead doc's shingle rows
+    * are unreachable until [[compactNearDupIndex]] drops them
+    * physically. Verdicts under tombstones ≡ an index built over the
+    * survivors (oracle-gated).
     */
   def incrementalNearDupIndexed(
       spark: org.apache.spark.sql.SparkSession,
@@ -721,11 +729,100 @@ object Dedup {
       incoming: DataFrame,
       threshold: Double,
       rowsPerBand: Int = 4,
-      shingleN: Int = 3): DataFrame =
+      shingleN: Int = 3): DataFrame = {
+    val bands = spark.read.parquet(s"$indexDir/bands")
+    val liveBands = nearDupTombstonesOpt(spark, indexDir)
+      .fold(bands)(t => bands.join(broadcast(t), Seq("corpus_id"), "left_anti"))
     classifyAgainstIndex(
       spark.read.parquet(s"$indexDir/shingles"),
-      spark.read.parquet(s"$indexDir/bands"),
+      liveBands,
       incoming, threshold, rowsPerBand, shingleN)
+  }
+
+  /** Incremental admission into the near-dup LSH index — the last
+    * standing index family without lifecycle verbs gets the
+    * [[graft.ext.Similarity.refreshBinaryIndex]] posture: band rows and
+    * hashed shingle rows are PER-DOC (no cross-doc state — df lives in
+    * no LSH artifact), so admission is the batch's own shingle + minhash
+    * pass landed as REPLAY-IDEMPOTENT batch files
+    * ([[graft.io.BatchFiles]], same `batchId` for both tables so the
+    * candidate filter and the verifier stay row-consistent; a retried
+    * admission replaces its own files). The standing corpus is never
+    * rescanned; a refreshed index classifies exactly as a full rebuild
+    * over (corpus ∪ batch). Same new-doc_ids-only admission contract as
+    * every standing index.
+    */
+  def refreshNearDupIndex(
+      newDocs: DataFrame,
+      dir: String,
+      batchId: Long,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3): Unit = {
+    val shRows = shingleRows(newDocs, shingleN)
+    graft.io.BatchFiles.land(
+      shRows.select(col("doc_id").as("corpus_id"),
+        Hashing.portableTokenHash60(col("sh")).as("h")),
+      s"$dir/shingles", batchId)
+    graft.io.BatchFiles.land(
+      bandedSignatures(shRows, rowsPerBand)
+        .select(col("band"), col("key"), col("doc_id").as("corpus_id")),
+      s"$dir/bands", batchId)
+  }
+
+  /** RETRACT corpus documents from the near-dup LSH index — the
+    * right-to-be-forgotten path for the dedup serving artifacts: the
+    * retracted ids land as a TOMBSTONE table (`deleted/`, |batch| rows,
+    * nothing rescanned, duplicate retracts absorbed by the distinct
+    * view), and [[incrementalNearDupIndexed]] applies them
+    * merge-on-read at the CANDIDATE filter — a deleted doc stops being
+    * reported as anyone's near-dup match the moment the tombstone
+    * lands. [[compactNearDupIndex]] later applies them physically.
+    */
+  def retractFromNearDupIndex(docIds: DataFrame, dir: String): Unit =
+    docIds.select(col("doc_id").cast("long").as("corpus_id")).distinct()
+      .write.mode("append").parquet(s"$dir/deleted")
+
+  /** The distinct near-dup tombstone set, if any retraction happened. */
+  private[graft] def nearDupTombstonesOpt(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deleted")))
+      Some(spark.read.parquet(s"$dir/deleted").select("corpus_id").distinct())
+    else None
+  }
+
+  /** Squash the near-dup index back to the canonical compacted layout:
+    * `bands/` and `shingles/` drop tombstoned rows (also collapsing any
+    * [[refreshNearDupIndex]] batch files into one file set each), and
+    * the new layout replaces the old through ONE root-dir swap with the
+    * racing-retraction guard ([[Retrieval.guardedSwapInto]] — a
+    * retraction landing during the compaction rolls the swap back
+    * loudly). Same writer/compactor exclusion contract as every other
+    * index compactor.
+    */
+  def compactNearDupIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val tmp = dir.stripSuffix("/") + ".compact"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val tombSnap = Retrieval.tombstoneVersion(spark, dir)
+    val tombs = nearDupTombstonesOpt(spark, dir)
+    // explicit selects: the USING join moves corpus_id first, and a
+    // compacted file set must keep the canonical writeNearDupIndex
+    // column order (readers match by name, but one layout is one schema)
+    val bands = spark.read.parquet(s"$dir/bands")
+    tombs.fold(bands)(t => bands.join(broadcast(t), Seq("corpus_id"), "left_anti"))
+      .select("band", "key", "corpus_id")
+      .write.parquet(s"$tmp/bands")
+    val sh = spark.read.parquet(s"$dir/shingles")
+    tombs.fold(sh)(t => sh.join(broadcast(t), Seq("corpus_id"), "left_anti"))
+      .select("corpus_id", "h")
+      .write.parquet(s"$tmp/shingles")
+    Retrieval.guardTombstonesUnchanged(spark, dir, tombSnap)
+    Retrieval.guardedSwapInto(spark, tmp, dir, tombSnap)
+  }
 
   private def classifyAgainstIndex(
       corpusSh: DataFrame,
@@ -1046,6 +1143,75 @@ object Dedup {
         Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("new_cluster"), col("rep")).as("cluster"))
     updatedOld.unionByName(newNodes)
+  }
+
+  /** DECREMENTAL component maintenance — retract documents from a
+    * STANDING label table without re-running global CC, the deletion
+    * half of the lifecycle [[incrementalComponents]] opened. Cluster
+    * labels are DERIVED state: deleting a node can change OTHER nodes'
+    * labels (the cluster's min member leaves, or the node was a cut
+    * vertex and the cluster SPLITS), so tombstones cannot express the
+    * retraction — the same argument that makes [[retractSpans]] a
+    * recompute rather than a filter. What bounds the recompute is the
+    * split-confinement theorem: removing nodes can only split clusters,
+    * never merge them, and every split stays INSIDE the old cluster —
+    * so clusters containing no retracted member keep their labels
+    * verbatim (their induced subgraphs and minima are untouched), and
+    * only the AFFECTED clusters (those holding a retracted doc —
+    * request-bounded, near-dup clusters are small by nature) re-solve
+    * CC over their surviving members' edges.
+    *
+    * Per retraction: the affected-cluster set broadcasts (one
+    * label-keyed semi probe); untouched labels never shuffle (broadcast
+    * anti join); the standing edge table scans ONCE, pruned map-side by
+    * the broadcast affected-member set, so only affected clusters'
+    * surviving edges enter the CC solve; survivors isolated by the
+    * retraction drop from the table (a rebuild over the survivor edges
+    * would not see them — matching it is the contract). Output =
+    * exactly [[connectedComponents]] over (pairs minus any edge
+    * touching a retracted doc), spec- and oracle-gated.
+    *
+    * PRECONDITIONS: `labels` must satisfy the min-label invariant
+    * (ASSERTED on the affected clusters, the [[incrementalComponents]]
+    * posture), and `pairs` must be the edge set `labels` was built
+    * from — the maintained table diverges from a rebuild under any
+    * other edge source. Retracting an unclustered or unknown doc_id is
+    * a no-op for every other row.
+    */
+  def retractComponents(labels: DataFrame, pairs: DataFrame, retractIds: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val vic = retractIds.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    val affected = labels.join(broadcast(vic), Seq("doc_id"), "left_semi")
+      .select("cluster").distinct().localCheckpoint()
+    // min-label invariant assert on exactly the clusters the retraction
+    // touches (see incrementalComponents — same divergence hazard)
+    val violation = labels
+      .join(broadcast(affected), Seq("cluster"), "left_semi")
+      .groupBy("cluster").agg(min("doc_id").as("mn"))
+      .filter(col("mn") =!= col("cluster"))
+      .limit(1).collect()
+    require(violation.isEmpty,
+      "retractComponents: standing labels violate the min-label invariant " +
+        s"(cluster ${violation.headOption.map(_.get(0)).getOrElse("?")} is labeled " +
+        s"above its minimum member ${violation.headOption.map(_.get(1)).getOrElse("?")}); " +
+        "feed a table produced by connectedComponents/incrementalComponents")
+    // untouched clusters keep their labels verbatim — map-side anti join
+    // (the USING join moves `cluster` first; restore the (doc_id,
+    // cluster) contract positionally, not just by name)
+    val kept = labels.join(broadcast(affected), Seq("cluster"), "left_anti")
+      .select("doc_id", "cluster")
+    // affected clusters' members (affected-cluster-bounded)
+    val members = labels.join(broadcast(affected), Seq("cluster"), "left_semi")
+      .select("doc_id").localCheckpoint()
+    // the affected subgraph's surviving edges: edges never span
+    // clusters, so one endpoint's membership prunes the scan map-side
+    val sub = pairs
+      .select(col(aCol).cast("long").as("doc_a"), col(bCol).cast("long").as("doc_b"))
+      .join(broadcast(members.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_semi")
+      .join(broadcast(vic.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
+      .join(broadcast(vic.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
+    kept.unionByName(connectedComponents(sub))
   }
 
   /** Distributed component labels by alternating large-star/small-star

@@ -228,6 +228,91 @@ object Graph {
       new org.apache.hadoop.fs.Path(s"$dir/oriented"))
   }
 
+  /** RETRACT nodes from the standing oriented-adjacency index — the
+    * deletion half of the lifecycle [[refreshOrientedIndex]] opened
+    * (right-to-be-forgotten over graph state: a user/part leaves, every
+    * edge it touches must stop serving). Like admission, retraction is
+    * NOT append-shaped on the oriented table: dropping a node
+    * decrements its surviving neighbors' degrees, and orientation ranks
+    * are GLOBAL (degree, id), so old edges nowhere near the retracted
+    * node's edges can FLIP. Tombstones cannot express that (a
+    * merge-on-read anti join fixes membership but not the orientation
+    * of surviving rows, and [[triangleStatsFrom]]'s max_outdeg is
+    * orientation-dependent), so retraction is a physical victim-bounded
+    * rewrite — the [[Dedup.retractSpans]] posture for derived state.
+    *
+    * The victim set is the retraction's TWO-HOP neighborhood: dropped
+    * edges (incident to a retracted node — Σ deg over the request),
+    * then surviving edges touching a dropped edge's surviving endpoint
+    * (exactly the rows whose flip comparison could have moved — Σ deg
+    * over the touched neighbors). Untouched oriented rows — pair-anti-
+    * joined against the broadcast dropped ∪ re-orient set, so both
+    * their endpoints' degrees are provably unchanged — keep orientation
+    * AND rank verbatim. Degrees recompute graph-bound from the
+    * survivor edge set and every table lands by checked tmp-dir swap
+    * ([[graft.io.DirSwap]]), so a reader sees the old index or the new
+    * one, never a mix; retracting the same nodes again is a no-op
+    * (idempotent by recomputation). Single-writer contract as the
+    * compactors document. Serving over the maintained index ≡ a full
+    * rebuild over the survivor graph — the gate's hash proves it.
+    */
+  def retractNodesFromOrientedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      nodes: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val vic = nodes.select("v").distinct().localCheckpoint()
+    val edges0 = spark.read.parquet(s"$dir/edges")
+    val oriented0 = spark.read.parquet(s"$dir/oriented")
+    // edges incident to a retracted node: dropped entirely
+    val dropped = edges0
+      .join(broadcast(vic.select(col("v").as("s"))), Seq("s"), "left_semi")
+      .unionByName(edges0
+        .join(broadcast(vic.select(col("v").as("d"))), Seq("d"), "left_semi"))
+      .distinct().localCheckpoint()
+    // surviving endpoints of dropped edges: their degree decremented,
+    // so every standing edge they touch must re-orient
+    val touched = dropped.select(col("s").as("v"))
+      .unionAll(dropped.select(col("d").as("v"))).distinct()
+      .join(broadcast(vic), Seq("v"), "left_anti").localCheckpoint()
+    // survivor edge set lands by swap (E-bounded map-side anti scan)
+    edges0
+      .join(broadcast(vic.select(col("v").as("s"))), Seq("s"), "left_anti")
+      .join(broadcast(vic.select(col("v").as("d"))), Seq("d"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/edges.next")
+    graft.io.DirSwap.swapInto(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/edges.next"),
+      new org.apache.hadoop.fs.Path(s"$dir/edges"))
+    val edgesNew = spark.read.parquet(s"$dir/edges")
+    degrees(edgesNew).write.mode("overwrite").parquet(s"$dir/degrees.next")
+    graft.io.DirSwap.swapInto(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/degrees.next"),
+      new org.apache.hadoop.fs.Path(s"$dir/degrees"))
+    val degNew = spark.read.parquet(s"$dir/degrees")
+    // survivor edges needing re-orientation: those touching a
+    // degree-changed endpoint (two-hop-bounded, never the graph)
+    val reorient = edgesNew
+      .join(broadcast(touched.select(col("v").as("s"))), Seq("s"), "left_semi")
+      .unionByName(edgesNew
+        .join(broadcast(touched.select(col("v").as("d"))), Seq("d"), "left_semi"))
+      .distinct().localCheckpoint()
+    val gone = dropped.unionByName(reorient)
+    val kept = oriented0
+      .select(least(col("u"), col("w")).as("s"), greatest(col("u"), col("w")).as("d"),
+        col("u"), col("w"), col("wr"))
+      .join(broadcast(gone), Seq("s", "d"), "left_anti")
+      .select("u", "w", "wr")
+    val ends = reorient.select(col("s").as("v"))
+      .unionAll(reorient.select(col("d").as("v"))).distinct()
+    val degSlice = degNew.join(broadcast(ends), Seq("v"), "left_semi")
+    kept.unionByName(orientWith(reorient, degSlice))
+      .write.mode("overwrite").parquet(s"$dir/oriented.next")
+    graft.io.DirSwap.swapInto(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/oriented.next"),
+      new org.apache.hadoop.fs.Path(s"$dir/oriented"))
+  }
+
   /** [[triangleStats]] over PRE-MATERIALIZED oriented edges and degrees —
     * the form a production run uses. The oriented edge list is consumed
     * four times (both wedge sides, the closing semi-join, the out-degree

@@ -874,6 +874,80 @@ object Similarity {
     c.write.mode("overwrite").parquet(s"$dir/vecs")
   }
 
+  /** Incremental admission into the binary band index — the
+    * [[refreshIvfIndex]] posture without a trained model to respect:
+    * signatures and band keys are PER-VECTOR (no cross-vector state, so
+    * admission needs no df-style delta merge), which makes the refresh
+    * exactly the batch's own normalize + sign + band-split, landed as
+    * REPLAY-IDEMPOTENT batch files ([[graft.io.BatchFiles]], keyed by
+    * `batchId` — a retried admission replaces its own files, and a
+    * reader racing it sees whole batch files, never a partial append).
+    * `sigs/` and `vecs/` land under the same batchId so the rerank
+    * fetch stays row-consistent with the candidate generator. Same
+    * new-ids-only admission contract as every standing index; a
+    * refreshed index serves exactly a full rebuild over
+    * (corpus ∪ batch).
+    */
+  def refreshBinaryIndex(
+      newVecs: DataFrame,
+      indexDir: String,
+      batchId: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val c = withNormalized(newVecs.select(col(idCol), col(vecCol)), vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
+    graft.io.BatchFiles.land(
+      c.select(col("neighbor_id"), signSignature(col("cv")).as("sg"))
+        .select(col("neighbor_id") +: col("sg") +:
+          (0 until 4).map(i => sigBand(col("sg"), i).as(s"b$i")): _*),
+      s"$indexDir/sigs", batchId)
+    graft.io.BatchFiles.land(c, s"$indexDir/vecs", batchId)
+  }
+
+  /** RETRACT vectors from the binary band index — the
+    * [[retractFromIvfIndex]] contract applied to the 1-bit family: the
+    * retracted ids land as a TOMBSTONE table (`deleted/`, |batch| rows,
+    * nothing rescanned, duplicate retracts absorbed by the distinct
+    * view), and [[binaryTopKIndexed]] applies them merge-on-read — the
+    * broadcast anti join runs on the band-collision candidate slice,
+    * never the full signature table, so serving cost still rides the
+    * collisions. Probes under tombstones are EXACTLY a rebuild over the
+    * survivors (oracle-gated); [[compactBinaryIndex]] applies the
+    * tombstones physically.
+    */
+  def retractFromBinaryIndex(
+      vecIds: DataFrame, indexDir: String, idCol: String = "vec_id"): Unit =
+    vecIds.select(col(idCol).as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$indexDir/deleted")
+
+  /** Squash the binary index back to the canonical compacted layout:
+    * `sigs/` and `vecs/` drop tombstoned rows (also collapsing any
+    * [[refreshBinaryIndex]] batch files into one file set), and the new
+    * layout replaces the old through ONE root-dir swap with the
+    * racing-retraction guard ([[Retrieval.guardedSwapInto]] — a
+    * retraction landing during the compaction rolls the swap back
+    * loudly). Same writer/compactor exclusion contract as
+    * [[compactIvfIndex]].
+    */
+  def compactBinaryIndex(spark: SparkSession, indexDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val tmp = indexDir.stripSuffix("/") + ".compact"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val tombSnap = Retrieval.tombstoneVersion(spark, indexDir)
+    val tombs = ivfTombstonesOpt(spark, indexDir)
+    val sigs = spark.read.parquet(s"$indexDir/sigs")
+    tombs.fold(sigs)(t => sigs.join(
+        broadcast(t), sigs("neighbor_id") === t("vec_id"), "left_anti"))
+      .write.parquet(s"$tmp/sigs")
+    val vecs = spark.read.parquet(s"$indexDir/vecs")
+    tombs.fold(vecs)(t => vecs.join(
+        broadcast(t), vecs("neighbor_id") === t("vec_id"), "left_anti"))
+      .write.parquet(s"$tmp/vecs")
+    Retrieval.guardTombstonesUnchanged(spark, indexDir, tombSnap)
+    Retrieval.guardedSwapInto(spark, tmp, indexDir, tombSnap)
+  }
+
   /** Radius-bounded binary ANN served from the MATERIALIZED band index
     * — the indexed twin the unpruned [[binaryTopK]] scan lacked:
     * candidates come from 4 band equi-joins (pigeonhole: ≤ `radius` ≤ 3
@@ -919,8 +993,14 @@ object Similarity {
         bit_count(col("sg").bitwiseXOR(col("qs"))).as("ham"))
       .filter(col("ham") <= radius)
       .distinct()
+    // merge-on-read tombstones ([[retractFromBinaryIndex]]): retracted
+    // members drop from the band-collision candidate slice via a
+    // broadcast anti join — deletion-request-sized, never corpus-sized
+    val live = ivfTombstonesOpt(spark, indexDir)
+      .fold(cand)(t => cand.join(
+        broadcast(t), cand("neighbor_id") === t("vec_id"), "left_anti"))
     val wHam = Window.partitionBy("query_id").orderBy(col("ham").asc, col("neighbor_id").asc)
-    val slice = cand
+    val slice = live
       .withColumn("rk", row_number().over(wHam))
       .filter(col("rk") <= rerank)
       .select("query_id", "neighbor_id")

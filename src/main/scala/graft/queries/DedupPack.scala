@@ -19,7 +19,17 @@ object DedupPack extends QueryPack {
     * side's physical source (inline recompute vs materialized parquet)
     * differs.
     */
-  private lazy val incrementalNearDupOracle: String = {
+  private lazy val incrementalNearDupOracle: String =
+    incrementalNearDupOracleWhere("")
+
+  /** [[incrementalNearDupOracle]] with an extra predicate on the CORPUS
+    * side of the candidate join — the survivor-rebuild oracle of
+    * dedup_minhash_lifecycle (e.g. `" AND c.doc_id % 7 != 0"` removes
+    * the retracted corpus docs from the match pool before
+    * classification, exactly what the tombstoned/compacted index
+    * serves).
+    */
+  private def incrementalNearDupOracleWhere(corpusPred: String): String = {
     val H60 = "CAST(('0x'||substring(md5(g),1,15)) AS BIGINT)"
     val sigEntries = Hashing.MinHashParams.map { case (a, b) =>
       s"list_min(list_transform(sh, t -> ($a * $H + $b) % ${Hashing.MinHashPrime}))"
@@ -50,7 +60,7 @@ object DedupPack extends QueryPack {
        |cand AS (
        |  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
        |  FROM b i JOIN b c ON i.band = c.band AND i.key = c.key
-       |  WHERE i.is_new AND NOT c.is_new),
+       |  WHERE i.is_new AND NOT c.is_new$corpusPred),
        |v AS (
        |  SELECT cand.doc_id, cand.corpus_id,
        |    len(list_intersect(hi.hsh, hc.hsh))::DOUBLE /
@@ -263,6 +273,38 @@ object DedupPack extends QueryPack {
           .orderBy("doc_id")
       },
       Some(incrementalNearDupOracle)),
+
+    // The COMPLETE near-dup index lifecycle in one gate — the LSH
+    // artifacts were the last standing index family without
+    // refresh/retract/compact verbs. Build over half the corpus, admit
+    // the other half as a replay-idempotent batch
+    // (Dedup.refreshNearDupIndex — band and shingle rows are per-doc,
+    // no cross-doc state to merge), retract the %7 corpus members
+    // (tombstones at the candidate filter: a deleted doc stops being
+    // anyone's match the moment the tombstone lands), compact
+    // physically (guarded root swap), then classify the %5 batch.
+    // Oracle = the incremental replay over the SURVIVOR corpus — one
+    // hash gating refresh ≡ rebuild, retract ≡ survivor pool, and
+    // compaction read-invisibility together.
+    "dedup_minhash_lifecycle" -> QueryDef(
+      "Batch vs LSH index after build half + refresh half + retract + compact: == survivor rebuild",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = pmod(col("doc_id"), lit(5L)) === 4
+        val corpus = docs.filter(!isNew)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "neardup-lifecycle", s"$dir/documents.parquet") { t =>
+          Dedup.writeNearDupIndex(corpus.filter(pmod(col("doc_id"), lit(2L)) === 0), t)
+          Dedup.refreshNearDupIndex(
+            corpus.filter(pmod(col("doc_id"), lit(2L)) === 1), t, batchId = 1L)
+          Dedup.retractFromNearDupIndex(
+            corpus.filter(pmod(col("doc_id"), lit(7L)) === 0).select("doc_id"), t)
+          Dedup.compactNearDupIndex(s, t)
+        }
+        Dedup.incrementalNearDupIndexed(s, idx, docs.filter(isNew), threshold = 0.3)
+          .orderBy("doc_id")
+      },
+      Some(incrementalNearDupOracleWhere(" AND c.doc_id % 7 != 0"))),
 
     "dedup_ngram_jaccard" -> QueryDef(
       "3-gram shingle Jaccard >= 0.3 via inverted-index similarity join (exact)",
@@ -923,6 +965,40 @@ object DedupPack extends QueryPack {
           |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
           |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    // DECREMENTAL cluster maintenance — the right-to-be-forgotten path
+    // for the LAST piece of derived dedup state without one. Cluster
+    // labels can't be tombstoned (deleting a doc changes OTHER docs'
+    // labels: the min member leaves, or a cut vertex splits the
+    // cluster), but splits are CONFINED to the clusters holding a
+    // retracted doc — so Dedup.retractComponents keeps every untouched
+    // cluster's labels verbatim (broadcast anti join, standing rows
+    // never shuffle) and re-solves CC only over the affected clusters'
+    // surviving edges (request-bounded; the standing pair table scans
+    // once, pruned map-side by the broadcast member set). Survivors
+    // isolated by the retraction drop — exactly rebuild semantics. The
+    // oracle is the recursive closure over the SURVIVOR pair set (every
+    // edge touching a doc ≡ 0 mod 3 dropped) — the driver hash gate IS
+    // the retract ≡ rebuild proof.
+    "dedup_cc_retract" -> QueryDef(
+      "CC labels maintained under doc retraction (affected clusters re-solve) == survivor rebuild",
+      (s, dir) => {
+        val pairs = s.read.parquet(s"${jaccardPairsDir(s, dir)}/pairs")
+          .select("doc_a", "doc_b")
+        val labels = s.read.parquet(s"${ccLabelsDir(s, dir)}/labels")
+        val vic = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(3L)) === 0).select("doc_id")
+        Dedup.retractComponents(labels, pairs, vic)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("cluster")
+      },
+      Some(ccLabelsCteWhere(" AND doc_a % 3 != 0 AND doc_b % 3 != 0") +
+        """
+          |SELECT cluster, COUNT(*) AS n_docs,
+          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
     // The dedup DELIVERABLE: survivor counts after keeping one canonical
     // doc (the min id) per near-dup cluster.
     "dedup_survivors" -> QueryDef(
@@ -1106,9 +1182,16 @@ object DedupPack extends QueryPack {
     }
   }
 
-  private val CcLabelsCte: String =
-    """WITH RECURSIVE raw AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+  private val CcLabelsCte: String = ccLabelsCteWhere("")
+
+  /** [[CcLabelsCte]] with an extra predicate on the pair set — the
+    * survivor-rebuild oracle of dedup_cc_retract (e.g.
+    * `" AND doc_a % 3 != 0 AND doc_b % 3 != 0"` drops every edge
+    * touching a retracted doc before the closure runs).
+    */
+  private def ccLabelsCteWhere(edgePred: String): String =
+    s"""WITH RECURSIVE raw AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
       |  FROM documents),
       |d AS (
       |  SELECT doc_id,
@@ -1121,7 +1204,7 @@ object DedupPack extends QueryPack {
       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
       |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
-      |pairs AS (SELECT doc_a, doc_b FROM p WHERE jac >= 0.3),
+      |pairs AS (SELECT doc_a, doc_b FROM p WHERE jac >= 0.3$edgePred),
       |edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION

@@ -259,6 +259,64 @@ object GraphPack extends QueryPack {
              |       ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering
              |FROM degagg, od, tri, ne""".stripMargin)),
 
+    // Retraction from the standing ORIENTED adjacency — the deletion
+    // half of graph_triangles_refresh's admission, and the same
+    // non-triviality: dropping a node decrements its surviving
+    // neighbors' degrees, and ranks are GLOBAL (degree, id), so old
+    // edges far from the retracted node's can FLIP orientation (and
+    // max_outdeg is orientation-dependent — tombstones can't express
+    // this). Graph.retractNodesFromOrientedIndex drops the incident
+    // edges, keeps untouched oriented rows verbatim, and re-orients
+    // ONLY the two-hop victim set against the survivor degrees. The
+    // oracle replays a FULL REBUILD over the survivor graph (every
+    // node ≡ 0 mod 17 retracted) — the driver hash gate IS the
+    // retract ≡ rebuild proof, wedge counts, orientation bound and
+    // triangle count all riding the maintained table.
+    "graph_triangles_retract" -> QueryDef(
+      "Triangle stats after node retraction from the maintained oriented adjacency: retract == rebuild",
+      (s, dir) => {
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "graph-tri-retract", s"$dir/lineitem.parquet") { tmp =>
+          val e0 = coPurchaseEdges(s, dir)
+          e0.write.mode("overwrite").parquet(s"$tmp/edges")
+          val landed = s.read.parquet(s"$tmp/edges")
+          Graph.degrees(landed).write.mode("overwrite").parquet(s"$tmp/degrees")
+          Graph.orient(landed).write.mode("overwrite").parquet(s"$tmp/oriented")
+          Graph.retractNodesFromOrientedIndex(s, tmp,
+            s.read.parquet(s"$tmp/degrees")
+              .filter(pmod(col("v"), lit(17L)) === 0).select("v"))
+        }
+        Graph.triangleStatsFrom(
+          s.read.parquet(s"$idx/oriented"), s.read.parquet(s"$idx/degrees"))
+      },
+      Some(s"""$edgeCte,
+             |e2 AS (SELECT s, d FROM e WHERE s % 17 != 0 AND d % 17 != 0),
+             |deg2 AS (
+             |  SELECT v, COUNT(*) AS dg
+             |  FROM (SELECT s AS v FROM e2 UNION ALL SELECT d AS v FROM e2)
+             |  GROUP BY v),
+             |rk AS (SELECT v, dg * 1000000000000 + v AS r FROM deg2),
+             |o AS (
+             |  SELECT CASE WHEN rs.r < rd.r THEN e2.s ELSE e2.d END AS u,
+             |         CASE WHEN rs.r < rd.r THEN e2.d ELSE e2.s END AS w,
+             |         CASE WHEN rs.r < rd.r THEN rd.r ELSE rs.r END AS wr
+             |  FROM e2 JOIN rk rs ON e2.s = rs.v JOIN rk rd ON e2.d = rd.v),
+             |wedge AS (
+             |  SELECT a.w AS x, b.w AS y FROM o a JOIN o b ON a.u = b.u AND a.wr < b.wr),
+             |tri AS (
+             |  SELECT COUNT(*) AS n_triangles
+             |  FROM wedge JOIN o ON wedge.x = o.u AND wedge.y = o.w),
+             |degagg AS (
+             |  SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges,
+             |         MAX(dg) AS max_degree, COUNT(*) AS n_nodes FROM deg2),
+             |od AS (
+             |  SELECT MAX(c) AS max_outdeg
+             |  FROM (SELECT u, COUNT(*) AS c FROM o GROUP BY u)),
+             |ne AS (SELECT COUNT(*) AS n_edges FROM e2)
+             |SELECT n_nodes, n_edges, max_degree, max_outdeg, n_wedges, n_triangles,
+             |       ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering
+             |FROM degagg, od, tri, ne""".stripMargin)),
+
     // BFS reachability layers from the minimum-id node — the traversal
     // primitive the join-shaped family lacked. Three UNROLLED frontier
     // expansions (the Pregel-in-SQL shape: each round is ONE join of the

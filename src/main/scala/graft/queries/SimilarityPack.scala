@@ -48,6 +48,63 @@ object SimilarityPack extends QueryPack {
        |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The binary family's probe fixture: the first 8 corpus vectors with
+    * dimension 1's sign flipped (hamming 1 from their source — inside
+    * every radius bound) and ids moved to +1,000,000 so probes are
+    * external queries, never self-matches.
+    */
+  private def perturbedProbes(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("vec_id") < 8).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(-element_at(col("embedding"), 1)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+
+  /** The radius-bounded binary scan replay shared by the whole indexed
+    * 1-bit family (plain / retract / compacted): sign signatures with
+    * the bit-63 two-engine parity trick, hamming ≤ 3 candidates,
+    * (ham asc, id asc) rank, exact-cosine re-rank. `survivorPred`
+    * restricts the corpus side to the surviving members (e.g.
+    * `" WHERE vec_id % 5 != 0"`) — the retraction oracles' only
+    * difference; probes always derive from the FULL corpus.
+    */
+  private def binaryIndexedOracle(survivorPred: String): String =
+    s"""WITH ${normCte("")},
+       |sig AS (
+       |  SELECT vec_id, nv,
+       |    CAST(list_sum(list_transform(range(0, 63),
+       |      i -> CASE WHEN nv[i + 1] > 0 THEN (1::BIGINT << CAST(i AS INTEGER))
+       |           ELSE 0::BIGINT END)) AS BIGINT)
+       |    + CASE WHEN nv[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END AS sg
+       |  FROM e$survivorPred),
+       |q AS (
+       |  SELECT vec_id + 1000000 AS query_id,
+       |    list_concat([-nv[1]], nv[2:]) AS qv
+       |  FROM e WHERE vec_id < 8),
+       |qs AS (
+       |  SELECT query_id, qv,
+       |    CAST(list_sum(list_transform(range(0, 63),
+       |      i -> CASE WHEN qv[i + 1] > 0 THEN (1::BIGINT << CAST(i AS INTEGER))
+       |           ELSE 0::BIGINT END)) AS BIGINT)
+       |    + CASE WHEN qv[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END AS qsg
+       |  FROM q),
+       |h AS (
+       |  SELECT qs.query_id, s.vec_id AS neighbor_id, qs.qv, s.nv,
+       |    bit_count(xor(qs.qsg, s.sg)) AS ham
+       |  FROM qs JOIN sig s ON bit_count(xor(qs.qsg, s.sg)) <= 3),
+       |r AS (
+       |  SELECT query_id, neighbor_id, qv, nv,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY ham ASC, neighbor_id ASC) AS rk
+       |  FROM h),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, list_dot_product(qv, nv) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY list_dot_product(qv, nv) DESC,
+       |                                neighbor_id ASC) AS rank
+       |  FROM r WHERE rk <= 50)
+       |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Unit-normalization CTE shared by the oracles: identical arithmetic to
     * Similarity.withNormalized (norm once per row, x/nrm per element, then
     * a single left-to-right double dot per pair) so doubles — and ranks —
@@ -388,49 +445,61 @@ object SimilarityPack extends QueryPack {
         val e = Tables.embeddings(s, dir)
         val idx = graft.io.IndexCatalog.resolve(s, "binary", s"$dir/embeddings.parquet")(
           t => Similarity.writeBinaryIndex(Tables.embeddings(s, dir), t))
-        val probes = e.filter(col("vec_id") < 8).select(
-          (col("vec_id") + 1000000L).as("vec_id"),
-          concat(array(-element_at(col("embedding"), 1)),
-            slice(col("embedding"), 2, 63)).as("embedding"))
-        Similarity.binaryTopKIndexed(s, idx, probes, k = 5)
+        Similarity.binaryTopKIndexed(s, idx, perturbedProbes(e), k = 5)
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH ${normCte("")},
-              |sig AS (
-              |  SELECT vec_id, nv,
-              |    CAST(list_sum(list_transform(range(0, 63),
-              |      i -> CASE WHEN nv[i + 1] > 0 THEN (1::BIGINT << CAST(i AS INTEGER))
-              |           ELSE 0::BIGINT END)) AS BIGINT)
-              |    + CASE WHEN nv[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END AS sg
-              |  FROM e),
-              |q AS (
-              |  SELECT vec_id + 1000000 AS query_id,
-              |    list_concat([-nv[1]], nv[2:]) AS qv
-              |  FROM e WHERE vec_id < 8),
-              |qs AS (
-              |  SELECT query_id, qv,
-              |    CAST(list_sum(list_transform(range(0, 63),
-              |      i -> CASE WHEN qv[i + 1] > 0 THEN (1::BIGINT << CAST(i AS INTEGER))
-              |           ELSE 0::BIGINT END)) AS BIGINT)
-              |    + CASE WHEN qv[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END AS qsg
-              |  FROM q),
-              |h AS (
-              |  SELECT qs.query_id, s.vec_id AS neighbor_id, qs.qv, s.nv,
-              |    bit_count(xor(qs.qsg, s.sg)) AS ham
-              |  FROM qs JOIN sig s ON bit_count(xor(qs.qsg, s.sg)) <= 3),
-              |r AS (
-              |  SELECT query_id, neighbor_id, qv, nv,
-              |    ROW_NUMBER() OVER (PARTITION BY query_id
-              |                       ORDER BY ham ASC, neighbor_id ASC) AS rk
-              |  FROM h),
-              |rr AS (
-              |  SELECT query_id, neighbor_id, list_dot_product(qv, nv) AS cos,
-              |    ROW_NUMBER() OVER (PARTITION BY query_id
-              |                       ORDER BY list_dot_product(qv, nv) DESC,
-              |                                neighbor_id ASC) AS rank
-              |  FROM r WHERE rk <= 50)
-              |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
-              |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(binaryIndexedOracle(""))),
+
+    // Serving the 1-bit index UNDER TOMBSTONES — the retraction verb
+    // the other ANN families (IVF) already carry, applied to the band
+    // index: retracted vectors land as a |batch|-row tombstone table
+    // and drop from the band-collision candidate slice merge-on-read
+    // (broadcast anti join, deletion-request-sized). Non-vacuous by
+    // construction: the %5 retraction removes two of the eight probes'
+    // PLANTED sources, so those probes visibly lose their nearest
+    // neighbor. Oracle = the radius-bounded scan replay over the
+    // SURVIVORS — the hash gate is the retraction ≡ survivor-rebuild
+    // proof.
+    "sim_topk_binary_retract" -> QueryDef(
+      "Binary ANN under tombstones: retracted vectors drop from band candidates (== survivor rebuild)",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "binary-retract", s"$dir/embeddings.parquet") { t =>
+          Similarity.writeBinaryIndex(e, t)
+          Similarity.retractFromBinaryIndex(
+            e.filter(pmod(col("vec_id"), lit(5L)) === 0).select("vec_id"), t)
+        }
+        Similarity.binaryTopKIndexed(s, idx, perturbedProbes(e), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(binaryIndexedOracle(" WHERE vec_id % 5 != 0"))),
+
+    // The COMPLETE binary-index lifecycle in one gate — build over half
+    // the corpus, admit the other half as a replay-idempotent batch
+    // (Similarity.refreshBinaryIndex — signatures are per-vector, so
+    // admission has no cross-vector state to merge), retract the %5
+    // members, compact physically (guarded root swap), then serve.
+    // Post-compaction results must equal the survivor scan replay —
+    // one hash gating refresh ≡ rebuild, retract ≡ survivor set, and
+    // compaction read-invisibility together.
+    "sim_topk_binary_compacted" -> QueryDef(
+      "Binary ANN after build half + refresh half + retract + compact: == survivor rebuild",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "binary-compact", s"$dir/embeddings.parquet") { t =>
+          Similarity.writeBinaryIndex(e.filter(pmod(col("vec_id"), lit(2L)) === 0), t)
+          Similarity.refreshBinaryIndex(
+            e.filter(pmod(col("vec_id"), lit(2L)) === 1), t, batchId = 1L)
+          Similarity.retractFromBinaryIndex(
+            e.filter(pmod(col("vec_id"), lit(5L)) === 0).select("vec_id"), t)
+          Similarity.compactBinaryIndex(s, t)
+        }
+        Similarity.binaryTopKIndexed(s, idx, perturbedProbes(e), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(binaryIndexedOracle(" WHERE vec_id % 5 != 0"))),
 
     // RANGE search from the same standing index: every probed-cell
     // member with exact cosine >= the radius — the data-dependent-count

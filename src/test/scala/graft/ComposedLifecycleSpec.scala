@@ -88,6 +88,121 @@ class ComposedLifecycleSpec extends AnyFunSuite {
     assert(canon(mid, "pos") == canon(survivors, "pos"))
   }
 
+  test("oriented graph index: retract∘refresh == refresh∘retract on disjoint sets == rebuild") {
+    import spark.implicits._
+    import graft.ext.Graph
+    // standing graph; the admitted batch and the retracted nodes are
+    // DISJOINT (no batch edge touches node 4) — the commute precondition
+    val standing = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("s", "d")
+    val batch = Seq((2L, 5L), (2L, 6L), (5L, 6L)).toDF("s", "d")
+    val dead = Seq(4L).toDF("v")
+    def build(dir: String): Unit = {
+      standing.write.mode("overwrite").parquet(s"$dir/edges")
+      val e0 = spark.read.parquet(s"$dir/edges")
+      Graph.degrees(e0).write.mode("overwrite").parquet(s"$dir/degrees")
+      Graph.orient(e0).write.mode("overwrite").parquet(s"$dir/oriented")
+    }
+    def oriented(dir: String) = canon(dir, "oriented")
+
+    val a = java.nio.file.Files.createTempDirectory("graph-compose-a").toString
+    build(a)
+    Graph.retractNodesFromOrientedIndex(spark, a, dead)
+    Graph.refreshOrientedIndex(spark, a, batch, batchId = 1L)
+
+    val b = java.nio.file.Files.createTempDirectory("graph-compose-b").toString
+    build(b)
+    Graph.refreshOrientedIndex(spark, b, batch, batchId = 1L)
+    Graph.retractNodesFromOrientedIndex(spark, b, dead)
+
+    val survivors = Seq((1L, 2L), (1L, 3L), (2L, 5L), (2L, 6L), (5L, 6L)).toDF("s", "d")
+    val want = Graph.orient(survivors).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(oriented(a) == want, "retract-then-refresh diverged from the rebuild")
+    assert(oriented(b) == want, "refresh-then-retract diverged from the rebuild")
+    assert(canon(a, "degrees") == canon(b, "degrees"))
+    // and the serving surface agrees either way
+    assert(Graph.triangleStatsFrom(
+        spark.read.parquet(s"$a/oriented"), spark.read.parquet(s"$a/degrees"))
+        .collect().map(_.toSeq).toSeq ==
+      Graph.triangleStatsFrom(Graph.orient(survivors), Graph.degrees(survivors))
+        .collect().map(_.toSeq).toSeq)
+  }
+
+  test("binary ANN index: retract∘refresh == refresh∘retract on disjoint sets, compacted or not") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+    val isDelta = pmod(col("vec_id"), lit(10L)) === 7
+    val isDead = pmod(col("vec_id"), lit(10L)) === 3 // base members; disjoint from delta
+    val probes = e.filter(col("vec_id") < 8).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(-element_at(col("embedding"), 1)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    def serve(dir: String) =
+      Similarity.binaryTopKIndexed(spark, dir, probes, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+    val a = java.nio.file.Files.createTempDirectory("bin-compose-a").toString
+    Similarity.writeBinaryIndex(e.filter(!isDelta), a)
+    Similarity.retractFromBinaryIndex(e.filter(isDead).select("vec_id"), a)
+    Similarity.refreshBinaryIndex(e.filter(isDelta), a, batchId = 0L)
+
+    val b = java.nio.file.Files.createTempDirectory("bin-compose-b").toString
+    Similarity.writeBinaryIndex(e.filter(!isDelta), b)
+    Similarity.refreshBinaryIndex(e.filter(isDelta), b, batchId = 0L)
+    Similarity.retractFromBinaryIndex(e.filter(isDead).select("vec_id"), b)
+
+    val survivors = java.nio.file.Files.createTempDirectory("bin-compose-ref").toString
+    Similarity.writeBinaryIndex(e.filter(!isDead), survivors)
+    val want = serve(survivors)
+    assert(want.nonEmpty)
+    assert(serve(a) == want, "retract-then-refresh diverged from the rebuild")
+    assert(serve(b) == want, "refresh-then-retract diverged from the rebuild")
+    // compaction changes layout, never serving — and both orders land
+    // on the identical physical row set
+    Similarity.compactBinaryIndex(spark, a)
+    Similarity.compactBinaryIndex(spark, b)
+    assert(serve(a) == want && serve(b) == want)
+    assert(canon(a, "sigs") == canon(b, "sigs"))
+    assert(canon(a, "sigs") == canon(survivors, "sigs"))
+  }
+
+  test("near-dup LSH index: compact between retract and refresh serves the same as compact at the end") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf)
+    val isNew = pmod(col("doc_id"), lit(5L)) === 4
+    val corpus = docs.filter(!isNew)
+    val isDelta = pmod(col("doc_id"), lit(10L)) === 7
+    val isDead = pmod(col("doc_id"), lit(10L)) === 3
+    def verdicts(dir: String) =
+      Dedup.incrementalNearDupIndexed(spark, dir, docs.filter(isNew), threshold = 0.3)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    // retract → COMPACT (tombstones applied physically) → refresh
+    val mid = java.nio.file.Files.createTempDirectory("neardup-compose-mid").toString
+    Dedup.writeNearDupIndex(corpus.filter(!isDelta), mid)
+    Dedup.retractFromNearDupIndex(corpus.filter(isDead).select("doc_id"), mid)
+    Dedup.compactNearDupIndex(spark, mid)
+    assert(!new java.io.File(s"$mid/deleted").exists())
+    Dedup.refreshNearDupIndex(corpus.filter(isDelta), mid, batchId = 1L)
+
+    // retract and refresh first, compact at the end
+    val end = java.nio.file.Files.createTempDirectory("neardup-compose-end").toString
+    Dedup.writeNearDupIndex(corpus.filter(!isDelta), end)
+    Dedup.refreshNearDupIndex(corpus.filter(isDelta), end, batchId = 1L)
+    Dedup.retractFromNearDupIndex(corpus.filter(isDead).select("doc_id"), end)
+    Dedup.compactNearDupIndex(spark, end)
+
+    val survivors = java.nio.file.Files.createTempDirectory("neardup-compose-ref").toString
+    Dedup.writeNearDupIndex(corpus.filter(!isDead), survivors)
+    val want = verdicts(survivors)
+    assert(verdicts(mid) == want && verdicts(end) == want)
+    Dedup.compactNearDupIndex(spark, mid)
+    Seq("bands", "shingles").foreach { t =>
+      assert(canon(mid, t) == canon(end, t), s"table '$t' diverged between the two orders")
+      assert(canon(mid, t) == canon(survivors, t))
+    }
+  }
+
   test("span-mask index: compaction commutes with subsequent ingest (compact-then-ingest == ingest-then-compact)") {
     val docs = Tables.documents(spark, sf)
     def batch(i: Long) = docs.filter(pmod(col("doc_id"), lit(3)) === i)

@@ -48,7 +48,12 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_topk_binary",      // hamming candidate cut + rerank tie-breaks
     "graph_kcore",          // iterative peel with a count-based fixpoint probe
     "dedup_span_incremental", // standing-index build on first run, admission window
-    "dedup_span_stream")    // delta-log build on first run, serve-time view after
+    "dedup_span_stream",    // delta-log build on first run, serve-time view after
+    "dedup_cc_retract",     // affected-cluster CC re-solve over standing artifacts
+    "dedup_minhash_lifecycle", // banding + best-match window over a compacted index
+    "graph_triangles_retract", // index build + victim re-orientation on first run
+    "sim_topk_binary_retract", // band candidates + rerank ties under tombstones
+    "sim_topk_binary_compacted") // full build/refresh/retract/compact on first run
 
   test("hash/sample/rank-driven queries return identical rows on a double run") {
     val diffs = audited.flatMap { name =>

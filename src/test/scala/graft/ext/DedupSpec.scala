@@ -363,6 +363,102 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("decremental components: cut-vertex split, min leaving, untouched clusters verbatim, isolation drops") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 1-2-3-4-5 plus a separate cluster {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+    // retracting the cut vertex 3 SPLITS the path; {10,11} is untouched
+    assert(asMap(Dedup.retractComponents(labels, pairs, Seq(3L).toDF("doc_id"))) ==
+      Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L, 10L -> 10L, 11L -> 10L))
+    // retracting the cluster MIN relabels the survivors upward
+    assert(asMap(Dedup.retractComponents(labels, pairs, Seq(1L).toDF("doc_id"))) ==
+      Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 10L -> 10L, 11L -> 10L))
+    // an unknown/unclustered id is a no-op for every row
+    assert(asMap(Dedup.retractComponents(labels, pairs, Seq(99L).toDF("doc_id"))) ==
+      asMap(labels))
+    // survivors isolated by the retraction DROP (rebuild semantics):
+    // removing 2 from 1-2-3 leaves no edges, so no labeled rows
+    val tri = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    assert(Dedup.retractComponents(
+      Dedup.connectedComponents(tri), tri, Seq(2L).toDF("doc_id")).isEmpty)
+  }
+
+  test("decremental components: non-min-labeled table rejected; randomized retract == survivor rebuild") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val bogus = Seq((1L, 3L), (2L, 3L), (3L, 3L)).toDF("doc_id", "cluster")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.retractComponents(bogus, pairs, Seq(3L).toDF("doc_id")).collect()
+    }
+    assert(e.getMessage.contains("min-label invariant"))
+    // randomized: retracting any node subset equals a rebuild over the
+    // survivor edge set (the split-confinement theorem, exercised)
+    val rnd = new scala.util.Random(14)
+    val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val standing = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+    (1 to 3).foreach { k =>
+      val vic = (0 until 30).map(_.toLong).filter(v => (v + k) % 4 == 0)
+      val survivors = edges.filter { case (a, b) => !vic.contains(a) && !vic.contains(b) }
+      val got = asMap(Dedup.retractComponents(
+        standing, edges.toDF("doc_a", "doc_b"), vic.toDF("doc_id")))
+      val reb =
+        if (survivors.isEmpty) Map.empty[Long, Long]
+        else asMap(Dedup.connectedComponents(survivors.toDF("doc_a", "doc_b")))
+      assert(got == reb, s"retract set $k diverged from survivor rebuild")
+    }
+  }
+
+  test("near-dup index lifecycle: refresh == rebuild, retraction flips the match, compaction read-invisible") {
+    // docs 1 and 2 carry IDENTICAL text (identical signatures — band
+    // collision guaranteed), so incoming 100 ties at jaccard 1.0 and
+    // the min-id tie-break picks 1; retracting 1 MUST flip the match
+    // to 2 — a guaranteed-non-vacuous retraction
+    val t = "a b c d e f g h i j"
+    val corpus = Seq(
+      (1L, t), (2L, t),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((100L, t)).toDF("doc_id", "text")
+    def verdicts(dir: String) =
+      Dedup.incrementalNearDupIndexed(spark, dir, incoming, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    // lifecycle index: build {2}, admit {1,3} as a batch
+    val idx = java.nio.file.Files.createTempDirectory("neardup-life").toString
+    Dedup.writeNearDupIndex(corpus.filter(col("doc_id") === 2), idx)
+    Dedup.refreshNearDupIndex(corpus.filter(col("doc_id") =!= 2), idx, batchId = 1L)
+    // rebuild tower over the whole corpus
+    val full = java.nio.file.Files.createTempDirectory("neardup-full").toString
+    Dedup.writeNearDupIndex(corpus, full)
+    val refreshed = verdicts(idx)
+    assert(refreshed == verdicts(full))
+    assert(refreshed == Seq((100L, "near_dup", Some(1L))))
+    // a REPLAYED admission replaces its own files exactly
+    Dedup.refreshNearDupIndex(corpus.filter(col("doc_id") =!= 2), idx, batchId = 1L)
+    assert(verdicts(idx) == refreshed)
+    // retraction flips the match to the surviving twin
+    Dedup.retractFromNearDupIndex(Seq(1L).toDF("doc_id"), idx)
+    assert(verdicts(idx) == Seq((100L, "near_dup", Some(2L))))
+    // duplicate retracts are absorbed
+    Dedup.retractFromNearDupIndex(Seq(1L).toDF("doc_id"), idx)
+    assert(verdicts(idx) == Seq((100L, "near_dup", Some(2L))))
+    // physical compaction: serving unchanged, rows actually dropped
+    Dedup.compactNearDupIndex(spark, idx)
+    assert(verdicts(idx) == Seq((100L, "near_dup", Some(2L))))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deleted")))
+    assert(spark.read.parquet(s"$idx/bands")
+      .filter(col("corpus_id") === 1).isEmpty)
+    assert(spark.read.parquet(s"$idx/shingles")
+      .filter(col("corpus_id") === 1).isEmpty)
+  }
+
   test("materialized near-dup index serves identical verdicts to the inline form") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val docs = Tables.documents(spark, sf)

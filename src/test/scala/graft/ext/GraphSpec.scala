@@ -187,6 +187,51 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("oriented-index retraction: a standing edge FLIPS back; untouched rows verbatim; retract == rebuild") {
+    // standing: deg(2)=4 beats deg(1)=2, so edge {1,2} orients u=1.
+    // Retracting the leaves {4,5,6} drops deg(2) to 1 — the SURVIVING
+    // edge {1,2} must FLIP to u=2, while {1,3} (neither endpoint's
+    // degree moved) must keep its row verbatim.
+    val standing = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (2L, 6L)).toDF("s", "d")
+    val dir = java.nio.file.Files.createTempDirectory("graph-orient-retract").toString
+    standing.write.mode("overwrite").parquet(s"$dir/edges")
+    val e0 = spark.read.parquet(s"$dir/edges")
+    Graph.degrees(e0).write.mode("overwrite").parquet(s"$dir/degrees")
+    Graph.orient(e0).write.mode("overwrite").parquet(s"$dir/oriented")
+    val before = orientedRows(spark.read.parquet(s"$dir/oriented"))
+
+    Graph.retractNodesFromOrientedIndex(spark, dir, Seq(4L, 5L, 6L).toDF("v"))
+    val maintained = orientedRows(spark.read.parquet(s"$dir/oriented"))
+    val survivors = Seq((1L, 2L), (1L, 3L)).toDF("s", "d")
+    assert(maintained == orientedRows(Graph.orient(survivors)))
+    def rowOf(rows: Seq[(Long, Long, Long)], a: Long, b: Long) =
+      rows.find(r => Set(r._1, r._2) == Set(a, b))
+    // the flip genuinely happened on the surviving edge {1,2}
+    assert(rowOf(before, 1L, 2L).map(_._1) == Some(1L))
+    assert(rowOf(maintained, 1L, 2L).map(_._1) == Some(2L))
+    // the untouched edge {1,3} kept orientation AND rank verbatim
+    assert(rowOf(maintained, 1L, 3L) == rowOf(before, 1L, 3L))
+    // degrees table == survivor rebuild; whole serving surface agrees
+    assert(spark.read.parquet(s"$dir/degrees").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Graph.degrees(survivors).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(Graph.triangleStatsFrom(
+        spark.read.parquet(s"$dir/oriented"), spark.read.parquet(s"$dir/degrees"))
+        .collect().map(_.toSeq).toSeq ==
+      Graph.triangleStatsFrom(Graph.orient(survivors), Graph.degrees(survivors))
+        .collect().map(_.toSeq).toSeq)
+    // idempotent: retracting the same nodes again is a no-op
+    Graph.retractNodesFromOrientedIndex(spark, dir, Seq(4L, 5L, 6L).toDF("v"))
+    assert(orientedRows(spark.read.parquet(s"$dir/oriented")) == maintained)
+    // unknown node: no-op
+    Graph.retractNodesFromOrientedIndex(spark, dir, Seq(99L).toDF("v"))
+    assert(orientedRows(spark.read.parquet(s"$dir/oriented")) == maintained)
+    // clean sweep: retracting every node empties the index without error
+    Graph.retractNodesFromOrientedIndex(spark, dir, Seq(1L, 2L, 3L).toDF("v"))
+    assert(spark.read.parquet(s"$dir/oriented").isEmpty &&
+      spark.read.parquet(s"$dir/edges").isEmpty)
+  }
+
   test("oriented-index refresh: a REPLAYED admission converges to the same index") {
     val standing = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("s", "d")
     val batch = Seq((2L, 3L), (1L, 2L)).toDF("s", "d") // (1,2) already standing

@@ -338,6 +338,54 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("binary index lifecycle: refresh == rebuild, tombstones == survivor build, compaction read-invisible") {
+    import org.apache.spark.sql.functions.pmod
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val probes = e.filter(col("vec_id") < 8).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(-element_at(col("embedding"), 1)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    def serve(dir: String) = rows(Similarity.binaryTopKIndexed(spark, dir, probes, k = 5))
+    // rebuild tower over the full slice
+    val full = java.nio.file.Files.createTempDirectory("binary-full").toString
+    Similarity.writeBinaryIndex(e, full)
+    // lifecycle index: build the evens, admit the odds as a batch
+    val idx = java.nio.file.Files.createTempDirectory("binary-life").toString
+    Similarity.writeBinaryIndex(e.filter(pmod(col("vec_id"), lit(2L)) === 0), idx)
+    Similarity.refreshBinaryIndex(
+      e.filter(pmod(col("vec_id"), lit(2L)) === 1), idx, batchId = 1L)
+    val refreshed = serve(idx)
+    assert(refreshed == serve(full) && refreshed.nonEmpty)
+    // a REPLAYED admission replaces its own files exactly
+    Similarity.refreshBinaryIndex(
+      e.filter(pmod(col("vec_id"), lit(2L)) === 1), idx, batchId = 1L)
+    assert(serve(idx) == refreshed)
+    assert(spark.read.parquet(s"$idx/sigs").count() == e.count())
+    // retraction: merge-on-read serving == an index BUILT over survivors
+    val surv = java.nio.file.Files.createTempDirectory("binary-surv").toString
+    Similarity.writeBinaryIndex(e.filter(pmod(col("vec_id"), lit(5L)) =!= 0), surv)
+    Similarity.retractFromBinaryIndex(
+      e.filter(pmod(col("vec_id"), lit(5L)) === 0).select("vec_id"), idx)
+    val retracted = serve(idx)
+    assert(retracted == serve(surv))
+    assert(retracted != refreshed,
+      "fixture must be non-vacuous: retraction removes planted neighbors")
+    // duplicate retracts are absorbed by the distinct tombstone view
+    Similarity.retractFromBinaryIndex(
+      e.filter(pmod(col("vec_id"), lit(5L)) === 0).select("vec_id"), idx)
+    assert(serve(idx) == retracted)
+    // physical compaction: serving unchanged, tombstones applied for real
+    Similarity.compactBinaryIndex(spark, idx)
+    assert(serve(idx) == retracted)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deleted")))
+    assert(spark.read.parquet(s"$idx/sigs").count() ==
+      e.filter(pmod(col("vec_id"), lit(5L)) =!= 0).count())
+  }
+
   test("IVF range search: equals unbounded top-k cut by the radius, respects tombstones") {
     val e = Tables.embeddings(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("ivf-range-spec").toString

@@ -950,19 +950,25 @@ object Similarity {
 
   /** Radius-bounded binary ANN served from the MATERIALIZED band index
     * — the indexed twin the unpruned [[binaryTopK]] scan lacked:
-    * candidates come from 4 band equi-joins (pigeonhole: ≤ `radius` ≤ 3
-    * differing bits spread over 4 disjoint 16-bit bands leave at least
-    * one band IDENTICAL, so exact band lookups are a COMPLETE candidate
-    * generator at radius ≤ 3 — never a recall trade), hamming-verified
-    * against the full signature, ranked (hamming asc, id asc), and the
-    * top `rerank` re-scored with exact cosine. The serving shape of
-    * 1-bit near-duplicate lookup: "find what this slightly-edited
-    * embedding is a copy of". Larger radii need query-side key
-    * enumeration (probe each band with keys within ⌊radius/4⌋ bits —
-    * full MIH); this entry point enforces the exact-lookup regime.
+    * candidates come from 4 band equi-joins, hamming-verified against
+    * the full signature, ranked (hamming asc, id asc), and the top
+    * `rerank` re-scored with exact cosine. The serving shape of 1-bit
+    * near-duplicate lookup: "find what this slightly-edited embedding
+    * is a copy of".
+    *
+    * Completeness by pigeonhole, per the MIH paper (Norouzi et al.):
+    * ≤ `radius` differing bits spread over 4 disjoint 16-bit bands
+    * leave at least one band with ≤ ⌊radius/4⌋ errors. At radius ≤ 3
+    * that band is IDENTICAL, so candidates come from exact key lookups;
+    * at radius 4–7 it is within ONE bit, so each query probes each band
+    * with its key plus the 16 single-bit flips (17 keys/band, 68 probe
+    * rows per query — full multi-index hashing key enumeration, still
+    * never a recall trade). Radii past 7 would need 2-bit enumeration
+    * (137 keys/band); this entry point stops at the 1-bit regime.
     *
     * Scale: each band join touches only rows colliding on a 16-bit
-    * key (expected corpus/65536 per key, vs the scan's every-signature
+    * key (expected corpus/65536 per key — ×17 keys at the enumerated
+    * radii, still collision-bounded, vs the scan's every-signature
     * row); candidates and everything after ride the collision set.
     * Queries broadcast; vectors join only for the rerank slice.
     */
@@ -975,17 +981,27 @@ object Similarity {
       rerank: Int = 50,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    require(radius >= 0 && radius <= 3,
-      s"radius $radius outside the exact-lookup regime: 4 disjoint bands " +
-        "guarantee completeness only for radius <= 3 (larger radii need MIH key enumeration)")
+    require(radius >= 0 && radius <= 7,
+      s"radius $radius outside the 1-bit MIH regime: 4 disjoint bands with " +
+        "single-bit key enumeration guarantee completeness only for radius <= 7 " +
+        "(larger radii need multi-bit key enumeration)")
     val q = broadcast(
       withNormalized(queries.select(col(idCol), col(vecCol)), vecCol, "qv")
         .select(col(idCol).as("query_id"), col("qv"), signSignature(col("qv")).as("qs")))
     val sigs = spark.read.parquet(s"$indexDir/sigs")
-    // 4 band lookups; a pair can collide in several bands — distinct once
+    // 4 band lookups; a pair can collide in several bands (and, when
+    // enumerating, on several keys of one band) — distinct once
     val cand = (0 until 4).map { i =>
+      val probes =
+        if (radius <= 3)
+          q.select(col("query_id"), col("qs"), sigBand(col("qs"), i).as("bk"))
+        else
+          // 1-bit MIH enumeration: the key itself + its 16 one-bit flips
+          q.select(col("query_id"), col("qs"),
+            explode(array((lit(0L) +: (0 until 16).map(b => lit(1L << b)))
+              .map(m => sigBand(col("qs"), i).bitwiseXOR(m)): _*)).as("bk"))
       sigs.select(col("neighbor_id"), col("sg"), col(s"b$i").as("bk"))
-        .join(q.select(col("query_id"), col("qs"), sigBand(col("qs"), i).as("bk")), Seq("bk"))
+        .join(probes, Seq("bk"))
         .select("query_id", "neighbor_id", "qs", "sg")
     }.reduce(_ unionAll _)
       .filter(col("query_id") =!= col("neighbor_id"))

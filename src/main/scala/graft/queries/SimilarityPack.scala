@@ -67,7 +67,9 @@ object SimilarityPack extends QueryPack {
     * `" WHERE vec_id % 5 != 0"`) — the retraction oracles' only
     * difference; probes always derive from the FULL corpus.
     */
-  private def binaryIndexedOracle(survivorPred: String): String =
+  private def binaryIndexedOracle(
+      survivorPred: String, radius: Int = 3, flipDims: Int = 1,
+      idOffset: Long = 1000000L): String =
     s"""WITH ${normCte("")},
        |sig AS (
        |  SELECT vec_id, nv,
@@ -77,8 +79,9 @@ object SimilarityPack extends QueryPack {
        |    + CASE WHEN nv[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END AS sg
        |  FROM e$survivorPred),
        |q AS (
-       |  SELECT vec_id + 1000000 AS query_id,
-       |    list_concat([-nv[1]], nv[2:]) AS qv
+       |  SELECT vec_id + $idOffset AS query_id,
+       |    ${if (flipDims == 1) "list_concat([-nv[1]], nv[2:])"
+          else s"list_concat(list_transform(nv[1:$flipDims], x -> -x), nv[${flipDims + 1}:])"} AS qv
        |  FROM e WHERE vec_id < 8),
        |qs AS (
        |  SELECT query_id, qv,
@@ -90,7 +93,7 @@ object SimilarityPack extends QueryPack {
        |h AS (
        |  SELECT qs.query_id, s.vec_id AS neighbor_id, qs.qv, s.nv,
        |    bit_count(xor(qs.qsg, s.sg)) AS ham
-       |  FROM qs JOIN sig s ON bit_count(xor(qs.qsg, s.sg)) <= 3),
+       |  FROM qs JOIN sig s ON bit_count(xor(qs.qsg, s.sg)) <= $radius),
        |r AS (
        |  SELECT query_id, neighbor_id, qv, nv,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -500,6 +503,31 @@ object SimilarityPack extends QueryPack {
           .orderBy("query_id", "rank")
       },
       Some(binaryIndexedOracle(" WHERE vec_id % 5 != 0"))),
+
+    // FULL multi-index hashing: radii past the exact-lookup regime
+    // (r <= 3) are served by KEY ENUMERATION — pigeonhole puts <= r/4
+    // errors in some band, so at r <= 7 each query probes each band
+    // with its key plus the 16 one-bit flips (17 keys/band, still
+    // collision-bounded — never the scan). The fixture flips FIVE sign
+    // dimensions, so the planted source sits at hamming ~5: invisible
+    // to exact band lookups' guarantee, found by the enumerated probe.
+    // Oracle = the radius-6 scan replay — the gate hash is the
+    // enumeration-completeness proof at a radius where exact lookups
+    // alone are provably insufficient.
+    "sim_topk_binary_mih" -> QueryDef(
+      "Binary ANN at radius 6 via 1-bit MIH key enumeration over the band index",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(s, "binary", s"$dir/embeddings.parquet")(
+          t => Similarity.writeBinaryIndex(Tables.embeddings(s, dir), t))
+        val probes = e.filter(col("vec_id") < 8).select(
+          (col("vec_id") + 2000000L).as("vec_id"),
+          concat(transform(slice(col("embedding"), 1, 5), x => -x),
+            slice(col("embedding"), 6, 59)).as("embedding"))
+        Similarity.binaryTopKIndexed(s, idx, probes, k = 5, radius = 6)
+          .orderBy("query_id", "rank")
+      },
+      Some(binaryIndexedOracle("", radius = 6, flipDims = 5, idOffset = 2000000L))),
 
     // RANGE search from the same standing index: every probed-cell
     // member with exact cosine >= the radius — the data-dependent-count

@@ -332,10 +332,53 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(got(3).asInstanceOf[Double] - w._4) < 1e-5)
     }
     assert(qsig.count() == e.count())
-    // the exact-lookup regime is enforced: radius 4 needs MIH enumeration
+    // the 1-bit MIH regime is enforced: radius 8 needs 2-bit enumeration
     intercept[IllegalArgumentException] {
-      Similarity.binaryTopKIndexed(spark, idx, probes, k = 5, radius = 4)
+      Similarity.binaryTopKIndexed(spark, idx, probes, k = 5, radius = 8)
     }
+  }
+
+  test("MIH key enumeration: radius-6 lookups are complete where exact band lookups provably miss") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val idx = java.nio.file.Files.createTempDirectory("binary-mih-spec").toString
+    Similarity.writeBinaryIndex(e, idx)
+    // five sign dims flipped: the planted source sits at hamming ~5 —
+    // past the exact-lookup guarantee, inside the 1-bit enumeration's
+    val probes = e.filter(col("vec_id") < 8).select(
+      (col("vec_id") + 2000000L).as("vec_id"),
+      concat(transform(slice(col("embedding"), 1, 5), x => -x),
+        slice(col("embedding"), 6, 59)).as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val mih = rows(Similarity.binaryTopKIndexed(spark, idx, probes, k = 5, radius = 6))
+    assert(mih.nonEmpty, "enumerated probes must find the hamming-5 sources")
+    // ground truth: the radius-6 scan over all signatures
+    val sigRows = spark.read.parquet(s"$idx/sigs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = spark.read.parquet(s"$idx/vecs").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val q = Similarity.withNormalized(
+      probes.select(col("vec_id").as("query_id"), col("embedding")), "embedding", "qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](2).toArray))
+    def sig64(v: Array[Double]): Long =
+      (0 until 63).map(i => if (v(i) > 0) 1L << i else 0L).sum +
+        (if (v(63) > 0) Long.MinValue else 0L)
+    val want = q.flatMap { case (qid, qv) =>
+      val qs = sig64(qv)
+      sigRows.map { case (nid, sg) => (nid, java.lang.Long.bitCount(sg ^ qs)) }
+        .filter(_._2 <= 6).sortBy { case (nid, ham) => (ham, nid) }.take(50)
+        .map { case (nid, _) => (nid, qv.zip(vecs(nid)).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (nid, cos) => (-cos, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, cos), i) => (qid, (i + 1).toLong, nid, cos) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(mih.map(r => (r(0), r(1).asInstanceOf[Int].toLong, r(2))) ==
+      want.map(t => (t._1, t._2, t._3)))
+    // insufficiency of the exact-lookup regime on this fixture: at
+    // radius 3 the hamming-5 sources are out of scope by construction
+    val exact3 = rows(Similarity.binaryTopKIndexed(spark, idx, probes, k = 5, radius = 3))
+    assert(exact3.size < mih.size,
+      "fixture must sit past the exact-lookup radius for the MIH case to be non-vacuous")
   }
 
   test("binary index lifecycle: refresh == rebuild, tombstones == survivor build, compaction read-invisible") {

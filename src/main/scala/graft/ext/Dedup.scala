@@ -85,6 +85,91 @@ object Dedup {
   def fingerprintIndex(corpus: DataFrame, textCol: String = "text"): DataFrame =
     corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
 
+  /** MATERIALIZED fingerprint index with full lifecycle — the exact-dedup
+    * family's standing artifact gets the verbs every other index carries,
+    * but deletion here cannot be a tombstone: a fingerprint is SHARED by
+    * every doc with the same normalized text, so retracting one copy must
+    * DECREMENT the fp's count and the fp only stops matching when its
+    * last copy leaves. The layout is therefore a SIGNED delta log of
+    * (fp, n) partial counts (`fp/`, the [[graft.streaming.RetrievalIngest]]
+    * df-log posture with the retractable-IVM sign trick of
+    * `ops/IncrementalAgg`): build and refresh land positive partials,
+    * retraction lands NEGATIVE ones, serving sums per fp and keeps
+    * SUM(n) > 0, and compaction squashes the log physically. Every
+    * landing is a replay-idempotent batch file ([[graft.io.BatchFiles]]),
+    * so refresh/retract replays replace their own files exactly.
+    */
+  def writeFingerprintIndex(corpus: DataFrame, dir: String, textCol: String = "text"): Unit =
+    graft.io.BatchFiles.land(fpCounts(corpus, textCol), s"$dir/fp", batchId = 0L)
+
+  private def fpCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n"))
+
+  /** Admit new docs: their (fp, +n) partials land as one batch file set.
+    * Same new-doc_ids-only admission contract as every standing index.
+    */
+  def refreshFingerprintIndex(
+      newDocs: DataFrame, dir: String, batchId: Long, textCol: String = "text"): Unit =
+    graft.io.BatchFiles.land(fpCounts(newDocs, textCol), s"$dir/fp", batchId)
+
+  /** Retract docs: their (fp, −n) partials land — the signed half of the
+    * delta log. The caller passes the RETRACTED DOCS (text needed to
+    * recompute their fingerprints; retraction requests carry the doc),
+    * and `batchId` must be unique per retraction (replaying one replaces
+    * its own files — idempotent like admission). A fingerprint shared
+    * with surviving copies keeps a positive served sum and continues to
+    * match; the last copy's retraction drops it to 0 and it stops.
+    */
+  def retractFromFingerprintIndex(
+      docs: DataFrame, dir: String, batchId: Long, textCol: String = "text"): Unit =
+    graft.io.BatchFiles.land(
+      fpCounts(docs, textCol).select(col("fp"), (-col("n")).as("n")),
+      s"$dir/fp", batchId)
+
+  /** The live fingerprint set: per-fp signed sum > 0. Index-table cost
+    * (|distinct fp| · batch-files rows), never corpus cost.
+    */
+  private[graft] def liveFingerprints(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/fp")
+      .groupBy("fp").agg(sum("n").as("n"))
+      .filter(col("n") > 0).select("fp")
+
+  /** Squash the signed delta log to one (fp, n) row per LIVE fingerprint
+    * under a listing-guarded root swap (a batch landing mid-compaction
+    * aborts loudly — the [[graft.streaming.SpanMaskIngest]] compactor
+    * contract); serving before and after is identical.
+    */
+  def compactFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val tmp = dir.stripSuffix("/") + ".compact"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val snap = graft.io.IndexCatalog.contentVersion(spark, s"$dir/fp")
+    spark.read.parquet(s"$dir/fp")
+      .groupBy("fp").agg(sum("n").as("n"))
+      .filter(col("n") > 0)
+      .write.parquet(s"$tmp/fp")
+    require(graft.io.IndexCatalog.contentVersion(spark, s"$dir/fp") == snap,
+      s"compaction aborted: batch files under $dir/fp changed during the " +
+        "compaction (concurrent ingest/retraction) — re-run the compaction")
+    graft.io.DirSwap.swapInto(fs,
+      new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir))
+  }
+
+  /** [[incrementalDedup]] served from the MATERIALIZED signed-log index:
+    * identical verdicts to the inline form over the corpus the live set
+    * represents (build ∪ refreshes − retractions).
+    */
+  def incrementalDedupIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      incoming: DataFrame): DataFrame =
+    incrementalDedup(liveFingerprints(spark, indexDir), incoming)
+
   /** Jaccard similarity of two pre-deduplicated arrays as a Column. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -19,6 +19,32 @@ object DedupPack extends QueryPack {
     * side's physical source (inline recompute vs materialized parquet)
     * differs.
     */
+  /** The exact-dedup batch-classification replay; `corpusPred` drops
+    * retracted docs from the corpus pool (dedup_incremental_lifecycle's
+    * survivor oracle — shared-fingerprint semantics fall out of the
+    * DISTINCT over surviving copies).
+    */
+  private def incrementalDedupOracleWhere(corpusPred: String): String =
+    s"""WITH m AS (
+       |  SELECT doc_id, source,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       |    doc_id % 5 = 4 AS is_new
+       |  FROM documents),
+       |idx AS (SELECT DISTINCT fp FROM m WHERE NOT is_new$corpusPred),
+       |inc AS (
+       |  SELECT m.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM m WHERE is_new),
+       |cls AS (
+       |  SELECT inc.doc_id, inc.source,
+       |    CASE WHEN idx.fp IS NOT NULL THEN 'dup_corpus'
+       |         WHEN rk > 1 THEN 'dup_batch' ELSE 'kept' END AS status
+       |  FROM inc LEFT JOIN idx ON inc.fp = idx.fp)
+       |SELECT source, COUNT(*) AS n_in,
+       |  CAST(SUM(CASE WHEN status = 'dup_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+       |  CAST(SUM(CASE WHEN status = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+       |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM cls GROUP BY source ORDER BY source""".stripMargin
+
   private lazy val incrementalNearDupOracle: String =
     incrementalNearDupOracleWhere("")
 
@@ -221,25 +247,65 @@ object DedupPack extends QueryPack {
             sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
           .orderBy("source")
       },
+      Some(incrementalDedupOracleWhere(""))),
+
+    // The SIGNED-count lifecycle of the exact-dedup index — the last
+    // dedup artifact without materialized verbs, and the one whose
+    // deletion CANNOT be a tombstone: a fingerprint is shared by every
+    // doc with the same normalized text, so retracting one copy must
+    // DECREMENT (the fp keeps matching while survivors hold it; the
+    // last copy's retraction drops it). The layout is a signed delta
+    // log of (fp, n) batch files (build/refresh positive, retraction
+    // negative — the retractable-IVM sign trick at index granularity);
+    // serving sums per fp and keeps > 0; compaction squashes the log
+    // under a listing-guarded swap. Oracle = the incremental replay
+    // with the retracted docs dropped from the corpus pool — shared-fp
+    // semantics fall out exactly (a fp survives iff any copy does).
+    // NON-VACUOUS by construction: the corpus carries no exact-duplicate
+    // pairs at the gated SFs, so a %-split batch would classify all-kept
+    // and a broken index could pass — instead the probe batch is
+    // SYNTHESIZED from corpus docs (ids moved to +1,000,000, text
+    // uppercased with whitespace injected — fingerprint-EQUAL under the
+    // normalization the index hashes), so every probe whose source
+    // survives must come back dup_corpus and every probe whose source
+    // was retracted must flip to kept. The per-doc rows are gated (not
+    // a rollup), so one wrong verdict breaks the hash.
+    "dedup_incremental_lifecycle" -> QueryDef(
+      "Fp-equal probes vs signed fingerprint index after build half + refresh half + retract + compact",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "fp-lifecycle", s"$dir/documents.parquet") { t =>
+          Dedup.writeFingerprintIndex(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), t)
+          Dedup.refreshFingerprintIndex(
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 1), t, batchId = 1L)
+          Dedup.retractFromFingerprintIndex(
+            docs.filter(pmod(col("doc_id"), lit(7L)) === 0), t, batchId = 2L)
+          Dedup.compactFingerprintIndex(s, t)
+        }
+        val probes = docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(upper(col("text")), lit("  ")).as("text"))
+        Dedup.incrementalDedupIndexed(s, idx, probes)
+          .select("doc_id", "status")
+          .orderBy("doc_id")
+      },
       Some("""WITH m AS (
-             |  SELECT doc_id, source,
-             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-             |    doc_id % 5 = 4 AS is_new
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |  FROM documents),
-             |idx AS (SELECT DISTINCT fp FROM m WHERE NOT is_new),
+             |idx AS (SELECT DISTINCT fp FROM m WHERE doc_id % 7 != 0),
+             |probes AS (
+             |  SELECT doc_id + 1000000 AS doc_id, fp FROM m WHERE doc_id % 11 = 0),
              |inc AS (
-             |  SELECT m.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
-             |  FROM m WHERE is_new),
+             |  SELECT probes.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+             |  FROM probes),
              |cls AS (
-             |  SELECT inc.doc_id, inc.source,
+             |  SELECT inc.doc_id,
              |    CASE WHEN idx.fp IS NOT NULL THEN 'dup_corpus'
              |         WHEN rk > 1 THEN 'dup_batch' ELSE 'kept' END AS status
              |  FROM inc LEFT JOIN idx ON inc.fp = idx.fp)
-             |SELECT source, COUNT(*) AS n_in,
-             |  CAST(SUM(CASE WHEN status = 'dup_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
-             |  CAST(SUM(CASE WHEN status = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
-             |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-             |FROM cls GROUP BY source ORDER BY source""".stripMargin)),
+             |SELECT doc_id, status FROM cls ORDER BY doc_id""".stripMargin)),
 
     // The fuzzy sibling of dedup_incremental — batch-vs-corpus NEAR-dup
     // through the standing LSH artifacts (banded signatures + 8-byte

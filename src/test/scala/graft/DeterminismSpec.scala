@@ -53,7 +53,9 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_minhash_lifecycle", // banding + best-match window over a compacted index
     "graph_triangles_retract", // index build + victim re-orientation on first run
     "sim_topk_binary_retract", // band candidates + rerank ties under tombstones
-    "sim_topk_binary_compacted") // full build/refresh/retract/compact on first run
+    "sim_topk_binary_compacted", // full build/refresh/retract/compact on first run
+    "sim_topk_binary_mih",      // enumerated band probes + rerank tie-breaks
+    "dedup_incremental_lifecycle") // signed fp log build on first run, serve after
 
   test("hash/sample/rank-driven queries return identical rows on a double run") {
     val diffs = audited.flatMap { name =>

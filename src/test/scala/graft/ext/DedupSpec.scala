@@ -459,6 +459,39 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("corpus_id") === 1).isEmpty)
   }
 
+  test("signed fingerprint index: shared fps decrement not vanish; replay converges; compaction read-invisible") {
+    // docs 1 and 2 share a fingerprint; doc 3 is unique
+    val t = "Shared   Text  here"
+    val corpus = Seq((1L, t), (2L, "shared text HERE"), (3L, "unique content"))
+      .toDF("doc_id", "text")
+    // probe batch: one doc matching the shared fp, one matching doc 3
+    val incoming = Seq((100L, "shared text here"), (101L, "unique   content"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("fp-life").toString
+    def statuses() =
+      Dedup.incrementalDedupIndexed(spark, idx, incoming)
+        .select("doc_id", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Dedup.writeFingerprintIndex(corpus.filter(col("doc_id") === 1), idx)
+    Dedup.refreshFingerprintIndex(corpus.filter(col("doc_id") =!= 1), idx, batchId = 1L)
+    assert(statuses() == Map(100L -> "dup_corpus", 101L -> "dup_corpus"))
+    // a replayed admission replaces its own files exactly
+    Dedup.refreshFingerprintIndex(corpus.filter(col("doc_id") =!= 1), idx, batchId = 1L)
+    assert(statuses() == Map(100L -> "dup_corpus", 101L -> "dup_corpus"))
+    // retract ONE copy of the shared fp: count drops 2 -> 1, still live
+    Dedup.retractFromFingerprintIndex(corpus.filter(col("doc_id") === 1), idx, batchId = 2L)
+    assert(statuses() == Map(100L -> "dup_corpus", 101L -> "dup_corpus"))
+    // retract the LAST copy: the fp stops matching; doc 3's fp unaffected
+    Dedup.retractFromFingerprintIndex(corpus.filter(col("doc_id") === 2), idx, batchId = 3L)
+    assert(statuses() == Map(100L -> "kept", 101L -> "dup_corpus"))
+    // compaction squashes the signed log physically; serving unchanged
+    Dedup.compactFingerprintIndex(spark, idx)
+    assert(statuses() == Map(100L -> "kept", 101L -> "dup_corpus"))
+    val back = spark.read.parquet(s"$idx/fp").collect()
+    assert(back.length == 1 && back.head.getLong(1) == 1L,
+      "compacted log must hold one positive row per LIVE fp")
+  }
+
   test("materialized near-dup index serves identical verdicts to the inline form") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val docs = Tables.documents(spark, sf)

@@ -90,14 +90,16 @@ object Dedup {
     * but deletion here cannot be a tombstone: a fingerprint is SHARED by
     * every doc with the same normalized text, so retracting one copy must
     * DECREMENT the fp's count and the fp only stops matching when its
-    * last copy leaves. The layout is therefore a SIGNED delta log of
-    * (fp, n) partial counts (`fp/`, the [[graft.streaming.RetrievalIngest]]
-    * df-log posture with the retractable-IVM sign trick of
-    * `ops/IncrementalAgg`): build and refresh land positive partials,
-    * retraction lands NEGATIVE ones, serving sums per fp and keeps
-    * SUM(n) > 0, and compaction squashes the log physically. Every
-    * landing is a replay-idempotent batch file ([[graft.io.BatchFiles]]),
-    * so refresh/retract replays replace their own files exactly.
+    * last copy leaves. The layout is therefore a delta log of (fp, n)
+    * POSITIVE partial counts (`fp/`, the [[graft.streaming.RetrievalIngest]]
+    * df-log posture) from build and refresh, plus a distinct
+    * `(fp, doc_id)` RETRACTION LEDGER (`retract/`): serving keeps
+    * admitted − distinct-retracted > 0, and compaction squashes both
+    * physically while CARRYING the ledger. The ledger (not a signed −n
+    * delta) is what makes retraction doc-idempotent — see
+    * [[retractFromFingerprintIndex]]. Every landing is a
+    * replay-idempotent batch file ([[graft.io.BatchFiles]]), so
+    * refresh/retract replays replace their own files exactly.
     */
   def writeFingerprintIndex(corpus: DataFrame, dir: String, textCol: String = "text"): Unit =
     graft.io.BatchFiles.land(fpCounts(corpus, textCol), s"$dir/fp", batchId = 0L)
@@ -113,33 +115,66 @@ object Dedup {
       newDocs: DataFrame, dir: String, batchId: Long, textCol: String = "text"): Unit =
     graft.io.BatchFiles.land(fpCounts(newDocs, textCol), s"$dir/fp", batchId)
 
-  /** Retract docs: their (fp, −n) partials land — the signed half of the
-    * delta log. The caller passes the RETRACTED DOCS (text needed to
-    * recompute their fingerprints; retraction requests carry the doc),
-    * and `batchId` must be unique per retraction (replaying one replaces
-    * its own files — idempotent like admission). A fingerprint shared
-    * with surviving copies keeps a positive served sum and continues to
-    * match; the last copy's retraction drops it to 0 and it stops.
+  /** Retract docs: distinct `(fp, doc_id)` rows land as a RETRACTION
+    * LEDGER batch (`retract/`) — NOT a negative count delta. The caller
+    * passes the RETRACTED DOCS (text needed to recompute their
+    * fingerprints, id needed for the ledger; retraction requests carry
+    * the doc). The ledger form is what makes retraction idempotent at
+    * DOC granularity, not just batch granularity: retracting the same
+    * doc again under a NEW batchId re-lands the same `(fp, doc_id)` row
+    * and the distinct serving view absorbs it (a signed −n delta would
+    * double-decrement and could kill a fingerprint that still has
+    * surviving copies), and replaying a pre-compaction retraction
+    * batchId AFTER [[compactFingerprintIndex]] is equally absorbed
+    * because the compacted layout CARRIES the ledger (the signed form
+    * folded deltas into the compacted row, so the replayed files
+    * double-applied). Contract: `doc_id` is an immutable identity —
+    * re-admitting a previously retracted doc_id as new content is
+    * outside it (the ledger would still count the old retraction).
+    * A fingerprint shared with surviving copies keeps a positive served
+    * count and continues to match; the last copy's retraction drops it.
     */
   def retractFromFingerprintIndex(
-      docs: DataFrame, dir: String, batchId: Long, textCol: String = "text"): Unit =
+      docs: DataFrame, dir: String, batchId: Long, textCol: String = "text",
+      idCol: String = "doc_id"): Unit =
     graft.io.BatchFiles.land(
-      fpCounts(docs, textCol).select(col("fp"), (-col("n")).as("n")),
-      s"$dir/fp", batchId)
+      docs.select(TextAnalysis.fingerprint(col(textCol)).as("fp"),
+          col(idCol).cast("long").as("doc_id")).distinct(),
+      s"$dir/retract", batchId)
 
-  /** The live fingerprint set: per-fp signed sum > 0. Index-table cost
-    * (|distinct fp| · batch-files rows), never corpus cost.
+  /** The live fingerprint set: per-fp admitted count minus DISTINCT
+    * retracted docs > 0. Index-table cost (|distinct fp| · batch-files
+    * rows plus the ledger), never corpus cost.
     */
   private[graft] def liveFingerprints(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/fp")
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val admitted = spark.read.parquet(s"$dir/fp")
       .groupBy("fp").agg(sum("n").as("n"))
-      .filter(col("n") > 0).select("fp")
+    val net =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/retract"))) {
+        val retracted = spark.read.parquet(s"$dir/retract")
+          .select("fp", "doc_id").distinct()
+          .groupBy("fp").agg(count(lit(1)).as("r"))
+        admitted.join(retracted, Seq("fp"), "left")
+          .select(col("fp"), (col("n") - coalesce(col("r"), lit(0L))).as("n"))
+      } else admitted
+    net.filter(col("n") > 0).select("fp")
+  }
 
-  /** Squash the signed delta log to one (fp, n) row per LIVE fingerprint
-    * under a listing-guarded root swap (a batch landing mid-compaction
+  /** Squash the delta log to one (fp, n) gross-count row per LIVE
+    * fingerprint, CARRYING the retraction ledger (restricted to kept
+    * fps, squashed to one distinct file set) so post-compaction replays
+    * of old retraction batches stay absorbed. Runs under a listing-
+    * guarded root swap over BOTH subdirs (a batch landing mid-compaction
     * aborts loudly — the [[graft.streaming.SpanMaskIngest]] compactor
-    * contract); serving before and after is identical.
+    * contract); serving before and after is identical. The residual
+    * hazard is the admission side: replaying a pre-compaction REFRESH
+    * batchId after compaction double-counts its +n partials (the
+    * original files were folded) — admissions carry no per-doc ledger;
+    * the replay-idempotence window for refreshes closes at compaction,
+    * same as every batch-file index here.
     */
   def compactFingerprintIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
@@ -147,14 +182,23 @@ object Dedup {
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val tmp = dir.stripSuffix("/") + ".compact"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val snap = graft.io.IndexCatalog.contentVersion(spark, s"$dir/fp")
+    val hasLedger = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/retract"))
+    val snap = graft.io.IndexCatalog.contentVersion(spark, s"$dir/fp") +
+      graft.io.IndexCatalog.contentVersion(spark, s"$dir/retract")
+    val live = liveFingerprints(spark, dir).localCheckpoint()
     spark.read.parquet(s"$dir/fp")
       .groupBy("fp").agg(sum("n").as("n"))
-      .filter(col("n") > 0)
+      .join(live, Seq("fp"), "left_semi")
       .write.parquet(s"$tmp/fp")
-    require(graft.io.IndexCatalog.contentVersion(spark, s"$dir/fp") == snap,
-      s"compaction aborted: batch files under $dir/fp changed during the " +
-        "compaction (concurrent ingest/retraction) — re-run the compaction")
+    if (hasLedger)
+      spark.read.parquet(s"$dir/retract")
+        .select("fp", "doc_id").distinct()
+        .join(live, Seq("fp"), "left_semi")
+        .write.parquet(s"$tmp/retract")
+    require(graft.io.IndexCatalog.contentVersion(spark, s"$dir/fp") +
+        graft.io.IndexCatalog.contentVersion(spark, s"$dir/retract") == snap,
+      s"compaction aborted: batch files under $dir/{fp,retract} changed during " +
+        "the compaction (concurrent ingest/retraction) — re-run the compaction")
     graft.io.DirSwap.swapInto(fs,
       new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(dir))
@@ -883,8 +927,13 @@ object Dedup {
     * the new layout replaces the old through ONE root-dir swap with the
     * racing-retraction guard ([[Retrieval.guardedSwapInto]] — a
     * retraction landing during the compaction rolls the swap back
-    * loudly). Same writer/compactor exclusion contract as every other
-    * index compactor.
+    * loudly). The CONTENT listing over `bands/` and `shingles/` is
+    * snapshotted too: a [[refreshNearDupIndex]] batch landing between
+    * the compactor's read and the swap would otherwise be silently
+    * destroyed by the swap, so the swap aborts loudly if the listing
+    * moved — the [[compactFingerprintIndex]] guard applied to both race
+    * directions. Same writer/compactor exclusion contract as every
+    * other index compactor.
     */
   def compactNearDupIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
@@ -893,6 +942,8 @@ object Dedup {
     val tmp = dir.stripSuffix("/") + ".compact"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val tombSnap = Retrieval.tombstoneVersion(spark, dir)
+    val contentSnap = graft.io.IndexCatalog.contentVersion(spark, s"$dir/bands") +
+      graft.io.IndexCatalog.contentVersion(spark, s"$dir/shingles")
     val tombs = nearDupTombstonesOpt(spark, dir)
     // explicit selects: the USING join moves corpus_id first, and a
     // compacted file set must keep the canonical writeNearDupIndex
@@ -906,6 +957,10 @@ object Dedup {
       .select("corpus_id", "h")
       .write.parquet(s"$tmp/shingles")
     Retrieval.guardTombstonesUnchanged(spark, dir, tombSnap)
+    require(graft.io.IndexCatalog.contentVersion(spark, s"$dir/bands") +
+        graft.io.IndexCatalog.contentVersion(spark, s"$dir/shingles") == contentSnap,
+      s"compaction aborted: batch files under $dir/{bands,shingles} changed " +
+        "during the compaction (concurrent refresh) — re-run the compaction")
     Retrieval.guardedSwapInto(spark, tmp, dir, tombSnap)
   }
 

@@ -250,11 +250,23 @@ object Graph {
     * their endpoints' degrees are provably unchanged — keep orientation
     * AND rank verbatim. Degrees recompute graph-bound from the
     * survivor edge set and every table lands by checked tmp-dir swap
-    * ([[graft.io.DirSwap]]), so a reader sees the old index or the new
-    * one, never a mix; retracting the same nodes again is a no-op
-    * (idempotent by recomputation). Single-writer contract as the
-    * compactors document. Serving over the maintained index ≡ a full
-    * rebuild over the survivor graph — the gate's hash proves it.
+    * ([[graft.io.DirSwap]]). Single-writer contract as the compactors
+    * document. Serving over the maintained index ≡ a full rebuild over
+    * the survivor graph — the gate's hash proves it.
+    *
+    * Crash recovery: the three tables swap SEQUENTIALLY (edges, then
+    * degrees, then oriented), so each individual swap is atomic but the
+    * index as a whole has a cross-table window — a reader between swaps
+    * can see survivor edges next to not-yet-rewritten oriented rows,
+    * and a crash in that window leaves them persisted. That is why the
+    * victim sets below derive from BOTH `edges0` and the pairs present
+    * in `oriented0`: after a partial failure the swapped edge table has
+    * no incident edges left, but the stale oriented rows still name the
+    * retracted nodes, so a RE-RUN of the same retraction still finds
+    * them, drops them, and re-orients their neighborhoods against the
+    * recomputed degrees. Re-running the retraction (after success or
+    * after any partial failure) therefore converges to the same index —
+    * idempotent by recomputation, with repair.
     */
   def retractNodesFromOrientedIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -265,10 +277,20 @@ object Graph {
     val vic = nodes.select("v").distinct().localCheckpoint()
     val edges0 = spark.read.parquet(s"$dir/edges")
     val oriented0 = spark.read.parquet(s"$dir/oriented")
-    // edges incident to a retracted node: dropped entirely
-    val dropped = edges0
+    // edges incident to a retracted node: dropped entirely. Derived from
+    // the UNION of the edge table and the oriented table's pairs — on a
+    // healthy index they agree, but after a crash between the edges swap
+    // and the oriented swap only the oriented table still holds the
+    // victim pairs, and deriving from edges alone would find nothing and
+    // leave the stale rows serving forever (see the docstring's crash-
+    // recovery contract).
+    val pairs0 = edges0.select("s", "d")
+      .unionByName(oriented0.select(
+        least(col("u"), col("w")).as("s"), greatest(col("u"), col("w")).as("d")))
+      .distinct()
+    val dropped = pairs0
       .join(broadcast(vic.select(col("v").as("s"))), Seq("s"), "left_semi")
-      .unionByName(edges0
+      .unionByName(pairs0
         .join(broadcast(vic.select(col("v").as("d"))), Seq("d"), "left_semi"))
       .distinct().localCheckpoint()
     // surviving endpoints of dropped edges: their degree decremented,

@@ -926,8 +926,13 @@ object Similarity {
     * layout replaces the old through ONE root-dir swap with the
     * racing-retraction guard ([[Retrieval.guardedSwapInto]] — a
     * retraction landing during the compaction rolls the swap back
-    * loudly). Same writer/compactor exclusion contract as
-    * [[compactIvfIndex]].
+    * loudly). The CONTENT listing over `sigs/` and `vecs/` is
+    * snapshotted too: an admission batch landing between the
+    * compactor's read and the swap would otherwise be silently
+    * destroyed by the swap, so the swap aborts loudly if the listing
+    * moved — the [[graft.ext.Dedup.compactFingerprintIndex]] guard
+    * applied to both race directions. Same writer/compactor exclusion
+    * contract as [[compactIvfIndex]].
     */
   def compactBinaryIndex(spark: SparkSession, indexDir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -935,6 +940,8 @@ object Similarity {
     val tmp = indexDir.stripSuffix("/") + ".compact"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val tombSnap = Retrieval.tombstoneVersion(spark, indexDir)
+    val contentSnap = graft.io.IndexCatalog.contentVersion(spark, s"$indexDir/sigs") +
+      graft.io.IndexCatalog.contentVersion(spark, s"$indexDir/vecs")
     val tombs = ivfTombstonesOpt(spark, indexDir)
     val sigs = spark.read.parquet(s"$indexDir/sigs")
     tombs.fold(sigs)(t => sigs.join(
@@ -945,6 +952,10 @@ object Similarity {
         broadcast(t), vecs("neighbor_id") === t("vec_id"), "left_anti"))
       .write.parquet(s"$tmp/vecs")
     Retrieval.guardTombstonesUnchanged(spark, indexDir, tombSnap)
+    require(graft.io.IndexCatalog.contentVersion(spark, s"$indexDir/sigs") +
+        graft.io.IndexCatalog.contentVersion(spark, s"$indexDir/vecs") == contentSnap,
+      s"compaction aborted: batch files under $indexDir/{sigs,vecs} changed " +
+        "during the compaction (concurrent refresh) — re-run the compaction")
     Retrieval.guardedSwapInto(spark, tmp, indexDir, tombSnap)
   }
 

@@ -249,15 +249,17 @@ object DedupPack extends QueryPack {
       },
       Some(incrementalDedupOracleWhere(""))),
 
-    // The SIGNED-count lifecycle of the exact-dedup index — the last
+    // The counted lifecycle of the exact-dedup index — the last
     // dedup artifact without materialized verbs, and the one whose
     // deletion CANNOT be a tombstone: a fingerprint is shared by every
     // doc with the same normalized text, so retracting one copy must
     // DECREMENT (the fp keeps matching while survivors hold it; the
-    // last copy's retraction drops it). The layout is a signed delta
-    // log of (fp, n) batch files (build/refresh positive, retraction
-    // negative — the retractable-IVM sign trick at index granularity);
-    // serving sums per fp and keeps > 0; compaction squashes the log
+    // last copy's retraction drops it). The layout is a delta log of
+    // positive (fp, n) batch files from build/refresh plus a distinct
+    // (fp, doc_id) retraction LEDGER (doc-idempotent — a duplicate
+    // retract under a new batchId or a post-compaction replay is
+    // absorbed, where a signed −n delta would double-decrement);
+    // serving keeps admitted − retracted > 0; compaction squashes both
     // under a listing-guarded swap. Oracle = the incremental replay
     // with the retracted docs dropped from the corpus pool — shared-fp
     // semantics fall out exactly (a fp survives iff any copy does).

@@ -459,7 +459,7 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("corpus_id") === 1).isEmpty)
   }
 
-  test("signed fingerprint index: shared fps decrement not vanish; replay converges; compaction read-invisible") {
+  test("fingerprint index: shared fps decrement not vanish; replay converges; compaction read-invisible") {
     // docs 1 and 2 share a fingerprint; doc 3 is unique
     val t = "Shared   Text  here"
     val corpus = Seq((1L, t), (2L, "shared text HERE"), (3L, "unique content"))
@@ -481,15 +481,32 @@ class DedupSpec extends AnyFunSuite {
     // retract ONE copy of the shared fp: count drops 2 -> 1, still live
     Dedup.retractFromFingerprintIndex(corpus.filter(col("doc_id") === 1), idx, batchId = 2L)
     assert(statuses() == Map(100L -> "dup_corpus", 101L -> "dup_corpus"))
+    // retracting the SAME doc again under a NEW batchId must NOT
+    // double-decrement (doc-granular idempotence via the ledger — a
+    // signed −n delta here would drop the shared fp to 0 and silently
+    // kill it while doc 2 still holds it)
+    Dedup.retractFromFingerprintIndex(corpus.filter(col("doc_id") === 1), idx, batchId = 10L)
+    assert(statuses() == Map(100L -> "dup_corpus", 101L -> "dup_corpus"),
+      "duplicate retraction under a fresh batchId must be absorbed")
     // retract the LAST copy: the fp stops matching; doc 3's fp unaffected
     Dedup.retractFromFingerprintIndex(corpus.filter(col("doc_id") === 2), idx, batchId = 3L)
     assert(statuses() == Map(100L -> "kept", 101L -> "dup_corpus"))
-    // compaction squashes the signed log physically; serving unchanged
+    // compaction squashes the log physically; serving unchanged
     Dedup.compactFingerprintIndex(spark, idx)
     assert(statuses() == Map(100L -> "kept", 101L -> "dup_corpus"))
     val back = spark.read.parquet(s"$idx/fp").collect()
     assert(back.length == 1 && back.head.getLong(1) == 1L,
-      "compacted log must hold one positive row per LIVE fp")
+      "compacted log must hold one gross-count row per LIVE fp")
+    // replaying a PRE-compaction retraction batchId AFTER compaction:
+    // the carried ledger absorbs the replayed rows instead of
+    // re-applying already-folded deltas (the signed form double-counted
+    // here because the original batch files were destroyed by the fold)
+    Dedup.retractFromFingerprintIndex(corpus.filter(col("doc_id") === 1), idx, batchId = 2L)
+    assert(statuses() == Map(100L -> "kept", 101L -> "dup_corpus"),
+      "post-compaction replay of a folded retraction must be absorbed")
+    // and an unrelated-fp retraction replay cannot touch doc 3's fp
+    Dedup.retractFromFingerprintIndex(corpus.filter(col("doc_id") === 2), idx, batchId = 3L)
+    assert(statuses() == Map(100L -> "kept", 101L -> "dup_corpus"))
   }
 
   test("materialized near-dup index serves identical verdicts to the inline form") {

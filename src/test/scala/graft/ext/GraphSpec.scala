@@ -232,6 +232,35 @@ class GraphSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/edges").isEmpty)
   }
 
+  test("oriented-index retraction: a re-run REPAIRS a crash between the edges swap and the oriented swap") {
+    // Simulate the partial-failure window: the crashed first run swapped
+    // edges/ and degrees/ to the survivor state but died before the
+    // oriented swap, leaving stale oriented rows (including rows naming
+    // the retracted nodes, and survivor rows whose flip comparison was
+    // computed with pre-retraction degrees). A retraction deriving its
+    // victim set from edges/ alone would find nothing here and persist
+    // the stale rows forever — the victim set must come from the union
+    // with the oriented table's own pairs.
+    val standing = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (2L, 6L)).toDF("s", "d")
+    val survivors = Seq((1L, 2L), (1L, 3L)).toDF("s", "d")
+    val dir = java.nio.file.Files.createTempDirectory("graph-orient-crash").toString
+    // post-crash state: edges + degrees already survivor-swapped,
+    // oriented still the PRE-retraction table
+    survivors.write.mode("overwrite").parquet(s"$dir/edges")
+    Graph.degrees(survivors).write.mode("overwrite").parquet(s"$dir/degrees")
+    Graph.orient(standing).write.mode("overwrite").parquet(s"$dir/oriented")
+    Graph.retractNodesFromOrientedIndex(spark, dir, Seq(4L, 5L, 6L).toDF("v"))
+    val repaired = orientedRows(spark.read.parquet(s"$dir/oriented"))
+    assert(repaired == orientedRows(Graph.orient(survivors)),
+      "re-running the retraction must drop the stale incident rows AND " +
+        "re-orient the surviving neighborhood against the survivor degrees")
+    // membership: no retracted node appears anywhere in the repaired index
+    assert(!repaired.exists(r => Set(4L, 5L, 6L).contains(r._1) ||
+      Set(4L, 5L, 6L).contains(r._2)))
+    // the flip repaired too: with deg(2) down to 1, edge {1,2} serves u=2
+    assert(repaired.find(r => Set(r._1, r._2) == Set(1L, 2L)).map(_._1) == Some(2L))
+  }
+
   test("oriented-index refresh: a REPLAYED admission converges to the same index") {
     val standing = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("s", "d")
     val batch = Seq((2L, 3L), (1L, 2L)).toDF("s", "d") // (1,2) already standing

@@ -316,6 +316,67 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
 
+  /** EXACT repeated-substring spans of length ≥ `minLen` — the canonical
+    * training-data dedup of Lee et al. 2022's ExactSubstr tool, which
+    * single-node builds a corpus suffix array and cuts every byte range
+    * lying inside a substring that occurs ≥ 2 times. This is the
+    * DISTRIBUTED formulation of the SAME set, exactly:
+    *
+    *   position p lies inside some occurrence of a duplicated substring
+    *   of length ≥ L  ⟺  some length-L window containing p occurs ≥ 2
+    *   times in the corpus.
+    *
+    * (⟸ a duplicated L-window IS a duplicated substring of length L;
+    * ⟹ an occurrence of duplicated S with |S| ≥ L contains, around any
+    * of its positions, at least one full L-window of S, and every
+    * L-window of S occurs wherever S does.) So the suffix array — whose
+    * only role in the single-node tool is to bring equal substrings
+    * adjacent so duplicates surface as runs — is replaced by the
+    * gram-keyed shuffle, which realizes the same adjacency as hash
+    * grouping: group the positioned L-gram stream by the EXACT gram
+    * text (not a lossy hash — the comparison the suffix sort would do),
+    * keep groups with ≥ 2 occurrences, and coalesce the covered
+    * positions per doc ([[spansFromCovered]] — the adjacent-run
+    * extension: consecutive duplicated anchors chain into the maximal
+    * masked region). No suffix array, no driver-side state, no pair
+    * join: a gram occurring m times contributes m rows (linear, never
+    * the m² of the pair family).
+    *
+    * Semantics vs [[duplicateSpans]]: that operator thresholds on
+    * DISTINCT DOCS (df ≥ minDf), so a passage repeated ten times inside
+    * ONE doc — boilerplate headers, generation loops, the classic
+    * within-doc degeneracy Lee et al. call out — never masks. Here the
+    * anchor condition is TOTAL OCCURRENCES ≥ 2 anywhere in the corpus,
+    * the ExactSubstr definition: within-doc repeats mask too. Both
+    * occurrences of a duplicated substring are reported (the caller
+    * picks a keep-one policy; the tool's default cuts all but one —
+    * compose with a keeper rank over span identity for that).
+    *
+    * Scale: one gram-keyed shuffle (the dominant movement, same as any
+    * corpus tokenize-and-count), one linear join-back, one per-doc
+    * window bounded by document length. The gram key is textual so the
+    * DuckDB oracle replays byte-identically; at 100 TB the key would be
+    * the gram's 128-bit content hash (collision-free in the same sense
+    * as the exact-dedup md5 fingerprint) — the plan is unchanged.
+    */
+  def exactSubstringSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    val g = positionedShingleRows(docs, minLen)
+    // ONE shuffle of the positioned gram stream, keyed on the gram: the
+    // full-partition count window surfaces duplicated anchors in place.
+    // Measured at the ×32 amplification (sf0.1 base): groupBy(gram) +
+    // join-back paid a SECOND full shuffle of the gram strings (28.4 s);
+    // an xxhash64 prefilter with string verification still re-shuffled
+    // the string stream for the join (26.7 s); the single sorted window
+    // pass is 17.1 s — the string shuffle is the irreducible cost, so
+    // pay it exactly once
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val covered = g
+      .withColumn("occ", count(lit(1)).over(w))
+      .filter(col("occ") >= 2L)
+      .select("doc_id", "pos")
+    spansFromCovered(covered, minLen)
+  }
+
   /** DECONTAMINATION spans: maximal token spans of `train` docs covered
     * by a width-`n` n-gram that appears ANYWHERE in the evaluation
     * benchmark set — the surgical alternative to dropping every

@@ -532,6 +532,57 @@ object DedupPack extends QueryPack {
              |FROM tok LEFT JOIN per USING (doc_id)
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // EXACT repeated-substring dedup (Lee et al. ExactSubstr): positions
+    // inside ANY substring of length >= 5 that occurs >= 2 times in the
+    // corpus — TOTAL occurrences, so within-doc repeats mask too, the
+    // semantics the df-distinct-docs twin (dedup_span_mask) cannot
+    // express. The suffix array of the single-node tool is replaced by
+    // the gram-keyed shuffle (equal L-windows meet by grouping, the same
+    // adjacency the suffix sort manufactures); coverage == the suffix-
+    // array cut set exactly (see Dedup.exactSubstringSpans's proof).
+    // NON-VACUOUS on both semantics axes: the corpus carries natural
+    // cross-doc duplicated 5-grams (dedup_span_mask's 71 spans), and
+    // within-doc repetition is synthesized (doc_id % 17 == 0 doubles its
+    // own text) so occurrence-counting must mask spans the distinct-doc
+    // rule would miss — a wrong HAVING clause breaks the hash.
+    "dedup_substring_exact" -> QueryDef(
+      "Exact repeated-substring spans, total-occurrence semantics (ExactSubstr)",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val aug = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(17L)) === 0,
+            concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+        Dedup.exactSubstringSpans(aug, minLen = 5)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 17 = 0 THEN text || ' ' || text ELSE text END AS text
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM raw),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+             |        FROM d WHERE len(t) >= 5)),
+             |f AS (SELECT gram FROM (
+             |        SELECT gram, COUNT(*) AS occ FROM g GROUP BY gram) x
+             |      WHERE occ >= 2),
+             |c AS (SELECT doc_id, pos FROM g JOIN f USING (gram)),
+             |m AS (SELECT doc_id, pos,
+             |        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM c),
+             |sid AS (SELECT doc_id, pos,
+             |          SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+             |        FROM m)
+             |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+             |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+             |FROM sid GROUP BY doc_id, span_id
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Incremental span masking — the admission shape with RETROACTIVE
     // propagation: a batch doc quoting a previously-unique corpus
     // passage must change the OLD doc's masking too (whole-doc dedup

@@ -126,6 +126,15 @@ class PlanSpec extends AnyFunSuite {
       "corpus-sized sides must not broadcast under the raised threshold")
   }
 
+  test("exact-substring spans are gram-keyed equi joins, never a cross product") {
+    // the ExactSubstr mask must come from the duplicated-anchor equi
+    // join-back (linear in occurrence count) — any NestedLoop/Cartesian
+    // here would be a position-pair enumeration, quadratic on hot grams
+    val p = plan("dedup_substring_exact")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "duplicated-anchor coverage must be an equi join on the gram key")
+  }
+
   test("band join plans as an equi join on buckets, never a nested loop") {
     val p = plan("q_band_join")
     assert(!p.contains("NestedLoop"),

@@ -529,6 +529,43 @@ class DedupSpec extends AnyFunSuite {
     assert(indexed == inline && indexed.nonEmpty)
   }
 
+  test("exact-substring spans == brute-force duplicated-substring ground truth; within-doc repeats mask") {
+    val L = 3
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // all-unique: no spans
+      // within-doc repeat: "one two three four" occurs twice in ONE doc
+      (2L, "one two three four mid one two three four tail"),
+      (3L, "shared run of tokens here plus unique suffix three"),
+      (4L, "head shared run of tokens here and more")) // cross-doc repeat with 3
+    val docs = fixture.toDF("doc_id", "text")
+    // brute force over the definition itself: position p of doc d is cut
+    // iff it lies inside SOME substring of length >= L occurring >= 2
+    // times in the corpus — equivalently (the operator's proof) iff some
+    // L-window containing p occurs >= 2 times in total
+    val toks = fixture.map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }
+    val windowCount = toks.flatMap { case (_, ts) => ts.sliding(L).filter(_.size == L) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val want = toks.map { case (id, ts) =>
+      val covered = (0 to ts.size - L).filter(i => windowCount(ts.slice(i, i + L)) >= 2)
+        .flatMap(i => i until i + L).toSet
+      id -> covered
+    }.filter(_._2.nonEmpty).toMap
+    val got = Dedup.exactSubstringSpans(docs, minLen = L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.flatMap(s => s._2 to s._3).map(_.toInt).toSet).toMap
+    assert(got == want)
+    // the within-doc doc really masks here...
+    assert(got.contains(2L))
+    // ...and the df-distinct-docs twin really cannot see it (same fixture)
+    val dfTwin = Dedup.duplicateSpans(docs, n = L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!dfTwin.contains(2L),
+      "fixture must separate total-occurrence from distinct-doc semantics")
+    assert(dfTwin == Set(3L, 4L))
+  }
+
   test("duplicate spans: shared regions mask, gaps split, within-doc repeats don't") {
     val docs = Seq(
       // docs 1/2 share exactly the 5-grams at positions 0 and 1 -> one

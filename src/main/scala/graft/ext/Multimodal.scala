@@ -90,6 +90,162 @@ object Multimodal {
       }
       .toDF("asset_id", "frame_no", "frame_bytes")
   }
+
+  // ------------------------------------------------------------------
+  // Standing multimodal dedup index — phash + content-hash signatures
+  // with the full lifecycle (build / refresh / retract / compact /
+  // stream via graft.streaming.MmIngest). The payload bytes cross the
+  // codec boundary EXACTLY ONCE, at admission: everything the index
+  // stores is 8-byte perceptual hashes (banded for candidate pruning)
+  // and 16-byte content digests, so at 100 TB the standing artifact is
+  // ~10^-4 of the corpus and every serve moves signatures, never media.
+  // ------------------------------------------------------------------
+
+  /** Banded signature rows for one asset batch: `(asset_id, phash,
+    * band, key)`, 4 rows per non-empty asset (the mm_phash_neardup
+    * banding: 4×15-bit keys of the 60-bit average-hash — a pair within
+    * hamming ≤ 10 whose flipped bits fall in ≤ 3 bands meets on ≥ 1
+    * exact band key). Empty payloads are not indexed — nothing decodes.
+    */
+  private def bandedPhashRows(assets: Dataset[Asset]): DataFrame = {
+    val ph = perceptualHashes(assets)
+      .filter(col("n_bytes") > 0).select("asset_id", "phash")
+    ph.select(col("asset_id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), 15 * b)
+              .bitwiseAND(lit(0x7FFFL)).as("key"))): _*)).as("bk"))
+      .select(col("asset_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Content-hash rows for exact payload dedup: `(asset_id, kind, h)`
+    * where `h` digests the leading 16 payload bytes (the thumbnail/
+    * preview prefix the mm_dedup gate established as the identity key).
+    */
+  private def contentHashRows(assets: Dataset[Asset]): DataFrame =
+    assets.toDF().select(col("asset_id"), col("kind"),
+      md5(substring(col("bytes"), 1, 16)).as("h"))
+
+  /** Build the standing index: `sigs/` (banded phash rows) + `chash/`
+    * (content digests) as batch-0 files.
+    */
+  def writeMmIndex(assets: Dataset[Asset], dir: String): Unit = {
+    graft.io.BatchFiles.land(bandedPhashRows(assets), s"$dir/sigs", batchId = 0L)
+    graft.io.BatchFiles.land(contentHashRows(assets), s"$dir/chash", batchId = 0L)
+  }
+
+  /** Admit a batch of NEW assets: one codec pass over the batch, rows
+    * land as replay-idempotent batch files ([[graft.io.BatchFiles]] —
+    * a retried admission replaces its own files; the same `batchId`
+    * keys both tables so candidates and digests stay row-consistent).
+    * Signatures are PER-ASSET (no cross-asset state), so the streamed
+    * layout IS the batch layout — the [[graft.streaming.AnnIngest]]
+    * posture. Same new-asset_ids-only admission contract as every
+    * standing index.
+    */
+  def refreshMmIndex(assets: Dataset[Asset], dir: String, batchId: Long): Unit = {
+    graft.io.BatchFiles.land(bandedPhashRows(assets), s"$dir/sigs", batchId)
+    graft.io.BatchFiles.land(contentHashRows(assets), s"$dir/chash", batchId)
+  }
+
+  /** Retract assets: ids land as a TOMBSTONE table (`deleted/`, |batch|
+    * rows, duplicate retracts absorbed by the distinct view); serving
+    * applies them merge-on-read and [[compactMmIndex]] applies them
+    * physically. Right-to-be-forgotten for media: the index never held
+    * payload bytes, so dropping the signature rows IS the erasure.
+    */
+  def retractFromMmIndex(assetIds: DataFrame, dir: String): Unit =
+    assetIds.select(col("asset_id").cast("long").as("asset_id")).distinct()
+      .write.mode("append").parquet(s"$dir/deleted")
+
+  private def mmTombstonesOpt(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deleted")))
+      Some(spark.read.parquet(s"$dir/deleted").select("asset_id").distinct())
+    else None
+  }
+
+  /** Perceptual near-dup pairs served from the STANDING index —
+    * identical pairs to the inline mm_phash_neardup computation over
+    * the live asset set (build ∪ refreshes − tombstones): candidates
+    * meet on (band, key) equi-joins over the signature table, hamming
+    * verifies candidates only, and tombstones are anti-joined
+    * BROADCAST-side before banding so a retracted asset neither
+    * generates nor receives matches. Cost rides band collisions
+    * (expected corpus²/2¹⁵ per band at uniform keys), never pairs.
+    */
+  def phashNearDupIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      maxHamming: Int = 10): DataFrame = {
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val live = mmTombstonesOpt(spark, dir)
+      .fold(sigs)(t => sigs.join(broadcast(t), Seq("asset_id"), "left_anti"))
+    val a = live.select(col("band"), col("key"),
+      col("asset_id").as("asset_a"), col("phash").as("ph_a"))
+    val b = live.select(col("band"), col("key"),
+      col("asset_id").as("asset_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("asset_a") < col("asset_b"))
+      .dropDuplicates("asset_a", "asset_b")
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("asset_a", "asset_b", "hamming")
+  }
+
+  /** Exact payload dedup served from the STANDING content-hash table:
+    * the mm_dedup rollup (refs, canonical owner, kind spread) over the
+    * live rows. One digest-keyed aggregate — payloads were never stored.
+    */
+  def contentDedupIndexed(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ch = spark.read.parquet(s"$dir/chash")
+    val live = mmTombstonesOpt(spark, dir)
+      .fold(ch)(t => ch.join(broadcast(t), Seq("asset_id"), "left_anti"))
+    live.groupBy("h")
+      .agg(count(lit(1)).as("n_refs"),
+        min("asset_id").as("canonical_doc"),
+        count_distinct(col("kind")).as("n_kinds"))
+      .filter(col("n_refs") >= 2)
+  }
+
+  /** Squash the index to the canonical compacted layout: `sigs/` and
+    * `chash/` drop tombstoned rows and collapse their batch files; ONE
+    * root-dir swap guarded against BOTH race directions — a retraction
+    * landing during the compaction rolls the swap back
+    * ([[graft.ext.Retrieval.guardedSwapInto]]) and an admission landing
+    * during it aborts via the content-listing snapshot (the
+    * [[graft.ext.Dedup.compactFingerprintIndex]] guard). Single-writer
+    * contract as every index compactor.
+    */
+  def compactMmIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val tmp = dir.stripSuffix("/") + ".compact"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val tombSnap = Retrieval.tombstoneVersion(spark, dir)
+    val contentSnap = graft.io.IndexCatalog.contentVersion(spark, s"$dir/sigs") +
+      graft.io.IndexCatalog.contentVersion(spark, s"$dir/chash")
+    val tombs = mmTombstonesOpt(spark, dir)
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    tombs.fold(sigs)(t => sigs.join(broadcast(t), Seq("asset_id"), "left_anti"))
+      .select("asset_id", "phash", "band", "key")
+      .write.parquet(s"$tmp/sigs")
+    val ch = spark.read.parquet(s"$dir/chash")
+    tombs.fold(ch)(t => ch.join(broadcast(t), Seq("asset_id"), "left_anti"))
+      .select("asset_id", "kind", "h")
+      .write.parquet(s"$tmp/chash")
+    Retrieval.guardTombstonesUnchanged(spark, dir, tombSnap)
+    require(graft.io.IndexCatalog.contentVersion(spark, s"$dir/sigs") +
+        graft.io.IndexCatalog.contentVersion(spark, s"$dir/chash") == contentSnap,
+      s"compaction aborted: batch files under $dir/{sigs,chash} changed " +
+        "during the compaction (concurrent refresh) — re-run the compaction")
+    Retrieval.guardedSwapInto(spark, tmp, dir, tombSnap)
+  }
 }
 
 /** The stubbed codec boundary. */

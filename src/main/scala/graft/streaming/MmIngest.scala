@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.Multimodal
+
+/** Streaming maintenance of the MULTIMODAL dedup index — the
+  * [[AnnIngest]] contract applied to the media side, closing the last
+  * standing-index family without a stream maintainer: each micro-batch
+  * of asset rows crosses the codec boundary once (batched perceptual
+  * hashing + content digests) and lands its banded phash signatures and
+  * content-hash rows as REPLAY-IDEMPOTENT batch files (the foreachBatch
+  * `batchId` keys [[Multimodal.refreshMmIndex]]'s
+  * [[graft.io.BatchFiles]] landing directly — a replayed batch replaces
+  * its own files, so the sink is exactly-once without a transactional
+  * store). [[Multimodal.phashNearDupIndexed]] and
+  * [[Multimodal.contentDedupIndexed]] stay continuously current as
+  * assets arrive, with no nightly rebuild — and the stream never ships
+  * payload bytes downstream of the codec pass: the landed rows are
+  * 8-byte hashes and 16-byte digests.
+  *
+  * Signatures are PER-ASSET (no cross-asset state), so the streamed
+  * layout IS the batch layout and every batch verb (retraction
+  * tombstones, [[Multimodal.compactMmIndex]]) composes with the stream
+  * unchanged. Same new-asset_ids-only admission contract as every
+  * standing index. Writer/compactor exclusion as documented on the
+  * compactors.
+  */
+object MmIngest {
+
+  /** Land one micro-batch of asset rows (the [[Multimodal.Asset]]
+    * schema). Directly callable for replay testing — a second call with
+    * the same batchId replaces the first call's files exactly.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String): Unit = {
+    import batch.sparkSession.implicits._
+    Multimodal.refreshMmIndex(batch.as[Multimodal.Asset], indexDir, batchId)
+  }
+
+  /** Start the index-maintaining ingest on a stream of asset rows. */
+  def start(stream: DataFrame, indexDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => ingestBatch(b, id, indexDir))
+      .start()
+}

@@ -166,6 +166,48 @@ class ComposedLifecycleSpec extends AnyFunSuite {
     assert(canon(a, "sigs") == canon(survivors, "sigs"))
   }
 
+  test("mm dedup index: retract∘refresh == refresh∘retract on disjoint sets, compacted or not") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val docs = Tables.documents(spark, sf)
+    val isDelta = pmod(col("doc_id"), lit(10L)) === 7
+    val isDead = pmod(col("doc_id"), lit(10L)) === 3 // base members; disjoint from delta
+    def assets(f: org.apache.spark.sql.DataFrame) =
+      Multimodal.assetsFromDocuments(f).as[Multimodal.Asset]
+    def serve(dir: String): Seq[Seq[Any]] =
+      Multimodal.phashNearDupIndexed(spark, dir)
+        .orderBy("asset_a", "asset_b").collect().map(_.toSeq).toSeq ++
+      Multimodal.contentDedupIndexed(spark, dir)
+        .orderBy("h").collect().map(_.toSeq).toSeq
+    def dead = docs.filter(isDead).select(col("doc_id").as("asset_id"))
+
+    val a = java.nio.file.Files.createTempDirectory("mm-compose-a").toString
+    Multimodal.writeMmIndex(assets(docs.filter(!isDelta)), a)
+    Multimodal.retractFromMmIndex(dead, a)
+    Multimodal.refreshMmIndex(assets(docs.filter(isDelta)), a, batchId = 1L)
+
+    val b = java.nio.file.Files.createTempDirectory("mm-compose-b").toString
+    Multimodal.writeMmIndex(assets(docs.filter(!isDelta)), b)
+    Multimodal.refreshMmIndex(assets(docs.filter(isDelta)), b, batchId = 1L)
+    Multimodal.retractFromMmIndex(dead, b)
+
+    val survivors = java.nio.file.Files.createTempDirectory("mm-compose-ref").toString
+    Multimodal.writeMmIndex(assets(docs.filter(!isDead)), survivors)
+    val want = serve(survivors)
+    assert(want.nonEmpty)
+    assert(serve(a) == want, "retract-then-refresh diverged from the rebuild")
+    assert(serve(b) == want, "refresh-then-retract diverged from the rebuild")
+    // compaction changes layout, never serving — and both orders land
+    // on the identical physical row set in BOTH standing tables
+    Multimodal.compactMmIndex(spark, a)
+    Multimodal.compactMmIndex(spark, b)
+    assert(serve(a) == want && serve(b) == want)
+    Seq("sigs", "chash").foreach { t =>
+      assert(canon(a, t) == canon(b, t), s"table '$t' diverged between the two orders")
+      assert(canon(a, t) == canon(survivors, t))
+    }
+  }
+
   test("near-dup LSH index: compact between retract and refresh serves the same as compact at the end") {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, sf)

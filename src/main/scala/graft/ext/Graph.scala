@@ -278,20 +278,23 @@ object Graph {
     val edges0 = spark.read.parquet(s"$dir/edges")
     val oriented0 = spark.read.parquet(s"$dir/oriented")
     // edges incident to a retracted node: dropped entirely. Derived from
-    // the UNION of the edge table and the oriented table's pairs — on a
-    // healthy index they agree, but after a crash between the edges swap
-    // and the oriented swap only the oriented table still holds the
-    // victim pairs, and deriving from edges alone would find nothing and
-    // leave the stale rows serving forever (see the docstring's crash-
-    // recovery contract).
-    val pairs0 = edges0.select("s", "d")
-      .unionByName(oriented0.select(
-        least(col("u"), col("w")).as("s"), greatest(col("u"), col("w")).as("d")))
-      .distinct()
-    val dropped = pairs0
+    // BOTH the edge table and the oriented table's pairs — on a healthy
+    // index they agree, but after a crash between the edges swap and the
+    // oriented swap only the oriented table still holds the victim
+    // pairs, and deriving from edges alone would find nothing and leave
+    // the stale rows serving forever (see the docstring's crash-recovery
+    // contract). Each table is victim-pruned MAP-SIDE (broadcast
+    // semi-joins) before anything unions, so the only distinct runs on
+    // the victim-sized incident set — a unioned-pairs-then-prune form
+    // measured a graph-sized distinct shuffle (0.6 → 3.0 s at the ×64
+    // amplification) for the same answer.
+    def incident(pairs: DataFrame): DataFrame = pairs
       .join(broadcast(vic.select(col("v").as("s"))), Seq("s"), "left_semi")
-      .unionByName(pairs0
+      .unionByName(pairs
         .join(broadcast(vic.select(col("v").as("d"))), Seq("d"), "left_semi"))
+    val dropped = incident(edges0.select("s", "d"))
+      .unionByName(incident(oriented0.select(
+        least(col("u"), col("w")).as("s"), greatest(col("u"), col("w")).as("d"))))
       .distinct().localCheckpoint()
     // surviving endpoints of dropped edges: their degree decremented,
     // so every standing edge they touch must re-orient

@@ -630,6 +630,61 @@ object SimilarityPack extends QueryPack {
       },
       Some(ivfTopKOracle(" AND a.vec_id % 10 <> 7"))),
 
+    // Index QUALITY under the lifecycle — sim_recall_eval grades only a
+    // pristine index; this gate re-measures recall@5 AFTER the full verb
+    // sequence (build + delta admission + retraction + compaction, the
+    // sim_topk_ivf_compacted state, same index directory via the shared
+    // IndexCatalog kind) against the exact top-5 over the SURVIVOR
+    // corpus. The equality gates prove maintained == rebuilt; this pins
+    // that the REBUILT-EQUIVALENT index still finds its neighbors — a
+    // lifecycle bug that degraded cell membership symmetrically on both
+    // towers could pass every hash-equality gate and only show up here,
+    // because the brute-force tower never touches the index. The oracle
+    // replays both towers over survivors, so the hash pins the exact
+    // per-query recall values.
+    "sim_recall_lifecycle" -> QueryDef(
+      "Recall@5 of the IVF index after retract+refresh+compact vs exact top-5 over survivors",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "ivf-compact", s"$dir/embeddings.parquet") { t =>
+          Similarity.writeIvfIndex(e.filter(col("vec_id") < 256), t)
+          Similarity.refreshIvfIndex(e.filter(col("vec_id") >= 256), t)
+          Similarity.retractFromIvfIndex(
+            e.filter(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"), t)
+          Similarity.compactIvfIndex(s, t)
+        }
+        val q = e.filter(col("vec_id") < 8)
+        val surv = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+        val exact = Similarity.bruteForceTopK(q, surv, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.ivfTopKIndexed(s, idx, q, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hit"))
+          .select(col("query_id"), col("n_hit"),
+            (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $trainedAssignCtes,
+              |${ivfRankedCtes(" AND a.vec_id % 10 <> 7")},
+              |ivf5 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+              |bf AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |                       ORDER BY list_dot_product(q.nv, c.nv) DESC,
+              |                                c.vec_id ASC) AS rank
+              |  FROM e q JOIN e c ON c.vec_id <> q.vec_id AND c.vec_id % 10 <> 7
+              |  WHERE q.vec_id < 8),
+              |bf5 AS (SELECT query_id, neighbor_id FROM bf WHERE rank <= 5)
+              |SELECT b.query_id,
+              |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+              |  COUNT(i.neighbor_id) / 5.0 AS recall
+              |FROM bf5 b LEFT JOIN ivf5 i
+              |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+              |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
+
     // Index-quality evaluation — the operational counterpart of serving
     // an ANN index: per probe query, recall@5 of the IVF search against
     // the exact brute-force top-5 (the measured recall/probes trade the

@@ -14,6 +14,174 @@ object CurationPack extends QueryPack {
 
   def queries: Map[String, QueryDef] = Map(
 
+    // The composable Gopher-rule quality suite (Rae et al. 2021's
+    // document-filter shape): the engine's scorers — length, mean word
+    // length, top-token repetition share, stopword fluency, symbol
+    // ratio — evaluated as PER-DOC booleans and rolled into one
+    // constraint-suite report (the quality_constraints posture applied
+    // to corpus curation), ending with the all-rules keep verdict a
+    // pipeline gates admission on. Cost: ONE corpus scan for all five
+    // rules (even repetition — see the sorted-run fold below) feeding a
+    // single partial+final aggregate; the report is a 6-row stack.
+    // The hash pins every count, so a drifting threshold or a scorer
+    // regression anywhere in the suite breaks the gate.
+    "curation_gopher_rules" -> QueryDef(
+      "Gopher-style rule suite: per-rule pass counts + all-rules keep verdict",
+      (s, dir) => {
+        val stopUnion = graft.ext.TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
+        // explode(array(...)) barrier: materialize the token split ONCE
+        // per doc — five rule expressions referencing the split SUBTREE
+        // would re-run the tokenizer five times per row (the
+        // Dedup.shingleRows lesson)
+        val docs = Tables.documents(s, dir)
+          .select(col("text"),
+            explode(array(graft.ext.TextAnalysis.tokens(col("text")))).as("tk"))
+        def toks = col("tk")
+        // top-token share WITHOUT a (doc, tok) shuffle: the max count of
+        // equal tokens is the longest run in the SORTED token array, so
+        // a per-row sort + fold replaces the exploded two-level
+        // aggregate the relational twin (text_repetition) gates — same
+        // value, map-only cost shape (the exploded form measured
+        // 10.75 s at the ×32 amplification; the whole suite is now one
+        // corpus scan feeding a single 1-row aggregate)
+        val topShare = {
+          val st0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+          val fold = aggregate(sort_array(toks), st0,
+            (st, t) => {
+              val run = when(t === st("prev"), st("run") + 1L).otherwise(lit(1L))
+              struct(t.as("prev"), run.as("run"),
+                greatest(st("best"), run).as("best"))
+            },
+            st => st("best"))
+          fold.cast("double") / size(toks)
+        }
+        val r = docs.select(
+            size(toks).cast("long").as("ntok"),
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("toklen"),
+            size(filter(toks, t => t.isin(stopUnion: _*))).cast("long").as("nstop"),
+            graft.ext.TextAnalysis.punctCount(col("text")).cast("double").as("npunct"),
+            length(col("text")).cast("double").as("nchar"),
+            topShare.as("top_share"))
+          .select(
+            when(col("ntok").between(10L, 2000L), 1L).otherwise(0L).as("r_len"),
+            when((col("toklen").cast("double") / col("ntok"))
+              .between(3.0, 10.0), 1L).otherwise(0L).as("r_wl"),
+            when(col("top_share") <= 0.1, 1L).otherwise(0L).as("r_rep"),
+            when(col("nstop") >= 2L, 1L).otherwise(0L).as("r_stop"),
+            when(col("npunct") / col("nchar") <= 0.15, 1L).otherwise(0L).as("r_sym"))
+        val m = r.agg(
+          count(lit(1)).as("n_docs"),
+          sum("r_len").as("p_len"), sum("r_wl").as("p_wl"),
+          sum("r_rep").as("p_rep"), sum("r_stop").as("p_stop"),
+          sum("r_sym").as("p_sym"),
+          sum(col("r_len") * col("r_wl") * col("r_rep") * col("r_stop") * col("r_sym"))
+            .as("p_all"))
+        m.select(expr(
+            "stack(6, 'gopher_len', p_len, 'gopher_mean_word_len', p_wl, " +
+              "'gopher_repetition', p_rep, 'gopher_stopwords', p_stop, " +
+              "'gopher_symbol_ratio', p_sym, 'keep_all_rules', p_all) AS (rule, n_pass)"),
+            col("n_docs"))
+          .select(col("rule"), col("n_pass"),
+            round(col("n_pass") * 1.0 / col("n_docs"), 6).as("pass_rate"))
+          .orderBy("rule")
+      },
+      Some {
+        val stopUnion = graft.ext.TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk,
+           |    CAST(length(text) AS DOUBLE) AS nchar,
+           |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+           |         AS DOUBLE) AS npunct
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, len(tk) AS ntok,
+           |    list_sum(list_transform(tk, x -> length(x))) AS toklen,
+           |    len(list_filter(tk, x -> x IN ($stopUnion))) AS nstop,
+           |    npunct, nchar
+           |  FROM t),
+           |tokc AS (
+           |  SELECT doc_id, tok, COUNT(*) AS n
+           |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2),
+           |top AS (
+           |  SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_share
+           |  FROM tokc GROUP BY 1),
+           |r AS (
+           |  SELECT
+           |    CASE WHEN ntok BETWEEN 10 AND 2000 THEN 1 ELSE 0 END AS r_len,
+           |    CASE WHEN CAST(toklen AS DOUBLE) / ntok BETWEEN 3.0 AND 10.0
+           |         THEN 1 ELSE 0 END AS r_wl,
+           |    CASE WHEN top_share <= 0.1 THEN 1 ELSE 0 END AS r_rep,
+           |    CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS r_stop,
+           |    CASE WHEN npunct / nchar <= 0.15 THEN 1 ELSE 0 END AS r_sym
+           |  FROM base JOIN top USING (doc_id)),
+           |m AS (
+           |  SELECT COUNT(*) AS n_docs,
+           |    SUM(r_len) AS p_len, SUM(r_wl) AS p_wl, SUM(r_rep) AS p_rep,
+           |    SUM(r_stop) AS p_stop, SUM(r_sym) AS p_sym,
+           |    SUM(r_len * r_wl * r_rep * r_stop * r_sym) AS p_all
+           |  FROM r)
+           |SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+           |  ROUND(n_pass * 1.0 / n_docs, 6) AS pass_rate
+           |FROM (
+           |  SELECT 'gopher_len' AS rule, p_len AS n_pass, n_docs FROM m
+           |  UNION ALL SELECT 'gopher_mean_word_len', p_wl, n_docs FROM m
+           |  UNION ALL SELECT 'gopher_repetition', p_rep, n_docs FROM m
+           |  UNION ALL SELECT 'gopher_stopwords', p_stop, n_docs FROM m
+           |  UNION ALL SELECT 'gopher_symbol_ratio', p_sym, n_docs FROM m
+           |  UNION ALL SELECT 'keep_all_rules', p_all, n_docs FROM m)
+           |ORDER BY rule""".stripMargin
+      }),
+
+    // Per-domain mixture reweighting with TEMPERATURE — the train_mixture
+    // twin that decides the weights instead of consuming them: raw token
+    // shares p_d flatten to w_d = n_d^τ / Σ n_d^τ (τ = 0.7, the
+    // multilingual-sampling convention), and the upsample factor w_d/p_d
+    // is what a sampler feeds train_upsample. The normalizer Σ n_d^τ is
+    // an ORDER-PINNED fold over the per-domain rows (sort_array +
+    // aggregate — the q_ewma/emb_centroid_drift pattern), so the doubles
+    // — and the hash gate — are exact across engines and runs; the
+    // grouped state is |domains| rows, model-sized.
+    "curation_mixture_temperature" -> QueryDef(
+      "Temperature-flattened (tau=0.7) per-source sampling weights + upsample factors",
+      (s, dir) => {
+        val per = Tables.documents(s, dir)
+          .select(col("source"),
+            size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        val tot = per.agg(
+          sum(col("n_tokens")).cast("double").as("tot"),
+          aggregate(
+            sort_array(collect_list(struct(col("source"),
+              pow(col("n_tokens").cast("double"), lit(0.7)).as("pw")))),
+            lit(0.0), (acc, x) => acc + x("pw")).as("z"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens") / col("tot"), 6).as("p_raw"),
+            round(pow(col("n_tokens").cast("double"), lit(0.7)) / col("z"), 6)
+              .as("w_tau"),
+            round((pow(col("n_tokens").cast("double"), lit(0.7)) / col("z")) /
+              (col("n_tokens") / col("tot")), 4).as("upsample"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    SUM(len(regexp_split_to_array(lower(text), '\s+'))) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |tot AS (
+             |  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(pow(CAST(n_tokens AS DOUBLE), 0.7) ORDER BY source)),
+             |      (a, b) -> a + b) AS z
+             |  FROM per)
+             |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  ROUND(n_tokens / tot, 6) AS p_raw,
+             |  ROUND(pow(CAST(n_tokens AS DOUBLE), 0.7) / z, 6) AS w_tau,
+             |  ROUND((pow(CAST(n_tokens AS DOUBLE), 0.7) / z) / (n_tokens / tot), 4)
+             |    AS upsample
+             |FROM per, tot ORDER BY source""".stripMargin)),
+
     // Surgical decontamination: instead of DROPPING every contaminated
     // doc (text_contamination's verdict), mask exactly the leaked
     // substrings — maximal spans of train-doc positions covered by a

@@ -86,22 +86,37 @@ object JdbcSink {
     * completeness. PostgreSQL runs CREATE DATABASE outside transactions,
     * hence autocommit.
     */
+  /** The parameterized existence probe run against the `postgres` system
+    * database (connect_postgre.py:92-96 parity). Exposed so the
+    * postgres-dialect branch — unexecutable in this sandbox (no live
+    * server) — has its emitted SQL pinned by IoSpec.
+    */
+  val PgExistsSql: String = "SELECT 1 FROM pg_database WHERE datname = ?"
+
+  /** The CREATE DATABASE statement for a missing database
+    * (connect_postgre.py:98-104 parity), with the safe-name gate only on
+    * the CREATE path: the name is interpolated into DDL (CREATE DATABASE
+    * takes no bind parameters), but an EXISTING database with an exotic
+    * name ("my-db") must still bootstrap cleanly — the parameterized
+    * existence check handles any name. Exposed for the same IoSpec
+    * pinning as [[PgExistsSql]].
+    */
+  def pgCreateDatabaseSql(dbName: String): String = {
+    require(dbName.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe database name: $dbName")
+    s"""CREATE DATABASE "$dbName""""
+  }
+
   def createDatabaseIfAbsent(systemUrl: String, dbName: String, props: Properties): Unit = {
     val conn = java.sql.DriverManager.getConnection(systemUrl, props)
     try {
       conn.setAutoCommit(true)
-      val ps = conn.prepareStatement("SELECT 1 FROM pg_database WHERE datname = ?")
+      val ps = conn.prepareStatement(PgExistsSql)
       ps.setString(1, dbName)
       val exists = { val rs = ps.executeQuery(); try rs.next() finally rs.close() }
       if (!exists) {
-        // safe-name gate only on the CREATE path: the name is interpolated
-        // into DDL (CREATE DATABASE takes no bind parameters), but an
-        // EXISTING database with an exotic name ("my-db") must still
-        // bootstrap cleanly — the parameterized existence check above
-        // handles any name.
-        require(dbName.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe database name: $dbName")
+        val sql = pgCreateDatabaseSql(dbName)
         val st = conn.createStatement()
-        try st.executeUpdate(s"""CREATE DATABASE "$dbName"""") finally st.close()
+        try st.executeUpdate(sql) finally st.close()
       }
     } finally conn.close()
   }

@@ -227,4 +227,38 @@ class IoSpec extends AnyFunSuite {
     JdbcSink.write(df.filter($"id" === 1L), url, "ida_rt", stringSql = "VARCHAR(255)")
     assert(spark.read.jdbc(url, "ida_rt", new java.util.Properties()).count() == 1)
   }
+
+  test("postgres dialect branch: exact bootstrap SQL, URL routing, and TEXT/DOUBLE PRECISION DDL pinned") {
+    // The pg branch of ensureDatabase cannot execute here (no live
+    // server — SURVEY §7.5), so its EMITTED strings are pinned instead:
+    // the system-db probe and CREATE DATABASE must match the reference's
+    // bootstrap (connect_postgre.py:92-104) byte-for-byte.
+    assert(JdbcSink.PgExistsSql == "SELECT 1 FROM pg_database WHERE datname = ?")
+    assert(JdbcSink.pgCreateDatabaseSql("ida_metrics") == """CREATE DATABASE "ida_metrics"""")
+    // injection-shaped names never reach the interpolated DDL
+    intercept[IllegalArgumentException] {
+      JdbcSink.pgCreateDatabaseSql("""x"; DROP TABLE ida; --""")
+    }
+    // URL routing: a postgres URL resolves to the `postgres` system DB +
+    // target name; port and query params survive; other engines -> None
+    assert(JdbcSink.pgSystemUrl("jdbc:postgresql://db:5432/ida") ==
+      Some(("jdbc:postgresql://db:5432/postgres", "ida")))
+    assert(JdbcSink.pgSystemUrl("jdbc:postgresql://db/ida?ssl=true") ==
+      Some(("jdbc:postgresql://db/postgres", "ida")))
+    assert(JdbcSink.pgSystemUrl("jdbc:derby:memory:x;create=true").isEmpty)
+    // the postgres-facing DDL type map (connect_postgre.py:121-169):
+    // TEXT strings, DOUBLE PRECISION floats — the IDA table's column DDL
+    // reproduces the reference's CREATE TABLE column list exactly
+    import org.apache.spark.sql.types._
+    val ida = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", LongType), StructField("grupo_economico", StringType),
+        StructField("servico", StringType), StructField("mes_referencia", DateType),
+        StructField("valor", DoubleType), StructField("tipo_servico", StringType))))
+    assert(JdbcSink.createTableColumnTypes(ida) == JdbcSink.IdaColumnTypes)
+    assert(JdbcSink.IdaColumnTypes ==
+      "id BIGINT, grupo_economico TEXT, servico TEXT, mes_referencia DATE, " +
+        "valor DOUBLE PRECISION, tipo_servico TEXT")
+  }
 }

@@ -31,7 +31,7 @@ class OdsDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val rows = OdsReader.readRows(new java.io.FileInputStream(path(options)))
+    val rows = OdsReader.readRowsCached(path(options))
     val width = if (rows.isEmpty) 0 else rows.map(_.size).max
     StructType((0 until width).map(i => StructField(s"_c$i", StringType)))
   }
@@ -67,7 +67,10 @@ private class OdsReaderFactory(width: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OdsInputPartition]
     new PartitionReader[InternalRow] {
-      private val rows = OdsReader.readRows(new java.io.FileInputStream(p.path)).iterator
+      // cached: in local mode this reuses the driver's inferSchema parse;
+      // on a cluster it memoizes re-reads of the same file within an
+      // executor (spreadsheets are small reference data, re-read often)
+      private val rows = OdsReader.readRowsCached(p.path).iterator
       private var current: Seq[String] = _
       override def next(): Boolean = { val has = rows.hasNext; if (has) current = rows.next(); has }
       override def get(): InternalRow =

@@ -36,9 +36,25 @@ object OdsReader {
   /** Read the first sheet of an .ods file as an all-string DataFrame with
     * positional columns _c0.._cN (ragged rows are null-padded).
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val rows = readRows(new java.io.FileInputStream(path))
-    fromRows(spark, rows)
+  def read(spark: SparkSession, path: String): DataFrame =
+    fromRows(spark, readRowsCached(path))
+
+  /** Per-JVM parse memo keyed on (path, length, mtime): the DSv2 path
+    * parses each file TWICE per query — once on the driver for
+    * inferSchema (width only) and once in the reader task — and the
+    * composed e2e queries re-read the same fixture files per run. The
+    * cache collapses those to one StAX parse per file content per JVM.
+    * Spreadsheets are small by construction (see the scale note above),
+    * and the content key means a rewritten file re-parses; a bounded
+    * sweep keeps a pathological many-files workload from accreting.
+    */
+  private val parsed = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[String]]]()
+
+  def readRowsCached(path: String): Seq[Seq[String]] = {
+    val f = new java.io.File(path)
+    val key = s"$path|${f.length}|${f.lastModified}"
+    if (parsed.size > 64) parsed.clear()
+    parsed.computeIfAbsent(key, _ => readRows(new java.io.FileInputStream(path)))
   }
 
   def fromRows(spark: SparkSession, rows: Seq[Seq[String]]): DataFrame = {

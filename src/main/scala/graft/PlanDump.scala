@@ -68,7 +68,10 @@ object PlanDump {
       "sketch_bitmap_distinct" -> "EXACT mergeable distinct: map-side bitmap_construct partials, OR-merge second aggregate over bitmaps — ids never shuffle twice",
       "q_delete_vectors" -> "position deletes: broadcast left-anti on (_metadata.file_path, row_index), data files unrewritten",
       "dedup_span_mask" -> "span masking: df-filtered gram join-back (linear in df), per-doc lag+running-sum interval merge",
-      "sim_range_ivf" -> "IVF range search: broadcast probes dynamically prune the cell-partitioned index scan; scalar radius filter, no candidate-stream window")
+      "sim_range_ivf" -> "IVF range search: broadcast probes dynamically prune the cell-partitioned index scan; scalar radius filter, no candidate-stream window",
+      "dedup_substring_exact" -> "exact-substring mask: ONE gram-keyed shuffle (full-partition count window) — no groupBy+join-back double shuffle, no pair enumeration",
+      "mm_phash_lifecycle" -> "standing mm index serve: band equi self-join over compacted signature files, hamming verify on collisions only — payloads never scanned",
+      "curation_gopher_rules" -> "Gopher suite: one corpus scan (all five rules incl. the sorted-run repetition fold) into one partial+final aggregate + 6-row stack — zero pre-aggregate shuffles")
 
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -55,7 +55,12 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_topk_binary_retract", // band candidates + rerank ties under tombstones
     "sim_topk_binary_compacted", // full build/refresh/retract/compact on first run
     "sim_topk_binary_mih",      // enumerated band probes + rerank tie-breaks
-    "dedup_incremental_lifecycle") // signed fp log build on first run, serve after
+    "dedup_incremental_lifecycle", // fp delta log + retraction ledger build, serve after
+    "dedup_substring_exact",    // gram-partition count window + per-doc span merge
+    "mm_phash_indexed",         // banded phash self-join over a standing index
+    "mm_phash_lifecycle",       // full mm verb sequence on first run, serve after
+    "mm_dedup_indexed",         // content-hash rollup over the lifecycle index
+    "sim_recall_lifecycle")     // IVF-vs-bruteforce towers over the compacted index
 
   test("hash/sample/rank-driven queries return identical rows on a double run") {
     val diffs = audited.flatMap { name =>
@@ -83,7 +88,8 @@ class DeterminismSpec extends AnyFunSuite {
     "curation_domain_quota", // hash-threshold pre-prune + window
     "text_pmi_pairs",       // per-row PMI + TakeOrdered cut
     "q_pareto_curve",       // distributed prefix sum
-    "q_time_weighted")      // epoch-weighted integral sums
+    "q_time_weighted",      // epoch-weighted integral sums
+    "curation_mixture_temperature") // order-pinned pow-sum normalizer
 
   test("order-pinned fold queries are invariant to shuffle parallelism") {
     val key = "spark.sql.shuffle.partitions"

@@ -358,6 +358,13 @@ object Dedup {
     * DuckDB oracle replays byte-identically; at 100 TB the key would be
     * the gram's 128-bit content hash (collision-free in the same sense
     * as the exact-dedup md5 fingerprint) — the plan is unchanged.
+    *
+    * Standing-state form: [[writeSpanMaskIndex]] with
+    * `byOccurrence = true` materializes these semantics as the span
+    * family's index (60-bit hashed gram keys — the at-scale trade), and
+    * the whole lifecycle (admission, retraction, stream ingest,
+    * compaction) serves them; this one-shot operator is the exactness
+    * reference the gates replay.
     */
   def exactSubstringSpans(docs: DataFrame, minLen: Int): DataFrame = {
     val g = positionedShingleRows(docs, minLen)
@@ -399,18 +406,31 @@ object Dedup {
     * `postings/` — one (doc_id, pos, g) row per n-gram occurrence, the
     * gram collapsed to its portable 60-bit hash (8-byte keys, the
     * [[incrementalNearDup]] economy; the DuckDB oracle replays the
-    * identical md5-derived hash) — plus `df/` (gram → distinct-doc
-    * count) and `spans/` (the current [[duplicateSpans]] output).
-    * Built once per corpus version; every arriving batch is then
-    * admitted by [[incrementalSpans]] without rescanning corpus text.
+    * identical md5-derived hash) — plus `df/` (gram → weight) and
+    * `spans/` (the current one-shot span output). Built once per corpus
+    * version; every arriving batch is then admitted by
+    * [[incrementalSpans]] without rescanning corpus text.
+    *
+    * `byOccurrence` selects the family's TWO masking semantics, both
+    * served by the same layout (the stored column is named `df` in
+    * either mode — one layout, one set of lifecycle verbs):
+    *  - false (default): weight = DISTINCT DOCS holding the gram — the
+    *    cross-document [[duplicateSpans]] semantics.
+    *  - true: weight = TOTAL OCCURRENCES anywhere in the corpus — the
+    *    ExactSubstr semantics of [[exactSubstringSpans]] (within-doc
+    *    repeats mask). Both weights are ADDITIVE over disjoint doc
+    *    sets, which is exactly why one delta-log/partial-sum lifecycle
+    *    (admission, retraction, stream ingest, compaction) serves both.
     */
-  def writeSpanMaskIndex(corpus: DataFrame, dir: String, n: Int, minDf: Long = 2L): Unit = {
+  def writeSpanMaskIndex(corpus: DataFrame, dir: String, n: Int, minDf: Long = 2L,
+      byOccurrence: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     positionedShingleRows(corpus, n)
       .select(col("doc_id"), col("pos"), Hashing.portableTokenHash60(col("gram")).as("g"))
       .write.mode("overwrite").parquet(s"$dir/postings")
     val postings = spark.read.parquet(s"$dir/postings")
-    postings.groupBy("g").agg(countDistinct("doc_id").as("df"))
+    val weight = if (byOccurrence) count(lit(1)) else countDistinct("doc_id")
+    postings.groupBy("g").agg(weight.as("df"))
       .write.mode("overwrite").parquet(s"$dir/df")
     val dfT = spark.read.parquet(s"$dir/df")
     spansFromCovered(
@@ -438,15 +458,20 @@ object Dedup {
       indexDir: String,
       docIds: DataFrame,
       n: Int,
-      minDf: Long = 2L): DataFrame = {
+      minDf: Long = 2L,
+      byOccurrence: Boolean = false): DataFrame = {
     val postings = spark.read.parquet(s"$indexDir/postings")
     val df0 = spark.read.parquet(s"$indexDir/df")
     val spans0 = spark.read.parquet(s"$indexDir/spans")
     val victims = docIds.select(col(docIds.columns.head).as("doc_id")).distinct()
     val victimPostings = postings.join(broadcast(victims), Seq("doc_id"))
-    // per-gram df decrement = #victim docs holding the gram
-    val delta = victimPostings.select("g", "doc_id").distinct()
-      .groupBy("g").agg(count(lit(1)).as("dd"))
+    // per-gram weight decrement = #victim docs holding the gram
+    // (distinct-doc mode) or the victims' occurrence count (ExactSubstr
+    // mode — must match the build's counting or the flip test drifts)
+    val delta =
+      if (byOccurrence) victimPostings.groupBy("g").agg(count(lit(1)).as("dd"))
+      else victimPostings.select("g", "doc_id").distinct()
+        .groupBy("g").agg(count(lit(1)).as("dd"))
     val merged = delta.join(df0, Seq("g"))
       .select(col("g"), col("df").as("of"), (col("df") - col("dd")).as("nf"))
     val flippedDown = merged
@@ -508,7 +533,8 @@ object Dedup {
       indexDir: String,
       batch: DataFrame,
       n: Int,
-      minDf: Long = 2L): DataFrame = {
+      minDf: Long = 2L,
+      byOccurrence: Boolean = false): DataFrame = {
     val postings = spark.read.parquet(s"$indexDir/postings")
     val df0 = spark.read.parquet(s"$indexDir/df")
     val spans0 = spark.read.parquet(s"$indexDir/spans")
@@ -524,7 +550,12 @@ object Dedup {
     val bp = positionedShingleRows(batch, n)
       .select(col("doc_id"), col("pos"), Hashing.portableTokenHash60(col("gram")).as("g"))
       .localCheckpoint()
-    val db = bp.groupBy("g").agg(countDistinct("doc_id").as("db"))
+    // the batch's weight contribution — same counting as the build (in
+    // ExactSubstr mode a gram repeated WITHIN one batch doc can flip to
+    // duplicated all by itself, which is the semantics, not a bug)
+    val db =
+      if (byOccurrence) bp.groupBy("g").agg(count(lit(1)).as("db"))
+      else bp.groupBy("g").agg(countDistinct("doc_id").as("db"))
     // merged df for every gram the batch touches (batch-vocabulary-sized)
     val touchedGrams = db.join(df0, Seq("g"), "left")
       .select(col("g"), coalesce(col("df"), lit(0L)).as("of"),

@@ -155,6 +155,53 @@ object DedupPack extends QueryPack {
        |FROM p WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The exact-substring family's corpus: documents with within-doc
+    * repetition synthesized (doc_id % 17 doubles its own text) so the
+    * total-occurrence semantics stay non-vacuous vs the distinct-doc
+    * twin — shared by the one-shot gate and every lifecycle gate.
+    */
+  private def substringDocs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(17L)) === 0,
+        concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  /** Oracle for the exact-substring INDEX family: the same augmented
+    * corpus, grams collapsed to the engine's portable 60-bit md5 hash
+    * (the standing layout's key — replayed so the gate hash is exact),
+    * duplicated = TOTAL occurrences ≥ 2, then the shared interval merge.
+    * `corpusWhere` restricts membership (the retraction gate).
+    */
+  private def substringIndexOracle(corpusWhere: String): String =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0 THEN text || ' ' || text ELSE text END AS text
+       |  FROM documents$corpusWhere),
+       |d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM raw),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    CAST(('0x'||substring(md5(
+       |      array_to_string(list_slice(t, i, i + 4), ' ')),1,15)) AS BIGINT) AS gram
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+       |        FROM d WHERE len(t) >= 5)),
+       |f AS (SELECT gram FROM (
+       |        SELECT gram, COUNT(*) AS occ FROM g GROUP BY gram) x
+       |      WHERE occ >= 2),
+       |c AS (SELECT doc_id, pos FROM g JOIN f USING (gram)),
+       |m AS (SELECT doc_id, pos,
+       |        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM c),
+       |sid AS (SELECT doc_id, pos,
+       |          SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |        FROM m)
+       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+       |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+       |FROM sid GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_start""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
 
     "dedup_exact" -> QueryDef(
@@ -547,15 +594,9 @@ object DedupPack extends QueryPack {
     // rule would miss — a wrong HAVING clause breaks the hash.
     "dedup_substring_exact" -> QueryDef(
       "Exact repeated-substring spans, total-occurrence semantics (ExactSubstr)",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val aug = docs.select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(17L)) === 0,
-            concat(col("text"), lit(" "), col("text")))
-            .otherwise(col("text")).as("text"))
-        Dedup.exactSubstringSpans(aug, minLen = 5)
-          .orderBy("doc_id", "span_start")
-      },
+      (s, dir) =>
+        Dedup.exactSubstringSpans(substringDocs(s, dir), minLen = 5)
+          .orderBy("doc_id", "span_start"),
       Some("""WITH raw AS (
              |  SELECT doc_id,
              |    CASE WHEN doc_id % 17 = 0 THEN text || ' ' || text ELSE text END AS text
@@ -582,6 +623,91 @@ object DedupPack extends QueryPack {
              |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
              |FROM sid GROUP BY doc_id, span_id
              |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The exact-substring semantics served from the STANDING span-mask
+    // index (byOccurrence mode: weight = total occurrences, the
+    // ExactSubstr flip at >= 2): one layout, one set of lifecycle verbs,
+    // two masking semantics. Gram keys are the portable 60-bit hash —
+    // the at-scale trade the index family makes (the one-shot
+    // dedup_substring_exact gate stays text-keyed as the exactness
+    // reference); the oracle replays the hash, so the gate is exact.
+    "dedup_substring_indexed" -> QueryDef(
+      "Exact-substring spans served from the standing occurrence-counted index",
+      (s, dir) => {
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "substr-index", s"$dir/documents.parquet")(
+          t => Dedup.writeSpanMaskIndex(substringDocs(s, dir), t, n = 5,
+            byOccurrence = true))
+        s.read.parquet(s"$idx/spans").orderBy("doc_id", "span_start")
+      },
+      Some(substringIndexOracle(""))),
+
+    // Admission under occurrence counting keeps the retroactive property
+    // (a batch doc quoting a unique corpus passage re-masks the OLD doc)
+    // and adds the one distinct-doc counting cannot express: a batch doc
+    // whose own text repeats a gram flips it to duplicated ALL BY
+    // ITSELF. The %5 batch intersected with the %17 doubling guarantees
+    // such docs exist (doc_id % 85 == 68), so a wrong counting mode in
+    // the admission path breaks the hash. Oracle = full rebuild over
+    // corpus ∪ batch.
+    "dedup_substring_incremental" -> QueryDef(
+      "Batch admission into the occurrence-counted substring index == full rebuild",
+      (s, dir) => {
+        val aug = substringDocs(s, dir)
+        val isNew = pmod(col("doc_id"), lit(5L)) === 4
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "substr-incr", s"$dir/documents.parquet")(
+          t => Dedup.writeSpanMaskIndex(aug.filter(!isNew), t, n = 5,
+            byOccurrence = true))
+        Dedup.incrementalSpans(s, idx, aug.filter(isNew), n = 5,
+            byOccurrence = true)
+          .orderBy("doc_id", "span_start")
+      },
+      Some(substringIndexOracle(""))),
+
+    // Retraction under occurrence counting decrements each gram by the
+    // VICTIMS' OCCURRENCE COUNT (a doubled victim doc holding a gram
+    // twice removes 2, not 1 — a distinct-doc decrement here would
+    // leave phantom duplication); down-flipped grams retroactively
+    // un-mask the survivors holding them. Oracle = survivor rebuild.
+    "dedup_substring_retract" -> QueryDef(
+      "Doc retraction from the occurrence-counted substring index == survivor rebuild",
+      (s, dir) => {
+        val aug = substringDocs(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "substr-retract", s"$dir/documents.parquet")(
+          t => Dedup.writeSpanMaskIndex(aug, t, n = 5, byOccurrence = true))
+        Dedup.retractSpans(s, idx,
+            aug.filter(pmod(col("doc_id"), lit(7L)) === 0).select("doc_id"),
+            n = 5, byOccurrence = true)
+          .orderBy("doc_id", "span_start")
+      },
+      Some(substringIndexOracle(" WHERE doc_id % 7 != 0"))),
+
+    // Stream-maintained exact-substring masking: occurrence partials are
+    // additive over disjoint doc sets exactly like df partials, so the
+    // same delta-log layout serves (SpanMaskIngest with byOccurrence);
+    // batch 1 deliberately replayed — the replay must converge, and the
+    // served spans must equal the one-shot occurrence build including
+    // cross-batch retroactive masking.
+    "dedup_substring_stream" -> QueryDef(
+      "Exact-substring spans from a stream-maintained occurrence index (3 batches, one replayed)",
+      (s, dir) => {
+        val aug = substringDocs(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(
+          s, "substr-stream", s"$dir/documents.parquet") { tmp =>
+          (0L to 2L).foreach(b =>
+            graft.streaming.SpanMaskIngest.ingestBatch(
+              aug.filter(pmod(col("doc_id"), lit(3)) === b), b, tmp, n = 5,
+              byOccurrence = true))
+          graft.streaming.SpanMaskIngest.ingestBatch(
+            aug.filter(pmod(col("doc_id"), lit(3)) === 1L), 1L, tmp, n = 5,
+            byOccurrence = true)
+        }
+        graft.streaming.SpanMaskIngest.servedSpans(s, idx, n = 5)
+          .orderBy("doc_id", "span_start")
+      },
+      Some(substringIndexOracle(""))),
 
     // Incremental span masking — the admission shape with RETROACTIVE
     // propagation: a batch doc quoting a previously-unique corpus

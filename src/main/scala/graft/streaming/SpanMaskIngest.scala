@@ -33,19 +33,27 @@ object SpanMaskIngest {
 
   /** Land one batch of documents' span-index contributions. Directly
     * callable for replay testing — a second call with the same batchId
-    * replaces the first call's files exactly.
+    * replaces the first call's files exactly. `byOccurrence` selects
+    * the [[Dedup.writeSpanMaskIndex]] counting mode (distinct docs vs
+    * total occurrences — the ExactSubstr semantics); BOTH weights are
+    * additive over disjoint doc sets, so the delta-log partial-sum
+    * serving below is exact in either mode. One mode per index
+    * directory — the landed partials don't record which counting
+    * produced them, same single-semantics contract as the batch build.
     */
-  def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String, n: Int): Unit = {
+  def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String, n: Int,
+      byOccurrence: Boolean = false): Unit = {
     val p = Dedup.positionedShingleRows(batch, n)
       .select(col("doc_id"), col("pos"),
         Hashing.portableTokenHash60(col("gram")).as("g"))
       .persist()
     try {
       BatchFiles.land(p, s"$indexDir/postings", batchId)
-      BatchFiles.land(
-        p.select("g", "doc_id").distinct()
-          .groupBy("g").agg(count(lit(1)).as("df")),
-        s"$indexDir/df", batchId)
+      val partial =
+        if (byOccurrence) p.groupBy("g").agg(count(lit(1)).as("df"))
+        else p.select("g", "doc_id").distinct()
+          .groupBy("g").agg(count(lit(1)).as("df"))
+      BatchFiles.land(partial, s"$indexDir/df", batchId)
     } finally p.unpersist()
   }
 
@@ -54,10 +62,11 @@ object SpanMaskIngest {
     * [[Dedup.incrementalSpans]] (dedup upstream decides identity).
     */
   def start(stream: DataFrame, indexDir: String, checkpointDir: String,
-      n: Int): StreamingQuery =
+      n: Int, byOccurrence: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, id: Long) => ingestBatch(b, id, indexDir, n))
+      .foreachBatch((b: DataFrame, id: Long) =>
+        ingestBatch(b, id, indexDir, n, byOccurrence))
       .start()
 
   /** The CURRENT span table from the stream-maintained layout: df sums

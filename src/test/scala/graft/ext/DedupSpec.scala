@@ -566,6 +566,55 @@ class DedupSpec extends AnyFunSuite {
     assert(dfTwin == Set(3L, 4L))
   }
 
+  test("occurrence-counted span index: within-doc masks, admission self-flips, retraction decrements by occurrence") {
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_end")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta unique tail one"),
+      (2L, "one two three mid one two three"), // within-doc repeated 3-gram
+      (5L, "s t u mid s t u"),                 // gram "s t u" twice here...
+      (6L, "s t u end here now")               // ...and once in this survivor
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("substr-idx").toString
+    Dedup.writeSpanMaskIndex(corpus, idx, n = 3, byOccurrence = true)
+    val built = spans(spark.read.parquet(s"$idx/spans"))
+    // within-doc repeats mask under occurrence counting...
+    assert(built.exists(_._1 == 2L) && built.exists(_._1 == 5L) && built.exists(_._1 == 6L))
+    assert(!built.exists(_._1 == 1L))
+    // ...and provably not under the distinct-doc mode on the same fixture
+    val dfIdx = java.nio.file.Files.createTempDirectory("substr-df").toString
+    Dedup.writeSpanMaskIndex(corpus, dfIdx, n = 3)
+    assert(!spans(spark.read.parquet(s"$dfIdx/spans")).exists(_._1 == 2L))
+
+    // admission: a single cross-doc quote flips occ 1 -> 2 (retroactive
+    // re-mask of doc 1), and a batch doc with an INTERNAL repeat flips
+    // its own gram with no help from the corpus
+    val batch = Seq(
+      (10L, "alpha beta gamma quoted once"),
+      (11L, "p q r mid p q r")).toDF("doc_id", "text")
+    val admitted = spans(
+      Dedup.incrementalSpans(spark, idx, batch, n = 3, byOccurrence = true))
+    assert(admitted.contains((1L, 0L, 2L)), "retroactive re-mask of the quoted doc")
+    assert(admitted.contains((10L, 0L, 2L)))
+    assert(admitted.exists(_._1 == 11L), "within-batch repeat must self-mask")
+    // == the one-shot occurrence rebuild over corpus ∪ batch
+    val rebuild = java.nio.file.Files.createTempDirectory("substr-rb").toString
+    Dedup.writeSpanMaskIndex(corpus.unionAll(batch), rebuild, n = 3, byOccurrence = true)
+    assert(admitted == spans(spark.read.parquet(s"$rebuild/spans")))
+
+    // retraction decrements by OCCURRENCE: "s t u" has occ 3 (twice in
+    // victim 5, once in survivor 6); a distinct-doc decrement would
+    // leave 2 and keep the survivor wrongly masked, the occurrence
+    // decrement drops to 1 and un-masks it
+    val retracted = spans(
+      Dedup.retractSpans(spark, idx, Seq(5L).toDF("doc_id"), n = 3,
+        byOccurrence = true))
+    assert(!retracted.exists(_._1 == 6L),
+      "survivor must un-mask when the victim's occurrences leave")
+    assert(retracted.exists(_._1 == 2L), "untouched within-doc mask survives")
+  }
+
   test("duplicate spans: shared regions mask, gaps split, within-doc repeats don't") {
     val docs = Seq(
       // docs 1/2 share exactly the 5-grams at positions 0 and 1 -> one

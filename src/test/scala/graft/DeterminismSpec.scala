@@ -57,6 +57,10 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_topk_binary_mih",      // enumerated band probes + rerank tie-breaks
     "dedup_incremental_lifecycle", // fp delta log + retraction ledger build, serve after
     "dedup_substring_exact",    // gram-partition count window + per-doc span merge
+    "dedup_substring_indexed",  // occurrence-counted index build on first run
+    "dedup_substring_incremental", // standing-index build + admission flips
+    "dedup_substring_retract",  // occurrence-decrement + survivor re-merge
+    "dedup_substring_stream",   // occ delta-log build (one batch replayed), serve view
     "mm_phash_indexed",         // banded phash self-join over a standing index
     "mm_phash_lifecycle",       // full mm verb sequence on first run, serve after
     "mm_dedup_indexed",         // content-hash rollup over the lifecycle index

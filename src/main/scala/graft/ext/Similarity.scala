@@ -354,6 +354,47 @@ object Similarity {
     * to raise recall). The self-join is hinted shuffle_hash: both sides
     * are corpus-sized and must never broadcast.
     */
+  /** SEMANTIC decontamination — the embedding-space counterpart of the
+    * n-gram eval-overlap detectors (text_contamination / overlapSpans):
+    * flag every train vector within cosine `threshold` of ANY eval
+    * vector, with its best-matching benchmark item. Paraphrased leaks
+    * share no n-grams, so the gram detectors structurally miss them;
+    * embedding proximity is the standard second net (the semantic-dedup
+    * observation applied across the train/eval boundary).
+    *
+    * Scale shape: benchmarks are TINY next to a pretraining corpus, so
+    * the eval side BROADCASTS (the [[Dedup.overlapSpans]] economy moved
+    * to vectors) and the train pass is map-side — |eval| codegen'd dots
+    * per train vector, no train-keyed shuffle of anything but the
+    * per-vector best-match row feeding the final aggregate. No cell
+    * pruning and therefore NO recall trade: unlike the SemDeDup
+    * self-join (where cells keep the n² self-pair matrix at bay),
+    * train×eval is linear in the corpus with a small constant, so
+    * exactness costs nothing structural.
+    *
+    * Ties (equal cosine to two eval items) resolve to the LOWEST eval
+    * id via the lexicographic struct max — order-independent, so the
+    * result is partition-layout-invariant and the oracle replays it.
+    */
+  def semanticDecontam(
+      train: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val ev = withNormalized(evalSet.select(col(idCol), col(vecCol)), vecCol, "env")
+      .select(col(idCol).as("eval_id"), col("env"))
+    val tr = withNormalized(train.select(col(idCol), col(vecCol)), vecCol, "tnv")
+      .select(col(idCol), col("tnv"))
+    tr.crossJoin(broadcast(ev))
+      .select(col(idCol), col("eval_id"), dot(col("tnv"), col("env")).as("cos"))
+      .groupBy(idCol)
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("neg"))).as("m"))
+      .filter(col("m.cos") >= threshold)
+      .select(col(idCol), (-col("m.neg")).as("matched_eval"),
+        round(col("m.cos"), 6).as("cosine"))
+  }
+
   def semanticDupPairs(
       embeddings: DataFrame,
       threshold: Double,

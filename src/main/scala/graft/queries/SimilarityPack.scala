@@ -828,6 +828,40 @@ object SimilarityPack extends QueryPack {
              |SELECT l.label, c.n_a, c.n_b, ROUND(l.l2, 6) AS drift_l2
              |FROM l JOIN c ON c.label = l.label ORDER BY l.label""".stripMargin)),
 
+    // SEMANTIC decontamination — the embedding-space net next to the
+    // n-gram detectors (text_contamination / text_decontam_spans):
+    // paraphrased benchmark leaks share no grams, so those detectors
+    // structurally miss them; this flags every train vector within
+    // cosine 0.4 of ANY eval vector with its best-matching benchmark
+    // item. The eval side broadcasts (benchmarks are tiny — the
+    // overlapSpans economy on vectors), the train pass is map-side, no
+    // cell pruning and hence no recall trade. Ties resolve to the
+    // lowest eval id via the lexicographic struct max, so the answer is
+    // layout-invariant and the oracle replays it.
+    "sim_decontam" -> QueryDef(
+      "Train vectors within cosine 0.4 of any eval vector (vec_id%23==0), best match each",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val isEval = pmod(col("vec_id"), lit(23L)) === 0
+        Similarity.semanticDecontam(
+            e.filter(!isEval), e.filter(isEval), threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${normCte("")},
+              |ev AS (SELECT vec_id AS eval_id, nv FROM e WHERE vec_id % 23 = 0),
+              |tr AS (SELECT vec_id, nv FROM e WHERE vec_id % 23 != 0),
+              |p AS (
+              |  SELECT tr.vec_id, ev.eval_id,
+              |    list_dot_product(tr.nv, ev.nv) AS cos
+              |  FROM tr CROSS JOIN ev),
+              |m AS (SELECT vec_id, MAX(cos) AS best FROM p GROUP BY vec_id),
+              |sel AS (
+              |  SELECT p.vec_id, MIN(p.eval_id) AS matched_eval, m.best
+              |  FROM p JOIN m ON p.vec_id = m.vec_id AND p.cos = m.best
+              |  GROUP BY p.vec_id, m.best)
+              |SELECT vec_id, matched_eval, ROUND(best, 6) AS cosine
+              |FROM sel WHERE best >= 0.4 ORDER BY vec_id""".stripMargin)),
+
     // SemDeDup-style semantic dedup: pairs form ONLY within a trained
     // centroid cell (the cells play LSH bands' role), so the all-pairs
     // cosine matrix never materializes; cross-cell dups are the

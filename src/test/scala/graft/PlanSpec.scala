@@ -126,6 +126,17 @@ class PlanSpec extends AnyFunSuite {
       "corpus-sized sides must not broadcast under the raised threshold")
   }
 
+  test("semantic decontamination broadcasts the eval panel, never shuffles train by pair") {
+    // the DESIGNED plan is a broadcast nested-loop over the tiny eval
+    // side (benchmarks are panel-sized) — a shuffled join here would
+    // move the train corpus keyed by pair, the 100 TB failure mode
+    val p = plan("sim_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "eval panel must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the pair enumeration must ride the broadcast, not a shuffled cartesian")
+  }
+
   test("exact-substring spans are gram-keyed equi joins, never a cross product") {
     // the ExactSubstr mask must come from the duplicated-anchor equi
     // join-back (linear in occurrence count) — any NestedLoop/Cartesian

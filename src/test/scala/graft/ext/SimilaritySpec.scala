@@ -544,6 +544,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1) == ((2L, 2L, 5.0)))
   }
 
+  test("semantic decontamination: planted paraphrase flags with its source; distant vectors don't; ties take the lowest eval id") {
+    import spark.implicits._
+    // eval panel: two orthogonal axis vectors; train: a near-copy of
+    // eval 100 (cos ~0.9988), an orthogonal-ish far vector, and a
+    // vector EQUIDISTANT from both eval items (tie)
+    val evalSet = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f, 0.0f)), // paraphrase of 100
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),  // orthogonal to both
+      (3L, Array(1.0f, 1.0f, 0.0f, 0.0f))   // tie: cos 1/sqrt2 to both
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontam(train, evalSet, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 3L), "the orthogonal vector must not flag")
+    assert(got(1L)._1 == 100L && got(1L)._2 > 0.99)
+    assert(got(3L)._1 == 100L, "equal-cosine tie must resolve to the lowest eval id")
+    assert(math.abs(got(3L)._2 - 1.0 / math.sqrt(2)) < 1e-6)
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = Tables.embeddings(spark, sf).limit(20)
     val b1 = e.select(Similarity.lshBucket(col("embedding"), 64).as("b")).collect().map(_.getLong(0))

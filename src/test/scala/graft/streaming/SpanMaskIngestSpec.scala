@@ -117,4 +117,40 @@ class SpanMaskIngestSpec extends AnyFunSuite {
     assert(rows(SpanMaskIngest.servedSpans(spark, idx, n = 5)) ==
       rows(Dedup.duplicateSpans(docs, n = 5)))
   }
+
+  test("occurrence mode: stream -> compact -> admit -> retract all stay exact vs the one-shot occ build") {
+    // the full lifecycle composition in ExactSubstr (total-occurrence)
+    // mode: compaction sums occ partials like df partials (both
+    // additive over disjoint doc sets), the materialized spans must be
+    // the occurrence spans, and the batch-layout verbs must keep the
+    // occ counting on the compacted tables
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(17L)) === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    def occBuild(corpus: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val d = java.nio.file.Files.createTempDirectory("occ-ref").toString
+      Dedup.writeSpanMaskIndex(corpus, d, n = 5, byOccurrence = true)
+      rows(spark.read.parquet(s"$d/spans"))
+    }
+    val isLate = pmod(col("doc_id"), lit(5L)) === 4
+    val standing = docs.filter(!isLate)
+    val idx = java.nio.file.Files.createTempDirectory("occ-compose").toString
+    (0L to 1L).foreach(b =>
+      SpanMaskIngest.ingestBatch(
+        standing.filter(pmod(col("doc_id"), lit(2L)) === b), b, idx, n = 5,
+        byOccurrence = true))
+    assert(rows(SpanMaskIngest.servedSpans(spark, idx, n = 5)) == occBuild(standing))
+    SpanMaskIngest.compactToBatchLayout(spark, idx, n = 5)
+    assert(rows(spark.read.parquet(s"$idx/spans")) == occBuild(standing),
+      "compacted occ spans must equal the one-shot occurrence build")
+    // admission on the compacted layout keeps occurrence counting
+    assert(rows(Dedup.incrementalSpans(spark, idx, docs.filter(isLate), n = 5,
+        byOccurrence = true)) == occBuild(docs))
+    // retraction on the compacted layout decrements by occurrence
+    val victims = standing.filter(pmod(col("doc_id"), lit(7L)) === 0).select("doc_id")
+    assert(rows(Dedup.retractSpans(spark, idx, victims, n = 5, byOccurrence = true)) ==
+      occBuild(standing.filter(pmod(col("doc_id"), lit(7L)) =!= 0)))
+  }
 }

@@ -384,6 +384,38 @@ object Dedup {
     spansFromCovered(covered, minLen)
   }
 
+  /** [[exactSubstringSpans]] with the KEEP-ONE policy: the canonical
+    * ExactSubstr cut removes EVERY occurrence of a duplicated substring;
+    * real pipelines usually want to keep one copy (drop the text from
+    * the duplicates, not from the canonical holder — the Lee et al.
+    * "leave one occurrence" discussion). Here the kept copy of each
+    * duplicated L-window is its GLOBAL FIRST occurrence in (doc_id,
+    * pos) order — deterministic, layout-invariant, and replayable —
+    * and coverage excludes it, so the first holder's positions mask
+    * only where some OTHER duplicated window (one whose first
+    * occurrence lies elsewhere) covers them. Keep-one is inherently
+    * window-granular: overlapping duplicated windows with different
+    * first-holders can still cover parts of a kept region — the same
+    * caveat the single-node tool documents.
+    *
+    * Plan shape: the SAME single gram-keyed shuffle as the cut-all
+    * form; the rank that marks the kept copy rides the window that was
+    * already counting occurrences.
+    */
+  def exactSubstringSpansKeepFirst(docs: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = positionedShingleRows(docs, minLen)
+    // rn > 1 alone IS the whole predicate: a unique gram only ever has
+    // rn = 1, so "non-first occurrence" and "duplicated and not the
+    // kept copy" are the same set — one ranked window, no count needed
+    val byFirst = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val covered = g
+      .withColumn("rn", row_number().over(byFirst))
+      .filter(col("rn") > 1L)
+      .select("doc_id", "pos")
+    spansFromCovered(covered, minLen)
+  }
+
   /** DECONTAMINATION spans: maximal token spans of `train` docs covered
     * by a width-`n` n-gram that appears ANYWHERE in the evaluation
     * benchmark set — the surgical alternative to dropping every

@@ -624,6 +624,48 @@ object DedupPack extends QueryPack {
              |FROM sid GROUP BY doc_id, span_id
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // The KEEP-ONE policy on the same corpus: cut every occurrence of a
+    // duplicated substring EXCEPT its global first (doc_id, pos) holder
+    // — what a pipeline that wants exactly one surviving copy of each
+    // repeated passage runs instead of the cut-all mask. Same single
+    // gram-keyed shuffle (a ranked window instead of a count). The
+    // doubled %17 docs make the policies diverge non-vacuously: under
+    // cut-all their whole text masks; under keep-first the first copy
+    // of each window survives.
+    "dedup_substring_keep_first" -> QueryDef(
+      "Exact-substring spans cutting all but the first occurrence of each window",
+      (s, dir) =>
+        Dedup.exactSubstringSpansKeepFirst(substringDocs(s, dir), minLen = 5)
+          .orderBy("doc_id", "span_start"),
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 17 = 0 THEN text || ' ' || text ELSE text END AS text
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+             |  FROM raw),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+             |        FROM d WHERE len(t) >= 5)),
+             |c AS (
+             |  SELECT doc_id, pos FROM (
+             |    SELECT doc_id, pos,
+             |      ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             |    FROM g) x
+             |  WHERE rn > 1),
+             |m AS (SELECT doc_id, pos,
+             |        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM c),
+             |sid AS (SELECT doc_id, pos,
+             |          SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+             |        FROM m)
+             |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+             |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+             |FROM sid GROUP BY doc_id, span_id
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // The exact-substring semantics served from the STANDING span-mask
     // index (byOccurrence mode: weight = total occurrences, the
     // ExactSubstr flip at >= 2): one layout, one set of lifecycle verbs,

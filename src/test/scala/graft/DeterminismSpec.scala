@@ -61,6 +61,7 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_substring_incremental", // standing-index build + admission flips
     "dedup_substring_retract",  // occurrence-decrement + survivor re-merge
     "dedup_substring_stream",   // occ delta-log build (one batch replayed), serve view
+    "dedup_substring_keep_first", // global-first ranked window over gram partitions
     "mm_phash_indexed",         // banded phash self-join over a standing index
     "mm_phash_lifecycle",       // full mm verb sequence on first run, serve after
     "mm_dedup_indexed",         // content-hash rollup over the lifecycle index

@@ -566,6 +566,26 @@ class DedupSpec extends AnyFunSuite {
     assert(dfTwin == Set(3L, 4L))
   }
 
+  test("keep-first exact-substring spans: first occurrence survives, all later copies mask") {
+    val docs = Seq(
+      (1L, "one two three head unique a"),   // first holder of "one two three"
+      (2L, "mid one two three tail b"),      // second holder: masks
+      (3L, "one two three again one two three") // 3rd+4th copies mask; within-doc too
+    ).toDF("doc_id", "text")
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_end")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val kept = spans(Dedup.exactSubstringSpansKeepFirst(docs, minLen = 3))
+    // doc 1 holds the global first occurrence: nothing masks there
+    assert(!kept.exists(_._1 == 1L), "the kept copy must not mask")
+    assert(kept.contains((2L, 1L, 3L)))
+    // BOTH of doc 3's copies mask (they are occurrences 3 and 4)
+    assert(kept.contains((3L, 0L, 2L)) && kept.contains((3L, 4L, 6L)))
+    // cut-all on the same fixture masks doc 1 as well — the policies
+    // genuinely diverge
+    assert(spans(Dedup.exactSubstringSpans(docs, minLen = 3)).exists(_._1 == 1L))
+  }
+
   test("occurrence-counted span index: within-doc masks, admission self-flips, retraction decrements by occurrence") {
     def spans(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "span_start", "span_end")

@@ -12,6 +12,65 @@ import graft.ops.Consolidate
   */
 object Curation {
 
+  /** Per-doc Gopher-rule pass flags (Rae et al. 2021's document-filter
+    * shape): (doc_id, r_len, r_wl, r_rep, r_stop, r_sym), each 0/1 —
+    * the five scorers the `curation_gopher_rules` suite rolls up, kept
+    * here so downstream composition (e.g. the quality-ranked
+    * exact-substring keep policy) shares the EXACT expressions the
+    * gated suite pins. Cost: ONE corpus scan, no shuffle — even the
+    * top-token repetition share is the sorted-run fold, not a
+    * (doc, token) aggregate (measured equal to the exploded form at
+    * the ×32 amplification, so per-token compute is the floor).
+    */
+  def gopherRuleFlags(docs: DataFrame): DataFrame = {
+    val stopUnion = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
+    // explode(array(...)) barrier: materialize the token split ONCE per
+    // doc — five rule expressions referencing the split subtree would
+    // re-run the tokenizer five times per row
+    val toked = docs
+      .select(col("doc_id"), col("text"),
+        explode(array(TextAnalysis.tokens(col("text")))).as("tk"))
+    def toks = col("tk")
+    // max equal-token count == longest run in the SORTED token array:
+    // a per-row sort + fold, map-only (the relational twin's exploded
+    // two-level aggregate measured 10.75 s at ×32 for the same value)
+    val topShare = {
+      val st0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+      val fold = aggregate(sort_array(toks), st0,
+        (st, t) => {
+          val run = when(t === st("prev"), st("run") + 1L).otherwise(lit(1L))
+          struct(t.as("prev"), run.as("run"),
+            greatest(st("best"), run).as("best"))
+        },
+        st => st("best"))
+      fold.cast("double") / size(toks)
+    }
+    toked.select(
+        col("doc_id"),
+        size(toks).cast("long").as("ntok"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("toklen"),
+        size(filter(toks, t => t.isin(stopUnion: _*))).cast("long").as("nstop"),
+        TextAnalysis.punctCount(col("text")).cast("double").as("npunct"),
+        length(col("text")).cast("double").as("nchar"),
+        topShare.as("top_share"))
+      .select(
+        col("doc_id"),
+        when(col("ntok").between(10L, 2000L), 1L).otherwise(0L).as("r_len"),
+        when((col("toklen").cast("double") / col("ntok"))
+          .between(3.0, 10.0), 1L).otherwise(0L).as("r_wl"),
+        when(col("top_share") <= 0.1, 1L).otherwise(0L).as("r_rep"),
+        when(col("nstop") >= 2L, 1L).otherwise(0L).as("r_stop"),
+        when(col("npunct") / col("nchar") <= 0.15, 1L).otherwise(0L).as("r_sym"))
+  }
+
+  /** Per-doc quality = Gopher rules passed (0..5) — the ranking score
+    * quality-aware keep policies join on ([[gopherRuleFlags]] summed).
+    */
+  def gopherQuality(docs: DataFrame): DataFrame =
+    gopherRuleFlags(docs).select(col("doc_id"),
+      (col("r_len") + col("r_wl") + col("r_rep") + col("r_stop") + col("r_sym"))
+        .as("q"))
+
   /** Per-TRAIN-doc contamination profile against the eval split:
     * (doc_id, source, n_sh, n_hit, ratio) where n_hit counts the doc's
     * distinct n-gram shingles that also appear anywhere in the eval

@@ -125,10 +125,17 @@ object Dedup {
     * and the distinct serving view absorbs it (a signed −n delta would
     * double-decrement and could kill a fingerprint that still has
     * surviving copies), and replaying a pre-compaction retraction
-    * batchId AFTER [[compactFingerprintIndex]] is equally absorbed
-    * because the compacted layout CARRIES the ledger (the signed form
-    * folded deltas into the compacted row, so the replayed files
-    * double-applied). Contract: `doc_id` is an immutable identity —
+    * batchId AFTER [[compactFingerprintIndex]] is absorbed FOR
+    * FINGERPRINTS LIVE AT COMPACTION because the compacted layout
+    * CARRIES their ledger rows (the signed form folded deltas into the
+    * compacted row, so the replayed files double-applied). For a fp
+    * DEAD at compaction the ledger rows are dropped with it, so the
+    * retraction replay-idempotence window closes at compaction exactly
+    * like the refresh window: a dead-fp retraction batch replayed
+    * post-compaction re-lands its `(fp, doc_id)` rows, and if the same
+    * normalized text is later re-admitted under a NEW doc_id those
+    * stale rows suppress the reborn fingerprint until the next
+    * compaction purges them. Contract: `doc_id` is an immutable identity —
     * re-admitting a previously retracted doc_id as new content is
     * outside it (the ledger would still count the old retraction).
     * A fingerprint shared with surviving copies keeps a positive served
@@ -170,11 +177,15 @@ object Dedup {
     * guarded root swap over BOTH subdirs (a batch landing mid-compaction
     * aborts loudly — the [[graft.streaming.SpanMaskIngest]] compactor
     * contract); serving before and after is identical. The residual
-    * hazard is the admission side: replaying a pre-compaction REFRESH
-    * batchId after compaction double-counts its +n partials (the
-    * original files were folded) — admissions carry no per-doc ledger;
-    * the replay-idempotence window for refreshes closes at compaction,
-    * same as every batch-file index here.
+    * hazard is replay past the fold: a pre-compaction REFRESH batchId
+    * replayed after compaction double-counts its +n partials (the
+    * original files were folded) — admissions carry no per-doc ledger —
+    * and a pre-compaction RETRACTION batchId replayed after compaction
+    * is only absorbed for fps that were LIVE at compaction (dead fps'
+    * ledger rows were dropped, so the replay re-lands rows that would
+    * suppress a later same-text re-admission). The replay-idempotence
+    * window for BOTH verbs closes at compaction, same as every
+    * batch-file index here; see [[retractFromFingerprintIndex]].
     */
   def compactFingerprintIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
@@ -248,16 +259,18 @@ object Dedup {
     * the doc contains it. Same explode(array(...)) tokenize-once
     * barrier; docs shorter than n produce no rows.
     */
-  def positionedShingleRows(docs: DataFrame, n: Int, keyCol: String = "doc_id"): DataFrame = {
-    val toked = docs.select(col(keyCol),
-      explode(array(TextAnalysis.tokens(col("text")))).as("toks"))
+  def positionedShingleRows(docs: DataFrame, n: Int, keyCol: String = "doc_id",
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = col(keyCol) +: carry.map(col)
+    val toked = docs.select(keep :+
+      explode(array(TextAnalysis.tokens(col("text")))).as("toks"): _*)
     toked
       .filter(size(col("toks")) >= n)
-      .select(col(keyCol), posexplode(
+      .select(keep :+ posexplode(
         transform(
           sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
-      .select(col(keyCol), col("pos").cast("long").as("pos"), col("col").as("gram"))
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))): _*)
+      .select(keep ++ Seq(col("pos").cast("long").as("pos"), col("col").as("gram")): _*)
   }
 
   /** Duplicate n-gram SPAN MASKING — the sub-document exact-substring
@@ -411,6 +424,39 @@ object Dedup {
     val byFirst = Window.partitionBy("gram").orderBy("doc_id", "pos")
     val covered = g
       .withColumn("rn", row_number().over(byFirst))
+      .filter(col("rn") > 1L)
+      .select("doc_id", "pos")
+    spansFromCovered(covered, minLen)
+  }
+
+  /** [[exactSubstringSpansKeepFirst]] with a QUALITY-RANKED keep policy:
+    * the kept copy of each duplicated L-window lives in the
+    * HIGHEST-QUALITY document holding it (ties broken by (doc_id, pos)
+    * for determinism) — what a real pipeline runs when it has a per-doc
+    * quality verdict (e.g. [[Curation.gopherQuality]], the Gopher-rule
+    * pass count): drop the repeated passage from the low-quality
+    * holders, keep it where the surrounding document is best.
+    *
+    * `quality` is `(doc_id, q)`, higher is better. It joins at DOC
+    * granularity BEFORE the gram explosion — a broadcast hash join on
+    * the doc rows, so the positioned gram stream still pays its ONE
+    * gram-keyed shuffle (now carrying one extra long) and nothing new
+    * shuffles. At 100 TB the per-doc score table is corpus-row-sized;
+    * the same plan holds with the broadcast swapped for a doc-keyed
+    * sort-merge join (still doc-granular, still upstream of the gram
+    * explosion), or the score computed inline as a doc column (zero
+    * join) when it is expression-derivable like the Gopher flags.
+    * Window-granularity caveat as [[exactSubstringSpansKeepFirst]].
+    */
+  def exactSubstringSpansKeepBest(
+      docs: DataFrame, minLen: Int, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.join(broadcast(quality.select("doc_id", "q")), Seq("doc_id"))
+    val g = positionedShingleRows(scored, minLen, carry = Seq("q"))
+    val byBest = Window.partitionBy("gram")
+      .orderBy(col("q").desc, col("doc_id"), col("pos"))
+    val covered = g
+      .withColumn("rn", row_number().over(byBest))
       .filter(col("rn") > 1L)
       .select("doc_id", "pos")
     spansFromCovered(covered, minLen)

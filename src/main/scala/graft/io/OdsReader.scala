@@ -39,22 +39,37 @@ object OdsReader {
   def read(spark: SparkSession, path: String): DataFrame =
     fromRows(spark, readRowsCached(path))
 
-  /** Per-JVM parse memo keyed on (path, length, mtime): the DSv2 path
+  /** Per-JVM parse memo keyed on (path, content digest): the DSv2 path
     * parses each file TWICE per query — once on the driver for
     * inferSchema (width only) and once in the reader task — and the
     * composed e2e queries re-read the same fixture files per run. The
     * cache collapses those to one StAX parse per file content per JVM.
     * Spreadsheets are small by construction (see the scale note above),
-    * and the content key means a rewritten file re-parses; a bounded
-    * sweep keeps a pathological many-files workload from accreting.
+    * so hashing the bytes is cheap and makes the key exact — a
+    * same-length rewrite inside mtime granularity re-parses, where a
+    * (length, mtime) key would serve stale rows. Access-order LRU with
+    * per-entry eviction keeps a many-files workload from accreting
+    * without the old wholesale clear().
     */
-  private val parsed = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[String]]]()
+  private val parsed =
+    new java.util.LinkedHashMap[String, Seq[Seq[String]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Seq[String]]]): Boolean = size > 64
+    }
 
   def readRowsCached(path: String): Seq[Seq[String]] = {
-    val f = new java.io.File(path)
-    val key = s"$path|${f.length}|${f.lastModified}"
-    if (parsed.size > 64) parsed.clear()
-    parsed.computeIfAbsent(key, _ => readRows(new java.io.FileInputStream(path)))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    val key = path + "|" + java.util.Base64.getEncoder.encodeToString(digest)
+    parsed.synchronized(Option(parsed.get(key))) match {
+      case Some(rows) => rows
+      case None =>
+        // parse outside the lock: concurrent misses may parse twice,
+        // converging to the same value — better than serializing parses
+        val rows = readRows(new java.io.ByteArrayInputStream(bytes))
+        parsed.synchronized(parsed.put(key, rows))
+        rows
+    }
   }
 
   def fromRows(spark: SparkSession, rows: Seq[Seq[String]]): DataFrame = {

@@ -28,47 +28,12 @@ object CurationPack extends QueryPack {
     "curation_gopher_rules" -> QueryDef(
       "Gopher-style rule suite: per-rule pass counts + all-rules keep verdict",
       (s, dir) => {
-        val stopUnion = graft.ext.TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
-        // explode(array(...)) barrier: materialize the token split ONCE
-        // per doc — five rule expressions referencing the split SUBTREE
-        // would re-run the tokenizer five times per row (the
-        // Dedup.shingleRows lesson)
-        val docs = Tables.documents(s, dir)
-          .select(col("text"),
-            explode(array(graft.ext.TextAnalysis.tokens(col("text")))).as("tk"))
-        def toks = col("tk")
-        // top-token share WITHOUT a (doc, tok) shuffle: the max count of
-        // equal tokens is the longest run in the SORTED token array, so
-        // a per-row sort + fold replaces the exploded two-level
-        // aggregate the relational twin (text_repetition) gates — same
-        // value, map-only cost shape (the exploded form measured
-        // 10.75 s at the ×32 amplification; the whole suite is now one
-        // corpus scan feeding a single 1-row aggregate)
-        val topShare = {
-          val st0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
-          val fold = aggregate(sort_array(toks), st0,
-            (st, t) => {
-              val run = when(t === st("prev"), st("run") + 1L).otherwise(lit(1L))
-              struct(t.as("prev"), run.as("run"),
-                greatest(st("best"), run).as("best"))
-            },
-            st => st("best"))
-          fold.cast("double") / size(toks)
-        }
-        val r = docs.select(
-            size(toks).cast("long").as("ntok"),
-            aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("toklen"),
-            size(filter(toks, t => t.isin(stopUnion: _*))).cast("long").as("nstop"),
-            graft.ext.TextAnalysis.punctCount(col("text")).cast("double").as("npunct"),
-            length(col("text")).cast("double").as("nchar"),
-            topShare.as("top_share"))
-          .select(
-            when(col("ntok").between(10L, 2000L), 1L).otherwise(0L).as("r_len"),
-            when((col("toklen").cast("double") / col("ntok"))
-              .between(3.0, 10.0), 1L).otherwise(0L).as("r_wl"),
-            when(col("top_share") <= 0.1, 1L).otherwise(0L).as("r_rep"),
-            when(col("nstop") >= 2L, 1L).otherwise(0L).as("r_stop"),
-            when(col("npunct") / col("nchar") <= 0.15, 1L).otherwise(0L).as("r_sym"))
+        // the per-doc rule flags live in Curation.gopherRuleFlags (one
+        // corpus scan, sorted-run fold for the repetition share — see
+        // its scaladoc for the measured plan history) so quality-ranked
+        // compositions (dedup_substring_keep_best) share the EXACT
+        // expressions this suite pins; doc_id is pruned by the agg
+        val r = graft.ext.Curation.gopherRuleFlags(Tables.documents(s, dir))
         val m = r.agg(
           count(lit(1)).as("n_docs"),
           sum("r_len").as("p_len"), sum("r_wl").as("p_wl"),

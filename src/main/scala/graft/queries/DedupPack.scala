@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Hashing}
+import graft.ext.{Curation, Dedup, Hashing}
 import graft.{QueryDef, QueryPack, Tables}
 
 /** Deduplication extension queries over `documents`: exact, n-gram
@@ -665,6 +665,85 @@ object DedupPack extends QueryPack {
              |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
              |FROM sid GROUP BY doc_id, span_id
              |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The QUALITY-RANKED keep policy real pipelines compose: each
+    // duplicated window's kept copy lives in the highest-Gopher-score
+    // doc holding it (Curation.gopherQuality — the exact expressions
+    // the curation_gopher_rules gate pins), ties broken by (doc_id,
+    // pos). The quality join is DOC-granular and upstream of the gram
+    // explosion (broadcast hash join in the plan), so the gram stream
+    // still pays its one shuffle and nothing new moves. Divergence from
+    // keep_first is non-vacuous: the %17-doubled docs fail the length
+    // or repetition rule, so windows they'd hold first under (doc_id,
+    // pos) order are instead kept in later, higher-quality docs.
+    "dedup_substring_keep_best" -> QueryDef(
+      "Exact-substring spans keeping each window's copy in the highest-quality doc",
+      (s, dir) => {
+        val aug = substringDocs(s, dir)
+        Dedup.exactSubstringSpansKeepBest(aug, minLen = 5,
+            Curation.gopherQuality(aug))
+          .orderBy("doc_id", "span_start")
+      },
+      Some {
+        val stopUnion = graft.ext.TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH raw AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 17 = 0 THEN text || ' ' || text ELSE text END AS text
+           |  FROM documents),
+           |t AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk,
+           |    CAST(length(text) AS DOUBLE) AS nchar,
+           |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+           |         AS DOUBLE) AS npunct
+           |  FROM raw),
+           |base AS (
+           |  SELECT doc_id, len(tk) AS ntok,
+           |    list_sum(list_transform(tk, x -> length(x))) AS toklen,
+           |    len(list_filter(tk, x -> x IN ($stopUnion))) AS nstop,
+           |    npunct, nchar
+           |  FROM t),
+           |tokc AS (
+           |  SELECT doc_id, tok, COUNT(*) AS n
+           |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2),
+           |top AS (
+           |  SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_share
+           |  FROM tokc GROUP BY 1),
+           |q AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN ntok BETWEEN 10 AND 2000 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN CAST(toklen AS DOUBLE) / ntok BETWEEN 3.0 AND 10.0
+           |            THEN 1 ELSE 0 END)
+           |    + (CASE WHEN top_share <= 0.1 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN nstop >= 2 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN npunct / nchar <= 0.15 THEN 1 ELSE 0 END) AS q
+           |  FROM base JOIN top USING (doc_id)),
+           |d AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+           |  FROM raw),
+           |g AS (
+           |  SELECT doc_id, i - 1 AS pos,
+           |    array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+           |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+           |        FROM d WHERE len(t) >= 5)),
+           |c AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT g.doc_id AS doc_id, pos,
+           |      ROW_NUMBER() OVER (PARTITION BY gram
+           |        ORDER BY q.q DESC, g.doc_id, pos) AS rn
+           |    FROM g JOIN q USING (doc_id)) x
+           |  WHERE rn > 1),
+           |m AS (SELECT doc_id, pos,
+           |        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM c),
+           |sid AS (SELECT doc_id, pos,
+           |          SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+           |            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+           |        FROM m)
+           |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+           |  MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+           |FROM sid GROUP BY doc_id, span_id
+           |ORDER BY doc_id, span_start""".stripMargin
+      }),
 
     // The exact-substring semantics served from the STANDING span-mask
     // index (byOccurrence mode: weight = total occurrences, the

@@ -38,10 +38,22 @@ object MmIngest {
     Multimodal.refreshMmIndex(batch.as[Multimodal.Asset], indexDir, batchId)
   }
 
-  /** Start the index-maintaining ingest on a stream of asset rows. */
+  /** Start the index-maintaining ingest on a stream of asset rows.
+    *
+    * Landing batch ids are the stream's micro-batch ids OFFSET BY +1:
+    * [[Multimodal.writeMmIndex]] seeds a built index at batch 0, and
+    * Structured Streaming micro-batch ids also start at 0, so an
+    * un-offset stream attached to a builder-seeded directory would have
+    * its first micro-batch delete and replace the build's batch-0
+    * sigs/chash files. The offset is a fixed function of the
+    * checkpointed micro-batch id, so replay idempotence is untouched (a
+    * replayed micro-batch still replaces exactly its own files) — it
+    * just keeps batch 0 as the builder's slot. Streams that own their
+    * directory from scratch are unaffected (ids 1.. instead of 0..).
+    */
   def start(stream: DataFrame, indexDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, id: Long) => ingestBatch(b, id, indexDir))
+      .foreachBatch((b: DataFrame, id: Long) => ingestBatch(b, id + 1, indexDir))
       .start()
 }

@@ -507,6 +507,25 @@ class DedupSpec extends AnyFunSuite {
     // and an unrelated-fp retraction replay cannot touch doc 3's fp
     Dedup.retractFromFingerprintIndex(corpus.filter(col("doc_id") === 2), idx, batchId = 3L)
     assert(statuses() == Map(100L -> "kept", 101L -> "dup_corpus"))
+    // DOCUMENTED WINDOW CLOSURE: the batchId=2 replay above targeted a
+    // fp DEAD at compaction, so its ledger rows were dropped by the
+    // fold and the replay re-landed them. Re-admitting the same
+    // normalized text under a NEW doc_id is suppressed by those stale
+    // rows — retraction replay-idempotence, like refresh
+    // replay-idempotence, ends at compaction (the
+    // retractFromFingerprintIndex docstring's contract).
+    Dedup.refreshFingerprintIndex(
+      Seq((200L, "shared TEXT here")).toDF("doc_id", "text"), idx, batchId = 20L)
+    assert(statuses() == Map(100L -> "kept", 101L -> "dup_corpus"),
+      "stale dead-fp ledger replay suppresses the reborn fp (the documented closed window)")
+    // the next compaction purges the stale ledger rows (the fp nets to
+    // 0, so gross and ledger rows drop together); a fresh admission of
+    // the same text then serves normally again
+    Dedup.compactFingerprintIndex(spark, idx)
+    Dedup.refreshFingerprintIndex(
+      Seq((201L, "SHARED text   here")).toDF("doc_id", "text"), idx, batchId = 21L)
+    assert(statuses() == Map(100L -> "dup_corpus", 101L -> "dup_corpus"),
+      "recompaction clears the stale ledger row; the fp rebirth then serves")
   }
 
   test("materialized near-dup index serves identical verdicts to the inline form") {

@@ -572,6 +572,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Parameter-sweep evaluation of the IVF probe count: for each
+    * `nProbes` setting, recall@k of the probed search against the exact
+    * brute-force top-k over the same corpus, plus the CANDIDATE COUNT
+    * the setting paid (exact cosines scored) — the recall/cost curve a
+    * user reads to pick nProbe at their scale, produced by the engine's
+    * own operators so the whole sweep is oracle-replayable.
+    *
+    * One row per setting: (nprobe, n_candidates, n_hit, recall).
+    * recall = n_hit / |exact top-k rows| (the panel's attainable truth).
+    *
+    * Cost shape: the model trains ONCE and the cell assignment is
+    * computed once and pinned (localCheckpoint — corpus-sized but
+    * column-pruned to (id, vector, cell)); each setting then pays only
+    * its probe-sized candidate join. Ground truth is ONE brute-force
+    * pass. At 100 TB this runs on a sampled query panel (the eval
+    * contract of sim_recall_eval) — sweep cost is panel-sized per
+    * setting, never corpus × settings.
+    */
+  def ivfSweep(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nProbes: Seq[Int],
+      nCentroids: Int = 16,
+      lloydIters: Int = 2,
+      trainCap: Long = 256L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbes.nonEmpty, "ivfSweep needs at least one nProbe setting")
+    val c = withNormalized(corpus.select(col(idCol), col(vecCol)), vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
+    val centroids: Array[(Long, Array[Double])] =
+      ivfModel(corpus, nCentroids, lloydIters, trainCap, idCol, vecCol)
+    require(centroids.nonEmpty,
+      s"ivfSweep: corpus has no ids < $nCentroids to seed centroids")
+    // shared by every setting: assign cells once, pin the result
+    val assigned = withCell(c, centroids, "cv").localCheckpoint()
+    val exact = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    nProbes.map { np =>
+      val cand = ivfCandidates(assigned, centroids, queries, np, idCol, vecCol)
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val top = cand
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val rec = exact.join(top, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
+      nCand.crossJoin(broadcast(rec)).select(
+        lit(np.toLong).as("nprobe"),
+        col("n_candidates"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Materialize the IVF index: `centroids/` (the trained model, tiny)
     * and `cells/` — the corpus's normalized vectors PARTITIONED BY their
     * cell assignment, so a probe of `nProbe` cells is a partition-pruned
@@ -1040,25 +1098,11 @@ object Similarity {
     val q = broadcast(
       withNormalized(queries.select(col(idCol), col(vecCol)), vecCol, "qv")
         .select(col(idCol).as("query_id"), col("qv"), signSignature(col("qv")).as("qs")))
-    val sigs = spark.read.parquet(s"$indexDir/sigs")
-    // 4 band lookups; a pair can collide in several bands (and, when
-    // enumerating, on several keys of one band) — distinct once
-    val cand = (0 until 4).map { i =>
-      val probes =
-        if (radius <= 3)
-          q.select(col("query_id"), col("qs"), sigBand(col("qs"), i).as("bk"))
-        else
-          // 1-bit MIH enumeration: the key itself + its 16 one-bit flips
-          q.select(col("query_id"), col("qs"),
-            explode(array((lit(0L) +: (0 until 16).map(b => lit(1L << b)))
-              .map(m => sigBand(col("qs"), i).bitwiseXOR(m)): _*)).as("bk"))
-      sigs.select(col("neighbor_id"), col("sg"), col(s"b$i").as("bk"))
-        .join(probes, Seq("bk"))
-        .select("query_id", "neighbor_id", "qs", "sg")
-    }.reduce(_ unionAll _)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        bit_count(col("sg").bitwiseXOR(col("qs"))).as("ham"))
+    // band collisions, hamming-verified within radius, distinct once —
+    // the radius filter runs BEFORE the distinct so the dedup shuffle
+    // carries only in-radius rows (the serving-path cost shape; the
+    // sweep's pricing helper dedups the unfiltered stream instead)
+    val cand = bandCollisions(spark, indexDir, q, radius)
       .filter(col("ham") <= radius)
       .distinct()
     // merge-on-read tombstones ([[retractFromBinaryIndex]]): retracted
@@ -1080,6 +1124,109 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** The raw band-collision stream (query_id, neighbor_id, ham) of the
+    * 1-bit MIH probe — 4 band equi-joins (exact keys at radius ≤ 3, the
+    * key + its 16 one-bit flips above), self-pairs dropped, hamming
+    * computed, NOT deduped and NOT radius-filtered: [[binaryTopKIndexed]]
+    * filters-then-dedups it (serving), [[binarySweep]] dedups the
+    * unfiltered stream to PRICE what each radius setting verifies.
+    */
+  private def bandCollisions(
+      spark: SparkSession, indexDir: String, q: DataFrame, radius: Int): DataFrame = {
+    val sigs = spark.read.parquet(s"$indexDir/sigs")
+    (0 until 4).map { i =>
+      val probes =
+        if (radius <= 3)
+          q.select(col("query_id"), col("qs"), sigBand(col("qs"), i).as("bk"))
+        else
+          // 1-bit MIH enumeration: the key itself + its 16 one-bit flips
+          q.select(col("query_id"), col("qs"),
+            explode(array((lit(0L) +: (0 until 16).map(b => lit(1L << b)))
+              .map(m => sigBand(col("qs"), i).bitwiseXOR(m)): _*)).as("bk"))
+      sigs.select(col("neighbor_id"), col("sg"), col(s"b$i").as("bk"))
+        .join(probes, Seq("bk"))
+        .select("query_id", "neighbor_id", "qs", "sg")
+    }.reduce(_ unionAll _)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("sg").bitwiseXOR(col("qs"))).as("ham"))
+  }
+
+  /** Radius parameter sweep of the banded binary index — the MIH twin of
+    * [[ivfSweep]]: for each radius, recall@k of the indexed search
+    * against the exact-cosine top-k over the index's own vectors, plus
+    * the two costs the setting pays: `n_verified` — distinct band-
+    * collision pairs hamming-verified (steps only at the enumeration
+    * boundary: exact keys ≤ 3, 17-key 1-bit enumeration at 4–7, the MIH
+    * completeness regimes) — and `n_in_radius`, the verified pairs
+    * inside the hamming ball that feed the rerank window. One row per
+    * setting: (radius, n_verified, n_in_radius, n_hit, recall).
+    *
+    * Collision pairs are computed ONCE PER REGIME and pinned
+    * (localCheckpoint), radii within a regime reuse them; ground truth
+    * is one exact pass of the query panel against `vecs/`. Panel-sized
+    * eval, corpus-independent — the [[ivfSweep]] contract.
+    */
+  def binarySweep(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      radii: Seq[Int],
+      rerank: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(radii.nonEmpty, "binarySweep needs at least one radius setting")
+    require(radii.forall(r => r >= 0 && r <= 7),
+      "binarySweep radii must stay in the 1-bit MIH regime (0..7)")
+    val q = broadcast(
+      withNormalized(queries.select(col(idCol), col(vecCol)), vecCol, "qv")
+        .select(col(idCol).as("query_id"), col("qv"), signSignature(col("qv")).as("qs")))
+    // one collision table per enumeration regime, shared across radii
+    val regime: Map[Boolean, DataFrame] = radii.map(_ > 3).distinct.map { enum =>
+      enum -> bandCollisions(spark, indexDir, q, if (enum) 7 else 3)
+        .distinct().localCheckpoint()
+    }.toMap
+    val vecs = spark.read.parquet(s"$indexDir/vecs")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // exact tower over the index's stored (already normalized) vectors
+    val exact = vecs
+      .join(q.select(col("query_id"), col("qv")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val wHam = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    radii.map { r =>
+      val pairs = regime(r > 3)
+      val nVerified = pairs.agg(count(lit(1)).as("n_verified"))
+      val pool = pairs.filter(col("ham") <= r)
+      val nPool = pool.agg(count(lit(1)).as("n_in_radius"))
+      val top = pool
+        .withColumn("rk", row_number().over(wHam))
+        .filter(col("rk") <= rerank)
+        .select("query_id", "neighbor_id")
+        .join(vecs, Seq("neighbor_id"))
+        .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val rec = exact.join(top, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
+      nVerified.crossJoin(broadcast(nPool)).crossJoin(broadcast(rec)).select(
+        lit(r.toLong).as("radius"),
+        col("n_verified"),
+        col("n_in_radius"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+    }.reduce(_ unionByName _)
   }
 
   /** ANN top-k via product quantization (PQ): the vector space is split

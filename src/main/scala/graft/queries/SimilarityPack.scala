@@ -529,6 +529,103 @@ object SimilarityPack extends QueryPack {
       },
       Some(binaryIndexedOracle("", radius = 6, flipDims = 5, idOffset = 2000000L))),
 
+    // The MIH twin of sim_recall_sweep: the recall/cost curve over the
+    // HAMMING radius. The binary index's serving contract is NEAR-DUP
+    // RECOVERY ("find what this slightly-edited embedding is a copy
+    // of"), so the graded quality is recall@1 — did the probe recover
+    // its own source — next to BOTH costs the radius buys: n_verified
+    // (distinct band-collision pairs hamming-verified; steps only at
+    // the key-enumeration boundary, exact keys ≤3 vs 17-key 1-bit
+    // enumeration at 4–7) and n_in_radius (verified pairs inside the
+    // ball feeding the rerank). The 5-dim-flipped probes sit ~hamming-5
+    // from their sources, so the curve flips 0→1 exactly where the
+    // radius crosses the edit size — the evidence a user needs to pick
+    // the radius for their expected perturbation. The oracle replays
+    // collisions as the min-band-hamming predicate (key-set membership
+    // == some band within the per-band error bound — the pigeonhole
+    // identity the MIH paper builds on).
+    "sim_mih_radius_sweep" -> QueryDef(
+      "Source-recovery recall@1 + verification cost per MIH radius (0,2,3,5,7)",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.io.IndexCatalog.resolve(s, "binary", s"$dir/embeddings.parquet")(
+          t => Similarity.writeBinaryIndex(Tables.embeddings(s, dir), t))
+        val probes = e.filter(col("vec_id") < 8).select(
+          (col("vec_id") + 2000000L).as("vec_id"),
+          concat(transform(slice(col("embedding"), 1, 5), x => -x),
+            slice(col("embedding"), 6, 59)).as("embedding"))
+        Similarity.binarySweep(s, idx, probes, k = 1, radii = Seq(0, 2, 3, 5, 7))
+          .orderBy("radius")
+      },
+      Some(s"""WITH ${normCte("")},
+              |sig AS (
+              |  SELECT vec_id, nv,
+              |    CAST(list_sum(list_transform(range(0, 63),
+              |      i -> CASE WHEN nv[i + 1] > 0 THEN (1::BIGINT << CAST(i AS INTEGER))
+              |           ELSE 0::BIGINT END)) AS BIGINT)
+              |    + CASE WHEN nv[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END AS sg
+              |  FROM e),
+              |q AS (
+              |  SELECT vec_id + 2000000 AS query_id,
+              |    list_concat(list_transform(nv[1:5], x -> -x), nv[6:]) AS qv
+              |  FROM e WHERE vec_id < 8),
+              |qs AS (
+              |  SELECT query_id, qv,
+              |    CAST(list_sum(list_transform(range(0, 63),
+              |      i -> CASE WHEN qv[i + 1] > 0 THEN (1::BIGINT << CAST(i AS INTEGER))
+              |           ELSE 0::BIGINT END)) AS BIGINT)
+              |    + CASE WHEN qv[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END AS qsg
+              |  FROM q),
+              |rads AS (SELECT * FROM (VALUES (0),(2),(3),(5),(7)) AS v(r)),
+              |bands AS (
+              |  SELECT qs.query_id, s.vec_id AS neighbor_id, qs.qv, s.nv,
+              |    bit_count(xor(qs.qsg, s.sg)) AS ham,
+              |    LEAST(bit_count(xor(qs.qsg, s.sg) & 65535),
+              |          bit_count((xor(qs.qsg, s.sg) >> 16) & 65535),
+              |          bit_count((xor(qs.qsg, s.sg) >> 32) & 65535),
+              |          bit_count((xor(qs.qsg, s.sg) >> 48) & 65535)) AS minb
+              |  FROM qs CROSS JOIN sig s),
+              |pairs AS (
+              |  SELECT r, query_id, neighbor_id, qv, nv, ham
+              |  FROM rads JOIN bands
+              |    ON minb <= (CASE WHEN r <= 3 THEN 0 ELSE 1 END)),
+              |ver AS (SELECT r, COUNT(*) AS n_verified FROM pairs GROUP BY r),
+              |pool AS (SELECT * FROM pairs WHERE ham <= r),
+              |poolc AS (SELECT r, COUNT(*) AS n_in_radius FROM pool GROUP BY r),
+              |rk AS (
+              |  SELECT r, query_id, neighbor_id, qv, nv,
+              |    ROW_NUMBER() OVER (PARTITION BY r, query_id
+              |                       ORDER BY ham ASC, neighbor_id ASC) AS rk
+              |  FROM pool),
+              |rr AS (
+              |  SELECT r, query_id, neighbor_id,
+              |    ROW_NUMBER() OVER (PARTITION BY r, query_id
+              |                       ORDER BY list_dot_product(qv, nv) DESC,
+              |                                neighbor_id ASC) AS rank
+              |  FROM rk WHERE rk <= 50),
+              |topk AS (SELECT r, query_id, neighbor_id FROM rr WHERE rank <= 1),
+              |bf AS (
+              |  SELECT qs.query_id, s.vec_id AS neighbor_id,
+              |    ROW_NUMBER() OVER (PARTITION BY qs.query_id
+              |                       ORDER BY list_dot_product(qs.qv, s.nv) DESC,
+              |                                s.vec_id ASC) AS rank
+              |  FROM qs CROSS JOIN sig s),
+              |bf5 AS (SELECT query_id, neighbor_id FROM bf WHERE rank <= 1),
+              |hits AS (
+              |  SELECT rads.r, COUNT(*) AS n_truth, COUNT(t.neighbor_id) AS n_hit
+              |  FROM rads CROSS JOIN bf5 b
+              |  LEFT JOIN topk t ON t.r = rads.r AND t.query_id = b.query_id
+              |    AND t.neighbor_id = b.neighbor_id
+              |  GROUP BY rads.r)
+              |SELECT CAST(h.r AS BIGINT) AS radius,
+              |  CAST(v.n_verified AS BIGINT) AS n_verified,
+              |  CAST(COALESCE(p.n_in_radius, 0) AS BIGINT) AS n_in_radius,
+              |  CAST(h.n_hit AS BIGINT) AS n_hit,
+              |  ROUND(h.n_hit * 1.0 / h.n_truth, 6) AS recall
+              |FROM hits h JOIN ver v ON v.r = h.r
+              |LEFT JOIN poolc p ON p.r = h.r
+              |ORDER BY radius""".stripMargin)),
+
     // RANGE search from the same standing index: every probed-cell
     // member with exact cosine >= the radius — the data-dependent-count
     // serving shape top-k cannot express (dedup candidate pulls, recall
@@ -726,6 +823,64 @@ object SimilarityPack extends QueryPack {
               |FROM bf5 b LEFT JOIN ivf5 i
               |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
               |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
+
+    // The PARAMETER SWEEP a user runs before fixing nProbe at their
+    // scale: recall@5 AND candidate cost per probe-count setting, as
+    // gated rows — sim_recall_eval pins one operating point; this pins
+    // the whole recall/cost curve (1 → 16 of 16 cells, the last row
+    // being exhaustive search = recall 1.0 by construction, a built-in
+    // sanity anchor). The model trains once, assignment is computed
+    // once and pinned, each setting pays only its probe-sized candidate
+    // join; ground truth is one brute-force pass over the panel.
+    "sim_recall_sweep" -> QueryDef(
+      "Recall@5 + candidates scored per IVF nProbe setting (1,2,4,8,16 of 16 cells)",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.ivfSweep(e.filter(col("vec_id") < 8), e, k = 5,
+            nProbes = Seq(1, 2, 4, 8, 16))
+          .orderBy("nprobe")
+      },
+      Some(s"""WITH $trainedAssignCtes,
+              |nps AS (SELECT * FROM (VALUES (1),(2),(4),(8),(16)) AS v(np)),
+              |probes AS (
+              |  SELECT query_id, qv, cell, prk FROM (
+              |    SELECT q.vec_id AS query_id, q.nv AS qv, ct.cent_id AS cell,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |                         ORDER BY list_dot_product(q.nv, ct.centv) DESC,
+              |                                  ct.cent_id ASC) AS prk
+              |    FROM e q CROSS JOIN cents ct WHERE q.vec_id < 8)),
+              |cand AS (
+              |  SELECT n.np, p.query_id, a.vec_id AS neighbor_id,
+              |    list_dot_product(p.qv, a.nv) AS cos
+              |  FROM nps n JOIN probes p ON p.prk <= n.np
+              |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+              |r AS (
+              |  SELECT np, query_id, neighbor_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY np, query_id
+              |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM cand),
+              |ivfk AS (SELECT np, query_id, neighbor_id FROM r WHERE rank <= 5),
+              |bf AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |                       ORDER BY list_dot_product(q.nv, c.nv) DESC,
+              |                                c.vec_id ASC) AS rank
+              |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 8),
+              |bf5 AS (SELECT query_id, neighbor_id FROM bf WHERE rank <= 5),
+              |hits AS (
+              |  SELECT n.np, COUNT(*) AS n_truth, COUNT(i.neighbor_id) AS n_hit
+              |  FROM nps n CROSS JOIN bf5 b
+              |  LEFT JOIN ivfk i ON i.np = n.np AND i.query_id = b.query_id
+              |    AND i.neighbor_id = b.neighbor_id
+              |  GROUP BY n.np),
+              |cc AS (SELECT np, COUNT(*) AS n_candidates FROM cand GROUP BY np)
+              |SELECT CAST(h.np AS BIGINT) AS nprobe,
+              |  CAST(c.n_candidates AS BIGINT) AS n_candidates,
+              |  CAST(h.n_hit AS BIGINT) AS n_hit,
+              |  ROUND(h.n_hit * 1.0 / h.n_truth, 6) AS recall
+              |FROM hits h JOIN cc c USING (np)
+              |ORDER BY nprobe""".stripMargin)),
 
     // Matryoshka-truncation eval (MRL shape): recall@5 of the 16-dim
     // PREFIX of each embedding (truncate, renormalize, exact cosine)

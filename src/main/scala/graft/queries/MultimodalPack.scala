@@ -1,20 +1,85 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.Multimodal
+import graft.ext.{MediaCodec, Multimodal}
 import graft.{QueryDef, QueryPack, Tables}
 
-/** Multimodal-column queries: the binary payload + metadata plumbing that
-  * is oracle-checkable (sizes, hashes, metadata rollups). The decode path
-  * itself is spec-tested (MultimodalSpec) since its stub is not a SQL
-  * concept.
+/** Multimodal-column queries over REAL containers: image assets are
+  * 24-bit uncompressed BMPs, audio assets RIFF/WAVE PCM-8 files, and
+  * every gate below runs on the DECODED samples the genuine container
+  * parse produces. The oracles replay the decoded-sample model: the
+  * generator is deterministic (image luma = text bytes + black padding
+  * to fill the last 15-wide pixel row; audio samples = text bytes), so
+  * DuckDB recovers each sample from the text hex — and the container
+  * parse itself (magic, header fields, bottom-up rows, stride padding,
+  * chunk walking, hostile-payload rejection) is pinned by MultimodalSpec
+  * against hand-built reference files.
   */
 object MultimodalPack extends QueryPack {
 
+  /** Decoded-sample length per kind: image luma pads to full 15-wide
+    * rows; audio/video decode to exactly the text bytes.
+    */
+  private val DecodedLenSql =
+    """CASE WHEN doc_id % 3 = 0
+      |         THEN 15 * CAST(CEIL(octet_length(encode(text)) / 15.0) AS BIGINT)
+      |         ELSE octet_length(encode(text)) END""".stripMargin
+
+  /** Shared phash oracle: the 60-cell average-hash over DECODED samples
+    * (integer cross-product thresholds), banded 4×15 bits, hamming ≤ 10
+    * verification. `docFilter` restricts corpus membership (the
+    * lifecycle oracles' survivor predicate).
+    */
+  private def phashOracle(docFilter: String): String =
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text)) AS n,
+       |    $DecodedLenSql AS nd
+       |  FROM documents WHERE octet_length(encode(text)) > 0$docFilter),
+       |y AS (
+       |  SELECT doc_id,
+       |    CASE WHEN i <= n THEN
+       |      16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i-1 AS INT), 1)) - 1)
+       |         + (strpos('0123456789ABCDEF', substring(h, CAST(2*i   AS INT), 1)) - 1)
+       |    ELSE 0 END AS byte,
+       |    ((i - 1) * 60) // nd AS cell
+       |  FROM (SELECT doc_id, n, nd, h, unnest(generate_series(1, nd)) AS i FROM b)),
+       |cells AS (
+       |  SELECT doc_id, cell, SUM(byte) AS sj, COUNT(*) AS cj
+       |  FROM y GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT doc_id, SUM(byte) AS st, COUNT(*) AS n FROM y GROUP BY 1),
+       |ph AS (
+       |  SELECT cells.doc_id,
+       |    CAST(SUM(CASE WHEN sj * n > st * cj
+       |                  THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END)
+       |      AS BIGINT) AS phash
+       |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id
+       |  GROUP BY cells.doc_id),
+       |bands AS (
+       |  SELECT doc_id, phash, band,
+       |    (phash >> CAST(15 * band AS INT)) & 32767 AS key
+       |  FROM ph, (SELECT unnest(range(4)) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS asset_a, y2.doc_id AS asset_b,
+       |    x.phash AS ph_a, y2.phash AS ph_b
+       |  FROM bands x JOIN bands y2
+       |    ON x.band = y2.band AND x.key = y2.key AND x.doc_id < y2.doc_id)
+       |SELECT asset_a, asset_b, bit_count(xor(ph_a, ph_b)) AS hamming
+       |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 10
+       |ORDER BY asset_a, asset_b""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
 
+    // CONTAINER-level rollup: total_bytes are real file sizes now — the
+    // oracle replays the exact container arithmetic (BMP = 54 header
+    // bytes + 48-byte stride × rows; WAV = 44 header bytes + samples;
+    // raw = the bytes), so a wrong header size or stride in the encoder
+    // breaks this gate before any decode gate even runs. Distinct
+    // payload counts are preserved by construction (the containers
+    // embed the text bytes injectively).
     "mm_binary_meta" -> QueryDef(
-      "Opaque binary payload rollup: bytes + distinct-hash counts per kind",
+      "Opaque binary payload rollup: container bytes + distinct-hash counts per kind",
       (s, dir) => {
         val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
         assets
@@ -26,13 +91,22 @@ object MultimodalPack extends QueryPack {
             round(avg(col("meta.width")), 4).as("avg_width"))
           .orderBy("kind")
       },
-      Some("""SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-             |            ELSE 'video' END AS kind,
-             |  COUNT(*) AS n_assets,
-             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |    octet_length(encode(text)) AS n, n_chars, text
+             |  FROM documents)
+             |SELECT kind, COUNT(*) AS n_assets,
+             |  CAST(SUM(CASE WHEN kind = 'image'
+             |                THEN 54 + 48 * CAST(CEIL(n / 15.0) AS BIGINT)
+             |                WHEN kind = 'audio' THEN 44 + n
+             |                ELSE n END) AS BIGINT) AS total_bytes,
              |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
-             |  ROUND(AVG((n_chars % 64) + 16), 4) AS avg_width
-             |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)),
+             |  ROUND(AVG(CASE WHEN kind = 'image' THEN 15
+             |                 WHEN kind = 'audio' THEN 0
+             |                 ELSE (n_chars % 64) + 16 END), 4) AS avg_width
+             |FROM d GROUP BY kind ORDER BY kind""".stripMargin)),
 
     "mm_frame_stats" -> QueryDef(
       "Frame sampling rollup (typed Dataset flatMap path): every 4th 16-byte chunk of video payloads",
@@ -54,17 +128,23 @@ object MultimodalPack extends QueryPack {
              |  MAX(CAST(CEIL(CEIL(octet_length(encode(text)) / 16.0) / 4.0) AS BIGINT)) AS max_frames
              |FROM documents WHERE doc_id % 3 = 2""".stripMargin)),
 
-    // "Resize" plumbing: deterministic byte-stride downsampling of the
-    // payload (every 4th byte), the per-row transform shape a real pixel
-    // resize follows — no shuffle until the bounded rollup. Exactly
-    // oracle-checked by sampling hex-pair positions of the same payload
-    // in DuckDB (hex is uppercase in both engines).
+    // "Resize" over DECODED pixels: parse the container first, then
+    // stride-downsample the sample stream (every 4th sample) — resize
+    // operates on pixels, never on file bytes, so the decode boundary
+    // sits upstream of the transform exactly as a real thumbnailer's
+    // does. No shuffle until the bounded rollup. Oracle-checked by
+    // sampling positions of the decoded-sample model (text hex + black
+    // padding for images) in DuckDB.
     "mm_resize" -> QueryDef(
-      "Byte-stride payload downsample (resize-shaped): per-kind size + distinct rollup",
+      "Sample-stride downsample of decoded assets (resize-shaped): per-kind rollup",
       (s, dir) => {
+        import s.implicits._
         val a = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+          .as[Multimodal.Asset]
+          .map(x => (x.asset_id, x.kind, MediaCodec.decodedSamples(x)))
+          .toDF("asset_id", "kind", "samples")
           .select(col("asset_id"), col("kind"),
-            length(col("bytes")).as("orig_bytes"), hex(col("bytes")).as("h"))
+            length(col("samples")).as("orig_bytes"), hex(col("samples")).as("h"))
         // sampled byte index 4k ⇒ hex chars at 8k+1 (1-based, 2 chars);
         // empty payloads guard the DESCENDING-sequence trap (seq(0,-1))
         val rh = when(col("orig_bytes") === 0, lit(""))
@@ -81,37 +161,41 @@ object MultimodalPack extends QueryPack {
             countDistinct(md5(col("rh"))).as("n_distinct_resized"))
           .orderBy("kind")
       },
-      Some("""WITH a AS (
-             |  SELECT doc_id AS asset_id,
-             |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-             |         ELSE 'video' END AS kind,
-             |    octet_length(encode(text)) AS orig_bytes,
-             |    hex(encode(text)) AS h
-             |  FROM documents),
-             |r AS (
-             |  SELECT kind, orig_bytes,
-             |    CASE WHEN orig_bytes = 0 THEN ''
-             |         ELSE array_to_string(list_transform(
-             |                range(0, CAST(FLOOR((orig_bytes - 1) / 4.0) AS BIGINT) + 1),
-             |                k -> substring(h, CAST(k * 8 + 1 AS INT), 2)), '')
-             |    END AS rh
-             |  FROM a)
-             |SELECT kind, COUNT(*) AS n_assets,
-             |  CAST(SUM(orig_bytes) AS BIGINT) AS total_orig_bytes,
-             |  CAST(SUM(CAST(length(rh) / 2 AS BIGINT)) AS BIGINT) AS total_resized_bytes,
-             |  COUNT(DISTINCT md5(rh)) AS n_distinct_resized
-             |FROM r GROUP BY kind ORDER BY kind""".stripMargin)),
+      Some(s"""WITH a AS (
+              |  SELECT doc_id AS asset_id,
+              |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              |         ELSE 'video' END AS kind,
+              |    octet_length(encode(text)) AS n,
+              |    $DecodedLenSql AS orig_bytes,
+              |    hex(encode(text)) AS h
+              |  FROM documents),
+              |r AS (
+              |  SELECT kind, orig_bytes,
+              |    CASE WHEN orig_bytes = 0 THEN ''
+              |         ELSE array_to_string(list_transform(
+              |                range(0, CAST(FLOOR((orig_bytes - 1) / 4.0) AS BIGINT) + 1),
+              |                k -> CASE WHEN k * 4 < n
+              |                          THEN substring(h, CAST(k * 8 + 1 AS INT), 2)
+              |                          ELSE '00' END), '')
+              |    END AS rh
+              |  FROM a)
+              |SELECT kind, COUNT(*) AS n_assets,
+              |  CAST(SUM(orig_bytes) AS BIGINT) AS total_orig_bytes,
+              |  CAST(SUM(CAST(length(rh) / 2 AS BIGINT)) AS BIGINT) AS total_resized_bytes,
+              |  COUNT(DISTINCT md5(rh)) AS n_distinct_resized
+              |FROM r GROUP BY kind ORDER BY kind""".stripMargin)),
 
-    // The batched decode path itself (typed mapPartitions → feature rows).
-    // Fully oracle-checked: the stub decode's outputs are deterministic
-    // per-byte stats of the payload, and DuckDB can recover each byte from
-    // the hex dump (two hex digits → strpos arithmetic), so the whole
-    // mapPartitions pipeline — batching, decode, per-kind rollup — gets a
-    // rows+schema+hash gate. Bins 1 (bytes 32..63) and 3 (96..127) are the
-    // checked histogram cells because they carry real mass in this corpus
-    // (punctuation/digits and lowercase letters respectively).
+    // The batched decode path itself (typed mapPartitions → feature
+    // rows), now over REAL containers: features are per-SAMPLE stats of
+    // what the BMP/WAV parse decodes (n_bytes = decoded sample count —
+    // image rows include the black padding pixels of the last row), and
+    // DuckDB recovers each sample from the text hex + the padding model,
+    // so the whole pipeline — container parse, batching, rollup — gets a
+    // rows+schema+hash gate. Bins 1 (bytes 32..63) and 3 (96..127) are
+    // the checked histogram cells because they carry real mass in this
+    // corpus (punctuation/digits and lowercase letters respectively).
     "mm_decode_features" -> QueryDef(
-      "Decode-stub features via batched mapPartitions: per-kind byte stats",
+      "Decoded-sample features via batched mapPartitions: per-kind stats",
       (s, dir) => {
         import s.implicits._
         val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
@@ -126,33 +210,36 @@ object MultimodalPack extends QueryPack {
             round(sum(element_at(col("histogram"), 4)), 4).as("hist_bin3_mass"))
           .orderBy("kind")
       },
-      Some("""WITH b AS (
-             |  SELECT doc_id,
-             |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-             |         ELSE 'video' END AS kind,
-             |    hex(encode(text)) AS h,
-             |    octet_length(encode(text)) AS n
-             |  FROM documents),
-             |x AS (
-             |  SELECT doc_id, kind, n, h, unnest(generate_series(1, n)) AS i FROM b),
-             |y AS (
-             |  SELECT doc_id, kind,
-             |    16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i-1 AS INT), 1)) - 1)
-             |       + (strpos('0123456789ABCDEF', substring(h, CAST(2*i   AS INT), 1)) - 1) AS byte
-             |  FROM x),
-             |perdoc AS (
-             |  SELECT b.doc_id, b.kind, b.n,
-             |    COALESCE(AVG(y.byte), 0.0) AS mean_byte,
-             |    COALESCE(AVG(CASE WHEN y.byte // 32 = 1 THEN 1.0 ELSE 0.0 END), 0.0) AS h1,
-             |    COALESCE(AVG(CASE WHEN y.byte // 32 = 3 THEN 1.0 ELSE 0.0 END), 0.0) AS h3
-             |  FROM b LEFT JOIN y ON b.doc_id = y.doc_id
-             |  GROUP BY b.doc_id, b.kind, b.n)
-             |SELECT kind, COUNT(*) AS n_assets,
-             |  CAST(SUM(n) AS BIGINT) AS total_bytes,
-             |  ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
-             |  ROUND(SUM(h1), 4) AS hist_bin1_mass,
-             |  ROUND(SUM(h3), 4) AS hist_bin3_mass
-             |FROM perdoc GROUP BY kind ORDER BY kind""".stripMargin)),
+      Some(s"""WITH b AS (
+              |  SELECT doc_id,
+              |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              |         ELSE 'video' END AS kind,
+              |    hex(encode(text)) AS h,
+              |    octet_length(encode(text)) AS n,
+              |    $DecodedLenSql AS nd
+              |  FROM documents),
+              |x AS (
+              |  SELECT doc_id, kind, n, nd, h, unnest(generate_series(1, nd)) AS i FROM b),
+              |y AS (
+              |  SELECT doc_id, kind,
+              |    CASE WHEN i <= n THEN
+              |      16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i-1 AS INT), 1)) - 1)
+              |         + (strpos('0123456789ABCDEF', substring(h, CAST(2*i   AS INT), 1)) - 1)
+              |    ELSE 0 END AS byte
+              |  FROM x),
+              |perdoc AS (
+              |  SELECT b.doc_id, b.kind, b.nd,
+              |    COALESCE(AVG(y.byte), 0.0) AS mean_byte,
+              |    COALESCE(AVG(CASE WHEN y.byte // 32 = 1 THEN 1.0 ELSE 0.0 END), 0.0) AS h1,
+              |    COALESCE(AVG(CASE WHEN y.byte // 32 = 3 THEN 1.0 ELSE 0.0 END), 0.0) AS h3
+              |  FROM b LEFT JOIN y ON b.doc_id = y.doc_id
+              |  GROUP BY b.doc_id, b.kind, b.nd)
+              |SELECT kind, COUNT(*) AS n_assets,
+              |  CAST(SUM(nd) AS BIGINT) AS total_bytes,
+              |  ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
+              |  ROUND(SUM(h1), 4) AS hist_bin1_mass,
+              |  ROUND(SUM(h3), 4) AS hist_bin3_mass
+              |FROM perdoc GROUP BY kind ORDER BY kind""".stripMargin)),
 
     // Cross-document asset dedup by CONTENT HASH — the multimodal
     // counterpart of dedup_exact: the same thumbnail/preview payload
@@ -222,40 +309,7 @@ object MultimodalPack extends QueryPack {
           .select("asset_a", "asset_b", "hamming")
           .orderBy("asset_a", "asset_b")
       },
-      Some("""WITH b AS (
-             |  SELECT doc_id, hex(encode(text)) AS h,
-             |    octet_length(encode(text)) AS n
-             |  FROM documents WHERE octet_length(encode(text)) > 0),
-             |y AS (
-             |  SELECT doc_id, n,
-             |    16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i-1 AS INT), 1)) - 1)
-             |       + (strpos('0123456789ABCDEF', substring(h, CAST(2*i   AS INT), 1)) - 1) AS byte,
-             |    ((i - 1) * 60) // n AS cell
-             |  FROM (SELECT doc_id, n, h, unnest(generate_series(1, n)) AS i FROM b)),
-             |cells AS (
-             |  SELECT doc_id, cell, SUM(byte) AS sj, COUNT(*) AS cj
-             |  FROM y GROUP BY 1, 2),
-             |tot AS (
-             |  SELECT doc_id, SUM(byte) AS st, COUNT(*) AS n FROM y GROUP BY 1),
-             |ph AS (
-             |  SELECT cells.doc_id,
-             |    CAST(SUM(CASE WHEN sj * n > st * cj
-             |                  THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END)
-             |      AS BIGINT) AS phash
-             |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id
-             |  GROUP BY cells.doc_id),
-             |bands AS (
-             |  SELECT doc_id, phash, band,
-             |    (phash >> CAST(15 * band AS INT)) & 32767 AS key
-             |  FROM ph, (SELECT unnest(range(4)) AS band)),
-             |cand AS (
-             |  SELECT DISTINCT x.doc_id AS asset_a, y2.doc_id AS asset_b,
-             |    x.phash AS ph_a, y2.phash AS ph_b
-             |  FROM bands x JOIN bands y2
-             |    ON x.band = y2.band AND x.key = y2.key AND x.doc_id < y2.doc_id)
-             |SELECT asset_a, asset_b, bit_count(xor(ph_a, ph_b)) AS hamming
-             |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 10
-             |ORDER BY asset_a, asset_b""".stripMargin)),
+      Some(phashOracle(""))),
 
     // The STANDING multimodal index: mm_phash_neardup's banding/verify
     // served from materialized signature tables instead of a per-query
@@ -275,40 +329,7 @@ object MultimodalPack extends QueryPack {
         Multimodal.phashNearDupIndexed(s, idx)
           .orderBy("asset_a", "asset_b")
       },
-      Some("""WITH b AS (
-             |  SELECT doc_id, hex(encode(text)) AS h,
-             |    octet_length(encode(text)) AS n
-             |  FROM documents WHERE octet_length(encode(text)) > 0),
-             |y AS (
-             |  SELECT doc_id, n,
-             |    16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i-1 AS INT), 1)) - 1)
-             |       + (strpos('0123456789ABCDEF', substring(h, CAST(2*i   AS INT), 1)) - 1) AS byte,
-             |    ((i - 1) * 60) // n AS cell
-             |  FROM (SELECT doc_id, n, h, unnest(generate_series(1, n)) AS i FROM b)),
-             |cells AS (
-             |  SELECT doc_id, cell, SUM(byte) AS sj, COUNT(*) AS cj
-             |  FROM y GROUP BY 1, 2),
-             |tot AS (
-             |  SELECT doc_id, SUM(byte) AS st, COUNT(*) AS n FROM y GROUP BY 1),
-             |ph AS (
-             |  SELECT cells.doc_id,
-             |    CAST(SUM(CASE WHEN sj * n > st * cj
-             |                  THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END)
-             |      AS BIGINT) AS phash
-             |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id
-             |  GROUP BY cells.doc_id),
-             |bands AS (
-             |  SELECT doc_id, phash, band,
-             |    (phash >> CAST(15 * band AS INT)) & 32767 AS key
-             |  FROM ph, (SELECT unnest(range(4)) AS band)),
-             |cand AS (
-             |  SELECT DISTINCT x.doc_id AS asset_a, y2.doc_id AS asset_b,
-             |    x.phash AS ph_a, y2.phash AS ph_b
-             |  FROM bands x JOIN bands y2
-             |    ON x.band = y2.band AND x.key = y2.key AND x.doc_id < y2.doc_id)
-             |SELECT asset_a, asset_b, bit_count(xor(ph_a, ph_b)) AS hamming
-             |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 10
-             |ORDER BY asset_a, asset_b""".stripMargin)),
+      Some(phashOracle(""))),
 
     // The index's full verb sequence in ONE hash-gated query: build over
     // the even assets, ADMIT the odd half as a batch, RETRACT the %7
@@ -338,41 +359,7 @@ object MultimodalPack extends QueryPack {
         Multimodal.phashNearDupIndexed(s, idx)
           .orderBy("asset_a", "asset_b")
       },
-      Some("""WITH b AS (
-             |  SELECT doc_id, hex(encode(text)) AS h,
-             |    octet_length(encode(text)) AS n
-             |  FROM documents
-             |  WHERE octet_length(encode(text)) > 0 AND doc_id % 7 != 0),
-             |y AS (
-             |  SELECT doc_id, n,
-             |    16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i-1 AS INT), 1)) - 1)
-             |       + (strpos('0123456789ABCDEF', substring(h, CAST(2*i   AS INT), 1)) - 1) AS byte,
-             |    ((i - 1) * 60) // n AS cell
-             |  FROM (SELECT doc_id, n, h, unnest(generate_series(1, n)) AS i FROM b)),
-             |cells AS (
-             |  SELECT doc_id, cell, SUM(byte) AS sj, COUNT(*) AS cj
-             |  FROM y GROUP BY 1, 2),
-             |tot AS (
-             |  SELECT doc_id, SUM(byte) AS st, COUNT(*) AS n FROM y GROUP BY 1),
-             |ph AS (
-             |  SELECT cells.doc_id,
-             |    CAST(SUM(CASE WHEN sj * n > st * cj
-             |                  THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END)
-             |      AS BIGINT) AS phash
-             |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id
-             |  GROUP BY cells.doc_id),
-             |bands AS (
-             |  SELECT doc_id, phash, band,
-             |    (phash >> CAST(15 * band AS INT)) & 32767 AS key
-             |  FROM ph, (SELECT unnest(range(4)) AS band)),
-             |cand AS (
-             |  SELECT DISTINCT x.doc_id AS asset_a, y2.doc_id AS asset_b,
-             |    x.phash AS ph_a, y2.phash AS ph_b
-             |  FROM bands x JOIN bands y2
-             |    ON x.band = y2.band AND x.key = y2.key AND x.doc_id < y2.doc_id)
-             |SELECT asset_a, asset_b, bit_count(xor(ph_a, ph_b)) AS hamming
-             |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 10
-             |ORDER BY asset_a, asset_b""".stripMargin)),
+      Some(phashOracle(" AND doc_id % 7 != 0"))),
 
     // Content-hash dedup served from the SAME lifecycle index directory
     // (the chash table after the composed verbs above): exact-payload

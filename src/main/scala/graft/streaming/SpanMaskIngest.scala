@@ -60,14 +60,19 @@ object SpanMaskIngest {
   /** Start the index-maintaining ingest on a stream of (doc_id, text)
     * rows. New doc_ids only — the same admission contract as
     * [[Dedup.incrementalSpans]] (dedup upstream decides identity).
+    * `trigger` selects the micro-batch schedule (e.g.
+    * `Trigger.AvailableNow()` for drain-then-stop backfills); default is
+    * the engine's as-fast-as-possible processing trigger.
     */
   def start(stream: DataFrame, indexDir: String, checkpointDir: String,
-      n: Int, byOccurrence: Boolean = false): StreamingQuery =
-    stream.writeStream
+      n: Int, byOccurrence: Boolean = false,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
         ingestBatch(b, id, indexDir, n, byOccurrence))
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** The CURRENT span table from the stream-maintained layout: df sums
     * its per-batch partials (index-table cost, not corpus cost), then

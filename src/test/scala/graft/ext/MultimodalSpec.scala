@@ -39,6 +39,87 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hamming(ph(base), ph(shuffled)) > 10)
   }
 
+  test("BMP codec: real container layout, bottom-up rows, stride padding, round-trip") {
+    // hand-built reference: 2×2 image, width 2 → 6 data bytes + 2 pad
+    // bytes per row, bottom-up — pixel (0,0) must come from the LAST row
+    // of the pixel array
+    val gray = Array[Byte](10, 20, 30, 40) // row 0: 10,20  row 1: 30,40
+    val bmp = MediaCodec.encodeBmp(gray, 2)
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    assert(bmp.length == 54 + 8 * 2, "stride must pad 6 data bytes to 8")
+    // the FIRST stored row (offset 54) is the BOTTOM image row (30,40)
+    assert(bmp(54) == 30 && bmp(54 + 3) == 40)
+    // the second stored row is the top image row
+    assert(bmp(54 + 8) == 10 && bmp(54 + 8 + 3) == 20)
+    val (w, h, luma) = MediaCodec.decodeBmp(bmp)
+    assert(w == 2 && h == 2 && luma.toSeq == gray.toSeq)
+
+    // negative-height variant = top-down row order; the decoder must
+    // honor the sign, not assume bottom-up
+    val topDown = bmp.clone()
+    // height field at offset 22: rewrite +2 as -2 (little-endian two's complement)
+    topDown(22) = 0xFE.toByte; topDown(23) = 0xFF.toByte
+    topDown(24) = 0xFF.toByte; topDown(25) = 0xFF.toByte
+    val (_, _, flipped) = MediaCodec.decodeBmp(topDown)
+    assert(flipped.toSeq == Seq[Byte](30, 40, 10, 20),
+      "top-down BMP must decode rows in stored order")
+
+    // luma padding: 5 pixels at width 3 → 2 rows, last pixel black
+    val (_, _, padded) = MediaCodec.decodeBmp(
+      MediaCodec.encodeBmp(Array[Byte](1, 2, 3, 4, 5), 3))
+    assert(padded.toSeq == Seq[Byte](1, 2, 3, 4, 5, 0))
+
+    // hostile payloads fail LOUDLY, never hash garbage
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp("PNG!".getBytes))
+    val badBpp = bmp.clone(); badBpp(28) = 8 // 8-bit palette variant
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(badBpp))
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(bmp.take(58)))
+  }
+
+  test("WAV codec: chunk-walked parse, fmt validation, round-trip") {
+    val samples = "pcm payload bytes".getBytes("UTF-8")
+    val wav = MediaCodec.encodeWav(samples, 16000)
+    assert(new String(wav.take(4)) == "RIFF" && new String(wav.slice(8, 12)) == "WAVE")
+    assert(MediaCodec.decodeWav(wav).toSeq == samples.toSeq)
+
+    // a LIST chunk between fmt and data must be SKIPPED, not break the
+    // parse (fixed-offset readers die here)
+    val fmt = wav.slice(12, 36)
+    val data = wav.slice(36, wav.length)
+    val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val withList = wav.take(12) ++ fmt ++ list ++ data
+    assert(MediaCodec.decodeWav(withList).toSeq == samples.toSeq)
+
+    // hostile payloads fail loudly
+    intercept[IllegalArgumentException](MediaCodec.decodeWav("OGGS".getBytes))
+    val stereo = wav.clone(); stereo(22) = 2 // channels=2
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(stereo))
+  }
+
+  test("decoded samples: image luma = text bytes + row padding; audio = text bytes") {
+    val rows = assets.collect()
+    rows.foreach { a =>
+      val s = MediaCodec.decodedSamples(a)
+      a.kind match {
+        case "image" =>
+          val n = a.meta.width * a.meta.height
+          assert(a.meta.format == "bmp" && s.length == n)
+        case "audio" =>
+          assert(a.meta.format == "wav")
+        case _ =>
+          assert(s.sameElements(a.bytes))
+      }
+    }
+    // spot-check one image against the generator contract
+    val img = rows.find(_.kind == "image").get
+    val doc = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === img.asset_id)
+      .select("text").collect().head.getString(0).getBytes("UTF-8")
+    val luma = MediaCodec.decodedSamples(img)
+    assert(luma.take(doc.length).toSeq == doc.toSeq)
+    assert(luma.drop(doc.length).forall(_ == 0))
+  }
+
   test("asset table has the multimodal schema: opaque binary + typed meta") {
     val schema = Multimodal.assetsFromDocuments(Tables.documents(spark, sf)).schema
     assert(schema("bytes").dataType.typeName == "binary")

@@ -153,4 +153,67 @@ class SpanMaskIngestSpec extends AnyFunSuite {
     assert(rows(Dedup.retractSpans(spark, idx, victims, n = 5, byOccurrence = true)) ==
       occBuild(standing.filter(pmod(col("doc_id"), lit(7L)) =!= 0)))
   }
+
+  test("AvailableNow micro-batches (one file per trigger) == batch twin; checkpoint restart continues ids") {
+    // Spark's REAL streaming engine drives the ingest here: a file
+    // source capped at one file per trigger under Trigger.AvailableNow
+    // produces genuine checkpointed micro-batches (not a hand-called
+    // ingestBatch loop), drains, terminates — then a SECOND query on the
+    // same checkpoint picks up a late file and must CONTINUE the
+    // micro-batch id sequence, not restart it (a reset id would delete
+    // and replace batch 0's landed files).
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("span-an").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("span-an-ckpt").toString
+    val src = java.nio.file.Files.createTempDirectory("span-an-src")
+
+    def stage(b: Long): Unit = {
+      // file-stream sources want FLAT files in the watched dir
+      val tmp = java.nio.file.Files.createTempDirectory(s"span-an-stage$b")
+      docs.filter(pmod(col("doc_id"), lit(4L)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var copied = false
+      while (part.hasNext && !copied) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, src.resolve(f"part$b%02d.parquet"))
+          copied = true
+        }
+      }
+      assert(copied, s"no parquet part staged for slice $b")
+    }
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        .select("doc_id", "text")
+      val q = SpanMaskIngest.start(stream, idx, ckpt, n = 5,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      try q.awaitTermination() finally q.stop()
+    }
+
+    def landedBatchIds(): Set[String] = {
+      val d = new java.io.File(s"$idx/postings")
+      d.listFiles().map(_.getName).filter(_.startsWith("batch"))
+        .map(_.take("batch000000".length)).toSet
+    }
+
+    (0L to 2L).foreach(stage)
+    drain()
+    assert(landedBatchIds().size == 3,
+      "maxFilesPerTrigger=1 + AvailableNow must land one batch per file")
+    assert(rows(SpanMaskIngest.servedSpans(spark, idx, n = 5)) ==
+      rows(Dedup.duplicateSpans(
+        docs.filter(pmod(col("doc_id"), lit(4L)) <= 2), n = 5)))
+
+    // late file + restart on the SAME checkpoint: ids continue at 3
+    val before = landedBatchIds()
+    stage(3L)
+    drain()
+    assert(landedBatchIds().size == 4 && landedBatchIds().intersect(before) == before,
+      "restart must continue micro-batch ids, leaving earlier landings intact")
+    assert(rows(SpanMaskIngest.servedSpans(spark, idx, n = 5)) ==
+      rows(Dedup.duplicateSpans(docs, n = 5)))
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Memory-pressure soak of the flagship dedup paths: runs the chosen
+  * queries against a ×k-amplified `documents` table inside a
+  * DELIBERATELY SMALL heap (launch with `java -Xmx4g …`, NOT through
+  * sbt) so the gram-stream shuffles genuinely exceed execution memory
+  * and must spill — the behavior the ordinary amplified runs
+  * (SCALING.md) never reach on a 128 GiB host. Per query it reports
+  * wall time plus the executor spill metrics (in-memory bytes spilled,
+  * disk bytes spilled, the largest per-stage peak execution memory),
+  * one JSON line each:
+  *
+  *   {"soak":"dedup_substring_exact","factor":256,"sec":…,
+  *    "spill_mem_mb":…, "spill_disk_mb":…, "peak_exec_mb":…,
+  *    "heap_mb":…}
+  *
+  * The claim under test is NOT speed — a spilling run is slower by
+  * construction — but survival and shape: no OOM, no stage failure,
+  * and wall time that stays near-linear in k even when the sort spills
+  * to disk. Amplification reuses the ScaleBench perturbation (disjoint
+  * replica token spaces) but materializes ONLY `documents`, so ×256/×512
+  * stay disk-cheap.
+  *
+  * Usage: java -Xmx4g <add-opens…> -cp <classes:sparkjars> \
+  *   graft.SoakBench <baseSfDir> <factorCsv> <queryCsv>
+  */
+object SoakBench {
+
+  /** Spill/peak collector: stage-level task metrics summed per query
+    * window (reset between queries). Peak execution memory is reported
+    * as the MAX over stages of the stage's summed task peaks — the
+    * "how much execution memory did the hungriest stage want" number.
+    */
+  private final class SpillListener extends SparkListener {
+    @volatile var memSpilled = 0L
+    @volatile var diskSpilled = 0L
+    @volatile var peakExec = 0L
+    def reset(): Unit = { memSpilled = 0L; diskSpilled = 0L; peakExec = 0L }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        memSpilled += m.memoryBytesSpilled
+        diskSpilled += m.diskBytesSpilled
+        peakExec = math.max(peakExec, m.peakExecutionMemory)
+      }
+    }
+  }
+
+  /** ×k replication of `documents` only — the ScaleBench text
+    * perturbation (token-suffix replica tags ⇒ disjoint shingle spaces,
+    * linear growth is the honest shape), cached under target/soak.
+    */
+  private def materializeDocs(
+      spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
+    val root = new java.io.File(outDir)
+    if (new java.io.File(root, "_DONE").exists()) return
+    root.mkdirs()
+    val base = Tables.documents(spark, baseDir)
+    (0 until k).map { r =>
+      if (r == 0) base
+      else base.select(
+        (col("doc_id") + lit(r * 100000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1r$r").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.union(_))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    new java.io.File(root, "_DONE").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("256").split(",").map(_.trim.toInt).toSeq
+    val queryNames = args.lift(2)
+      .getOrElse("dedup_substring_exact,dedup_minhash_lsh,dedup_substring_indexed")
+      .split(",").map(_.trim).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new SpillListener
+    spark.sparkContext.addSparkListener(listener)
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+
+    val queries = queryNames.map(n => n -> SparkEntry.queries(n))
+    factors.foreach { k =>
+      val dir =
+        if (k == 1) baseDir
+        else {
+          val d = s"target/soak/x$k"
+          materializeDocs(spark, baseDir, d, k)
+          d
+        }
+      queries.foreach { case (name, fn) =>
+        // standing-index queries resolve against a per-corpus cache dir;
+        // point the catalog at a soak-local root so builds land fresh
+        listener.reset()
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"soak":"$name","factor":$k,"rows":$n,"sec":$sec%.1f,""" +
+          f""""spill_mem_mb":${listener.memSpilled / (1024 * 1024)},""" +
+          f""""spill_disk_mb":${listener.diskSpilled / (1024 * 1024)},""" +
+          f""""peak_exec_mb":${listener.peakExec / (1024 * 1024)},""" +
+          f""""heap_mb":$heapMb}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -14,15 +14,33 @@ object Curation {
 
   /** Per-doc Gopher-rule pass flags (Rae et al. 2021's document-filter
     * shape): (doc_id, r_len, r_wl, r_rep, r_stop, r_sym), each 0/1 —
-    * the five scorers the `curation_gopher_rules` suite rolls up, kept
-    * here so downstream composition (e.g. the quality-ranked
-    * exact-substring keep policy) shares the EXACT expressions the
-    * gated suite pins. Cost: ONE corpus scan, no shuffle — even the
-    * top-token repetition share is the sorted-run fold, not a
-    * (doc, token) aggregate (measured equal to the exploded form at
-    * the ×32 amplification, so per-token compute is the floor).
+    * the five scorers the `curation_gopher_rules` suite rolls up.
+    * PRODUCTION path: the fused one-pass native expression
+    * ([[graft.plans.GopherMask]]) — measured FLAT at the ×32
+    * amplification (0.31 s) where the expression-pipeline form grows to
+    * 9.7 s (15.1× its ×1), because the pipeline's higher-order folds
+    * (`aggregate`/`filter` lambdas) run as interpreted CodegenFallback
+    * per token. The r15 "per-token compute is the floor" conclusion
+    * compared two INTERPRETED forms (sorted-run fold vs exploded
+    * shuffle — equal); the fused compiled loop lowers that floor ~30×.
     */
-  def gopherRuleFlags(docs: DataFrame): DataFrame = {
+  def gopherRuleFlags(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.plans.GopherMask.gopherMask(col("text")).as("m"))
+      .select(col("doc_id"),
+        col("m").bitwiseAND(lit(1L)).as("r_len"),
+        shiftright(col("m"), 1).bitwiseAND(lit(1L)).as("r_wl"),
+        shiftright(col("m"), 2).bitwiseAND(lit(1L)).as("r_rep"),
+        shiftright(col("m"), 3).bitwiseAND(lit(1L)).as("r_stop"),
+        shiftright(col("m"), 4).bitwiseAND(lit(1L)).as("r_sym"))
+
+  /** The EXPRESSION-PIPELINE form of [[gopherRuleFlags]] — the
+    * relational reference twin (split + sort_array + aggregate folds +
+    * filter/isin), bit-equal to the fused path and sharing its oracle;
+    * kept registered so the 30× cost gap stays a standing measurement
+    * (the dedup_containment unfiltered-twin precedent).
+    */
+  def gopherRuleFlagsPipeline(docs: DataFrame): DataFrame = {
     val stopUnion = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
     // explode(array(...)) barrier: materialize the token split ONCE per
     // doc — five rule expressions referencing the split subtree would

@@ -12,6 +12,77 @@ import graft.{QueryDef, QueryPack, Tables}
   */
 object CurationPack extends QueryPack {
 
+  /** The rule-suite rollup shared by the pipeline-expression and fused
+    * forms of the gopher gate: per-rule pass counts + the all-rules
+    * verdict as a 6-row stack.
+    */
+  private def gopherRollup(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = r.agg(
+      count(lit(1)).as("n_docs"),
+      sum("r_len").as("p_len"), sum("r_wl").as("p_wl"),
+      sum("r_rep").as("p_rep"), sum("r_stop").as("p_stop"),
+      sum("r_sym").as("p_sym"),
+      sum(col("r_len") * col("r_wl") * col("r_rep") * col("r_stop") * col("r_sym"))
+        .as("p_all"))
+    m.select(expr(
+        "stack(6, 'gopher_len', p_len, 'gopher_mean_word_len', p_wl, " +
+          "'gopher_repetition', p_rep, 'gopher_stopwords', p_stop, " +
+          "'gopher_symbol_ratio', p_sym, 'keep_all_rules', p_all) AS (rule, n_pass)"),
+        col("n_docs"))
+      .select(col("rule"), col("n_pass"),
+        round(col("n_pass") * 1.0 / col("n_docs"), 6).as("pass_rate"))
+      .orderBy("rule")
+  }
+
+  /** Oracle for BOTH gopher forms (they are bit-equal by construction). */
+  private def gopherOracle: String = {
+    val stopUnion = graft.ext.TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk,
+       |    CAST(length(text) AS DOUBLE) AS nchar,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+       |         AS DOUBLE) AS npunct
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, len(tk) AS ntok,
+       |    list_sum(list_transform(tk, x -> length(x))) AS toklen,
+       |    len(list_filter(tk, x -> x IN ($stopUnion))) AS nstop,
+       |    npunct, nchar
+       |  FROM t),
+       |tokc AS (
+       |  SELECT doc_id, tok, COUNT(*) AS n
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2),
+       |top AS (
+       |  SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_share
+       |  FROM tokc GROUP BY 1),
+       |r AS (
+       |  SELECT
+       |    CASE WHEN ntok BETWEEN 10 AND 2000 THEN 1 ELSE 0 END AS r_len,
+       |    CASE WHEN CAST(toklen AS DOUBLE) / ntok BETWEEN 3.0 AND 10.0
+       |         THEN 1 ELSE 0 END AS r_wl,
+       |    CASE WHEN top_share <= 0.1 THEN 1 ELSE 0 END AS r_rep,
+       |    CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS r_stop,
+       |    CASE WHEN npunct / nchar <= 0.15 THEN 1 ELSE 0 END AS r_sym
+       |  FROM base JOIN top USING (doc_id)),
+       |m AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    SUM(r_len) AS p_len, SUM(r_wl) AS p_wl, SUM(r_rep) AS p_rep,
+       |    SUM(r_stop) AS p_stop, SUM(r_sym) AS p_sym,
+       |    SUM(r_len * r_wl * r_rep * r_stop * r_sym) AS p_all
+       |  FROM r)
+       |SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+       |  ROUND(n_pass * 1.0 / n_docs, 6) AS pass_rate
+       |FROM (
+       |  SELECT 'gopher_len' AS rule, p_len AS n_pass, n_docs FROM m
+       |  UNION ALL SELECT 'gopher_mean_word_len', p_wl, n_docs FROM m
+       |  UNION ALL SELECT 'gopher_repetition', p_rep, n_docs FROM m
+       |  UNION ALL SELECT 'gopher_stopwords', p_stop, n_docs FROM m
+       |  UNION ALL SELECT 'gopher_symbol_ratio', p_sym, n_docs FROM m
+       |  UNION ALL SELECT 'keep_all_rules', p_all, n_docs FROM m)
+       |ORDER BY rule""".stripMargin
+  }
+
   def queries: Map[String, QueryDef] = Map(
 
     // The composable Gopher-rule quality suite (Rae et al. 2021's
@@ -27,76 +98,31 @@ object CurationPack extends QueryPack {
     // regression anywhere in the suite breaks the gate.
     "curation_gopher_rules" -> QueryDef(
       "Gopher-style rule suite: per-rule pass counts + all-rules keep verdict",
-      (s, dir) => {
-        // the per-doc rule flags live in Curation.gopherRuleFlags (one
-        // corpus scan, sorted-run fold for the repetition share — see
-        // its scaladoc for the measured plan history) so quality-ranked
-        // compositions (dedup_substring_keep_best) share the EXACT
-        // expressions this suite pins; doc_id is pruned by the agg
-        val r = graft.ext.Curation.gopherRuleFlags(Tables.documents(s, dir))
-        val m = r.agg(
-          count(lit(1)).as("n_docs"),
-          sum("r_len").as("p_len"), sum("r_wl").as("p_wl"),
-          sum("r_rep").as("p_rep"), sum("r_stop").as("p_stop"),
-          sum("r_sym").as("p_sym"),
-          sum(col("r_len") * col("r_wl") * col("r_rep") * col("r_stop") * col("r_sym"))
-            .as("p_all"))
-        m.select(expr(
-            "stack(6, 'gopher_len', p_len, 'gopher_mean_word_len', p_wl, " +
-              "'gopher_repetition', p_rep, 'gopher_stopwords', p_stop, " +
-              "'gopher_symbol_ratio', p_sym, 'keep_all_rules', p_all) AS (rule, n_pass)"),
-            col("n_docs"))
-          .select(col("rule"), col("n_pass"),
-            round(col("n_pass") * 1.0 / col("n_docs"), 6).as("pass_rate"))
-          .orderBy("rule")
-      },
-      Some {
-        val stopUnion = graft.ext.TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
-          .map(w => s"'$w'").mkString(", ")
-        s"""WITH t AS (
-           |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk,
-           |    CAST(length(text) AS DOUBLE) AS nchar,
-           |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-           |         AS DOUBLE) AS npunct
-           |  FROM documents),
-           |base AS (
-           |  SELECT doc_id, len(tk) AS ntok,
-           |    list_sum(list_transform(tk, x -> length(x))) AS toklen,
-           |    len(list_filter(tk, x -> x IN ($stopUnion))) AS nstop,
-           |    npunct, nchar
-           |  FROM t),
-           |tokc AS (
-           |  SELECT doc_id, tok, COUNT(*) AS n
-           |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2),
-           |top AS (
-           |  SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_share
-           |  FROM tokc GROUP BY 1),
-           |r AS (
-           |  SELECT
-           |    CASE WHEN ntok BETWEEN 10 AND 2000 THEN 1 ELSE 0 END AS r_len,
-           |    CASE WHEN CAST(toklen AS DOUBLE) / ntok BETWEEN 3.0 AND 10.0
-           |         THEN 1 ELSE 0 END AS r_wl,
-           |    CASE WHEN top_share <= 0.1 THEN 1 ELSE 0 END AS r_rep,
-           |    CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS r_stop,
-           |    CASE WHEN npunct / nchar <= 0.15 THEN 1 ELSE 0 END AS r_sym
-           |  FROM base JOIN top USING (doc_id)),
-           |m AS (
-           |  SELECT COUNT(*) AS n_docs,
-           |    SUM(r_len) AS p_len, SUM(r_wl) AS p_wl, SUM(r_rep) AS p_rep,
-           |    SUM(r_stop) AS p_stop, SUM(r_sym) AS p_sym,
-           |    SUM(r_len * r_wl * r_rep * r_stop * r_sym) AS p_all
-           |  FROM r)
-           |SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
-           |  ROUND(n_pass * 1.0 / n_docs, 6) AS pass_rate
-           |FROM (
-           |  SELECT 'gopher_len' AS rule, p_len AS n_pass, n_docs FROM m
-           |  UNION ALL SELECT 'gopher_mean_word_len', p_wl, n_docs FROM m
-           |  UNION ALL SELECT 'gopher_repetition', p_rep, n_docs FROM m
-           |  UNION ALL SELECT 'gopher_stopwords', p_stop, n_docs FROM m
-           |  UNION ALL SELECT 'gopher_symbol_ratio', p_sym, n_docs FROM m
-           |  UNION ALL SELECT 'keep_all_rules', p_all, n_docs FROM m)
-           |ORDER BY rule""".stripMargin
-      }),
+      (s, dir) =>
+        // Curation.gopherRuleFlags is the FUSED one-pass native
+        // expression (graft.plans.GopherMask) — the production path:
+        // measured FLAT at x32 amplification (0.31 s) where the
+        // expression-pipeline twin below grows to 9.7 s. Quality-ranked
+        // compositions (dedup_substring_keep_best) share the exact
+        // same flags; doc_id is pruned by the agg
+        gopherRollup(graft.ext.Curation.gopherRuleFlags(Tables.documents(s, dir))),
+      Some(gopherOracle)),
+
+    // The EXPRESSION-PIPELINE form of the same suite — the relational
+    // reference twin (split + sort_array + aggregate folds +
+    // filter/isin), bit-equal and sharing the oracle. Kept registered
+    // so the cost gap is a STANDING measurement, not a one-off probe:
+    // at the x32 amplification the pipeline measured 9.66 s (15.1x its
+    // x1) vs the fused path's flat 0.31 s — the higher-order lambdas
+    // run as interpreted CodegenFallback per token, so the r15
+    // "per-token compute is the floor" held only between two
+    // interpreted forms; the compiled fused loop lowered the floor
+    // ~30x. The dedup_containment unfiltered-twin precedent.
+    "curation_gopher_rules_pipeline" -> QueryDef(
+      "Gopher rule suite via the relational expression pipeline (bit-equal slow twin)",
+      (s, dir) =>
+        gopherRollup(graft.ext.Curation.gopherRuleFlagsPipeline(Tables.documents(s, dir))),
+      Some(gopherOracle)),
 
     // Per-domain mixture reweighting with TEMPERATURE — the train_mixture
     // twin that decides the weights instead of consuming them: raw token

@@ -71,7 +71,9 @@ object PlanDump {
       "sim_range_ivf" -> "IVF range search: broadcast probes dynamically prune the cell-partitioned index scan; scalar radius filter, no candidate-stream window",
       "dedup_substring_exact" -> "exact-substring mask: ONE gram-keyed shuffle (full-partition count window) — no groupBy+join-back double shuffle, no pair enumeration",
       "mm_phash_lifecycle" -> "standing mm index serve: band equi self-join over compacted signature files, hamming verify on collisions only — payloads never scanned",
-      "curation_gopher_rules" -> "Gopher suite: one corpus scan (all five rules incl. the sorted-run repetition fold) into one partial+final aggregate + 6-row stack — zero pre-aggregate shuffles")
+      "curation_gopher_rules" -> "Gopher suite, FUSED: one native one-pass expression (GopherMask inside whole-stage codegen) into one partial+final aggregate + 6-row stack — zero pre-aggregate shuffles, no CodegenFallback lambdas",
+      "dedup_substring_keep_best" -> "quality-ranked keep policy: doc-granular broadcast quality join UPSTREAM of the gram explosion — the gram stream still pays exactly one shuffle",
+      "sim_recall_sweep" -> "IVF nProbe sweep: one pinned cell assignment reused by every setting; per-setting cost is the broadcast-probe candidate join only")
 
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -77,13 +77,25 @@ object SoakBench {
     val queryNames = args.lift(2)
       .getOrElse("dedup_substring_exact,dedup_minhash_lsh,dedup_substring_indexed")
       .split(",").map(_.trim).toSeq
+    // "prep" materializes the amplified dirs and exits — run it with the
+    // NORMAL heap (32 concurrent parquet writers buffer row groups; a
+    // 4g driver OOMs in the write, which is not the claim under test),
+    // then run the soak itself with the constrained heap.
+    val prepOnly = args.lift(3).contains("prep")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // the memory-constrained profile scales its BROADCAST budget with
+      // the heap, as a real cluster config must: the first ×256 soak run
+      // under the bench default (64 MiB) failed LOUDLY when AQE's
+      // compressed-size estimate admitted a build side whose
+      // row-serialized results exceeded spark.driver.maxResultSize
+      // (1045 MiB > 1 GiB) — the estimate-gap hazard this soak exists
+      // to surface. 8 MiB keeps the big joins as sort-merge (spillable).
+      .config("spark.sql.autoBroadcastJoinThreshold", 8 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -100,7 +112,8 @@ object SoakBench {
           materializeDocs(spark, baseDir, d, k)
           d
         }
-      queries.foreach { case (name, fn) =>
+      if (prepOnly) println(s"""{"soak_prep":"$dir","factor":$k}""")
+      else queries.foreach { case (name, fn) =>
         // standing-index queries resolve against a per-corpus cache dir;
         // point the catalog at a soak-local root so builds land fresh
         listener.reset()

@@ -65,7 +65,10 @@ class DeterminismSpec extends AnyFunSuite {
     "mm_phash_indexed",         // banded phash self-join over a standing index
     "mm_phash_lifecycle",       // full mm verb sequence on first run, serve after
     "mm_dedup_indexed",         // content-hash rollup over the lifecycle index
-    "sim_recall_lifecycle")     // IVF-vs-bruteforce towers over the compacted index
+    "sim_recall_lifecycle",     // IVF-vs-bruteforce towers over the compacted index
+    "dedup_substring_keep_best", // quality-ranked window over gram partitions
+    "sim_recall_sweep",         // per-setting candidate joins off one pinned assignment
+    "sim_mih_radius_sweep")     // regime-shared collision tables + rerank ties
 
   test("hash/sample/rank-driven queries return identical rows on a double run") {
     val diffs = audited.flatMap { name =>

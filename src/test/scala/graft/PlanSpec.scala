@@ -363,4 +363,33 @@ class PlanSpec extends AnyFunSuite {
       "probed cells must prune the cell-partitioned scan at runtime")
     assert(p.contains(">= 0.25"), "the radius must cut as a scalar predicate")
   }
+
+  test("dedup_substring_keep_best: quality joins doc-granular via broadcast, upstream of the gram explosion") {
+    // the judge contract for the quality-ranked keep policy: ONE extra
+    // broadcast join (doc rows), no new shuffle of the gram stream — a
+    // shuffled quality join or a post-explosion join would re-key the
+    // gram stream by doc at 100 TB
+    val p = plan("dedup_substring_keep_best")
+    assert(p.contains("BroadcastHashJoin"), "quality must broadcast-join the doc rows")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+    // the broadcast join must sit BELOW the Generate (gram posexplode):
+    // in the formatted tree the join's line appears after the Generate
+    // only if it joined the exploded stream — assert the join is on the
+    // doc-row side by checking no SortMergeJoin re-keys grams
+    assert(!p.contains("SortMergeJoin"),
+      "the gram stream must not re-shuffle for the quality join")
+  }
+
+  test("curation_gopher_rules (fused) keeps whole-stage codegen — no CodegenFallback lambdas") {
+    // the fused expression's reason to exist: the lambda pipeline's
+    // aggregate/filter higher-order functions run interpreted; the
+    // fused form must plan as one codegen'd scan into the aggregate
+    val exec = SparkEntry.queries("curation_gopher_rules")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("gophermaskexpr") || exec.contains("GopherMask"),
+      "fused path must plan the native expression")
+    val formatted = plan("curation_gopher_rules")
+    assert(formatted.contains("WholeStageCodegen"),
+      "the fused scan must stay inside whole-stage codegen")
+  }
 }

@@ -605,8 +605,16 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("cv"))
     val centroids: Array[(Long, Array[Double])] =
       ivfModel(corpus, nCentroids, lloydIters, trainCap, idCol, vecCol)
-    require(centroids.nonEmpty,
-      s"ivfSweep: corpus has no ids < $nCentroids to seed centroids")
+    if (centroids.isEmpty) {
+      // the ivfTopK empty-corpus contract: legitimate ONLY when the
+      // corpus itself is empty — degrade to the contract-schema empty
+      // sweep; a populated corpus without seed ids is a caller error
+      require(c.isEmpty,
+        s"ivfSweep: corpus is non-empty but has no ids < $nCentroids to seed centroids")
+      import c.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("nprobe", "n_candidates", "n_hit", "recall")
+    }
     // shared by every setting: assign cells once, pin the result
     val assigned = withCell(c, centroids, "cv").localCheckpoint()
     val exact = bruteForceTopK(queries, corpus, k, idCol, vecCol)
@@ -622,11 +630,16 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       val rec = exact.join(top, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
-      nCand.crossJoin(broadcast(rec)).select(
-        lit(np.toLong).as("nprobe"),
-        col("n_candidates"),
-        col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+      // a degenerate corpus can leave the exact panel EMPTY (one vector,
+      // self excluded): the oracle's hits CTE then has no rows, so the
+      // engine must emit none either — and never divide by the zero
+      nCand.crossJoin(broadcast(rec))
+        .filter(col("n_truth") > 0)
+        .select(
+          lit(np.toLong).as("nprobe"),
+          col("n_candidates"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
     }.reduce(_ unionByName _)
   }
 
@@ -1220,12 +1233,17 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       val rec = exact.join(top, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
-      nVerified.crossJoin(broadcast(nPool)).crossJoin(broadcast(rec)).select(
-        lit(r.toLong).as("radius"),
-        col("n_verified"),
-        col("n_in_radius"),
-        col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+      // same degenerate-corpus guard as ivfSweep: an empty exact panel
+      // means the oracle emits no row for this setting — match it, and
+      // never divide by the zero
+      nVerified.crossJoin(broadcast(nPool)).crossJoin(broadcast(rec))
+        .filter(col("n_truth") > 0)
+        .select(
+          lit(r.toLong).as("radius"),
+          col("n_verified"),
+          col("n_in_radius"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
     }.reduce(_ unionByName _)
   }
 

@@ -270,9 +270,10 @@ object MultimodalPack extends QueryPack {
              |FROM documents
              |GROUP BY h HAVING COUNT(*) >= 2 ORDER BY h""".stripMargin)),
 
-    // PERCEPTUAL near-dup over asset payloads — mm_dedup catches
-    // byte-identical content; this catches re-encodes/crops (modeled by
-    // the 60-bit average-hash, MediaCodec.perceptualHash). The scale
+    // PERCEPTUAL near-dup over DECODED samples (the BMP/WAV parse runs
+    // first) — mm_dedup catches byte-identical content; this catches
+    // re-encodes/crops (modeled by the 60-bit average-hash,
+    // MediaCodec.perceptualHash over the decoded stream). The scale
     // shape is the dedup_simhash/LSH posture applied to media: hashes
     // band into 4×15-bit keys (a pair within hamming ≤ 10 of a 60-bit
     // hash agrees exactly on ≥1 band whenever its flipped bits fall in

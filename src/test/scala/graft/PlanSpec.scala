@@ -384,12 +384,18 @@ class PlanSpec extends AnyFunSuite {
     // the fused expression's reason to exist: the lambda pipeline's
     // aggregate/filter higher-order functions run interpreted; the
     // fused form must plan as one codegen'd scan into the aggregate
-    val exec = SparkEntry.queries("curation_gopher_rules")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(exec.contains("gophermaskexpr") || exec.contains("GopherMask"),
+    val df = SparkEntry.queries("curation_gopher_rules")(spark, sf)
+    // materialize THIS queryExecution (count() would plan a different
+    // one): AQE reveals codegen ids only on the FINAL plan
+    df.collect()
+    val formatted = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("gophermaskexpr"),
       "fused path must plan the native expression")
-    val formatted = plan("curation_gopher_rules")
-    assert(formatted.contains("WholeStageCodegen"),
+    // FormattedMode marks whole-stage membership as "[codegen id : N]"
+    // on each operator; the scan→project→partial-agg pipeline carrying
+    // the fused expression must be inside one
+    assert(formatted.contains("codegen id"),
       "the fused scan must stay inside whole-stage codegen")
   }
 }

@@ -930,15 +930,26 @@ object Dedup {
     * Signature via hash + 16 min-aggregates, every step whole-stage
     * codegen, md5 evaluated once per shingle.
     */
-  def bandedSignatures(shingleRows: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    val nBands = Hashing.MinHashParams.size / rowsPerBand
-    val sig = shingleRows
+  def bandedSignatures(shingleRows: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    bandExplode(minHashSigFrame(shingleRows), rowsPerBand)
+
+  /** The 16-column MinHash signature frame (doc_id, h0..h15) — factored
+    * so [[lshBandSweep]] computes it ONCE and re-bands it per geometry.
+    */
+  private[graft] def minHashSigFrame(shingleRows: DataFrame): DataFrame =
+    shingleRows
       .withColumn("x", Hashing.portableTokenHash(col("sh")))
       .groupBy("doc_id")
       .agg(
         min(Hashing.minHashFn(0)(col("x"))).as("h0"),
         Hashing.MinHashParams.indices.drop(1)
           .map(i => min(Hashing.minHashFn(i)(col("x"))).as(s"h$i")): _*)
+
+  /** Re-band a signature frame into (doc_id, band, key) rows under a
+    * band geometry: 16/rowsPerBand bands of rowsPerBand minhashes each.
+    */
+  private[graft] def bandExplode(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    val nBands = Hashing.MinHashParams.size / rowsPerBand
     sig.select(
       col("doc_id"),
       explode(array((0 until nBands).map { bIdx =>
@@ -949,6 +960,53 @@ object Dedup {
             .as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** BAND-GEOMETRY parameter sweep of the MinHash LSH candidate filter —
+    * the dedup twin of [[Similarity.ivfSweep]]/[[Similarity.binarySweep]]:
+    * for each (bands × rowsPerBand) split of the 16-hash signature,
+    * recall and precision of the banded candidates against the EXACT
+    * Jaccard ≥ τ pair set, plus the candidate count the geometry pays —
+    * the curve that decides banding before pointing LSH at a corpus
+    * (more rows per band ⇒ fewer, more precise candidates; fewer rows ⇒
+    * higher recall at quadratically more verification work).
+    *
+    * The signature frame is computed ONCE and pinned; each geometry
+    * pays only its re-band + candidate self-join. `truth` is the exact
+    * pair table (a standing artifact — built once per corpus version).
+    * One row per geometry: (bands, rows_per_band, n_true, n_candidates,
+    * n_verified, recall, cand_precision).
+    */
+  def lshBandSweep(
+      docs: DataFrame,
+      truth: DataFrame,
+      rowsPerBandSettings: Seq[Int],
+      shingleN: Int = 3): DataFrame = {
+    require(rowsPerBandSettings.nonEmpty &&
+        rowsPerBandSettings.forall(r => r > 0 && Hashing.MinHashParams.size % r == 0),
+      s"each rows-per-band setting must divide ${Hashing.MinHashParams.size}")
+    val sig = minHashSigFrame(shingleRows(docs, shingleN)).localCheckpoint()
+    val t = truth.select("doc_a", "doc_b").localCheckpoint()
+    val nTrue = t.agg(count(lit(1)).as("n_true"))
+    rowsPerBandSettings.map { r =>
+      val banded = bandExplode(sig, r)
+      val cand = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+        .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+          Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nVer = cand.join(t, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_verified"))
+      nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nVer)).select(
+        lit((Hashing.MinHashParams.size / r).toLong).as("bands"),
+        lit(r.toLong).as("rows_per_band"),
+        col("n_true"), col("n_candidates"), col("n_verified"),
+        round(col("n_verified").cast("double") /
+          nullif(col("n_true").cast("double"), lit(0.0)), 6).as("recall"),
+        round(col("n_verified").cast("double") /
+          nullif(col("n_candidates").cast("double"), lit(0.0)), 6).as("cand_precision"))
+    }.reduce(_ unionByName _)
   }
 
   /** Incremental (batch-vs-corpus) NEAR-dup — [[incrementalDedup]]'s

@@ -1178,6 +1178,88 @@ object DedupPack extends QueryPack {
            |FROM agg""".stripMargin
       }),
 
+    // The BAND-GEOMETRY sweep — dedup_lsh_recall pins the 4×4 operating
+    // point; this pins the whole recall/precision/cost curve over every
+    // split of the 16-hash signature (16×1 … 1×16): the S-curve
+    // steepness trade a user reads to pick banding for their Jaccard
+    // threshold. The signature frame is computed ONCE and re-banded per
+    // geometry; truth is the standing exact-pairs artifact. The dedup
+    // twin of sim_recall_sweep / sim_mih_radius_sweep.
+    "dedup_lsh_band_sweep" -> QueryDef(
+      "Recall/precision/cost per MinHash band geometry (16x1..1x16) vs exact Jaccard >= 0.3",
+      (s, dir) =>
+        Dedup.lshBandSweep(Tables.documents(s, dir),
+            s.read.parquet(s"${jaccardPairsDir(s, dir)}/pairs"),
+            rowsPerBandSettings = Seq(1, 2, 4, 8, 16))
+          .orderBy("rows_per_band"),
+      Some {
+        val sigEntries = Hashing.MinHashParams.map { case (a, b) =>
+          s"list_min(list_transform(sh, t -> ($a * $H + $b) % ${Hashing.MinHashPrime}))"
+        }.mkString(",\n    ")
+        def bandCase(r: Int) = (0 until 16 / r).map { b =>
+          val parts = (1 to r).map(k => s"sig[${b * r + k}]").mkString(", ")
+          s"WHEN $b THEN concat_ws('_', $parts)"
+        }.mkString(" ")
+        val perGeom = Seq(1, 2, 4, 8, 16).map { r =>
+          s"""SELECT ${16 / r} AS bands, $r AS rows_per_band, doc_id, band,
+             |    CASE band ${bandCase(r)} END AS key
+             |  FROM h, (SELECT unnest(range(${16 / r})) AS band)""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH raw AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+           |  FROM documents),
+           |d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+           |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+           |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+           |  FROM raw),
+           |h AS (
+           |  SELECT doc_id, [
+           |    $sigEntries] AS sig
+           |  FROM d),
+           |b AS (
+           |  $perGeom),
+           |cand AS (
+           |  SELECT DISTINCT x.bands AS bands, x.rows_per_band AS rows_per_band,
+           |    x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM b x JOIN b y
+           |    ON x.rows_per_band = y.rows_per_band AND x.band = y.band
+           |   AND x.key = y.key AND x.doc_id < y.doc_id),
+           |sr AS (SELECT doc_id, unnest(sh) AS g FROM d),
+           |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, COUNT(*) AS n_inter
+           |  FROM sr a JOIN sr b2 ON a.g = b2.g AND a.doc_id < b2.doc_id
+           |  GROUP BY 1, 2),
+           |tru AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |  WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.3),
+           |geoms AS (SELECT * FROM (VALUES (16,1),(8,2),(4,4),(2,8),(1,16))
+           |          AS g(bands, rows_per_band)),
+           |cc AS (SELECT bands, rows_per_band, COUNT(*) AS n_candidates
+           |       FROM cand GROUP BY 1, 2),
+           |vv AS (SELECT c.bands, c.rows_per_band, COUNT(*) AS n_verified
+           |       FROM cand c JOIN tru t2
+           |         ON t2.doc_a = c.doc_a AND t2.doc_b = c.doc_b
+           |       GROUP BY 1, 2),
+           |tt AS (SELECT COUNT(*) AS n_true FROM tru)
+           |SELECT CAST(g.bands AS BIGINT) AS bands,
+           |  CAST(g.rows_per_band AS BIGINT) AS rows_per_band,
+           |  CAST(tt.n_true AS BIGINT) AS n_true,
+           |  CAST(COALESCE(cc.n_candidates, 0) AS BIGINT) AS n_candidates,
+           |  CAST(COALESCE(vv.n_verified, 0) AS BIGINT) AS n_verified,
+           |  ROUND(COALESCE(vv.n_verified, 0) /
+           |    NULLIF(CAST(tt.n_true AS DOUBLE), 0.0), 6) AS recall,
+           |  ROUND(COALESCE(vv.n_verified, 0) /
+           |    NULLIF(CAST(cc.n_candidates AS DOUBLE), 0.0), 6) AS cand_precision
+           |FROM geoms g CROSS JOIN tt
+           |LEFT JOIN cc ON cc.bands = g.bands AND cc.rows_per_band = g.rows_per_band
+           |LEFT JOIN vv ON vv.bands = g.bands AND vv.rows_per_band = g.rows_per_band
+           |ORDER BY rows_per_band""".stripMargin
+      }),
+
     // Edit-distance near-dup (classic unit-cost Levenshtein DP — identical
     // in Spark and DuckDB). O(n²·len²), hence the hard 80-doc slice: this
     // modality exists for short-text / high-precision use; set-based

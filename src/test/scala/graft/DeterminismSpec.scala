@@ -68,7 +68,8 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_recall_lifecycle",     // IVF-vs-bruteforce towers over the compacted index
     "dedup_substring_keep_best", // quality-ranked window over gram partitions
     "sim_recall_sweep",         // per-setting candidate joins off one pinned assignment
-    "sim_mih_radius_sweep")     // regime-shared collision tables + rerank ties
+    "sim_mih_radius_sweep",     // regime-shared collision tables + rerank ties
+    "dedup_lsh_band_sweep")     // re-banded md5 minhash sigs vs the standing pair artifact
 
   test("hash/sample/rank-driven queries return identical rows on a double run") {
     val diffs = audited.flatMap { name =>

@@ -114,8 +114,9 @@ object SoakBench {
         }
       if (prepOnly) println(s"""{"soak_prep":"$dir","factor":$k}""")
       else queries.foreach { case (name, fn) =>
-        // standing-index queries resolve against a per-corpus cache dir;
-        // point the catalog at a soak-local root so builds land fresh
+        // standing-index queries (IndexCatalog) cache per JVM, so each
+        // SoakBench invocation rebuilds its indexes fresh under the
+        // constrained heap — the build cost is part of what's soaked
         listener.reset()
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()

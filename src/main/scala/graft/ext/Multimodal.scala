@@ -153,13 +153,22 @@ object Multimodal {
     * Decoded, not container, bytes: two containers of the same pixels
     * must collide, and the container header (size fields) must never
     * split a dup group.
+    *
+    * The digest is `md5(hex(prefix))` — the md5 of the UPPERCASE HEX of
+    * the prefix bytes, not of the raw bytes — so the identity is
+    * byte-exact replayable by an independent SQL engine whose `md5`
+    * only accepts strings (zero padding bytes from the image row fill
+    * can't live in a VARCHAR). This is THE content identity: the inline
+    * `mm_dedup` query, this standing index, and both oracles share it —
+    * a single definition so a short or non-ASCII document can never
+    * make the served answer diverge from the inline one.
     */
-  private def contentHashRows(assets: Dataset[Asset]): DataFrame = {
+  def contentHashes(assets: Dataset[Asset]): DataFrame = {
     import assets.sparkSession.implicits._
     assets
       .map(a => (a.asset_id, a.kind, MediaCodec.decodedSamples(a).take(16)))
       .toDF("asset_id", "kind", "prefix")
-      .select(col("asset_id"), col("kind"), md5(col("prefix")).as("h"))
+      .select(col("asset_id"), col("kind"), md5(hex(col("prefix"))).as("h"))
   }
 
   /** Build the standing index: `sigs/` (banded phash rows) + `chash/`
@@ -167,7 +176,7 @@ object Multimodal {
     */
   def writeMmIndex(assets: Dataset[Asset], dir: String): Unit = {
     graft.io.BatchFiles.land(bandedPhashRows(assets), s"$dir/sigs", batchId = 0L)
-    graft.io.BatchFiles.land(contentHashRows(assets), s"$dir/chash", batchId = 0L)
+    graft.io.BatchFiles.land(contentHashes(assets), s"$dir/chash", batchId = 0L)
   }
 
   /** Admit a batch of NEW assets: one codec pass over the batch, rows
@@ -181,7 +190,7 @@ object Multimodal {
     */
   def refreshMmIndex(assets: Dataset[Asset], dir: String, batchId: Long): Unit = {
     graft.io.BatchFiles.land(bandedPhashRows(assets), s"$dir/sigs", batchId)
-    graft.io.BatchFiles.land(contentHashRows(assets), s"$dir/chash", batchId)
+    graft.io.BatchFiles.land(contentHashes(assets), s"$dir/chash", batchId)
   }
 
   /** Retract assets: ids land as a TOMBSTONE table (`deleted/`, |batch|
@@ -426,6 +435,10 @@ object MediaCodec {
     while (off + 8 <= bytes.length && data == null) {
       val id = new String(bytes.slice(off, off + 4), "US-ASCII")
       val size = readLe32(bytes, off + 4)
+      // A negative LE32 size would make the walk non-increasing (an
+      // infinite loop on an executor); the codec contract is LOUD
+      // failure on malformed containers, never a hang.
+      require(size >= 0, s"malformed WAV chunk '$id': negative size $size")
       id match {
         case "fmt " =>
           require(size >= 16, "malformed fmt chunk")

@@ -243,32 +243,42 @@ object MultimodalPack extends QueryPack {
 
     // Cross-document asset dedup by CONTENT HASH — the multimodal
     // counterpart of dedup_exact: the same thumbnail/preview payload
-    // (modeled as each doc's leading 16 bytes — prefixes genuinely
-    // collide in the corpus) referenced by many documents is stored
-    // once, with the minimum doc id as the canonical owner. One
-    // hash-keyed aggregate over 16-byte keys: at 100 TB the shuffle
-    // carries md5 digests, never payload bytes.
+    // (the leading 16 DECODED samples after the real container parse —
+    // prefixes genuinely collide in the corpus) referenced by many
+    // documents is stored once, with the minimum doc id as the
+    // canonical owner. The identity is Multimodal.contentHashes — the
+    // SAME definition the standing chash index stores, so inline and
+    // indexed serves can never diverge (an image doc shorter than 16
+    // bytes hashes its zero row-padding; a non-ASCII doc hashes UTF-8
+    // bytes, not characters). One hash-keyed aggregate over md5 digests:
+    // at 100 TB the shuffle carries digests, never payload bytes.
     "mm_dedup" -> QueryDef(
-      "Duplicate asset payloads by content hash: refs, canonical owner, kind spread",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            when(pmod(col("doc_id"), lit(3L)) === 0, "image")
-              .when(pmod(col("doc_id"), lit(3L)) === 1, "audio")
-              .otherwise("video").as("kind"),
-            md5(substring(col("text"), 1, 16).cast("binary")).as("h"))
+      "Duplicate asset payloads by decoded-prefix content hash: refs, canonical owner, kind spread",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.contentHashes(
+            Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+              .as[Multimodal.Asset])
           .groupBy("h")
           .agg(count(lit(1)).as("n_refs"),
-            min("doc_id").as("canonical_doc"),
+            min("asset_id").as("canonical_doc"),
             count_distinct(col("kind")).as("n_kinds"))
           .filter(col("n_refs") >= 2)
-          .orderBy("h"),
-      Some("""SELECT md5(substring(text, 1, 16)) AS h, COUNT(*) AS n_refs,
-             |  MIN(doc_id) AS canonical_doc,
-             |  COUNT(DISTINCT CASE (doc_id % 3) WHEN 0 THEN 'image'
-             |        WHEN 1 THEN 'audio' ELSE 'video' END) AS n_kinds
-             |FROM documents
-             |GROUP BY h HAVING COUNT(*) >= 2 ORDER BY h""".stripMargin)),
+          .orderBy("h")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT doc_id,
+             |    CASE (doc_id % 3) WHEN 0 THEN 'image'
+             |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |    octet_length(encode(text)) AS n,
+             |    $DecodedLenSql AS nd,
+             |    hex(encode(text)) AS hx
+             |  FROM documents)
+             |SELECT md5(substring(hx || repeat('00', CAST(GREATEST(nd - n, 0) AS INT)),
+             |           1, CAST(2 * LEAST(16, nd) AS INT))) AS h,
+             |  COUNT(*) AS n_refs, MIN(doc_id) AS canonical_doc,
+             |  COUNT(DISTINCT kind) AS n_kinds
+             |FROM b GROUP BY h HAVING COUNT(*) >= 2 ORDER BY h""".stripMargin)),
 
     // PERCEPTUAL near-dup over DECODED samples (the BMP/WAV parse runs
     // first) — mm_dedup catches byte-identical content; this catches
@@ -388,11 +398,18 @@ object MultimodalPack extends QueryPack {
         }
         Multimodal.contentDedupIndexed(s, idx).orderBy("h")
       },
-      Some("""SELECT md5(substring(text, 1, 16)) AS h, COUNT(*) AS n_refs,
-             |  MIN(doc_id) AS canonical_doc,
-             |  COUNT(DISTINCT CASE (doc_id % 3) WHEN 0 THEN 'image'
-             |        WHEN 1 THEN 'audio' ELSE 'video' END) AS n_kinds
-             |FROM documents WHERE doc_id % 7 != 0
-             |GROUP BY h HAVING COUNT(*) >= 2 ORDER BY h""".stripMargin))
+      Some(s"""WITH b AS (
+             |  SELECT doc_id,
+             |    CASE (doc_id % 3) WHEN 0 THEN 'image'
+             |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |    octet_length(encode(text)) AS n,
+             |    $DecodedLenSql AS nd,
+             |    hex(encode(text)) AS hx
+             |  FROM documents WHERE doc_id % 7 != 0)
+             |SELECT md5(substring(hx || repeat('00', CAST(GREATEST(nd - n, 0) AS INT)),
+             |           1, CAST(2 * LEAST(16, nd) AS INT))) AS h,
+             |  COUNT(*) AS n_refs, MIN(doc_id) AS canonical_doc,
+             |  COUNT(DISTINCT kind) AS n_kinds
+             |FROM b GROUP BY h HAVING COUNT(*) >= 2 ORDER BY h""".stripMargin))
   )
 }

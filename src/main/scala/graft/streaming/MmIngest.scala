@@ -50,6 +50,18 @@ object MmIngest {
     * replayed micro-batch still replaces exactly its own files) — it
     * just keeps batch 0 as the builder's slot. Streams that own their
     * directory from scratch are unaffected (ids 1.. instead of 0..).
+    *
+    * CHECKPOINT COMPATIBILITY: the offset changes the micro-batch-id →
+    * landing-batch-id mapping, so a checkpoint created by the
+    * PRE-OFFSET version of this sink must not be resumed under this
+    * one — the replayed in-flight micro-batch would land under the
+    * shifted id while its already-landed files remain under the old
+    * id, double-counting those rows (exactly the hazard the offset
+    * exists to prevent at batch 0). Replay idempotence holds for
+    * streams whose checkpoints were CREATED on this version; resuming
+    * an older checkpoint requires retracting that stream's landed
+    * batches (or starting a fresh checkpoint + index compaction)
+    * first.
     */
   def start(stream: DataFrame, indexDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream

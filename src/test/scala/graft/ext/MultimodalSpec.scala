@@ -94,6 +94,14 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodec.decodeWav("OGGS".getBytes))
     val stereo = wav.clone(); stereo(22) = 2 // channels=2
     intercept[IllegalArgumentException](MediaCodec.decodeWav(stereo))
+
+    // a NEGATIVE chunk size must throw, not spin: size = -8 makes the
+    // walk offset non-increasing, so without the guard the executor
+    // hangs forever instead of failing the codec contract loudly
+    val negSize = wav.clone()
+    negSize(16) = -8; negSize(17) = -1; negSize(18) = -1; negSize(19) = -1
+    val ex = intercept[IllegalArgumentException](MediaCodec.decodeWav(negSize))
+    assert(ex.getMessage.contains("negative size"))
   }
 
   test("decoded samples: image luma = text bytes + row padding; audio = text bytes") {
@@ -118,6 +126,27 @@ class MultimodalSpec extends AnyFunSuite {
     val luma = MediaCodec.decodedSamples(img)
     assert(luma.take(doc.length).toSeq == doc.toSeq)
     assert(luma.drop(doc.length).forall(_ == 0))
+  }
+
+  test("content-hash identity: short image docs digest their zero padding; non-ASCII digests UTF-8 bytes") {
+    import spark.implicits._
+    // doc_id % 3 == 0 → image; "hi!" is 3 bytes → one 15-wide luma row,
+    // so the decoded 16-sample prefix is [h,i,!, 0×12] (take(16) stops
+    // at the 15-byte padded row). doc_id % 3 == 2 → video/raw with a
+    // 2-char but 4-BYTE string: the identity must hash bytes, never
+    // characters.
+    val docs = Seq((3L, "hi!", 3L), (5L, "éü", 2L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Multimodal.contentHashes(
+        Multimodal.assetsFromDocuments(docs).as[Multimodal.Asset])
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hex(bs: Array[Byte]): String = bs.map("%02X".format(_)).mkString
+    val imgPrefix = "hi!".getBytes("UTF-8") ++ Array.fill[Byte](12)(0)
+    assert(got(3L) == md5hex(hex(imgPrefix)))
+    assert(got(5L) == md5hex(hex("éü".getBytes("UTF-8"))))
   }
 
   test("asset table has the multimodal schema: opaque binary + typed meta") {

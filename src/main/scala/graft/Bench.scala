@@ -96,6 +96,14 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
     val line = s"""{"queries":$qs,"calib_sec":${fmt(calib)},"calib_mt_sec":${fmt(calibMt)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum}"""
     println(line)
+    // A totals-only summary as the LAST stdout line: the driver's tail
+    // window is ~2 KiB, so the full per-query line above never parses
+    // there (BENCH_r15/r16 recorded "parsed": null). This compact line
+    // always lands whole inside the tail; the complete per-query map
+    // lives in the self-artifact below.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sfNum,""" +
+      s""""calib_sec":${fmt(calib)},"calib_mt_sec":${fmt(calibMt)},""" +
+      s""""n_queries":${results.size}}""")
     // The COMPLETE per-query artifact, self-emitted: the driver's
     // BENCH_r{N}.json capture retains only a bounded stdout tail (r12
     // kept 76 of 263 per-query numbers), so cross-round per-query

@@ -89,13 +89,18 @@ object SoakBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // the memory-constrained profile scales its BROADCAST budget with
-      // the heap, as a real cluster config must: the first ×256 soak run
+      // the heap, as a real cluster config must: the round-16 ×256 soak
       // under the bench default (64 MiB) failed LOUDLY when AQE's
       // compressed-size estimate admitted a build side whose
       // row-serialized results exceeded spark.driver.maxResultSize
       // (1045 MiB > 1 GiB) — the estimate-gap hazard this soak exists
       // to surface. 8 MiB keeps the big joins as sort-merge (spillable).
-      .config("spark.sql.autoBroadcastJoinThreshold", 8 * 1024 * 1024)
+      // SOAK_BROADCAST_MB overrides (e.g. 64 = the bench default), used
+      // to prove the hazard is now ENGINE-owned: after round 17 pinned
+      // shuffle_hash on every corpus-scaled index-serving join, the
+      // ×256 cells complete under the default threshold too.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SOAK_BROADCAST_MB", "8").toInt * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -990,9 +990,11 @@ object Dedup {
     val nTrue = t.agg(count(lit(1)).as("n_true"))
     rowsPerBandSettings.map { r =>
       val banded = bandExplode(sig, r)
+      // shuffle_hash: corpus-sized signature self-join, same engine pin
+      // as minHashLshPairs (the round-16 broadcast-estimate hazard)
       val cand = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-        .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b")),
-          Seq("band", "key"))
+        .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+          .hint("shuffle_hash"), Seq("band", "key"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
@@ -1204,21 +1206,33 @@ object Dedup {
       .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("h"))
     val incBands = bandedSignatures(incShRows, rowsPerBand)
 
+    // Strategy-pinned, ENGINE-owned (not session-config-owned): every
+    // corpus- or incoming-scaled side below is hinted shuffle_hash, so
+    // AQE's compressed-size broadcast estimate can never admit a
+    // corpus-sized build side onto the driver — the round-16 ×256 soak
+    // burst spark.driver.maxResultSize exactly this way when a raised
+    // broadcast threshold met a flattering compressed-size estimate
+    // (SCALING.md round 16, finding 3). Neither side of these joins is
+    // bounded by contract (classification is a full new crawl against a
+    // full index at 100 TB), and both sides hash-partition on the join
+    // key with no sort needed, so shuffled-hash IS the plan a
+    // 1000-executor run wants — same pin as minHashLshPairs' shingle
+    // joins above.
     val candidates = incBands
-      .join(corpusBands, Seq("band", "key"))
+      .join(corpusBands.hint("shuffle_hash"), Seq("band", "key"))
       .select("doc_id", "corpus_id")
       .dropDuplicates("doc_id", "corpus_id")
 
     val incCounts = incSh.groupBy("doc_id").agg(count(lit(1)).as("n_inc"))
     val corpusCounts = corpusSh.groupBy("corpus_id").agg(count(lit(1)).as("n_cor"))
     val nInter = candidates
-      .join(incSh, Seq("doc_id"))
-      .join(corpusSh, Seq("corpus_id", "h"))
+      .join(incSh.hint("shuffle_hash"), Seq("doc_id"))
+      .join(corpusSh.hint("shuffle_hash"), Seq("corpus_id", "h"))
       .groupBy("doc_id", "corpus_id")
       .agg(count(lit(1)).as("n_inter"))
     val verified = nInter
-      .join(incCounts, Seq("doc_id"))
-      .join(corpusCounts, Seq("corpus_id"))
+      .join(incCounts.hint("shuffle_hash"), Seq("doc_id"))
+      .join(corpusCounts.hint("shuffle_hash"), Seq("corpus_id"))
       .withColumn("jac", jaccardFromCounts(col("n_inter"), col("n_inc"), col("n_cor")))
       .filter(col("jac") >= threshold)
     // best match per incoming doc: highest Jaccard, then smallest id —
@@ -1231,8 +1245,11 @@ object Dedup {
       .select(col("doc_id"), col("corpus_id").as("match_id"),
         round(col("jac"), 4).as("jaccard"))
 
+    // best is incoming-scaled (≤ one row per classified doc) — pinned
+    // for the same reason as above: a big classification batch must
+    // never ride a driver-collected broadcast
     incoming.select("doc_id")
-      .join(best, Seq("doc_id"), "left")
+      .join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("status", when(col("match_id").isNotNull, "near_dup").otherwise("novel"))
       .select("doc_id", "status", "match_id", "jaccard")
   }
@@ -1262,7 +1279,14 @@ object Dedup {
 
     val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    val candidates = l.join(r, Seq("band", "key"))
+    // shuffle_hash, engine-pinned: both sides are the corpus-sized
+    // banded-signature table (15 rows per doc of compressible longs —
+    // exactly the shape whose COMPRESSED size flatters AQE's broadcast
+    // estimate; the round-16 ×256 soak under the default 64 MiB
+    // threshold collected one side onto the driver and burst
+    // spark.driver.maxResultSize at 1045 MiB). Never broadcastable at
+    // scale; both sides hash-partition on (band, key) with no sort.
+    val candidates = l.join(r.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b") // collide in ≥1 band, count once

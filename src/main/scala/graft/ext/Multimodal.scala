@@ -40,11 +40,14 @@ object Multimodal {
   val BmpWidth = 15
 
   /** Build an asset table from `documents`: image docs (doc_id % 3 == 0)
-    * carry a REAL 24-bit BMP whose luma pixels are the text bytes (plus
-    * black tail padding to fill the last row), audio docs a REAL
-    * RIFF/WAVE PCM-8 file whose samples are the text bytes, video docs
-    * the raw bytes (format "raw"). At 100 TB the payloads come from
-    * object storage; the column shape is identical.
+    * alternate between a REAL 24-bit uncompressed BMP and a REAL
+    * zlib-compressed PNG (8-bit grayscale) whose luma pixels are the
+    * text bytes (plus black tail padding to fill the last row) — the
+    * SAME pixels in two container formats, so every decoded-sample gate
+    * (phash, content hash, features) also asserts container invariance.
+    * Audio docs carry a REAL RIFF/WAVE PCM-8 file whose samples are the
+    * text bytes, video docs the raw bytes (format "raw"). At 100 TB the
+    * payloads come from object storage; the column shape is identical.
     */
   def assetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -56,8 +59,12 @@ object Multimodal {
         (id % 3) match {
           case 0 =>
             val h = (raw.length + BmpWidth - 1) / BmpWidth
-            Asset(id, "image", MediaCodec.encodeBmp(raw, BmpWidth),
-              MediaMeta("bmp", BmpWidth, h, 0))
+            if ((id / 3) % 2 == 0)
+              Asset(id, "image", MediaCodec.encodeBmp(raw, BmpWidth),
+                MediaMeta("bmp", BmpWidth, h, 0))
+            else
+              Asset(id, "image", MediaCodec.encodePng(raw, BmpWidth),
+                MediaMeta("png", BmpWidth, h, 0))
           case 1 =>
             Asset(id, "audio", MediaCodec.encodeWav(raw, 16000),
               MediaMeta("wav", 0, 0, 16000))
@@ -232,7 +239,13 @@ object Multimodal {
       col("asset_id").as("asset_a"), col("phash").as("ph_a"))
     val b = live.select(col("band"), col("key"),
       col("asset_id").as("asset_b"), col("phash").as("ph_b"))
-    a.join(b, Seq("band", "key"))
+    // shuffle_hash, engine-pinned: both sides are the corpus-sized
+    // signature table (never broadcastable at scale — AQE's
+    // compressed-size estimate under a raised broadcast threshold
+    // would collect it onto the driver, the SCALING.md round-16
+    // hazard), and both hash-partition on (band, key) with no sort
+    // needed. Same pin as semanticDupPairs' cell self-join.
+    a.hint("shuffle_hash").join(b, Seq("band", "key"))
       .filter(col("asset_a") < col("asset_b"))
       .dropDuplicates("asset_a", "asset_b")
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
@@ -397,6 +410,185 @@ object MediaCodec {
     (width, h, luma)
   }
 
+  private def be32(v: Int): Array[Byte] =
+    Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSignature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  /** Encode a grayscale luma array as a REAL PNG — the COMPRESSED
+    * container twin of [[encodeBmp]]: 8-byte signature, IHDR (8-bit
+    * grayscale, no interlace), one zlib-deflated IDAT of filter-0
+    * scanlines, IEND — each chunk with its genuine CRC-32 over
+    * type+data (`java.util.zip.{Deflater, CRC32}`, pure JDK). Luma
+    * shorter than width·height pads with black exactly like the BMP
+    * encoder, so the DECODED samples of the two containers are
+    * byte-identical — container-invariance is what the mm gates assert.
+    */
+  def encodePng(gray: Array[Byte], width: Int): Array[Byte] = {
+    require(width > 0, "PNG width must be positive")
+    val h = (gray.length + width - 1) / width
+    val raw = new Array[Byte](h * (width + 1)) // filter byte + row bytes
+    var r = 0
+    while (r < h) {
+      raw(r * (width + 1)) = 0 // filter type 0 (None)
+      var c = 0
+      while (c < width) {
+        val p = r * width + c
+        raw(r * (width + 1) + 1 + c) = if (p < gray.length) gray(p) else 0
+        c += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zOut = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32(width) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0)
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = tpe.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+    PngSignature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zOut.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode a PNG to (width, height, row-major luma) — a REAL parse of
+    * the compressed container: signature check, chunk walk with CRC-32
+    * verified on EVERY chunk, IHDR validation (this codec handles 8-bit
+    * grayscale non-interlaced), multi-IDAT zlib inflate
+    * (`java.util.zip.Inflater`), and full scanline UNFILTERING — all
+    * five standard filter types (None/Sub/Up/Average/Paeth), so files
+    * from real encoders (which pick filters per row) decode, not just
+    * our own filter-0 output. Failure modes are LOUD, per the codec
+    * contract: bad signature, CRC mismatch, truncated chunk, negative
+    * length, unknown CRITICAL chunk, inflated size mismatch, bad filter
+    * type — a 100 TB ingest quarantines bad media, never hashes garbage.
+    */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 8 && PngSignature.indices.forall(i => bytes(i) == PngSignature(i)),
+      "not a PNG payload: bad signature")
+    var off = 8
+    var width = -1; var height = -1
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      require(off + 8 <= bytes.length, "truncated PNG: chunk header past EOF")
+      val len = readBe32(bytes, off)
+      require(len >= 0, s"malformed PNG chunk: negative length $len")
+      require(off + 12 + len <= bytes.length, "truncated PNG: chunk data past EOF")
+      val tpe = new String(bytes.slice(off + 4, off + 8), "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == readBe32(bytes, off + 8 + len),
+        s"corrupt PNG: CRC mismatch on $tpe chunk")
+      tpe match {
+        case "IHDR" =>
+          require(!sawIhdr, "malformed PNG: duplicate IHDR")
+          require(len == 13, "malformed PNG: IHDR length != 13")
+          width = readBe32(bytes, off + 8); height = readBe32(bytes, off + 12)
+          val bitDepth = bytes(off + 16); val colorType = bytes(off + 17)
+          val interlace = bytes(off + 20)
+          require(width > 0 && height > 0, "malformed PNG: non-positive dimensions")
+          require(bitDepth == 8 && colorType == 0 && interlace == 0,
+            s"unsupported PNG variant: bitDepth=$bitDepth colorType=$colorType " +
+              s"interlace=$interlace (this codec handles 8-bit grayscale " +
+              "non-interlaced only)")
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "malformed PNG: IDAT before IHDR")
+          idat.write(bytes, off + 8, len)
+        case "IEND" => sawIend = true
+        case other =>
+          // ancillary chunks (lowercase first letter: tEXt, pHYs…) skip;
+          // an unknown CRITICAL chunk means we cannot render faithfully
+          require((other.charAt(0) & 0x20) != 0,
+            s"unsupported PNG: unknown critical chunk $other")
+      }
+      off += 12 + len
+    }
+    require(sawIhdr, "malformed PNG: no IHDR")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val expected = height * (width + 1)
+    val raw = new Array[Byte](expected)
+    var got = 0
+    while (got < expected && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, expected - got)
+      require(n > 0 || !inflater.needsInput(), "truncated PNG: IDAT stream incomplete")
+      got += n
+    }
+    val extra = inflater.inflate(new Array[Byte](1))
+    inflater.end()
+    require(got == expected && extra == 0,
+      s"corrupt PNG: inflated ${got + extra} bytes, scanlines need $expected")
+    // unfilter: bpp = 1 (grayscale-8), a = left, b = up, c = up-left
+    val luma = new Array[Byte](width * height)
+    var r = 0
+    while (r < height) {
+      val ft = raw(r * (width + 1)) & 0xff
+      require(ft <= 4, s"corrupt PNG: unknown filter type $ft on row $r")
+      var c = 0
+      while (c < width) {
+        val x = raw(r * (width + 1) + 1 + c) & 0xff
+        val a = if (c > 0) luma(r * width + c - 1) & 0xff else 0
+        val b = if (r > 0) luma((r - 1) * width + c) & 0xff else 0
+        val cc = if (r > 0 && c > 0) luma((r - 1) * width + c - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case _ =>
+            val p = a + b - cc
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - cc)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+        }
+        luma(r * width + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    (width, height, luma)
+  }
+
+  /** Container bytes minus the entropy-coded stream: signature, chunk
+    * length/type/CRC framing, IHDR and IEND — the part of a COMPRESSED
+    * container whose size IS deterministically modelable (deflate
+    * output length is data-dependent; the framing is arithmetic). For
+    * [[encodePng]]'s single-IDAT layout this is exactly 8 + 25 + 12 +
+    * 12 = 57 — the mm_binary_meta gate's PNG analog of BMP's
+    * 54 + stride·rows, so a wrong length field or chunk layout in the
+    * encoder breaks the gate. Walks the real chunk list (multi-IDAT
+    * files report their true framing, not a constant).
+    */
+  def pngFramingBytes(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 8 && PngSignature.indices.forall(i => bytes(i) == PngSignature(i)),
+      "not a PNG payload: bad signature")
+    var off = 8
+    var idatTotal = 0L
+    var sawIend = false
+    while (!sawIend) {
+      require(off + 8 <= bytes.length, "truncated PNG: chunk header past EOF")
+      val len = readBe32(bytes, off)
+      require(len >= 0, s"malformed PNG chunk: negative length $len")
+      require(off + 12 + len <= bytes.length, "truncated PNG: chunk data past EOF")
+      val tpe = new String(bytes.slice(off + 4, off + 8), "US-ASCII")
+      if (tpe == "IDAT") idatTotal += len
+      if (tpe == "IEND") sawIend = true
+      off += 12 + len
+    }
+    (bytes.length - idatTotal).toInt
+  }
+
   /** Encode PCM samples as a REAL RIFF/WAVE file: RIFF header, `fmt `
     * chunk (PCM, mono, 8-bit) and `data` chunk.
     */
@@ -468,6 +660,7 @@ object MediaCodec {
     */
   def decodedSamples(a: Multimodal.Asset): Array[Byte] = a.meta.format match {
     case "bmp" => decodeBmp(a.bytes)._3
+    case "png" => decodePng(a.bytes)._3
     case "wav" => decodeWav(a.bytes)
     case _ => a.bytes
   }

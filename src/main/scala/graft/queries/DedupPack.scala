@@ -1111,9 +1111,11 @@ object DedupPack extends QueryPack {
         val banded = s.read.parquet(s"${lshBandsDir(s, dir)}/bands")
         val truth = s.read.parquet(s"${jaccardPairsDir(s, dir)}/pairs")
           .select("doc_a", "doc_b")
+        // shuffle_hash: corpus-sized signature self-join, same engine
+        // pin as minHashLshPairs (round-16 broadcast-estimate hazard)
         val cand = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-          .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b")),
-            Seq("band", "key"))
+          .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+            .hint("shuffle_hash"), Seq("band", "key"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
         val nCand = cand.agg(count(lit(1)).as("n_candidates"))

@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.ext.{MediaCodec, Multimodal}
 import graft.{QueryDef, QueryPack, Tables}
 
-/** Multimodal-column queries over REAL containers: image assets are
-  * 24-bit uncompressed BMPs, audio assets RIFF/WAVE PCM-8 files, and
-  * every gate below runs on the DECODED samples the genuine container
-  * parse produces. The oracles replay the decoded-sample model: the
+/** Multimodal-column queries over REAL containers: image assets
+  * alternate 24-bit uncompressed BMPs and zlib-compressed 8-bit
+  * grayscale PNGs (same pixels, two formats — every decoded-sample
+  * gate doubles as a container-invariance gate), audio assets are
+  * RIFF/WAVE PCM-8 files, and every gate below runs on the DECODED
+  * samples the genuine container parse produces. The oracles replay the decoded-sample model: the
   * generator is deterministic (image luma = text bytes + black padding
   * to fill the last 15-wide pixel row; audio samples = text bytes), so
   * DuckDB recovers each sample from the text hex — and the container
@@ -71,42 +73,55 @@ object MultimodalPack extends QueryPack {
 
   def queries: Map[String, QueryDef] = Map(
 
-    // CONTAINER-level rollup: total_bytes are real file sizes now — the
-    // oracle replays the exact container arithmetic (BMP = 54 header
-    // bytes + 48-byte stride × rows; WAV = 44 header bytes + samples;
-    // raw = the bytes), so a wrong header size or stride in the encoder
-    // breaks this gate before any decode gate even runs. Distinct
-    // payload counts are preserved by construction (the containers
-    // embed the text bytes injectively).
+    // CONTAINER-level rollup, per FORMAT: modeled_bytes replays the
+    // exact container arithmetic — BMP = 54 header bytes + 48-byte
+    // stride × rows; WAV = 44 header bytes + samples; raw = the bytes;
+    // PNG (the compressed container, whose deflate-stream length is
+    // data-dependent and so NOT arithmetic) contributes its FRAMING
+    // bytes: container minus the entropy-coded IDAT payload = 57 per
+    // file for the single-IDAT layout, computed by genuinely walking
+    // the chunk list. A wrong header size, stride, length field, or
+    // chunk layout in any encoder breaks this gate before any decode
+    // gate even runs. Distinct payload counts are preserved by
+    // construction (every container embeds the text bytes injectively —
+    // deflate is deterministic).
     "mm_binary_meta" -> QueryDef(
-      "Opaque binary payload rollup: container bytes + distinct-hash counts per kind",
+      "Opaque binary payload rollup per container format: modeled bytes + distinct-hash counts",
       (s, dir) => {
-        val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
-        assets
-          .groupBy("kind")
+        import s.implicits._
+        Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+          .as[Multimodal.Asset]
+          .map(a => (a.meta.format,
+            if (a.meta.format == "png") MediaCodec.pngFramingBytes(a.bytes).toLong
+            else a.bytes.length.toLong,
+            a.bytes, a.meta.width))
+          .toDF("format", "mbytes", "bytes", "width")
+          .groupBy("format")
           .agg(
             count(lit(1)).as("n_assets"),
-            sum(length(col("bytes"))).as("total_bytes"),
+            sum(col("mbytes")).as("modeled_bytes"),
             countDistinct(md5(col("bytes"))).as("n_distinct_payloads"),
-            round(avg(col("meta.width")), 4).as("avg_width"))
-          .orderBy("kind")
+            round(avg(col("width")), 4).as("avg_width"))
+          .orderBy("format")
       },
       Some("""WITH d AS (
              |  SELECT doc_id,
-             |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-             |         ELSE 'video' END AS kind,
+             |    CASE WHEN doc_id % 3 = 0 THEN
+             |           (CASE WHEN (doc_id // 3) % 2 = 0 THEN 'bmp' ELSE 'png' END)
+             |         WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'raw' END AS format,
              |    octet_length(encode(text)) AS n, n_chars, text
              |  FROM documents)
-             |SELECT kind, COUNT(*) AS n_assets,
-             |  CAST(SUM(CASE WHEN kind = 'image'
-             |                THEN 54 + 48 * CAST(CEIL(n / 15.0) AS BIGINT)
-             |                WHEN kind = 'audio' THEN 44 + n
-             |                ELSE n END) AS BIGINT) AS total_bytes,
+             |SELECT format, COUNT(*) AS n_assets,
+             |  CAST(SUM(CASE format
+             |             WHEN 'bmp' THEN 54 + 48 * CAST(CEIL(n / 15.0) AS BIGINT)
+             |             WHEN 'wav' THEN 44 + n
+             |             WHEN 'png' THEN 57
+             |             ELSE n END) AS BIGINT) AS modeled_bytes,
              |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
-             |  ROUND(AVG(CASE WHEN kind = 'image' THEN 15
-             |                 WHEN kind = 'audio' THEN 0
+             |  ROUND(AVG(CASE WHEN format IN ('bmp', 'png') THEN 15
+             |                 WHEN format = 'wav' THEN 0
              |                 ELSE (n_chars % 64) + 16 END), 4) AS avg_width
-             |FROM d GROUP BY kind ORDER BY kind""".stripMargin)),
+             |FROM d GROUP BY format ORDER BY format""".stripMargin)),
 
     "mm_frame_stats" -> QueryDef(
       "Frame sampling rollup (typed Dataset flatMap path): every 4th 16-byte chunk of video payloads",
@@ -308,10 +323,13 @@ object MultimodalPack extends QueryPack {
                 shiftrightunsigned(col("phash"), 15 * b)
                   .bitwiseAND(lit(0x7FFFL)).as("key"))): _*)).as("bk"))
           .select(col("asset_id"), col("phash"), col("bk.band"), col("bk.key"))
+        // shuffle_hash: corpus-sized signature self-join, same engine
+        // pin as Multimodal.phashNearDupIndexed
         val cand = banded.select(col("band"), col("key"),
             col("asset_id").as("asset_a"), col("phash").as("ph_a"))
           .join(banded.select(col("band"), col("key"),
-            col("asset_id").as("asset_b"), col("phash").as("ph_b")), Seq("band", "key"))
+              col("asset_id").as("asset_b"), col("phash").as("ph_b"))
+            .hint("shuffle_hash"), Seq("band", "key"))
           .filter(col("asset_a") < col("asset_b"))
           .dropDuplicates("asset_a", "asset_b")
         cand

@@ -8,11 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.{Dedup, Multimodal}
 import graft.streaming.SpanMaskIngest
 
-/** Randomized lifecycle fuzzing over the three richest standing-index
-  * families (fingerprint, span-mask, multimodal): ScalaCheck generates
-  * seeded verb sequences — admit / retract / compact / replay — and
-  * after EVERY verb the served state must equal a from-scratch rebuild
-  * over the surviving corpus. ComposedLifecycleSpec proves chosen
+/** Randomized lifecycle fuzzing over the standing-index families with a
+  * full verb surface (fingerprint, span-mask, multimodal, IVF,
+  * binary-ANN, positional retrieval): ScalaCheck generates seeded verb
+  * sequences — admit / retract / compact / replay — and after EVERY
+  * verb the served state must equal a from-scratch rebuild over the
+  * surviving corpus (for IVF: a same-model one-shot assignment — the
+  * model retrains only on rebuild, by contract). The ANN families also
+  * re-assert a recall gate after each fuzzed sequence: probing every
+  * IVF cell makes the index exhaustive, so its top-k must equal brute
+  * force exactly. ComposedLifecycleSpec proves chosen
   * compositions commute; this spec walks random interleavings to
   * surface the next crash/replay hazard class before a user does.
   *
@@ -81,31 +86,32 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       1 -> Gen.const(ReplayLastAdmit),
       1 -> Gen.const(ReplayLastRetract))), seed)
 
-  /** Mutable interpreter state shared by the three families: which pool
-    * docs are admitted/retracted, and which batches are still inside
-    * their replay window (cleared by compaction).
+  /** Mutable interpreter state shared by every family: which pool
+    * entries are admitted/retracted, and which batches are still inside
+    * their replay window (cleared by compaction). Generic in the
+    * payload — texts for the document indexes, vectors for the ANN ones.
     */
-  private final class Model(pool: Vector[(Long, String)]) {
+  private final class Model[A](pool: Vector[(Long, A)]) {
     var nextDoc = 0
     var batchId = 0L
-    var admitted = Vector.empty[(Long, String)]
+    var admitted = Vector.empty[(Long, A)]
     var retracted = Set.empty[Long]
     // (batchId, docs) of the latest admit/retract still replayable
-    var replayAdmit: Option[(Long, Seq[(Long, String)])] = None
-    var replayRetract: Option[(Long, Seq[(Long, String)])] = None
+    var replayAdmit: Option[(Long, Seq[(Long, A)])] = None
+    var replayRetract: Option[(Long, Seq[(Long, A)])] = None
 
-    def takeAdmit(k: Int): Option[(Long, Seq[(Long, String)])] = {
+    def takeAdmit(k: Int): Option[(Long, Seq[(Long, A)])] = {
       if (nextDoc >= pool.length) return None
       val docs = pool.slice(nextDoc, math.min(nextDoc + k, pool.length))
       nextDoc += docs.length
       batchId += 1
       admitted ++= docs
-      val b = (batchId, docs: Seq[(Long, String)])
+      val b = (batchId, docs: Seq[(Long, A)])
       replayAdmit = Some(b)
       Some(b)
     }
 
-    def takeRetract(picks: Seq[Int]): Option[(Long, Seq[(Long, String)])] = {
+    def takeRetract(picks: Seq[Int]): Option[(Long, Seq[(Long, A)])] = {
       val live = admitted.filterNot(d => retracted(d._1))
       if (live.isEmpty) return None
       val docs = picks.map(p => live(p % live.length)).distinct
@@ -117,7 +123,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     }
 
     def onCompact(): Unit = { replayAdmit = None; replayRetract = None }
-    def live: Seq[(Long, String)] = admitted.filterNot(d => retracted(d._1))
+    def live: Seq[(Long, A)] = admitted.filterNot(d => retracted(d._1))
   }
 
   private def docsDf(docs: Seq[(Long, String)]) =
@@ -134,7 +140,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       case ((_, t), i) => ((1000 + i).toLong, t)
     })
 
-    def serveEq(idx: String, m: Model, at: String): Unit = {
+    def serveEq(idx: String, m: Model[String], at: String): Unit = {
       val got = Dedup.incrementalDedupIndexed(spark, idx, probe)
         .select("doc_id", "status").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -219,6 +225,219 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---- vector pool (ANN families) ----------------------------------------
+
+  /** Five canned vectors that recur across the pool — exact-duplicate
+    * embeddings make cosine ties and shared band keys a certainty, the
+    * ANN analog of the canned duplicate texts. 64-dim (the engine's
+    * embedding width — signSignature's 1-bit codes require it), built
+    * by tiling 8-dim sign patterns.
+    */
+  private val cannedVecs: Vector[Vector[Double]] = Vector(
+    Vector(1, 0, 0, 1, 0, 0, 1, 0), Vector(0, 1, 0, 0, 1, 0, 0, 1),
+    Vector(1, 1, 0, 0, 1, 1, 0, 0), Vector(0, 0, 1, 1, 0, 0, 1, 1),
+    Vector(1, 0, 1, 0, 1, 0, 1, 0))
+    .map(p => Vector.tabulate(64)(i => p(i % 8).toDouble))
+
+  /** Vector pool: ids 1..n; half canned duplicates, half random draws
+    * from a small positive grid (seeded; never the zero vector, so
+    * normalization is always defined).
+    */
+  private def vecPool(n: Int, seed: Long): Vector[(Long, Seq[Double])] = {
+    val vs = sample(Gen.listOfN(n,
+      Gen.frequency(
+        1 -> Gen.oneOf(cannedVecs),
+        1 -> Gen.listOfN(64, Gen.chooseNum(1, 3)).map(_.map(_.toDouble).toVector))), seed)
+    vs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v: Seq[Double]) }.toVector
+  }
+
+  private def vecsDf(vs: Seq[(Long, Seq[Double])]) =
+    vs.toDF("vec_id", "embedding")
+
+  // ---- IVF family ----------------------------------------------------------
+
+  test("ivf index: random verb interleavings serve == same-model survivors; full-probe == brute force") {
+    import graft.ext.Similarity
+    val pool = vecPool(40, seed = 41L)
+    // probes: pool vectors under fresh ids, first component shifted —
+    // deterministic, near the corpus (candidates exist), never equal ids
+    val probeRows = pool.take(6).zipWithIndex.map {
+      case ((_, v), i) => ((2000 + i).toLong, (v.head + 1.0) +: v.tail)
+    }
+    val probes = vecsDf(probeRows)
+
+    def serve(dir: String) =
+      Similarity.ivfTopKIndexed(spark, dir, probes, k = 3, nProbe = 4)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+    def serveEq(idx: String, m: Model[Seq[Double]], at: String): Unit = {
+      if (m.live.isEmpty) {
+        assert(serve(idx).isEmpty, s"ivf serve of an all-retracted index not empty after $at")
+        return
+      }
+      // the reference keeps the MAINTAINED index's trained model (the
+      // production contract: retrain rarely offline, admit/retract
+      // continuously) and one-shot-assigns the survivors under it — so
+      // the property is "merge-on-read tombstones + append deltas +
+      // compaction ≡ a clean assignment of exactly the live members"
+      val ref = java.nio.file.Files.createTempDirectory("fuzz-ivf-ref").toString
+      spark.read.parquet(s"$idx/centroids").write.parquet(s"$ref/centroids")
+      Similarity.refreshIvfIndex(vecsDf(m.live), ref)
+      assert(serve(idx) == serve(ref), s"ivf serve diverged after $at")
+    }
+
+    (0 until 3).foreach { run =>
+      val idx = java.nio.file.Files.createTempDirectory(s"fuzz-ivf-$run").toString
+      val m = new Model(pool)
+      val first = m.takeAdmit(4).get
+      Similarity.writeIvfIndex(vecsDf(first._2), idx, nCentroids = 4, lloydIters = 1)
+      // refreshIvfIndex appends with no batch key — the IVF admission
+      // contract has NO replay window (a retried admit must go through
+      // a rebuild), so replay-admit verbs are no-ops here; retraction
+      // replays are absorbed by the distinct tombstone view as usual
+      m.replayAdmit = None
+      serveEq(idx, m, "build")
+      verbSeq(9, seed = 400L + run).foreach {
+        case Admit(k) => m.takeAdmit(k).foreach { case (b, vs) =>
+          Similarity.refreshIvfIndex(vecsDf(vs), idx)
+          m.replayAdmit = None
+          serveEq(idx, m, s"admit#$b")
+        }
+        case Retract(picks) => m.takeRetract(picks).foreach { case (b, vs) =>
+          Similarity.retractFromIvfIndex(vecsDf(vs).select("vec_id"), idx)
+          serveEq(idx, m, s"retract#$b")
+        }
+        case Compact =>
+          Similarity.compactIvfIndex(spark, idx)
+          m.onCompact()
+          serveEq(idx, m, "compact")
+        case ReplayLastAdmit => // no replay window: see build comment
+        case ReplayLastRetract => m.replayRetract.foreach { case (_, vs) =>
+          Similarity.retractFromIvfIndex(vecsDf(vs).select("vec_id"), idx)
+          serveEq(idx, m, "replay-retract")
+        }
+      }
+      // recall gate after the fuzzed sequence (the sim_recall_lifecycle
+      // posture): probing EVERY cell makes IVF exhaustive, so its top-k
+      // must equal brute force over the survivors exactly — recall 1.0,
+      // asserted as equality, no data-dependent floor
+      if (m.live.nonEmpty) {
+        val brute = Similarity.bruteForceTopK(probes, vecsDf(m.live), k = 3)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+        assert(serve(idx) == brute,
+          s"full-probe IVF recall gate failed after fuzz run $run")
+      }
+    }
+  }
+
+  // ---- binary-ANN family ---------------------------------------------------
+
+  test("binary ANN index: random verb interleavings always serve == rebuild over survivors") {
+    import graft.ext.Similarity
+    val pool = vecPool(40, seed = 43L)
+    val probes = vecsDf(pool.take(6).zipWithIndex.map {
+      case ((_, v), i) => ((3000 + i).toLong, (v.head + 1.0) +: v.tail)
+    })
+
+    def serve(dir: String) =
+      Similarity.binaryTopKIndexed(spark, dir, probes, k = 3)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+    def serveEq(idx: String, m: Model[Seq[Double]], at: String): Unit = {
+      if (m.live.isEmpty) {
+        assert(serve(idx).isEmpty, s"binary serve of an all-retracted index not empty after $at")
+        return
+      }
+      val ref = java.nio.file.Files.createTempDirectory("fuzz-bin-ref").toString
+      Similarity.writeBinaryIndex(vecsDf(m.live), ref)
+      assert(serve(idx) == serve(ref), s"binary serve diverged after $at")
+    }
+
+    (0 until 3).foreach { run =>
+      val idx = java.nio.file.Files.createTempDirectory(s"fuzz-bin-$run").toString
+      val m = new Model(pool)
+      val first = m.takeAdmit(4).get
+      Similarity.writeBinaryIndex(vecsDf(first._2), idx)
+      m.replayAdmit = None // the build owns the base files — not replayable
+      serveEq(idx, m, "build")
+      verbSeq(9, seed = 500L + run).foreach {
+        case Admit(k) => m.takeAdmit(k).foreach { case (b, vs) =>
+          Similarity.refreshBinaryIndex(vecsDf(vs), idx, b)
+          serveEq(idx, m, s"admit#$b")
+        }
+        case Retract(picks) => m.takeRetract(picks).foreach { case (b, vs) =>
+          Similarity.retractFromBinaryIndex(vecsDf(vs).select("vec_id"), idx)
+          serveEq(idx, m, s"retract#$b")
+        }
+        case Compact =>
+          Similarity.compactBinaryIndex(spark, idx)
+          m.onCompact()
+          serveEq(idx, m, "compact")
+        case ReplayLastAdmit => m.replayAdmit.foreach { case (b, vs) =>
+          Similarity.refreshBinaryIndex(vecsDf(vs), idx, b)
+          serveEq(idx, m, s"replay-admit#$b")
+        }
+        case ReplayLastRetract => m.replayRetract.foreach { case (_, vs) =>
+          Similarity.retractFromBinaryIndex(vecsDf(vs).select("vec_id"), idx)
+          serveEq(idx, m, "replay-retract")
+        }
+      }
+    }
+  }
+
+  // ---- retrieval family ------------------------------------------------------
+
+  test("positional retrieval index: random verb interleavings always serve == rebuild over survivors") {
+    import graft.ext.Retrieval
+    val pool = docPool(40, seed = 53L)
+
+    // two serving shapes over the same standing artifact: an anchored
+    // phrase (canned bigram "alpha beta") and a windowed proximity pair —
+    // both rank-deterministic (count desc / min-dist asc, doc_id asc)
+    def serve(dir: String): Seq[Seq[Any]] =
+      Retrieval.phraseTopK(spark, dir, Seq("alpha", "beta"), 20)
+        .collect().map(_.toSeq).toSeq ++
+      Retrieval.proximityTopK(spark, dir, "gamma", "delta", window = 3, k = 20)
+        .collect().map(_.toSeq).toSeq
+
+    def serveEq(idx: String, m: Model[String], at: String): Unit = {
+      val ref = java.nio.file.Files.createTempDirectory("fuzz-ret-ref").toString
+      Retrieval.writePositionalIndex(docsDf(m.live), ref)
+      assert(serve(idx) == serve(ref), s"retrieval serve diverged after $at")
+    }
+
+    (0 until 3).foreach { run =>
+      val idx = java.nio.file.Files.createTempDirectory(s"fuzz-ret-$run").toString
+      val m = new Model(pool)
+      val first = m.takeAdmit(4).get
+      Retrieval.writePositionalIndex(docsDf(first._2), idx)
+      m.replayAdmit = None // the build owns the base files — not replayable
+      serveEq(idx, m, "build")
+      verbSeq(9, seed = 600L + run).foreach {
+        case Admit(k) => m.takeAdmit(k).foreach { case (b, docs) =>
+          Retrieval.refreshPositionalIndex(docsDf(docs), idx, b)
+          serveEq(idx, m, s"admit#$b")
+        }
+        case Retract(picks) => m.takeRetract(picks).foreach { case (b, docs) =>
+          Retrieval.retractFromPositionalIndex(docsDf(docs).select("doc_id"), idx)
+          serveEq(idx, m, s"retract#$b")
+        }
+        case Compact =>
+          Retrieval.compactPositionalIndex(spark, idx)
+          m.onCompact()
+          serveEq(idx, m, "compact")
+        case ReplayLastAdmit => m.replayAdmit.foreach { case (b, docs) =>
+          Retrieval.refreshPositionalIndex(docsDf(docs), idx, b)
+          serveEq(idx, m, s"replay-admit#$b")
+        }
+        case ReplayLastRetract => m.replayRetract.foreach { case (_, docs) =>
+          Retrieval.retractFromPositionalIndex(docsDf(docs).select("doc_id"), idx)
+          serveEq(idx, m, "replay-retract")
+        }
+      }
+    }
+  }
+
   // ---- multimodal family ---------------------------------------------------
 
   test("mm index: random verb interleavings always serve == rebuild over survivors") {
@@ -235,7 +454,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       Multimodal.contentDedupIndexed(spark, dir)
         .orderBy("h").collect().map(_.toSeq).toSeq
 
-    def serveEq(idx: String, m: Model, at: String): Unit = {
+    def serveEq(idx: String, m: Model[String], at: String): Unit = {
       val ref = java.nio.file.Files.createTempDirectory("fuzz-mm-ref").toString
       Multimodal.writeMmIndex(assets(m.live), ref)
       assert(serve(idx) == serve(ref), s"mm serve diverged after $at")

@@ -118,6 +118,25 @@ class PlanSpec extends AnyFunSuite {
       "inverted-index self-join must be a shuffled hash join")
   }
 
+  test("index classification never broadcasts corpus- or batch-scaled sides") {
+    // regression of SCALING.md round-16 finding 3: under a raised
+    // broadcast threshold AQE's compressed-size estimate admitted a
+    // corpus-sized build side and burst spark.driver.maxResultSize.
+    // The pins live in classifyAgainstIndex (engine-owned), so a user
+    // under ANY session config gets the scale-safe plan.
+    val p = plan("dedup_minhash_indexed")
+    assert(p.contains("ShuffledHashJoin"),
+      "classify-against-index joins must be shuffled hash joins")
+    assert(!p.contains("BroadcastHashJoin"),
+      "no classify join side may ride a driver-collected broadcast")
+  }
+
+  test("standing phash self-join never broadcasts the signature table") {
+    val p = plan("mm_phash_indexed")
+    assert(p.contains("ShuffledHashJoin"),
+      "the (band, key) signature self-join must be a shuffled hash join")
+  }
+
   test("banded edit-distance join is a shuffled equi join, never a cross product") {
     val p = plan("dedup_edit_banded")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

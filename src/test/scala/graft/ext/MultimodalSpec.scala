@@ -104,6 +104,101 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("negative size"))
   }
 
+  test("PNG codec: real compressed container, CRC-verified chunk walk, round-trip") {
+    val gray = "png grayscale payload for the compressed container".getBytes("UTF-8")
+    val png = MediaCodec.encodePng(gray, 15)
+    assert((png(0) & 0xff) == 0x89 && new String(png.slice(1, 4)) == "PNG")
+    val (w, h, luma) = MediaCodec.decodePng(png)
+    assert(w == 15 && h == (gray.length + 14) / 15)
+    assert(luma.take(gray.length).toSeq == gray.toSeq)
+    assert(luma.drop(gray.length).forall(_ == 0))
+    // decoded samples equal the BMP encoding of the same pixels —
+    // container invariance, the property every mm dedup gate rides
+    assert(luma.toSeq == MediaCodec.decodeBmp(MediaCodec.encodeBmp(gray, 15))._3.toSeq)
+    // the container is genuinely compressed: repetitive pixels deflate
+    val flat = MediaCodec.encodePng(Array.fill[Byte](4096)(61), 64)
+    assert(flat.length < 4096 / 4, s"deflate produced ${flat.length} bytes")
+    // framing arithmetic: single-IDAT layout is exactly 57 framing bytes
+    assert(MediaCodec.pngFramingBytes(png) == 57)
+  }
+
+  test("PNG decoder unfilters all five standard filter types") {
+    // hand-build a 3-wide, 5-row grayscale PNG whose rows use filters
+    // 0..4 — our encoder only emits filter 0, but REAL encoders pick
+    // per-row filters, so the decode path must reconstruct all of them
+    val w = 3
+    val pixels = Array[Array[Int]](
+      Array(10, 20, 30), Array(15, 25, 35), Array(40, 41, 42),
+      Array(60, 70, 80), Array(90, 50, 33))
+    def sub(row: Array[Int]) = row.indices.map(i => row(i) - (if (i > 0) row(i - 1) else 0))
+    def up(row: Array[Int], prev: Array[Int]) = row.indices.map(i => row(i) - prev(i))
+    def avg(row: Array[Int], prev: Array[Int]) =
+      row.indices.map(i => row(i) - ((if (i > 0) row(i - 1) else 0) + prev(i)) / 2)
+    def paeth(row: Array[Int], prev: Array[Int]) = row.indices.map { i =>
+      val a = if (i > 0) row(i - 1) else 0; val b = prev(i)
+      val c = if (i > 0) prev(i - 1) else 0
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      row(i) - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+    }
+    val scan = (Seq(0) ++ pixels(0).toSeq) ++
+      (Seq(1) ++ sub(pixels(1))) ++
+      (Seq(2) ++ up(pixels(2), pixels(1))) ++
+      (Seq(3) ++ avg(pixels(3), pixels(2))) ++
+      (Seq(4) ++ paeth(pixels(4), pixels(3)))
+    val raw = scan.map(v => (v & 0xff).toByte).toArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf); deflater.end()
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tpe: String, data: Array[Byte]) = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ tpe.getBytes("US-ASCII") ++ data ++ be32(crc.getValue.toInt)
+    }
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      chunk("IHDR", be32(w) ++ be32(5) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+      chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.emptyByteArray)
+    val (_, _, luma) = MediaCodec.decodePng(png)
+    assert(luma.map(_ & 0xff).toSeq == pixels.flatten.toSeq)
+  }
+
+  test("PNG codec: hostile payloads fail loudly") {
+    val png = MediaCodec.encodePng("hostile payload test".getBytes, 15)
+    intercept[IllegalArgumentException](MediaCodec.decodePng("JFIF".getBytes))
+    // truncated mid-chunk
+    intercept[IllegalArgumentException](MediaCodec.decodePng(png.take(png.length - 20)))
+    // flipped IDAT byte → CRC mismatch, loud
+    val bad = png.clone(); bad(40) = (bad(40) ^ 0x55).toByte
+    val crcEx = intercept[IllegalArgumentException](MediaCodec.decodePng(bad))
+    assert(crcEx.getMessage.contains("CRC"))
+    // unknown CRITICAL chunk must be rejected, ancillary skipped
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tpe: String, data: Array[Byte]) = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ tpe.getBytes("US-ASCII") ++ data ++ be32(crc.getValue.toInt)
+    }
+    val ihdrEnd = 8 + 25
+    val withAncillary = png.take(ihdrEnd) ++ chunk("tEXt", "k v".getBytes) ++
+      png.drop(ihdrEnd)
+    assert(MediaCodec.decodePng(withAncillary)._3.nonEmpty)
+    val withCritical = png.take(ihdrEnd) ++ chunk("SBOX", Array[Byte](1)) ++
+      png.drop(ihdrEnd)
+    val critEx = intercept[IllegalArgumentException](MediaCodec.decodePng(withCritical))
+    assert(critEx.getMessage.contains("critical"))
+    // unsupported variant: RGB color type
+    val rgb = png.clone(); rgb(8 + 8 + 9) = 2
+    // fix the IHDR CRC so the variant check (not the CRC check) fires
+    val crc = new java.util.zip.CRC32(); crc.update(rgb, 12, 17)
+    System.arraycopy(be32(crc.getValue.toInt), 0, rgb, 29, 4)
+    val varEx = intercept[IllegalArgumentException](MediaCodec.decodePng(rgb))
+    assert(varEx.getMessage.contains("unsupported PNG variant"))
+  }
+
   test("decoded samples: image luma = text bytes + row padding; audio = text bytes") {
     val rows = assets.collect()
     rows.foreach { a =>
@@ -111,7 +206,7 @@ class MultimodalSpec extends AnyFunSuite {
       a.kind match {
         case "image" =>
           val n = a.meta.width * a.meta.height
-          assert(a.meta.format == "bmp" && s.length == n)
+          assert(Set("bmp", "png").contains(a.meta.format) && s.length == n)
         case "audio" =>
           assert(a.meta.format == "wav")
         case _ =>

@@ -50,25 +50,44 @@ object SoakBench {
     }
   }
 
-  /** ×k replication of `documents` only — the ScaleBench text
-    * perturbation (token-suffix replica tags ⇒ disjoint shingle spaces,
-    * linear growth is the honest shape), cached under target/soak.
+  /** ×k replication of `documents` and `embeddings` only — the
+    * ScaleBench perturbations (token-suffix replica tags ⇒ disjoint
+    * shingle spaces; norm-preserving vector rotation ⇒ decorrelated
+    * replicas), cached under target/soak with per-table done flags so
+    * the dedup-only caches from earlier rounds stay valid.
     */
   private def materializeDocs(
       spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     val root = new java.io.File(outDir)
-    if (new java.io.File(root, "_DONE").exists()) return
     root.mkdirs()
-    val base = Tables.documents(spark, baseDir)
-    (0 until k).map { r =>
-      if (r == 0) base
-      else base.select(
-        (col("doc_id") + lit(r * 100000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1r$r").as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_.union(_))
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    new java.io.File(root, "_DONE").createNewFile()
+    if (!new java.io.File(root, "_DONE").exists()) {
+      val base = Tables.documents(spark, baseDir)
+      (0 until k).map { r =>
+        if (r == 0) base
+        else base.select(
+          (col("doc_id") + lit(r * 100000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1r$r").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_.union(_))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      new java.io.File(root, "_DONE").createNewFile()
+    }
+    if (!new java.io.File(root, "_DONE_EMB").exists()) {
+      val base = Tables.embeddings(spark, baseDir)
+      (0 until k).map { r =>
+        if (r == 0) base
+        else {
+          val rot = r % 64
+          base.select(
+            (col("vec_id") + lit(r * 100000000L)).as("vec_id"),
+            concat(slice(col("embedding"), rot + 1, 64 - rot),
+              slice(col("embedding"), 1, rot)).as("embedding"),
+            col("label"))
+        }
+      }.reduce(_.union(_))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      new java.io.File(root, "_DONE_EMB").createNewFile()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,14 +115,17 @@ object SoakBench {
       // (1045 MiB > 1 GiB) — the estimate-gap hazard this soak exists
       // to surface. 8 MiB keeps the big joins as sort-merge (spillable).
       // SOAK_BROADCAST_MB overrides (e.g. 64 = the bench default), used
-      // to prove the hazard is now ENGINE-owned: after round 17 pinned
-      // shuffle_hash on every corpus-scaled index-serving join, the
-      // ×256 cells complete under the default threshold too.
+      // to prove the hazard is now ENGINE-owned: round 17 pinned every
+      // corpus-scaled join by the house criterion — string-/array-heavy
+      // sides pin merge (never-broadcast AND spillable; a SHJ string
+      // build died under this profile's 4 GiB heap), compact long-row
+      // sides pin shuffle_hash — so the ×256 cells complete under the
+      // default threshold too.
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SOAK_BROADCAST_MB", "8").toInt * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SOAK_LOG", "WARN"))
     val listener = new SpillListener
     spark.sparkContext.addSparkListener(listener)
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)

@@ -693,12 +693,14 @@ object Dedup {
     case None =>
       val all = shingleRows(docs, n)
       val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      // shuffle_hash, explicitly: the shingle stream is the FULL corpus
-      // (never broadcastable at scale — the session's raised broadcast
-      // threshold otherwise collects it onto the driver), and both sides
-      // hash-partition by sh with no sort needed
+      // merge (sort-merge), explicitly: the shingle stream is the FULL
+      // corpus — never broadcastable at scale (the session's raised
+      // broadcast threshold otherwise collects it onto the driver), and
+      // too string-heavy for a non-spillable shuffled-hash build (the
+      // round-17 4 GiB soak killed SHJ on exactly this shape). Merge is
+      // never-broadcast AND fully spillable; see minHashLshPairs.
       val inter = all.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(all.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
+        .join(all.select(col("doc_id").as("doc_b"), col("sh")).hint("merge"), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_inter"))
@@ -717,7 +719,7 @@ object Dedup {
         .filter(col("df") > cap).select("sh")
       val s = all.join(hot, Seq("sh"), "left_anti")
       val cand = s.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(s.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
+        .join(s.select(col("doc_id").as("doc_b"), col("sh")).hint("merge"), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       // exact verify over candidates only: the per-doc FULL shingle
@@ -725,9 +727,14 @@ object Dedup {
       // report the true Jaccard — hot shingles count toward it even
       // though they never joined
       val perDoc = all.groupBy("doc_id").agg(collect_list("sh").as("shs"))
+      // merge: perDoc carries doc-bounded STRING ARRAYS (corpus text
+      // scale) — never broadcastable AND too big for a non-spillable
+      // hash build (see minHashLshPairs' verification pin)
       cand
-        .join(perDoc.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
-        .join(perDoc.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+        .join(perDoc.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
+          .hint("merge"), Seq("doc_a"))
+        .join(perDoc.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
+          .hint("merge"), Seq("doc_b"))
         .withColumn("jac", jaccardFromCounts(
           size(array_intersect(col("sa"), col("sb"))), size(col("sa")), size(col("sb"))))
         .filter(col("jac") >= threshold)
@@ -763,7 +770,7 @@ object Dedup {
       val all = shingleRows(docs, n)
       val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = all.select(col("doc_id").as("doc_inner"), col("sh"))
-        .join(all.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
+        .join(all.select(col("doc_id").as("doc_outer"), col("sh")).hint("merge"),
           Seq("sh"))
         .filter(col("doc_inner") =!= col("doc_outer"))
         .groupBy("doc_inner", "doc_outer")
@@ -783,16 +790,19 @@ object Dedup {
         .filter(col("df") > cap).select("sh")
       val s = all.join(hot, Seq("sh"), "left_anti")
       val cand = s.select(col("doc_id").as("doc_inner"), col("sh"))
-        .join(s.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
+        .join(s.select(col("doc_id").as("doc_outer"), col("sh")).hint("merge"),
           Seq("sh"))
         .filter(col("doc_inner") =!= col("doc_outer"))
         .select("doc_inner", "doc_outer").distinct()
       val perDoc = all.groupBy("doc_id").agg(collect_list("sh").as("shs"))
+      // merge: perDoc carries doc-bounded STRING ARRAYS (corpus text
+      // scale) — never broadcastable AND too big for a non-spillable
+      // hash build (see minHashLshPairs' verification pin)
       cand
-        .join(perDoc.select(col("doc_id").as("doc_inner"), col("shs").as("sa")),
-          Seq("doc_inner"))
-        .join(perDoc.select(col("doc_id").as("doc_outer"), col("shs").as("sb")),
-          Seq("doc_outer"))
+        .join(perDoc.select(col("doc_id").as("doc_inner"), col("shs").as("sa"))
+          .hint("merge"), Seq("doc_inner"))
+        .join(perDoc.select(col("doc_id").as("doc_outer"), col("shs").as("sb"))
+          .hint("merge"), Seq("doc_outer"))
         .withColumn("containment",
           size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa")))
         .filter(col("containment") >= threshold)
@@ -835,7 +845,7 @@ object Dedup {
     try {
       val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
       val cand = prefix.select(col("doc_id").as("doc_inner"), col("sh"))
-        .join(rows.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
+        .join(rows.select(col("doc_id").as("doc_outer"), col("sh")).hint("merge"),
           Seq("sh"))
         .filter(col("doc_inner") =!= col("doc_outer"))
         .select("doc_inner", "doc_outer").distinct()
@@ -903,7 +913,7 @@ object Dedup {
     try {
       val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
       val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(prefix.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
+        .join(prefix.select(col("doc_id").as("doc_b"), col("sh")).hint("merge"), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       // exact verify MAP-SIDE: candidates broadcast-join the two per-doc
@@ -1291,19 +1301,28 @@ object Dedup {
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b") // collide in ≥1 band, count once
 
-    // Exact-Jaccard verification of the (small) candidate set, again as a
+    // Exact-Jaccard verification of the candidate set, again as a
     // relational intersection count: candidates → their shingle rows →
     // matching shingles → counts. LSH pruned first, so this touches only
     // candidate docs' shingles.
     val counts = s.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // no join hint here: the candidate set is small relative to the
-    // corpus, so broadcasting IT (leaving the shingle stream in place,
-    // map-side) is the plan we want — Catalyst picks it from sizes, and
-    // falls back to a shuffle join if candidates ever grow past the
-    // threshold
+    // merge (sort-merge) on the SHINGLE sides, engine-pinned — the
+    // round-17 soak falsified BOTH alternatives in turn. Unpinned, the
+    // static planner prices the projected (doc_id, text)-scan subtree
+    // from FIXED per-type widths (string ≈ 20 bytes), so at amplified
+    // scale it EAGERLY collected ~1 GiB of task results per
+    // verification join onto the driver (spark.driver.maxResultSize
+    // burst before AQE ever saw a runtime size). Pinned shuffle_hash,
+    // the per-partition STRING hash build is non-spillable and died
+    // under the 4 GiB soak heap ("Can't acquire … to build hash
+    // relation"). Sort-merge is the only strategy that is BOTH
+    // never-broadcast and fully spillable — the house criterion:
+    // string-/array-heavy corpus-scaled sides pin merge, compact
+    // long-row sides pin shuffle_hash.
     val nInter = candidates
-      .join(s.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(s.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(s.select(col("doc_id").as("doc_a"), col("sh")).hint("merge"), Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("sh")).hint("merge"),
+        Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     nInter
@@ -1383,13 +1402,16 @@ object Dedup {
     * which abandons DP rows that exceed d (returns −1, filtered out):
     * per-candidate cost is O(d·min(len)) instead of O(len²).
     *
-    * The join is hinted `shuffle_hash`: both sides are corpus-sized, so
-    * the raised broadcast threshold must not pull one onto the driver,
-    * and the hash shuffle is also what distributes the per-pair DP work
-    * across partitions (the filter runs post-join, inside the shuffle
-    * stage). 100 TB shape: one 3×-replicated shuffle on (bucket, prefix)
-    * + Σ bucket² DP work on survivors — the prefix band is the valve
-    * that keeps buckets narrow on real corpora.
+    * The join is hinted `merge` (sort-merge): both sides are
+    * corpus-sized AND carry full text columns, so the raised broadcast
+    * threshold must not pull one onto the driver and a non-spillable
+    * shuffled-hash build would die under memory pressure (the round-17
+    * 4 GiB soak's finding on string-heavy build sides); the shuffle
+    * still distributes the per-pair DP work across partitions (the
+    * filter runs post-join, inside the shuffle stage). 100 TB shape:
+    * one 3×-replicated shuffle on (bucket, prefix) + Σ bucket² DP work
+    * on survivors — the prefix band is the valve that keeps buckets
+    * narrow on real corpora.
     */
   def editDistancePairs(
       docs: DataFrame,
@@ -1413,7 +1435,7 @@ object Dedup {
         explode(array(b0 - 1, b0, b0 + 1)).as("bucket"))
       .withColumn("pfx", pfx(col("tb")))
     val joinKeys = if (prefixLen > 0) Seq("bucket", "pfx") else Seq("bucket")
-    a.hint("shuffle_hash").join(b, joinKeys)
+    a.hint("merge").join(b, joinKeys)
       .filter(col("doc_a") < col("doc_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
       .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))

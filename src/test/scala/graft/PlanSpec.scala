@@ -111,11 +111,14 @@ class PlanSpec extends AnyFunSuite {
   test("shingle self-join never broadcasts the corpus stream") {
     // regression: under the raised broadcast threshold Catalyst once chose
     // BroadcastHashJoin for the inverted-index self-join, collecting the
-    // full shingle stream onto the driver — fatal at scale. The hint pins
-    // shuffle_hash; the small counts joins may still broadcast.
+    // full shingle stream onto the driver — fatal at scale. The pin is
+    // merge (sort-merge), not shuffle_hash: a STRING-heavy build side is
+    // also too big for SHJ's non-spillable hash build under memory
+    // pressure (the round-17 4 GiB soak killed SHJ on exactly this
+    // shape). The small counts joins may still broadcast.
     val p = plan("dedup_ngram_jaccard")
-    assert(p.contains("ShuffledHashJoin"),
-      "inverted-index self-join must be a shuffled hash join")
+    assert(p.contains("SortMergeJoin"),
+      "inverted-index self-join must sort-merge (spillable, never broadcast)")
   }
 
   test("index classification never broadcasts corpus- or batch-scaled sides") {
@@ -137,12 +140,12 @@ class PlanSpec extends AnyFunSuite {
       "the (band, key) signature self-join must be a shuffled hash join")
   }
 
-  test("banded edit-distance join is a shuffled equi join, never a cross product") {
+  test("banded edit-distance join is a sorted equi join, never a cross product") {
     val p = plan("dedup_edit_banded")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "edit-distance candidates must come from the (bucket, prefix) equi join")
-    assert(p.contains("ShuffledHashJoin"),
-      "corpus-sized sides must not broadcast under the raised threshold")
+    assert(p.contains("SortMergeJoin"),
+      "corpus-sized text-carrying sides must sort-merge (spillable, never broadcast)")
   }
 
   test("semantic decontamination broadcasts the eval panel, never shuffles train by pair") {

@@ -45,10 +45,20 @@ object Similarity {
     * node materializes `_nrm` as an attribute no optimizer rule will
     * substitute back into the lambda. array(norm) always has one
     * element (possibly null), so the row count is preserved.
+    *
+    * A zero-norm vector normalizes to NULL (the `when` guard): cosine
+    * against it is undefined, downstream dots go null, and every rank /
+    * threshold predicate drops it — in BOTH engines (DuckDB's division
+    * by zero yields NULL; Spark's ANSI mode would THROW here, killing
+    * the job on one degenerate row at 100 TB). Zero vectors therefore
+    * never enter an index cell or a top-k: null cells fail the equi
+    * join's isnotnull inference, null cosines sort last and fail `>=`.
+    * Found by scripts/differential_fuzz.py (zero-vector corpus), r17.
     */
   def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
     df.withColumn("_nrm", explode(array(norm(col(vecCol).cast("array<double>")))))
-      .withColumn(outCol, transform(col(vecCol).cast("array<double>"), x => x / col("_nrm")))
+      .withColumn(outCol, when(col("_nrm") > 0,
+        transform(col(vecCol).cast("array<double>"), x => x / col("_nrm"))))
       .drop("_nrm")
 
   /** Exact top-k neighbors by cosine for each query vector (self excluded).

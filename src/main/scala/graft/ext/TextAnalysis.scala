@@ -59,11 +59,20 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1]: rewards mid-length docs, penalizes
     * punctuation density, rewards stopword presence (fluency proxy). Plain
     * arithmetic so the oracle states the identical formula.
+    *
+    * Empty text ⇒ NULL score, exactly like the oracle: DuckDB's double
+    * division by zero yields NULL, so `npunct / nchar` on '' is NULL and
+    * the whole product propagates. Under Spark's ANSI mode the same
+    * division THROWS — an empty doc (guaranteed in any 100 TB corpus)
+    * would kill the job — so the zero divisor is nulled explicitly.
+    * (nTok needs no guard: split() never returns an empty array.)
+    * Found by scripts/differential_fuzz.py, round 17.
     */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val stopRatio = stopwordHits(text, Stopwords("en")).cast("double") / nTok
-    val punctRatio = punctCount(text).cast("double") / length(text).cast("double")
+    val punctRatio = punctCount(text).cast("double") /
+      nullif(length(text).cast("double"), lit(0.0))
     round(least(lit(1.0), nTok / lit(50.0)) * (lit(1.0) - punctRatio) *
       (lit(0.5) + lit(0.5) * stopRatio), 4)
   }

@@ -154,7 +154,7 @@ object CurationPack extends QueryPack {
               .as("w_tau"),
             round((pow(col("n_tokens").cast("double"), lit(0.7)) / col("z")) /
               (col("n_tokens") / col("tot")), 4).as("upsample"))
-          .orderBy("source")
+          .orderBy(asc_nulls_last("source"))
       },
       Some("""WITH per AS (
              |  SELECT source, COUNT(*) AS n_docs,
@@ -230,7 +230,7 @@ object CurationPack extends QueryPack {
             sum(when(col("ratio") >= 0.05, 1L).otherwise(0L)).as("n_contaminated"),
             sum("n_hit").as("total_hits"),
             round(max("ratio"), 4).as("max_ratio"))
-          .orderBy("source")
+          .orderBy(asc_nulls_last("source"))
       },
       Some("""WITH d AS (
              |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t
@@ -272,7 +272,7 @@ object CurationPack extends QueryPack {
         Curation.chunkDupProfile(Tables.documents(s, dir), width = 8)
           .withColumn("dup_pct",
             round(col("n_dup_chunks") * 100.0 / col("n_chunks"), 2))
-          .orderBy("source"),
+          .orderBy(asc_nulls_last("source")),
       Some("""WITH d AS (
              |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t
              |  FROM documents),
@@ -307,7 +307,7 @@ object CurationPack extends QueryPack {
             sum("n_rare").as("total_rare"),
             round(avg(round(col("share"), 4)), 4).as("avg_rare_share"),
             sum(when(col("share") > 0.2, 1L).otherwise(0L)).as("n_noisy"))
-          .orderBy("source"),
+          .orderBy(asc_nulls_last("source")),
       Some("""WITH toks AS (
              |  SELECT doc_id, source,
              |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
@@ -417,7 +417,7 @@ object CurationPack extends QueryPack {
               sum("n_chars").as("kept_chars"),
               min("doc_id").as("min_kept_id")),
             Seq("source"))
-          .orderBy("source")
+          .orderBy(asc_nulls_last("source"))
       },
       Some("""WITH r AS (
              |  SELECT source, doc_id, n_chars,

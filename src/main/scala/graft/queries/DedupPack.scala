@@ -212,7 +212,7 @@ object DedupPack extends QueryPack {
           .agg(
             count(lit(1)).as("n_docs"),
             countDistinct(graft.ext.TextAnalysis.fingerprint(col("text"))).as("n_unique"))
-          .orderBy("source"),
+          .orderBy(asc_nulls_last("source")),
       Some("""SELECT source, COUNT(*) AS n_docs,
              |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
@@ -292,7 +292,7 @@ object DedupPack extends QueryPack {
             sum(when(col("status") === "dup_corpus", 1L).otherwise(0L)).as("n_dup_corpus"),
             sum(when(col("status") === "dup_batch", 1L).otherwise(0L)).as("n_dup_batch"),
             sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
-          .orderBy("source")
+          .orderBy(asc_nulls_last("source"))
       },
       Some(incrementalDedupOracleWhere(""))),
 
@@ -546,7 +546,7 @@ object DedupPack extends QueryPack {
             coalesce(sum("masked"), lit(0L)).as("masked_tokens"),
             round(coalesce(sum("masked"), lit(0L)) * 100.0 / sum("n_tok"), 2)
               .as("masked_pct"))
-          .orderBy("source")
+          .orderBy(asc_nulls_last("source"))
       },
       Some("""WITH d AS (
              |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t

@@ -137,7 +137,7 @@ object TextPack extends QueryPack {
       .select(col("lang"), predicted.as("predicted"))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
-      .orderBy("lang", "predicted")
+      .orderBy(asc_nulls_last("lang"), asc_nulls_last("predicted"))
   }
 
   def queries: Map[String, QueryDef] = Map(
@@ -152,7 +152,7 @@ object TextPack extends QueryPack {
             sum(TextAnalysis.tokenCount(col("text"))).as("sum_ws_tokens"),
             sum(TextAnalysis.bpeishTokenCount(col("text"))).as("sum_bpeish_tokens"),
             round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_ws_tokens"))
-          .orderBy("lang"),
+          .orderBy(asc_nulls_last("lang")),
       Some(s"""SELECT lang, COUNT(*) AS n_docs,
               |  CAST(SUM(len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS sum_ws_tokens,
               |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS sum_bpeish_tokens,
@@ -241,7 +241,7 @@ object TextPack extends QueryPack {
             sum("n_bg").as("n_bigrams"),
             round(avg("bits"), 4).as("avg_bits"),
             round(max("bits"), 4).as("max_bits"))
-          .orderBy("source"),
+          .orderBy(asc_nulls_last("source")),
       Some("""WITH toked AS (
              |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t
              |  FROM documents),
@@ -345,7 +345,7 @@ object TextPack extends QueryPack {
             sum("raw").as("chars_raw"),
             sum("enc").as("chars_enc"))
           .withColumn("ratio", round(col("chars_enc") / col("chars_raw"), 4))
-          .orderBy("lang")
+          .orderBy(asc_nulls_last("lang"))
       },
       Some("""WITH toks AS (
              |  SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
@@ -383,14 +383,18 @@ object TextPack extends QueryPack {
       (s, dir) =>
         Tables.documents(s, dir)
           .withColumn("q", TextAnalysis.qualityScore(col("text")))
+          // nullif: empty text ⇒ NULL ratio (DuckDB div-by-zero yields
+          // NULL; ANSI Spark would throw) — avg() then skips it, both
+          // engines alike
           .withColumn("punct_ratio",
-            TextAnalysis.punctCount(col("text")).cast("double") / length(col("text")))
+            TextAnalysis.punctCount(col("text")).cast("double") /
+              nullif(length(col("text")).cast("double"), lit(0.0)))
           .groupBy("lang")
           .agg(
             count(lit(1)).as("n_docs"),
             round(avg("q"), 4).as("avg_quality"),
             round(avg("punct_ratio"), 4).as("avg_punct_ratio"))
-          .orderBy("lang"),
+          .orderBy(asc_nulls_last("lang")),
       Some(s"""WITH m AS (
               |  SELECT lang,
               |    len(regexp_split_to_array(lower(text), '\\s+')) AS ntok,
@@ -412,7 +416,7 @@ object TextPack extends QueryPack {
           .withColumn("predicted", TextAnalysis.langId(col("text")))
           .groupBy("lang", "predicted")
           .agg(count(lit(1)).as("n"))
-          .orderBy("lang", "predicted"),
+          .orderBy(asc_nulls_last("lang"), asc_nulls_last("predicted")),
       Some {
         def hits(l: String) = {
           val set = TextAnalysis.Stopwords(l).map(s => s"'$s'").mkString(", ")
@@ -575,7 +579,7 @@ object TextPack extends QueryPack {
             round(sum(col("h").cast("decimal(20,14)")).cast("double") / count(lit(1)), 6)
               .as("avg_entropy"),
             count(when(col("h") < 3.0, 1)).as("n_low_entropy"))
-          .orderBy("lang")
+          .orderBy(asc_nulls_last("lang"))
       },
       Some("""WITH tf AS (
              |  SELECT doc_id, lang, tok, COUNT(*) AS n

@@ -57,7 +57,7 @@ object TrainPack extends QueryPack {
             count(lit(1)).as("n_docs"),
             round(avg(round(col("ratio"), 4)), 4).as("avg_top_share"),
             count(when(col("ratio") > 0.1, 1)).as("n_repetitive"))
-          .orderBy("lang")
+          .orderBy(asc_nulls_last("lang"))
       },
       Some("""WITH tokc AS (
              |  SELECT doc_id, lang, tok, COUNT(*) AS n
@@ -119,7 +119,7 @@ object TrainPack extends QueryPack {
         d.withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 5)
           .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
-          .orderBy("lang", "rk")
+          .orderBy(asc_nulls_last("lang"), asc_nulls_last("rk"))
       },
       Some("""SELECT lang, rk, doc_id, n_chars
              |FROM (SELECT lang, doc_id, n_chars,
@@ -149,7 +149,7 @@ object TrainPack extends QueryPack {
           .groupBy("source", "pack_id")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
           .withColumn("fill_pct", round(col("pack_tokens") * 100.0 / budget, 2))
-          .orderBy("source", "pack_id")
+          .orderBy(asc_nulls_last("source"), asc_nulls_last("pack_id"))
       },
       Some("""WITH t AS (
              |  SELECT doc_id, source,
@@ -183,7 +183,7 @@ object TrainPack extends QueryPack {
         d.groupBy("source", "w")
           .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"))
           .withColumn("kept_pct", round(col("n_kept") * 100.0 / col("n_total"), 2))
-          .orderBy("source")
+          .orderBy(asc_nulls_last("source"))
       },
       Some("""WITH d AS (
              |  SELECT source,
@@ -216,7 +216,7 @@ object TrainPack extends QueryPack {
             countDistinct("doc_id").as("n_docs"),
             count(lit(1)).as("n_replicas"),
             sum(col("pos")).as("sum_copy_ids"))
-          .orderBy("source")
+          .orderBy(asc_nulls_last("source"))
       },
       Some("""WITH d AS (
              |  SELECT source, doc_id,
@@ -245,7 +245,7 @@ object TrainPack extends QueryPack {
             round(coalesce(col("n_s"), lit(0L)) * lit(100.0) / col("n_total"), 2)
               .as("sample_pct"),
             col("avg_chars_sampled"))
-          .orderBy("lang")
+          .orderBy(asc_nulls_last("lang"))
       },
       Some("""WITH s AS (
              |  SELECT * FROM documents
@@ -699,7 +699,7 @@ object TrainPack extends QueryPack {
             count(lit(1)).as("n_docs"),
             sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
             round(avg("q"), 4).as("avg_quality"))
-          .orderBy("lang")
+          .orderBy(asc_nulls_last("lang"))
       },
       Some(s"""WITH m AS (
               |  SELECT doc_id, lang,
@@ -821,7 +821,7 @@ object TrainPack extends QueryPack {
           .groupBy("source")
           .agg(count(lit(1)).as("n_kept"), sum("ntok").as("kept_tokens"),
             round(min("q"), 4).as("min_q"))
-          .orderBy("source")
+          .orderBy(asc_nulls_last("source"))
       },
       Some(s"""WITH d AS (
               |  SELECT doc_id, source,

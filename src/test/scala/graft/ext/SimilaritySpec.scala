@@ -571,4 +571,30 @@ class SimilaritySpec extends AnyFunSuite {
     val b2 = e.select(Similarity.lshBucket(col("embedding"), 64).as("b")).collect().map(_.getLong(0))
     assert(b1.toSeq == b2.toSeq)
   }
+
+  test("zero-norm vector normalizes to NULL and never crashes or ranks") {
+    // Cosine against the zero vector is undefined. DuckDB's division by
+    // zero yields NULL; ANSI Spark THROWS — one degenerate embedding row
+    // (a failed embedder emits zeros) must not kill a 100 TB job. The
+    // when-guard in withNormalized nulls the normalized vector instead:
+    // downstream cosines go null, rank windows sort it last, thresholds
+    // drop it. Found by scripts/differential_fuzz.py (round 17).
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.fill(4)(0.0f)),          // zero norm
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val n = Similarity.withNormalized(vecs, "embedding", "nv").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(n(0L) && !n(1L) && !n(2L), s"only the zero vector nulls: $n")
+    // end-to-end: brute-force top-k over a corpus containing the zero
+    // vector completes, and the zero vector's cosine is null (ranked
+    // after every real neighbor)
+    val topk = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 1L), vecs, k = 2)
+      .collect().sortBy(_.getInt(1))
+    assert(topk.length == 2)
+    assert(topk.head.getLong(2) == 2L && !topk.head.isNullAt(3))
+    assert(topk.last.getLong(2) == 0L && topk.last.isNullAt(3),
+      "zero vector must rank last with NULL cosine")
+  }
 }

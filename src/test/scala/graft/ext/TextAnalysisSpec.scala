@@ -102,4 +102,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
     assert(scores(0) > scores(1) && scores(0) > scores(2))
   }
+
+  test("quality score of empty text is NULL, not a job-killing division") {
+    // DuckDB's double division by zero yields NULL; ANSI Spark throws.
+    // The nullif guard makes the engine match the oracle: an empty doc
+    // scores NULL, avg() skips it, and a threshold gate drops it.
+    // Found by scripts/differential_fuzz.py (round 17).
+    val rows = Seq("", "word").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text"))).collect()
+    assert(rows(0).isNullAt(0), "empty text must score NULL")
+    assert(!rows(1).isNullAt(0))
+  }
+
+  test("U+0130 case-mapping is the oracle-replication boundary (documented)") {
+    // Java/Spark lower() follows Unicode SpecialCasing: 'İ' (U+0130)
+    // lowers to 'i' + U+0307 (combining dot above) — the string gets
+    // LONGER — while DuckDB's utf8proc simple-folds 'İ' → 'i'. Regex
+    // tokenization over lower(text) therefore legitimately differs
+    // between engine and oracle on Turkish dotted capital I: this pin
+    // records the boundary found by scripts/differential_fuzz.py.
+    // (ß and dotless ı agree between the engines.)
+    import org.apache.spark.sql.functions.{length, lower}
+    val n = one(length(lower(col("text"))), "İstanbul").head
+    assert(n == 9, s"SpecialCasing lengthens İstanbul to 9 chars, got $n")
+    // bpeish sees 'i' + combining-dot-punct + 'stanbul' = 3 tokens where
+    // the oracle sees 1 ('istanbul')
+    assert(one(TextAnalysis.bpeishTokenCount(col("text")), "İstanbul") == Seq(3))
+    // ß and dotless ı DO agree: neither engine's lower() changes them,
+    // and each non-ASCII char matches [^a-z0-9\s] individually — 6 both
+    // sides ('ß','ß','ı','ş','ı','k'; DuckDB checked: len(...)=6)
+    assert(one(TextAnalysis.bpeishTokenCount(col("text")), "ßß ışık") == Seq(6))
+  }
 }

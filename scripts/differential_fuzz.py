@@ -72,7 +72,7 @@ UNICODE_TEXTS = [
     # 9 vs 7 on "ßß İstanbul ışık"). Pinned in TextAnalysisSpec
     # ("U+0130 case-mapping is the oracle-replication boundary"); ß and
     # dotless ı agree between engines and stay in the corpus.
-    "ßß STRASSE İstanbul-free ışık",
+    "ßß STRASSE istanbul-free ışık",
     "ЯЗЫК Русский язык",  # Cyrillic case pairs (simple fold, engines agree)
 ]
 

@@ -58,7 +58,9 @@ object Multimodal {
         val raw = text.getBytes("UTF-8")
         (id % 3) match {
           case 0 =>
-            val h = (raw.length + BmpWidth - 1) / BmpWidth
+            // matches the encoders' empty-luma clamp: an empty doc is
+            // one all-black row, never a zero-dimension container
+            val h = math.max(1, (raw.length + BmpWidth - 1) / BmpWidth)
             if ((id / 3) % 2 == 0)
               Asset(id, "image", MediaCodec.encodeBmp(raw, BmpWidth),
                 MediaMeta("bmp", BmpWidth, h, 0))
@@ -140,7 +142,10 @@ object Multimodal {
     * band, key)`, 4 rows per non-empty asset (the mm_phash_neardup
     * banding: 4×15-bit keys of the 60-bit average-hash — a pair within
     * hamming ≤ 10 whose flipped bits fall in ≤ 3 bands meets on ≥ 1
-    * exact band key). Empty payloads are not indexed — nothing decodes.
+    * exact band key). Assets with ZERO decoded samples (empty audio/
+    * video payloads) are not indexed — nothing decodes; an empty IMAGE
+    * doc does decode (the encoders' one-black-row clamp) and indexes
+    * like any other all-black frame.
     */
   private def bandedPhashRows(assets: Dataset[Asset]): DataFrame = {
     val ph = perceptualHashes(assets)
@@ -335,11 +340,14 @@ object MediaCodec {
     * rows with each row padded to a 4-byte boundary (width 15 → 45 data
     * bytes + 3 pad bytes per row, so the padding path is exercised by
     * every asset). Luma shorter than width·height is padded with black
-    * pixels (the tail of the last row).
+    * pixels (the tail of the last row); EMPTY luma encodes as one
+    * all-black row — the spec forbids zero dimensions, and an empty
+    * upstream document must still yield a decodable container
+    * (differential fuzz found the 0-height crash on empty text, r17).
     */
   def encodeBmp(gray: Array[Byte], width: Int): Array[Byte] = {
     require(width > 0, "BMP width must be positive")
-    val h = (gray.length + width - 1) / width
+    val h = math.max(1, (gray.length + width - 1) / width)
     val stride = ((width * 3 + 3) / 4) * 4
     val imageSize = stride * h
     val out = new Array[Byte](54 + imageSize)
@@ -426,12 +434,13 @@ object MediaCodec {
     * scanlines, IEND — each chunk with its genuine CRC-32 over
     * type+data (`java.util.zip.{Deflater, CRC32}`, pure JDK). Luma
     * shorter than width·height pads with black exactly like the BMP
-    * encoder, so the DECODED samples of the two containers are
+    * encoder (empty luma ⇒ one all-black row — zero dimensions are
+    * invalid PNG), so the DECODED samples of the two containers are
     * byte-identical — container-invariance is what the mm gates assert.
     */
   def encodePng(gray: Array[Byte], width: Int): Array[Byte] = {
     require(width > 0, "PNG width must be positive")
-    val h = (gray.length + width - 1) / width
+    val h = math.max(1, (gray.length + width - 1) / width)
     val raw = new Array[Byte](h * (width + 1)) // filter byte + row bytes
     var r = 0
     while (r < h) {

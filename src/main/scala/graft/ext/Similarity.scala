@@ -230,7 +230,10 @@ object Similarity {
 
   /** Driver-collected unit vectors with id &lt; `cap`, sorted by id —
     * identical arithmetic to [[withNormalized]] (left-to-right norm over
-    * the widened doubles, then x/nrm per element).
+    * the widened doubles, then x/nrm per element). Zero-norm vectors are
+    * EXCLUDED, mirroring withNormalized's NULL guard: they cannot be
+    * unit-normalized, and an unguarded divide would seed NaN centroids
+    * that poison every k-means assignment downstream.
     */
   def normalizedVectors(
       df: DataFrame,
@@ -246,8 +249,9 @@ object Similarity {
           case d: Double => d
         }.toArray
         val nrm = math.sqrt(raw.foldLeft(0.0)((acc, x) => acc + x * x))
-        (id, raw.map(_ / nrm))
+        (id, nrm, raw)
       }
+      .collect { case (id, nrm, raw) if nrm > 0 => (id, raw.map(_ / nrm)) }
       .sortBy(_._1)
 
   /** The IVF index model: the first `nCentroids` corpus vectors refined

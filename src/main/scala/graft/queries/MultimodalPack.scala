@@ -20,11 +20,13 @@ import graft.{QueryDef, QueryPack, Tables}
 object MultimodalPack extends QueryPack {
 
   /** Decoded-sample length per kind: image luma pads to full 15-wide
-    * rows; audio/video decode to exactly the text bytes.
+    * rows — an EMPTY doc still decodes to one all-black row (the
+    * encoders clamp height to ≥ 1; zero dimensions are invalid BMP/PNG)
+    * — audio/video decode to exactly the text bytes.
     */
   private val DecodedLenSql =
     """CASE WHEN doc_id % 3 = 0
-      |         THEN 15 * CAST(CEIL(octet_length(encode(text)) / 15.0) AS BIGINT)
+      |         THEN 15 * GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 15.0) AS BIGINT))
       |         ELSE octet_length(encode(text)) END""".stripMargin
 
   /** Shared phash oracle: the 60-cell average-hash over DECODED samples
@@ -37,7 +39,7 @@ object MultimodalPack extends QueryPack {
        |  SELECT doc_id, hex(encode(text)) AS h,
        |    octet_length(encode(text)) AS n,
        |    $DecodedLenSql AS nd
-       |  FROM documents WHERE octet_length(encode(text)) > 0$docFilter),
+       |  FROM documents WHERE ($DecodedLenSql) > 0$docFilter),
        |y AS (
        |  SELECT doc_id,
        |    CASE WHEN i <= n THEN
@@ -113,7 +115,7 @@ object MultimodalPack extends QueryPack {
              |  FROM documents)
              |SELECT format, COUNT(*) AS n_assets,
              |  CAST(SUM(CASE format
-             |             WHEN 'bmp' THEN 54 + 48 * CAST(CEIL(n / 15.0) AS BIGINT)
+             |             WHEN 'bmp' THEN 54 + 48 * GREATEST(1, CAST(CEIL(n / 15.0) AS BIGINT))
              |             WHEN 'wav' THEN 44 + n
              |             WHEN 'png' THEN 57
              |             ELSE n END) AS BIGINT) AS modeled_bytes,

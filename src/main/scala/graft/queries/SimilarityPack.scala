@@ -111,12 +111,16 @@ object SimilarityPack extends QueryPack {
   /** Unit-normalization CTE shared by the oracles: identical arithmetic to
     * Similarity.withNormalized (norm once per row, x/nrm per element, then
     * a single left-to-right double dot per pair) so doubles — and ranks —
-    * match bit-for-bit.
+    * match bit-for-bit. A zero-norm vector yields a NULL list (not a list
+    * of NULLs, which list_dot_product rejects), mirroring the engine's
+    * when-guard: its cosines go NULL, DESC ranks sort it last in BOTH
+    * engines, thresholds drop it. Differential fuzz (zero-vector corpus,
+    * r17) found the unguarded form erroring oracle-side.
     */
   private def normCte(filter: String): String =
     s"""e AS (
        |  SELECT vec_id,
-       |    list_transform(v, x -> x / nrm) AS nv
+       |    CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS nv
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |        FROM embeddings$filter))""".stripMargin
@@ -910,7 +914,8 @@ object SimilarityPack extends QueryPack {
       },
       Some(s"""WITH ${normCte("")},
               |e16 AS (
-              |  SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+              |  SELECT vec_id,
+              |    CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS nv
               |  FROM (SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS v,
               |          sqrt(list_dot_product(CAST(embedding[1:16] AS DOUBLE[]),
               |                                CAST(embedding[1:16] AS DOUBLE[]))) AS nrm

@@ -244,6 +244,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(5L) == md5hex(hex("éü".getBytes("UTF-8"))))
   }
 
+  test("empty document still yields decodable containers: one all-black row, never 0-height") {
+    import spark.implicits._
+    // Differential fuzz (r17) planted an empty doc: the unclamped
+    // encoders produced height-0 BMP/PNG that the decoders (correctly)
+    // reject as malformed. The contract is encode-side: empty luma ⇒
+    // one all-black row, so every synthesized asset decodes.
+    for (g <- Seq(Array.empty[Byte], Array[Byte](7))) {
+      val (bw, bh, bl) = MediaCodec.decodeBmp(MediaCodec.encodeBmp(g, 15))
+      val (pw, ph, pl) = MediaCodec.decodePng(MediaCodec.encodePng(g, 15))
+      assert((bw, bh) == (15, 1) && (pw, ph) == (15, 1))
+      val want = g.padTo(15, 0.toByte).toSeq
+      assert(bl.toSeq == want && pl.toSeq == want)
+    }
+    // end-to-end through synthesis: image (doc 0), audio (doc 1), video
+    // (doc 2) of an empty doc all decode without throwing
+    val docs = Seq((0L, "", 0L), (1L, "", 0L), (2L, "", 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val as = Multimodal.assetsFromDocuments(docs).as[Multimodal.Asset].collect()
+    assert(as.length == 3)
+    val byKind = as.map(a => a.kind -> MediaCodec.decodedSamples(a)).toMap
+    assert(byKind("image").toSeq == Seq.fill(15)(0.toByte)) // one black row
+    assert(byKind("audio").isEmpty && byKind("video").isEmpty)
+  }
+
   test("asset table has the multimodal schema: opaque binary + typed meta") {
     val schema = Multimodal.assetsFromDocuments(Tables.documents(spark, sf)).schema
     assert(schema("bytes").dataType.typeName == "binary")

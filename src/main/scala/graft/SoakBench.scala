@@ -123,6 +123,15 @@ object SoakBench {
       // default threshold too.
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SOAK_BROADCAST_MB", "8").toInt * 1024 * 1024)
+      // spill READ-AHEAD allocates a 1 MiB heap buffer per spill file at
+      // merge time — with tens of GB spilled across 32 concurrent tasks
+      // that is hundreds of MB of pure buffering, and it is what OOMs
+      // first at the frontier (the r17 prefix-family cells died in
+      // "read-ahead" threads). A memory-constrained profile trades the
+      // sequential-read overlap for survival, exactly like the broadcast
+      // budget above. SOAK_READAHEAD=true restores the default.
+      .config("spark.unsafe.sorter.spill.read.ahead.enabled",
+        sys.env.getOrElse("SOAK_READAHEAD", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SOAK_LOG", "WARN"))

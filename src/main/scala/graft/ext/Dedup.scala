@@ -826,7 +826,13 @@ object Dedup {
     * IDENTICAL to [[containmentPairs]] over the same hashed sets
     * (DuckDB replays the md5-derived hash, so parity is bit-exact).
     */
-  def containmentPrefixPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def containmentPrefixPairs(
+      docs: DataFrame, n: Int, threshold: Double,
+      // materialize=false skips the cache + eager localCheckpoint so
+      // PlanSpec can assert the join pins (a checkpointed result's plan
+      // is just the checkpoint scan); production callers always
+      // materialize
+      materialize: Boolean = true): DataFrame = {
     val rows = shingleRows(docs, n)
       .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("sh"))
       .distinct()
@@ -844,26 +850,38 @@ object Dedup {
       .cache()
     try {
       val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
+      // shuffle_hash, build side = the PREFIX stream (the rarest-shingle
+      // slices — strictly smaller than the full hashed stream it joins):
+      // these rows are (long, long) — 16 bytes, the compact shape the
+      // house criterion keeps on SHJ. The r17 merge re-pin over-applied
+      // the string-side rule here and ScaleBench caught the sort knee
+      // (×32: 56 s merge vs ~14 s SHJ — sorting the full hashed stream
+      // is the dominant cost the hash build avoids).
       val cand = prefix.select(col("doc_id").as("doc_inner"), col("sh"))
-        .join(rows.select(col("doc_id").as("doc_outer"), col("sh")).hint("merge"),
-          Seq("sh"))
+        .hint("shuffle_hash")
+        .join(rows.select(col("doc_id").as("doc_outer"), col("sh")), Seq("sh"))
         .filter(col("doc_inner") =!= col("doc_outer"))
         .select("doc_inner", "doc_outer").distinct()
       // the eager localCheckpoint consumes the cache HERE (the output is
       // pair-set-sized — dup-density-bounded, tiny beside the per-doc
       // arrays), so perDoc can unpersist before returning instead of
       // lingering token-scale in the executor store
-      cand
-        .join(perDoc.select(col("doc_id").as("doc_inner"), col("hs").as("hs_a")),
-          Seq("doc_inner"))
-        .join(perDoc.select(col("doc_id").as("doc_outer"), col("hs").as("hs_b")),
-          Seq("doc_outer"))
+      // merge on the perDoc sides: corpus-scaled ARRAY payloads must
+      // never broadcast — the ×64/4 GiB soak caught the static planner
+      // admitting perDoc for broadcast under the default threshold
+      // ("Not enough memory to build and broadcast"); sort-merge keys on
+      // the already-hash-partitioned doc_id, so the arrays stay in place
+      val out = cand
+        .join(perDoc.select(col("doc_id").as("doc_inner"), col("hs").as("hs_a"))
+          .hint("merge"), Seq("doc_inner"))
+        .join(perDoc.select(col("doc_id").as("doc_outer"), col("hs").as("hs_b"))
+          .hint("merge"), Seq("doc_outer"))
         .withColumn("containment",
           size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
         .filter(col("containment") >= threshold)
         .select(col("doc_inner"), col("doc_outer"),
           round(col("containment"), 4).as("containment"))
-        .localCheckpoint()
+      if (materialize) out.localCheckpoint() else out
     } finally perDoc.unpersist()
   }
 
@@ -887,7 +905,11 @@ object Dedup {
     * length, never corpus size); the verify join touches only
     * candidate pairs.
     */
-  def jaccardPrefixPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def jaccardPrefixPairs(
+      docs: DataFrame, n: Int, threshold: Double,
+      // materialize=false: plan-visible variant for PlanSpec (see
+      // containmentPrefixPairs)
+      materialize: Boolean = true): DataFrame = {
     // Shingles collapse to the portable 60-bit hash FIRST (8-byte keys
     // through every shuffle instead of ~30-byte strings — the
     // dedup_source_overlap economy; the oracle replays the identical
@@ -912,25 +934,34 @@ object Dedup {
       .cache()
     try {
       val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
+      // shuffle_hash: the prefix self-join moves (long, long) rows —
+      // 16 bytes, compact per the house criterion (the r17 merge
+      // re-pin over-applied the string-side rule; ScaleBench caught
+      // the ×32 sort knee and SHJ restored the r13-era curve)
       val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(prefix.select(col("doc_id").as("doc_b"), col("sh")).hint("merge"), Seq("sh"))
+        .join(prefix.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      // exact verify MAP-SIDE: candidates broadcast-join the two per-doc
-      // hashed-set arrays and intersect in place — no shuffle touches the
-      // shingle stream again. The eager localCheckpoint consumes the
-      // cache HERE (the output is pair-set-sized — dup-density-bounded),
-      // so perDoc unpersists before returning instead of lingering
-      // token-scale in the executor store.
-      cand
-        .join(perDoc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-        .join(perDoc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      // exact verify: the pair set joins the two per-doc hashed-set
+      // arrays and intersects in place — no shuffle touches the shingle
+      // stream again. The eager localCheckpoint consumes the cache HERE
+      // (the output is pair-set-sized — dup-density-bounded), so perDoc
+      // unpersists before returning instead of lingering token-scale in
+      // the executor store.
+      // merge on the perDoc sides: corpus-scaled ARRAY payloads must
+      // never broadcast (see containmentPrefixPairs — the ×64/4 GiB
+      // soak caught the static-estimate broadcast of perDoc)
+      val out = cand
+        .join(perDoc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+          .hint("merge"), Seq("doc_a"))
+        .join(perDoc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+          .hint("merge"), Seq("doc_b"))
         .withColumn("jac", jaccardFromCounts(
           size(array_intersect(col("hs_a"), col("hs_b"))),
           size(col("hs_a")), size(col("hs_b"))))
         .filter(col("jac") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-        .localCheckpoint()
+      if (materialize) out.localCheckpoint() else out
     } finally perDoc.unpersist()
   }
 

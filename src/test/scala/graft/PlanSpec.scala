@@ -121,6 +121,34 @@ class PlanSpec extends AnyFunSuite {
       "inverted-index self-join must sort-merge (spillable, never broadcast)")
   }
 
+  test("prefix-filter candidate joins are shuffled hash joins on the hashed keys") {
+    // the prefix paths join (long, long) rows — 16-byte hashed shingles,
+    // the COMPACT side of the house criterion, so they keep shuffle_hash
+    // (build side = the rarest-shingle prefix stream). The r17 merge
+    // re-pin over-applied the string-side rule here and ScaleBench
+    // caught a 4.7× sort knee at ×32 (56 s vs 12 s); the ×256/4 GiB
+    // soak then showed the memory ceiling of this family is the per-doc
+    // ObjectHashAggregate (collect_list), IDENTICAL under both join
+    // strategies — so merge bought no safety and cost the sort.
+    // materialize=false: the production form ends in an eager
+    // localCheckpoint, whose returned plan is just the checkpoint scan
+    val docs = Tables.documents(spark, sf)
+    for ((name, df) <- Seq(
+        "jaccardPrefixPairs" ->
+          graft.ext.Dedup.jaccardPrefixPairs(docs, 3, 0.8, materialize = false),
+        "containmentPrefixPairs" ->
+          graft.ext.Dedup.containmentPrefixPairs(docs, 3, 0.5, materialize = false))) {
+      val p = df.queryExecution.sparkPlan.toString
+      assert(p.contains("ShuffledHashJoin"),
+        s"$name candidate join must be a shuffled hash join on the hashed keys")
+      assert(p.contains("SortMergeJoin"),
+        s"$name perDoc verify joins must sort-merge (arrays never broadcast)")
+      assert(!p.contains("BroadcastHashJoin") ||
+        !p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("hs")),
+        s"$name must not broadcast the per-doc array table")
+    }
+  }
+
   test("index classification never broadcasts corpus- or batch-scaled sides") {
     // regression of SCALING.md round-16 finding 3: under a raised
     // broadcast threshold AQE's compressed-size estimate admitted a

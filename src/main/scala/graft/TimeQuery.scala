@@ -21,6 +21,9 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional 3rd arg: timed passes per query (default 2, min reported)
+    // — raise on noisy hosts where min-of-2 still catches transient stalls
+    val nPasses = args.lift(2).map(_.toInt).getOrElse(2)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       def pass(): Double = {
@@ -29,7 +32,7 @@ object TimeQuery {
         (System.nanoTime() - t0) / 1e9
       }
       pass() // warm-up
-      val t = math.min(pass(), pass())
+      val t = Seq.fill(nPasses)(pass()).min
       println(f"[time] $name%-32s $t%8.3f s")
     }
     spark.stop()

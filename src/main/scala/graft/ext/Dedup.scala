@@ -691,16 +691,25 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Option[Long] = None): DataFrame = maxShingleDf match {
     case None =>
+      // ONE pass over the corpus text derives the HASHED shingle rows
+      // (portable 60-bit md5 hash — 8-byte keys, replayed exactly by the
+      // DuckDB oracle; distinct per doc because the source shingle sets
+      // are, so no re-distinct is needed) and checkpoints them: the
+      // counts aggregate and BOTH self-join sides read the checkpoint
+      // instead of re-running tokenize+shingle+md5 per consumer (3×, the
+      // measured dominant cost). The self-join moves (long, long) rows —
+      // the COMPACT side of the house criterion, so shuffle_hash is the
+      // scale-safe pin (the string-side hazards that forced the r17
+      // merge pin — the non-spillable STRING hash build under the 4 GiB
+      // soak heap — priced the un-narrowed rows this path no longer
+      // shuffles; merge measured EQUAL at sf0.1 on the hashed longs,
+      // SHJ avoids the ×32 sort knee the prefix family measured).
       val all = shingleRows(docs, n)
+        .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("sh"))
+        .localCheckpoint()
       val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      // merge (sort-merge), explicitly: the shingle stream is the FULL
-      // corpus — never broadcastable at scale (the session's raised
-      // broadcast threshold otherwise collects it onto the driver), and
-      // too string-heavy for a non-spillable shuffled-hash build (the
-      // round-17 4 GiB soak killed SHJ on exactly this shape). Merge is
-      // never-broadcast AND fully spillable; see minHashLshPairs.
       val inter = all.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(all.select(col("doc_id").as("doc_b"), col("sh")).hint("merge"), Seq("sh"))
+        .join(all.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_inter"))
@@ -767,10 +776,16 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Option[Long] = None): DataFrame = maxShingleDf match {
     case None =>
+      // one-pass checkpointed hashed-rows form — see [[ngramJaccardPairs]]
+      // for the measured rationale (one tokenize+shingle+md5 pass serving
+      // all three consumers; compact (long, long) rows keep the
+      // self-join on the shuffle_hash side of the house criterion)
       val all = shingleRows(docs, n)
+        .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("sh"))
+        .localCheckpoint()
       val counts = all.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = all.select(col("doc_id").as("doc_inner"), col("sh"))
-        .join(all.select(col("doc_id").as("doc_outer"), col("sh")).hint("merge"),
+        .join(all.select(col("doc_id").as("doc_outer"), col("sh")).hint("shuffle_hash"),
           Seq("sh"))
         .filter(col("doc_inner") =!= col("doc_outer"))
         .groupBy("doc_inner", "doc_outer")
@@ -978,8 +993,14 @@ object Dedup {
     * so [[lshBandSweep]] computes it ONCE and re-bands it per geometry.
     */
   private[graft] def minHashSigFrame(shingleRows: DataFrame): DataFrame =
-    shingleRows
-      .withColumn("x", Hashing.portableTokenHash(col("sh")))
+    minHashSigFromX(shingleRows.withColumn("x", Hashing.portableTokenHash(col("sh"))))
+
+  /** [[minHashSigFrame]] over a frame that already carries the hashed
+    * token column `x` — lets a caller that needs BOTH minhash inputs and
+    * verification hashes derive them in one pass over the text.
+    */
+  private[graft] def minHashSigFromX(hashed: DataFrame): DataFrame =
+    hashed
       .groupBy("doc_id")
       .agg(
         min(Hashing.minHashFn(0)(col("x"))).as("h0"),
@@ -1315,8 +1336,18 @@ object Dedup {
       threshold: Double,
       rowsPerBand: Int = 4,
       shingleN: Int = 3): DataFrame = {
-    val s = shingleRows(docs, shingleN)
-    val banded = bandedSignatures(s, rowsPerBand)
+    // ONE pass over the corpus text derives BOTH hash families (the
+    // 32-bit minhash input and the 60-bit verification hash — md5 is
+    // shared, so codegen's subexpression elimination computes it once
+    // per shingle) and checkpoints the compact (long, long, long) rows;
+    // the signature aggregate, both verification sides, and the counts
+    // all read the checkpoint instead of re-tokenizing the corpus (4×).
+    val hashed = shingleRows(docs, shingleN)
+      .select(col("doc_id"),
+        Hashing.portableTokenHash(col("sh")).as("x"),
+        Hashing.portableTokenHash60(col("sh")).as("h"))
+      .localCheckpoint()
+    val banded = bandExplode(minHashSigFromX(hashed), rowsPerBand)
 
     val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
@@ -1333,27 +1364,23 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b") // collide in ≥1 band, count once
 
     // Exact-Jaccard verification of the candidate set, again as a
-    // relational intersection count: candidates → their shingle rows →
-    // matching shingles → counts. LSH pruned first, so this touches only
-    // candidate docs' shingles.
-    val counts = s.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // merge (sort-merge) on the SHINGLE sides, engine-pinned — the
-    // round-17 soak falsified BOTH alternatives in turn. Unpinned, the
-    // static planner prices the projected (doc_id, text)-scan subtree
-    // from FIXED per-type widths (string ≈ 20 bytes), so at amplified
-    // scale it EAGERLY collected ~1 GiB of task results per
-    // verification join onto the driver (spark.driver.maxResultSize
-    // burst before AQE ever saw a runtime size). Pinned shuffle_hash,
-    // the per-partition STRING hash build is non-spillable and died
-    // under the 4 GiB soak heap ("Can't acquire … to build hash
-    // relation"). Sort-merge is the only strategy that is BOTH
-    // never-broadcast and fully spillable — the house criterion:
-    // string-/array-heavy corpus-scaled sides pin merge, compact
-    // long-row sides pin shuffle_hash.
+    // relational intersection count: candidates → their HASHED shingle
+    // rows → matching hashes → counts. LSH pruned first, so this touches
+    // only candidate docs' shingles. Verification runs over the portable
+    // 60-bit hash — the [[incrementalNearDup]] / [[classifyAgainstIndex]]
+    // identity, replayed exactly by the DuckDB oracle — so the join rows
+    // are (long, long): 16 bytes, the COMPACT side of the house
+    // criterion, which keeps shuffle_hash safe (the r17 merge pin was
+    // measured against the ~30-byte STRING rows this path no longer
+    // shuffles; the string-side hazards — the static planner's eager
+    // driver collect, the non-spillable string hash build under the
+    // 4 GiB soak heap — priced the un-narrowed shape).
+    val hs = hashed.select(col("doc_id"), col("h"))
+    val counts = hs.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val nInter = candidates
-      .join(s.select(col("doc_id").as("doc_a"), col("sh")).hint("merge"), Seq("doc_a"))
-      .join(s.select(col("doc_id").as("doc_b"), col("sh")).hint("merge"),
-        Seq("doc_b", "sh"))
+      .join(hs.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"),
+        Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     nInter

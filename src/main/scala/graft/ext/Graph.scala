@@ -53,7 +53,16 @@ object Graph {
     * capped output is still deterministic (exactly `maxRounds` rounds).
     */
   def labelPropagationConverged(und: DataFrame, maxRounds: Int): (DataFrame, Int) = {
-    var cur = und.select(col("n").as("v")).distinct()
+    // Materialize the STATIC adjacency once, pre-partitioned on the
+    // label-join key: every round then reads it back from the checkpoint
+    // with partitioning intact instead of re-deriving it (scan + union)
+    // and re-exchanging it per round — the shared-exchange discipline
+    // (a localCheckpoint's LogicalRDD keeps outputPartitioning, so the
+    // per-round join sees the v-hash layout and plans no Exchange on
+    // this side). The node init reuses the same layout for its distinct
+    // (und is symmetric, so the v column carries the full node set).
+    val undP = und.repartition(col("v")).localCheckpoint()
+    var cur = undP.select(col("v")).distinct()
       .select(col("v"), col("v").as("lab")).localCheckpoint()
     var rounds = 0
     var converged = false
@@ -61,7 +70,7 @@ object Graph {
       // max(struct(c, -lab)) = highest count, then LOWEST label — the
       // same total tie-break as a (c desc, lab asc) rank-1 window, but
       // a partial-aggregable max instead of a WindowExec sort
-      val next = und.join(cur, "v")
+      val next = undP.join(cur, "v")
         .groupBy("n", "lab").agg(count(lit(1)).as("c"))
         .groupBy("n")
         .agg(max(struct(col("c").as("c"), (-col("lab")).as("nl"))).as("m"))
@@ -90,7 +99,11 @@ object Graph {
     * converged run exactly.
     */
   def kCoreConverged(und: DataFrame, k: Int, maxRounds: Int): (DataFrame, Int) = {
-    var edges = und.select("n", "v").localCheckpoint()
+    // n-partitioned from the start: the per-round degree aggregate and
+    // the first semi-join both key on n, so they reuse the checkpoint's
+    // layout (no Exchange) — only the v-side membership join re-keys
+    val edges0 = und.select("n", "v").repartition(col("n")).localCheckpoint()
+    var edges = edges0
     var m = edges.count()
     var rounds = 0
     var converged = false

@@ -906,18 +906,29 @@ object CorePack extends QueryPack {
     "q_assoc_rules" -> QueryDef(
       "Top-20 brand association rules by lift over per-order baskets",
       (s, dir) => {
-        // baskets feed four consumers (N, item counts, both pair sides);
-        // localCheckpoint runs the fact scan + distinct once instead of
-        // re-deriving it per consumer
-        val baskets = Tables.lineitem(s, dir)
+        // ONE basket-keyed shuffle builds the per-order brand SET
+        // (collect_set partial-aggregates map-side, so (k, item) dupes
+        // collapse before the exchange); N, item counts, and the pair
+        // enumeration then all derive MAP-SIDE from the set frame —
+        // per-basket fanout is bounded (≤7 items → ≤42 ordered pairs),
+        // so the explode never rides a hot key. The earlier
+        // distinct + self-join form shuffled the basket stream three
+        // times (the (k, item) distinct, then both self-join sides) for
+        // the same integer counts; localCheckpoint still runs the fact
+        // scan once for the frame's three consumers.
+        val sets = Tables.lineitem(s, dir)
           .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("k"), col("p_brand").as("item")).distinct()
+          .select(col("l_orderkey").as("k"), col("p_brand").as("item"))
+          .groupBy("k").agg(collect_set(col("item")).as("items"))
           .localCheckpoint()
-        val nBaskets = baskets.agg(countDistinct(col("k")).as("n_baskets"))
-        val itemN = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
-        val pairs = baskets.join(baskets.select(col("k"), col("item").as("item_b")), "k")
-          .filter(col("item") =!= col("item_b"))
-          .groupBy(col("item").as("ante"), col("item_b").as("cons"))
+        val nBaskets = sets.agg(count(lit(1)).as("n_baskets"))
+        val itemN = sets.select(explode(col("items")).as("item"))
+          .groupBy("item").agg(count(lit(1)).as("n_item"))
+        val pairs = sets
+          .select(explode(col("items")).as("ante"), col("items"))
+          .select(col("ante"), explode(col("items")).as("cons"))
+          .filter(col("ante") =!= col("cons"))
+          .groupBy("ante", "cons")
           .agg(count(lit(1)).as("n_pair"))
         pairs
           .join(broadcast(itemN.select(col("item").as("ante"), col("n_item").as("n_a"))), "ante")

@@ -109,6 +109,10 @@ object DedupPack extends QueryPack {
     * dedup_ngram_jaccard (τ=0.3) and dedup_jaccard_prefix (τ=0.8): two
     * engine plans, one oracle shape.
     */
+  // The intersection runs over the portable 60-bit md5-derived hash —
+  // the engine narrows shingles to 8-byte keys before its inverted-index
+  // self-join (the incrementalNearDup identity), and the oracle replays
+  // the identical hash so parity is bit-exact.
   private def exactJaccardPairsOracle(threshold: Double): String =
     s"""WITH d AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
@@ -119,11 +123,15 @@ object DedupPack extends QueryPack {
        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
        |  FROM d),
+       |hs AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    g -> CAST(('0x'||substring(md5(g),1,15)) AS BIGINT)) AS h
+       |  FROM s),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |    len(list_intersect(a.h, b.h))::DOUBLE /
+       |      (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jac
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
        |FROM p WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
 
@@ -449,10 +457,14 @@ object DedupPack extends QueryPack {
              |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
              |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
              |  FROM d),
+             |hs AS (
+             |  SELECT doc_id, list_transform(sh,
+             |    g -> CAST(('0x'||substring(md5(g),1,15)) AS BIGINT)) AS h
+             |  FROM s),
              |p AS (
              |  SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
-             |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS cont
-             |  FROM s a JOIN s b ON a.doc_id <> b.doc_id AND len(a.sh) > 0)
+             |    len(list_intersect(a.h, b.h))::DOUBLE / len(a.h) AS cont
+             |  FROM hs a JOIN hs b ON a.doc_id <> b.doc_id AND len(a.h) > 0)
              |SELECT doc_inner, doc_outer, ROUND(cont, 4) AS containment
              |FROM p WHERE cont >= 0.5 ORDER BY doc_inner, doc_outer""".stripMargin)),
 
@@ -1083,11 +1095,15 @@ object DedupPack extends QueryPack {
            |cand AS (
            |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            |  FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+           |hs AS (
+           |  SELECT doc_id, list_transform(sh,
+           |    g -> CAST(('0x'||substring(md5(g),1,15)) AS BIGINT)) AS hsh
+           |  FROM d),
            |v AS (
            |  SELECT doc_a, doc_b,
-           |    len(list_intersect(da.sh, db.sh))::DOUBLE /
-           |      (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jac
-           |  FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
+           |    len(list_intersect(da.hsh, db.hsh))::DOUBLE /
+           |      (len(da.hsh) + len(db.hsh) - len(list_intersect(da.hsh, db.hsh))) AS jac
+           |  FROM cand JOIN hs da ON da.doc_id = doc_a JOIN hs db ON db.doc_id = doc_b)
            |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
            |FROM v WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
       }),
@@ -1157,7 +1173,8 @@ object DedupPack extends QueryPack {
            |cand AS (
            |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            |  FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-           |sr AS (SELECT doc_id, unnest(sh) AS g FROM d),
+           |sr AS (SELECT doc_id, CAST(('0x'||substring(md5(g0),1,15)) AS BIGINT) AS g
+           |      FROM (SELECT doc_id, unnest(sh) AS g0 FROM d) q0),
            |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM d),
            |inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -1228,7 +1245,8 @@ object DedupPack extends QueryPack {
            |  FROM b x JOIN b y
            |    ON x.rows_per_band = y.rows_per_band AND x.band = y.band
            |   AND x.key = y.key AND x.doc_id < y.doc_id),
-           |sr AS (SELECT doc_id, unnest(sh) AS g FROM d),
+           |sr AS (SELECT doc_id, CAST(('0x'||substring(md5(g0),1,15)) AS BIGINT) AS g
+           |      FROM (SELECT doc_id, unnest(sh) AS g0 FROM d) q0),
            |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM d),
            |inter AS (
            |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -1649,11 +1667,15 @@ object DedupPack extends QueryPack {
       |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
       |  FROM raw),
+      |hs AS (
+      |  SELECT doc_id, list_transform(sh,
+      |    g -> CAST(('0x'||substring(md5(g),1,15)) AS BIGINT)) AS h
+      |  FROM d),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-      |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+      |    len(list_intersect(a.h, b.h))::DOUBLE /
+      |      (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jac
+      |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id),
       |pairs AS (SELECT doc_a, doc_b FROM p WHERE jac >= 0.3$edgePred),
       |edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs

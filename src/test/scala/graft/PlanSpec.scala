@@ -111,14 +111,19 @@ class PlanSpec extends AnyFunSuite {
   test("shingle self-join never broadcasts the corpus stream") {
     // regression: under the raised broadcast threshold Catalyst once chose
     // BroadcastHashJoin for the inverted-index self-join, collecting the
-    // full shingle stream onto the driver — fatal at scale. The pin is
-    // merge (sort-merge), not shuffle_hash: a STRING-heavy build side is
-    // also too big for SHJ's non-spillable hash build under memory
-    // pressure (the round-17 4 GiB soak killed SHJ on exactly this
-    // shape). The small counts joins may still broadcast.
+    // full shingle stream onto the driver — fatal at scale. Since the r17
+    // optimization round the stream is hash-NARROWED first (portable
+    // 60-bit shingle hash, (long, long) rows — the compact side of the
+    // house criterion), so the pin is shuffle_hash: the string-side
+    // hazards that forced the earlier merge pin (non-spillable STRING
+    // hash build under the 4 GiB soak heap) priced the un-narrowed rows.
+    // The small counts joins may still broadcast.
     val p = plan("dedup_ngram_jaccard")
-    assert(p.contains("SortMergeJoin"),
-      "inverted-index self-join must sort-merge (spillable, never broadcast)")
+    assert(p.contains("ShuffledHashJoin"),
+      "inverted-index self-join must shuffle-hash on the hashed keys")
+    val joinLines = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(!joinLines.exists(_.contains("doc_a")),
+      "the hashed shingle stream must never broadcast")
   }
 
   test("prefix-filter candidate joins are shuffled hash joins on the hashed keys") {

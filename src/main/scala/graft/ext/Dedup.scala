@@ -300,8 +300,22 @@ object Dedup {
     * (df counts distinct docs) — the cross-document notion of duplication,
     * matching the dedup family's semantics.
     */
-  def duplicateSpans(docs: DataFrame, n: Int, minDf: Long = 2L): DataFrame = {
-    val g = positionedShingleRows(docs, n)
+  def duplicateSpans(docs: DataFrame, n: Int, minDf: Long = 2L,
+      materializeGrams: Boolean = false): DataFrame = {
+    // Gram identity = the portable 60-bit hash — the SAME identity the
+    // standing span index stores in its postings (`writeSpanIndex`), so
+    // the inline path shuffles 8-byte keys instead of ~40-byte 5-gram
+    // strings, and the DuckDB oracle replays the identical hash.
+    // materializeGrams runs the tokenize+posexplode+md5 pass ONCE for
+    // the df aggregate and the join-back (lazily, each consumer re-runs
+    // the whole text pass) — measured −27% when the caller consumes the
+    // full span set, but a LOSS when the caller's action lets Catalyst
+    // prune (the eager checkpoint defeats that pruning), so it is
+    // opt-in, not the default.
+    val g0 = positionedShingleRows(docs, n)
+      .select(col("doc_id"), col("pos"),
+        Hashing.portableTokenHash60(col("gram")).as("gram"))
+    val g = if (materializeGrams) g0.localCheckpoint() else g0
     val dup = g.groupBy("gram").agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDf)
       .select("gram")
@@ -848,20 +862,31 @@ object Dedup {
       // is just the checkpoint scan); production callers always
       // materialize
       materialize: Boolean = true): DataFrame = {
-    val rows = shingleRows(docs, n)
+    // ONE tokenize+shingle+md5 pass, checkpointed: the df table, the
+    // perDoc build, AND the candidate join's outer side all read it back
+    // (un-checkpointed, each consumer re-ran the whole text pass — the
+    // measured dominant cost of this family). The per-(doc, hash)
+    // distinct the old form paid a dedicated shuffle for is folded into
+    // the perDoc collect_set below (equal (df, sh) structs collapse
+    // there for free); df counts may shift only under a 60-bit hash
+    // collision, and df only feeds the PREFIX ORDERING — the filter is
+    // lossless under ANY consistent global order, and verification is
+    // exact, so the output is unchanged.
+    val rowsBase = shingleRows(docs, n)
       .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("sh"))
-      .distinct()
+    val rows = if (materialize) rowsBase.localCheckpoint() else rowsBase
     val dfTab = rows.groupBy("sh").agg(count(lit(1)).as("df"))
     // one doc-keyed shuffle builds the rarity-sorted hashed set and its
     // directed prefix slice (|A| − ⌈τ·|A|⌉ + 1 rarest shingles) — the
-    // jaccardPrefixPairs per-doc frame with the asymmetric prefix length
+    // jaccardPrefixPairs per-doc frame with the asymmetric prefix length;
+    // array_sort runs ONCE per doc (the slice reuses the sorted hs, where
+    // the old form sorted the struct array a second time for the prefix)
     val perDoc = rows.join(dfTab, Seq("sh"))
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("df"), col("sh"))).as("a"))
-      .select(col("doc_id"),
-        expr("transform(array_sort(a), x -> x.sh)").as("hs"),
-        expr(s"transform(slice(array_sort(a), 1," +
-          s" size(a) - ceil($threshold * size(a)) + 1), x -> x.sh)").as("pre"))
+      .agg(collect_set(struct(col("df"), col("sh"))).as("a"))
+      .select(col("doc_id"), expr("transform(array_sort(a), x -> x.sh)").as("hs"))
+      .select(col("doc_id"), col("hs"),
+        expr(s"slice(hs, 1, size(hs) - ceil($threshold * size(hs)) + 1)").as("pre"))
       .cache()
     try {
       val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))
@@ -928,24 +953,28 @@ object Dedup {
     // Shingles collapse to the portable 60-bit hash FIRST (8-byte keys
     // through every shuffle instead of ~30-byte strings — the
     // dedup_source_overlap economy; the oracle replays the identical
-    // md5-derived hash, so parity stays bit-exact).
-    val rows = shingleRows(docs, n)
+    // md5-derived hash, so parity stays bit-exact). ONE checkpointed
+    // text pass serves the df table and the perDoc build; the per-hash
+    // distinct is folded into the perDoc collect_set (see
+    // containmentPrefixPairs — df feeds only the lossless prefix
+    // ordering, so collision-order drift cannot change the output).
+    val rowsBase = shingleRows(docs, n)
       .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("sh"))
-      .distinct()
+    val rows = if (materialize) rowsBase.localCheckpoint() else rowsBase
     val dfTab = rows.groupBy("sh").agg(count(lit(1)).as("df"))
     // ONE doc-keyed shuffle builds everything per-doc: the full hashed
     // set (bounded by document length) rarity-SORTED (df asc, sh asc —
     // ties broken by the hash so the candidate set is deterministic
     // under any parallelism; a doc-bounded array sort, never a
-    // WindowExec), plus its prefix slice. The tiny per-doc frame — not
-    // the shingle stream — is what gets materialized for reuse.
+    // WindowExec — run ONCE, the prefix slices the sorted hs), plus its
+    // prefix slice. The tiny per-doc frame — not the shingle stream —
+    // is what gets materialized for reuse.
     val perDoc = rows.join(dfTab, Seq("sh"))
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("df"), col("sh"))).as("a"))
-      .select(col("doc_id"),
-        expr("transform(array_sort(a), x -> x.sh)").as("hs"),
-        expr(s"transform(slice(array_sort(a), 1," +
-          s" size(a) - ceil($threshold * size(a)) + 1), x -> x.sh)").as("pre"))
+      .agg(collect_set(struct(col("df"), col("sh"))).as("a"))
+      .select(col("doc_id"), expr("transform(array_sort(a), x -> x.sh)").as("hs"))
+      .select(col("doc_id"), col("hs"),
+        expr(s"slice(hs, 1, size(hs) - ceil($threshold * size(hs)) + 1)").as("pre"))
       .cache()
     try {
       val prefix = perDoc.select(col("doc_id"), explode(col("pre")).as("sh"))

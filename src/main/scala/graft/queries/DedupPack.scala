@@ -514,14 +514,15 @@ object DedupPack extends QueryPack {
     "dedup_span_mask" -> QueryDef(
       "Maximal cross-doc duplicated 5-gram spans per document (sub-document dedup)",
       (s, dir) =>
-        Dedup.duplicateSpans(Tables.documents(s, dir), n = 5)
+        Dedup.duplicateSpans(Tables.documents(s, dir), n = 5, materializeGrams = true)
           .orderBy("doc_id", "span_start"),
       Some("""WITH d AS (
              |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
              |  FROM documents),
              |g AS (
              |  SELECT doc_id, i - 1 AS pos,
-             |    array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+             |    CAST(('0x'||substring(md5(
+             |      array_to_string(list_slice(t, i, i + 4), ' ')),1,15)) AS BIGINT) AS gram
              |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
              |        FROM d WHERE len(t) >= 5)),
              |f AS (SELECT gram FROM (
@@ -565,7 +566,8 @@ object DedupPack extends QueryPack {
              |  FROM documents),
              |g AS (
              |  SELECT doc_id, i - 1 AS pos,
-             |    array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+             |    CAST(('0x'||substring(md5(
+             |      array_to_string(list_slice(t, i, i + 4), ' ')),1,15)) AS BIGINT) AS gram
              |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
              |        FROM d WHERE len(t) >= 5)),
              |f AS (SELECT gram FROM (

@@ -675,6 +675,13 @@ class DedupSpec extends AnyFunSuite {
       (1L, 0L, 5L, 6L), (2L, 0L, 5L, 6L),
       (4L, 0L, 4L, 5L), (4L, 11L, 15L, 5L),
       (5L, 0L, 4L, 5L), (5L, 11L, 15L, 5L)))
+    // the materialized-grams fast path (opt-in gram checkpoint, the
+    // dedup_span_mask bench form) must be result-identical to the lazy
+    // default — same hashed-gram identity, same spans
+    val spansMat = Dedup.duplicateSpans(docs, n = 5, materializeGrams = true)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spansMat.toSeq == spans.toSeq)
   }
 
   test("overlap spans: only eval-covered positions mask, clean docs stay whole") {

@@ -1079,27 +1079,48 @@ object Dedup {
     val sig = minHashSigFrame(shingleRows(docs, shingleN)).localCheckpoint()
     val t = truth.select("doc_a", "doc_b").localCheckpoint()
     val nTrue = t.agg(count(lit(1)).as("n_true"))
-    rowsPerBandSettings.map { r =>
-      val banded = bandExplode(sig, r)
-      // shuffle_hash: corpus-sized signature self-join, same engine pin
-      // as minHashLshPairs (the round-16 broadcast-estimate hazard)
-      val cand = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-        .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-          .hint("shuffle_hash"), Seq("band", "key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
-      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val nVer = cand.join(t, Seq("doc_a", "doc_b"))
-        .agg(count(lit(1)).as("n_verified"))
-      nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nVer)).select(
-        lit((Hashing.MinHashParams.size / r).toLong).as("bands"),
-        lit(r.toLong).as("rows_per_band"),
-        col("n_true"), col("n_candidates"), col("n_verified"),
-        round(col("n_verified").cast("double") /
-          nullif(col("n_true").cast("double"), lit(0.0)), 6).as("recall"),
-        round(col("n_verified").cast("double") /
-          nullif(col("n_candidates").cast("double"), lit(0.0)), 6).as("cand_precision"))
+    // ONE geometry-tagged self-join instead of one join per setting: the
+    // re-banded rows of every geometry union (map-side re-slices of the
+    // pinned signature frame, Σ 16/r rows per doc) and meet through a
+    // single (rpb, band, key)-keyed shuffle; per-geometry counts then
+    // fall out of two grouped aggregates instead of ten single-row ones
+    // in separate stages. Same candidate sets, same output rows.
+    // shuffle_hash: corpus-sized signature self-join, same engine pin
+    // as minHashLshPairs (the round-16 broadcast-estimate hazard).
+    val bandedAll = rowsPerBandSettings.map { r =>
+      bandExplode(sig, r)
+        .select(lit(r.toLong).as("rpb"), col("band"), col("key"), col("doc_id"))
     }.reduce(_ unionByName _)
+    val cand = bandedAll
+      .select(col("rpb"), col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bandedAll
+        .select(col("rpb"), col("band"), col("key"), col("doc_id").as("doc_b"))
+        .hint("shuffle_hash"), Seq("rpb", "band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("rpb", "doc_a", "doc_b").dropDuplicates("rpb", "doc_a", "doc_b")
+      .localCheckpoint()
+    val nCand = cand.groupBy("rpb").agg(count(lit(1)).as("n_candidates"))
+    val nVer = cand.join(t, Seq("doc_a", "doc_b"))
+      .groupBy("rpb").agg(count(lit(1)).as("n_verified"))
+    val geoms = {
+      import docs.sparkSession.implicits._
+      rowsPerBandSettings
+        .map(r => ((Hashing.MinHashParams.size / r).toLong, r.toLong))
+        .toDF("bands", "rpb")
+    }
+    geoms
+      .join(broadcast(nCand), Seq("rpb"), "left")
+      .join(broadcast(nVer), Seq("rpb"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(
+        col("bands"), col("rpb").as("rows_per_band"), col("n_true"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        round(coalesce(col("n_verified"), lit(0L)).cast("double") /
+          nullif(col("n_true").cast("double"), lit(0.0)), 6).as("recall"),
+        round(coalesce(col("n_verified"), lit(0L)).cast("double") /
+          nullif(coalesce(col("n_candidates"), lit(0L)).cast("double"), lit(0.0)), 6)
+          .as("cand_precision"))
   }
 
   /** Incremental (batch-vs-corpus) NEAR-dup — [[incrementalDedup]]'s

@@ -376,27 +376,31 @@ object GraphPack extends QueryPack {
     // neighbors' MODE label (count desc, then smallest label — a total
     // tie-break, so the sync update is deterministic and both engines
     // replay it). Each round is one (adjacency ⋈ labels) join, a
-    // (node, label) count, and a windowed argmax — all integer, all
-    // V/E-bounded, fixed round count: the same iterate-small posture as
+    // (node, label) count, and the argmax — encoded as max(c, −lab), the
+    // partial-aggregable form labelPropagationConverged measured in for
+    // the same tie-break (count desc, label asc), so no per-round
+    // WindowExec sort. The adjacency is checkpointed ONCE pre-partitioned
+    // on the join key (the labelPropagationConverged posture) instead of
+    // re-deriving scan+union per round. All integer, all V/E-bounded,
+    // fixed round count: the same iterate-small posture as
     // train_domain_rank (the fact table is touched once to derive the
     // edges; iterations never rescan it).
     "graph_label_propagation" -> QueryDef(
       "Top-20 communities after 3 synchronous label-propagation rounds",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val idx = graphIndexDir(s, dir)
         val o = s.read.parquet(s"$idx/oriented")
         val und = o.select(col("u").as("n"), col("w").as("v"))
           .unionAll(o.select(col("w").as("n"), col("u").as("v")))
+          .repartition(col("v")).localCheckpoint()
         val deg = s.read.parquet(s"$idx/degrees")
-        val wMode = Window.partitionBy("n")
-          .orderBy(col("c").desc, col("lab").asc)
         val lp3 = (1 to 3).foldLeft(deg.select(col("v"), col("v").as("lab"))) {
           (labels, _) =>
             und.join(labels, "v")
               .groupBy("n", "lab").agg(count(lit(1)).as("c"))
-              .withColumn("rk", row_number().over(wMode)).filter(col("rk") === 1)
-              .select(col("n").as("v"), col("lab"))
+              .groupBy("n")
+              .agg(max(struct(col("c").as("c"), (-col("lab")).as("nl"))).as("m"))
+              .select(col("n").as("v"), (-col("m.nl")).as("lab"))
         }
         lp3.groupBy(col("lab").as("community"))
           .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_member"))

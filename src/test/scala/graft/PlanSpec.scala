@@ -121,8 +121,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("dedup_ngram_jaccard")
     assert(p.contains("ShuffledHashJoin"),
       "inverted-index self-join must shuffle-hash on the hashed keys")
+    // the self-join keys on the hashed shingle column `sh`; the allowed
+    // broadcasts (counts) key on doc_a/doc_b
     val joinLines = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
-    assert(!joinLines.exists(_.contains("doc_a")),
+    assert(!joinLines.exists(_.contains("[sh#")),
       "the hashed shingle stream must never broadcast")
   }
 
@@ -347,11 +349,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("graph_label_propagation's mode argmax partitions by the node (no single-partition window)") {
+  test("graph_label_propagation's mode argmax is a partial-aggregable max, never a window sort") {
+    // the per-round argmax rides max(struct(c, -lab)) — map-side
+    // combinable, node-partitioned — not a rank window (which would sort
+    // every (node, label) partition each round)
     val p = SparkEntry.queries("graph_label_propagation")(spark, sf)
       .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"expected no WindowExec in:\n$p")
     assert(p.contains("hashpartitioning(n"),
-      "LPA mode window must partition by the center node")
+      "LPA mode aggregate must partition by the center node")
   }
 
   test("sim_topk_mmr serves the greedy from checkpointed pool tables, no cross product") {

@@ -521,7 +521,12 @@ object Similarity {
       queries: DataFrame,
       nProbe: Int,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      // carry the probed cell's rank per candidate row — lets ivfSweep
+      // derive EVERY smaller-nProbe candidate set from one maxed probe
+      // pass (membership at np is prk <= np), instead of re-joining the
+      // assignment table once per setting
+      carryProbeRank: Boolean = false): DataFrame = {
     // probe list: nProbe nearest cells per query (queries are few — the
     // window runs over a broadcast-sized frame)
     val q = broadcast(
@@ -535,13 +540,17 @@ object Similarity {
       .withColumn("qdot", dot(col("qv"), col("centv")))
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"), col("prk"))
 
     // candidates = corpus vectors in probed cells; exact scoring. Project
     // to (ids, cos) before any downstream shuffle — no vectors move.
-    assigned.join(broadcast(probes), Seq("cell"))
+    val out = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+    if (carryProbeRank)
+      out.select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("cv")).as("cos"), col("prk"))
+    else
+      out.select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
   }
 
   /** RANGE (radius) search from the MATERIALIZED IVF index: every corpus
@@ -633,28 +642,45 @@ object Similarity {
     val assigned = withCell(c, centroids, "cv").localCheckpoint()
     val exact = bruteForceTopK(queries, corpus, k, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-    val wRank = Window.partitionBy("query_id")
+    // ONE nProbe-tagged pipeline instead of a subplan per setting: the
+    // candidate pass runs ONCE at max(nProbes) carrying each row's probe
+    // rank (membership at np is prk <= np — smaller settings are nested
+    // prefixes of the maxed probe list), each candidate row explodes
+    // into the settings it belongs to, and the rank window partitions by
+    // (nprobe, query_id) — identical ordering keys, identical per-setting
+    // top-k. Counts fall out of grouped aggregates instead of one
+    // assignment re-join plus single-row aggregates per setting. Same
+    // rows, including the degenerate empty-exact-panel guard.
+    val candAll = ivfCandidates(assigned, centroids, queries, nProbes.max,
+      idCol, vecCol, carryProbeRank = true)
+    val npArr = array(nProbes.map(v => lit(v.toLong)): _*)
+    val tagged = candAll.withColumn("nprobe",
+      explode(filter(npArr, v => col("prk") <= v)))
+    val nCand = tagged.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val wRankN = Window.partitionBy("nprobe", "query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    nProbes.map { np =>
-      val cand = ivfCandidates(assigned, centroids, queries, np, idCol, vecCol)
-      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val top = cand
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      val rec = exact.join(top, Seq("query_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
-      // a degenerate corpus can leave the exact panel EMPTY (one vector,
-      // self excluded): the oracle's hits CTE then has no rows, so the
-      // engine must emit none either — and never divide by the zero
-      nCand.crossJoin(broadcast(rec))
-        .filter(col("n_truth") > 0)
-        .select(
-          lit(np.toLong).as("nprobe"),
-          col("n_candidates"),
-          col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
-    }.reduce(_ unionByName _)
+    val top = tagged
+      .withColumn("rank", row_number().over(wRankN))
+      .filter(col("rank") <= k)
+      .select("nprobe", "query_id", "neighbor_id")
+    val hits = exact.join(top, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hit"))
+    // a degenerate corpus can leave the exact panel EMPTY (one vector,
+    // self excluded): the oracle's hits CTE then has no rows, so the
+    // engine must emit none either — and never divide by the zero
+    val nTruth = exact.agg(count(lit(1)).as("n_truth"))
+    import assigned.sparkSession.implicits._
+    nProbes.map(_.toLong).toDF("nprobe")
+      .join(broadcast(nCand), Seq("nprobe"), "left")
+      .join(broadcast(hits), Seq("nprobe"), "left")
+      .crossJoin(broadcast(nTruth))
+      .filter(col("n_truth") > 0)
+      .select(
+        col("nprobe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_truth"), 6).as("recall"))
   }
 
   /** Materialize the IVF index: `centroids/` (the trained model, tiny)
@@ -1228,36 +1254,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
-    val wHam = Window.partitionBy("query_id")
-      .orderBy(col("ham").asc, col("neighbor_id").asc)
-    radii.map { r =>
-      val pairs = regime(r > 3)
+    // ONE radius-tagged pipeline per enumeration regime instead of a
+    // subplan per radius: each collision row explodes into the radii it
+    // qualifies for (map-side, panel-sized), the two rank windows
+    // partition by (radius, query_id) — identical ordering keys, so
+    // identical per-radius selections — and the counts fall out of
+    // grouped aggregates instead of three single-row aggregates and two
+    // crossJoins per radius. Same rows, including the degenerate
+    // empty-exact-panel guard (n_truth > 0) and zero-hit radii.
+    val nTruth = exact.agg(count(lit(1)).as("n_truth"))
+    radii.groupBy(_ > 3).toSeq.sortBy(_._1).map { case (enum, rs) =>
+      val pairs = regime(enum)
       val nVerified = pairs.agg(count(lit(1)).as("n_verified"))
-      val pool = pairs.filter(col("ham") <= r)
-      val nPool = pool.agg(count(lit(1)).as("n_in_radius"))
-      val top = pool
-        .withColumn("rk", row_number().over(wHam))
+      val rsArr = array(rs.map(r => lit(r.toLong)): _*)
+      val poolAll = pairs.withColumn("radius",
+        explode(filter(rsArr, rv => col("ham") <= rv)))
+      val nPool = poolAll.groupBy("radius").agg(count(lit(1)).as("n_in_radius"))
+      val wHamR = Window.partitionBy("radius", "query_id")
+        .orderBy(col("ham").asc, col("neighbor_id").asc)
+      val wRankR = Window.partitionBy("radius", "query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val top = poolAll
+        .withColumn("rk", row_number().over(wHamR))
         .filter(col("rk") <= rerank)
-        .select("query_id", "neighbor_id")
+        .select("radius", "query_id", "neighbor_id")
         .join(vecs, Seq("neighbor_id"))
         .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
-        .withColumn("rank", row_number().over(wRank))
+        .select(col("radius"), col("query_id"), col("neighbor_id"),
+          dot(col("qv"), col("cv")).as("cos"))
+        .withColumn("rank", row_number().over(wRankR))
         .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      val rec = exact.join(top, Seq("query_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
-      // same degenerate-corpus guard as ivfSweep: an empty exact panel
-      // means the oracle emits no row for this setting — match it, and
-      // never divide by the zero
-      nVerified.crossJoin(broadcast(nPool)).crossJoin(broadcast(rec))
+        .select("radius", "query_id", "neighbor_id")
+      val hits = exact.join(top, Seq("query_id", "neighbor_id"))
+        .groupBy("radius").agg(count(lit(1)).as("n_hit"))
+      import pairs.sparkSession.implicits._
+      rs.map(_.toLong).toDF("radius")
+        .join(broadcast(nPool), Seq("radius"), "left")
+        .join(broadcast(hits), Seq("radius"), "left")
+        .crossJoin(broadcast(nVerified))
+        .crossJoin(broadcast(nTruth))
         .filter(col("n_truth") > 0)
         .select(
-          lit(r.toLong).as("radius"),
+          col("radius"),
           col("n_verified"),
-          col("n_in_radius"),
-          col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+          coalesce(col("n_in_radius"), lit(0L)).as("n_in_radius"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_truth"), 6).as("recall"))
     }.reduce(_ unionByName _)
   }
 

@@ -451,16 +451,25 @@ object CurationPack extends QueryPack {
             explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
           .withColumn("b",
             pmod(graft.ext.Hashing.portableTokenHash(col("tok")), lit(256L)))
-        val stats = toks.groupBy("b").agg(
-          sum(when(col("is_eval"), 1L).otherwise(0L)).as("ct"),
-          sum(when(col("is_eval"), 0L).otherwise(1L)).as("cr"))
+        // ONE token pass: the doc×bucket counts are the shared partial —
+        // bucket stats aggregate over them and the per-doc weight pass
+        // reads them directly, instead of each re-running
+        // tokenize+hash+bucket over the corpus. The checkpointed frame
+        // is doc×bucket-bounded (≪ token rows).
+        val dbc = toks
+          .groupBy("doc_id", "source", "is_eval", "b")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val stats = dbc.groupBy("b").agg(
+          sum(when(col("is_eval"), col("c")).otherwise(0L)).as("ct"),
+          sum(when(col("is_eval"), 0L).otherwise(col("c"))).as("cr"))
         val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
         val lr = stats.crossJoin(broadcast(totals))
           .select(col("b"),
             (log((col("ct") + 1).cast("double") / (col("nt") + 256).cast("double")) -
               log((col("cr") + 1).cast("double") / (col("nr") + 256).cast("double"))).as("lr"))
-        toks.filter(!col("is_eval"))
-          .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+        dbc.filter(!col("is_eval"))
+          .select(col("doc_id"), col("source"), col("b"), col("c"))
           .join(broadcast(lr), Seq("b"))
           .groupBy("doc_id", "source")
           .agg(sort_array(collect_list(

@@ -1164,6 +1164,11 @@ object TextPack extends QueryPack {
           .select(least(col("tok"), col("nxt")).as("s"),
             greatest(col("tok"), col("nxt")).as("d"))
           .distinct()
+          // the co-occurrence graph feeds SIX consumers (both edge
+          // orientations × the rank iterations' joins + outdeg + node
+          // init); checkpointing the distinct edge set runs the
+          // tokenize+pair+dedup text pass once instead of per consumer
+          .localCheckpoint()
         val edges = und.select(col("s").as("src"), col("d").as("dst"))
           .unionAll(und.select(col("d").as("src"), col("s").as("dst")))
         val nodes = edges.select(col("src").as("node")).distinct()

@@ -875,13 +875,20 @@ object Dedup {
     val rowsBase = shingleRows(docs, n)
       .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("sh"))
     val rows = if (materialize) rowsBase.localCheckpoint() else rowsBase
-    val dfTab = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+    // df via a full-partition count WINDOW over the sh-keyed stream — the
+    // exactSubstringSpans shape, already the family's measured-optimal
+    // form at ×32: ONE exchange of the hashed rows replaces the r17
+    // agg+join (which exchanged the stream for the df aggregate AND
+    // again for the join-back). The window sorts 8-byte keys within
+    // partitions; identical df values by construction (rows are distinct
+    // per (doc, sh), so the partition count IS the document frequency).
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("sh")
     // one doc-keyed shuffle builds the rarity-sorted hashed set and its
     // directed prefix slice (|A| − ⌈τ·|A|⌉ + 1 rarest shingles) — the
     // jaccardPrefixPairs per-doc frame with the asymmetric prefix length;
     // array_sort runs ONCE per doc (the slice reuses the sorted hs, where
     // the old form sorted the struct array a second time for the prefix)
-    val perDoc = rows.join(dfTab, Seq("sh"))
+    val perDoc = rows.withColumn("df", count(lit(1)).over(wDf))
       .groupBy("doc_id")
       .agg(collect_set(struct(col("df"), col("sh"))).as("a"))
       .select(col("doc_id"), expr("transform(array_sort(a), x -> x.sh)").as("hs"))
@@ -961,15 +968,17 @@ object Dedup {
     val rowsBase = shingleRows(docs, n)
       .select(col("doc_id"), Hashing.portableTokenHash60(col("sh")).as("sh"))
     val rows = if (materialize) rowsBase.localCheckpoint() else rowsBase
-    val dfTab = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+    // df via the full-partition count window — see containmentPrefixPairs
+    // (one sh-keyed exchange instead of the agg + join-back pair)
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("sh")
     // ONE doc-keyed shuffle builds everything per-doc: the full hashed
     // set (bounded by document length) rarity-SORTED (df asc, sh asc —
     // ties broken by the hash so the candidate set is deterministic
-    // under any parallelism; a doc-bounded array sort, never a
-    // WindowExec — run ONCE, the prefix slices the sorted hs), plus its
-    // prefix slice. The tiny per-doc frame — not the shingle stream —
-    // is what gets materialized for reuse.
-    val perDoc = rows.join(dfTab, Seq("sh"))
+    // under any parallelism; a doc-bounded array sort — run ONCE, the
+    // prefix slices the sorted hs), plus its prefix slice. The tiny
+    // per-doc frame — not the shingle stream — is what gets
+    // materialized for reuse.
+    val perDoc = rows.withColumn("df", count(lit(1)).over(wDf))
       .groupBy("doc_id")
       .agg(collect_set(struct(col("df"), col("sh"))).as("a"))
       .select(col("doc_id"), expr("transform(array_sort(a), x -> x.sh)").as("hs"))

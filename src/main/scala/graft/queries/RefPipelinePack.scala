@@ -80,9 +80,20 @@ object RefPipelinePack extends QueryPack {
     Await.result(
       Future.traverse(Seq("SMP" -> s"$tmp/smp_2015.ods", "STFC" -> s"$tmp/stfc_2015.ods")) {
         case (servico, path) =>
-          Future(graft.ops.IdaPipeline.cleanFile(s.read.format("ods").load(path), servico))
+          // localCheckpoint per cleaned file (fixture-sized long rows):
+          // the consolidated frame is consumed several times downstream
+          // (the view's dynamic-pivot collect, the sequential-id count
+          // job, the main action), and without the checkpoint every
+          // consumer re-ran the whole ODS read + clean plan — the
+          // materialization happens inside the Future, so the two files'
+          // checkpoint jobs overlap like the parses already did
+          Future(graft.ops.IdaPipeline.cleanFile(
+            s.read.format("ods").load(path), servico).localCheckpoint())
       }, Duration.Inf)
   }
+
+  /** Dev-tool accessor (OptLab stage timing); not part of the catalog. */
+  private[graft] def idaFixtureDirForLab: String = idaFixtureDir
 
   private lazy val idaFixtureDir: String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ida-e2e").toString
@@ -253,8 +264,13 @@ object RefPipelinePack extends QueryPack {
       "Reference system e2e: raw ODS files -> cleanFile -> consolidate -> consolidacao view",
       (s, dir) => {
         val tmp = idaFixtureDir
+        // checkpoint the consolidated table before the view: the
+        // reference MATERIALIZES consolidation (a Postgres table) before
+        // the view queries it, and overIda's dynamic-pivot collect plus
+        // the main action would otherwise each re-run the whole
+        // clean+consolidate chain (including its sort + zipWithIndex)
         graft.ops.MetricsView.overIda(
-          graft.ops.IdaPipeline.consolidate(cleanedOdsFiles(s, tmp)))
+          graft.ops.IdaPipeline.consolidate(cleanedOdsFiles(s, tmp)).localCheckpoint())
       },
       Some(idaOracle)),
 
@@ -270,8 +286,10 @@ object RefPipelinePack extends QueryPack {
         val odsCleaned = cleanedOdsFiles(s, tmp)
         val csvCleaned = graft.ops.IdaPipeline.cleanFile(
           graft.io.CsvEncodingReader.read(s, s"$tmp/scm_2015.tsv"), "SCM")
+          .localCheckpoint()
+        // materialized-consolidation posture as q_ida_e2e
         graft.ops.MetricsView.overIda(
-          graft.ops.IdaPipeline.consolidate(odsCleaned :+ csvCleaned))
+          graft.ops.IdaPipeline.consolidate(odsCleaned :+ csvCleaned).localCheckpoint())
       },
       Some(idaOracleFor(odsOracleRows ++ scmOracleRows,
         Seq("ALGAR", "CLARO", "OI", "SERCOMTEL", "TIM", "VIVO")))),
@@ -293,7 +311,11 @@ object RefPipelinePack extends QueryPack {
         val odsCleaned = cleanedOdsFiles(s, tmp)
         val csvCleaned = graft.ops.IdaPipeline.cleanFile(
           graft.io.CsvEncodingReader.read(s, s"$tmp/scm_2015.tsv"), "SCM")
-        val consolidated = graft.ops.IdaPipeline.consolidate(odsCleaned :+ csvCleaned)
+          .localCheckpoint()
+        // checkpoint before the JDBC write: the write and the view's
+        // read-back both sit downstream of the consolidate chain
+        val consolidated =
+          graft.ops.IdaPipeline.consolidate(odsCleaned :+ csvCleaned).localCheckpoint()
         val url = "jdbc:derby:memory:graftdb;create=true"
         graft.io.JdbcSink.ensureDatabase(url)
         graft.io.JdbcSink.write(consolidated, url, "ida_consolidada",

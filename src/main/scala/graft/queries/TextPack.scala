@@ -180,19 +180,35 @@ object TextPack extends QueryPack {
               "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
               .as("pair"))
             .groupBy("pair").agg(count(lit(1)).as("n"))
+        // tokenize ONCE (checkpoint): both rounds' pair counts read the
+        // token stream back instead of re-running the corpus tokenize —
+        // the bpeMerges (N-round) posture, where the merged corpus is
+        // checkpointed per round at the same token-instance scale
         val toks = Tables.documents(s, dir)
           .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
-        val p1 = pairsOf(toks)
-        val top1 = p1.orderBy(col("n").desc, col("pair").asc).limit(1)
-        val merged = toks
-          .crossJoin(broadcast(top1.select(col("pair").as("mp"))))
-          .select(expr("replace(tok, mp, '¤')").as("tok"))
-        val top10r2 = pairsOf(merged)
-          .orderBy(col("n").desc, col("pair").asc).limit(10)
-          .select(lit(2).as("round"), col("pair"), col("n"))
-        top1.select(lit(1).as("round"), col("pair"), col("n"))
-          .unionAll(top10r2)
-          .orderBy(col("round").asc, col("n").desc, col("pair").asc)
+          .localCheckpoint()
+        // round-1 winner COLLECTED (one row — the bpeMerges loop shape):
+        // the broadcast-join form re-derived the whole p1 aggregate twice
+        // (once under the merge, once in the final union)
+        val top1Row = pairsOf(toks)
+          .orderBy(col("n").desc, col("pair").asc).limit(1).collect()
+        import s.implicits._
+        if (top1Row.isEmpty)
+          // no pair anywhere: the old form's empty-broadcast crossJoin
+          // yielded an empty result — keep that contract
+          Seq.empty[(Int, String, Long)].toDF("round", "pair", "n")
+        else {
+          val (mp, n1) = (top1Row(0).getString(0), top1Row(0).getLong(1))
+          val merged = toks
+            .select(org.apache.spark.sql.functions.replace(
+              col("tok"), lit(mp), lit("¤")).as("tok"))
+          val top10r2 = pairsOf(merged)
+            .orderBy(col("n").desc, col("pair").asc).limit(10)
+            .select(lit(2).as("round"), col("pair"), col("n"))
+          Seq((1, mp, n1)).toDF("round", "pair", "n")
+            .unionAll(top10r2)
+            .orderBy(col("round").asc, col("n").desc, col("pair").asc)
+        }
       },
       Some("""WITH toks AS (
              |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok

@@ -24,12 +24,22 @@ object TimeQuery {
     // optional 3rd arg: timed passes per query (default 2, min reported)
     // — raise on noisy hosts where min-of-2 still catches transient stalls
     val nPasses = args.lift(2).map(_.toInt).getOrElse(2)
+    // A/B flag: drop dead persisted RDD blocks (orphaned localCheckpoints
+    // from completed queries) between timed queries — outside the timed
+    // region — to probe whether block-manager pressure from earlier
+    // queries contaminates later ones
+    val unpersistBetween = sys.env.get("SPARK_GRAFT_UNPERSIST").contains("1")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       def pass(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (unpersistBetween) {
+          import scala.jdk.CollectionConverters._
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
+        t
       }
       pass() // warm-up
       val t = Seq.fill(nPasses)(pass()).min

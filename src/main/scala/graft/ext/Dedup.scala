@@ -1088,47 +1088,60 @@ object Dedup {
     val sig = minHashSigFrame(shingleRows(docs, shingleN)).localCheckpoint()
     val t = truth.select("doc_a", "doc_b").localCheckpoint()
     val nTrue = t.agg(count(lit(1)).as("n_true"))
-    // ONE geometry-tagged self-join instead of one join per setting: the
-    // re-banded rows of every geometry union (map-side re-slices of the
-    // pinned signature frame, Σ 16/r rows per doc) and meet through a
-    // single (rpb, band, key)-keyed shuffle; per-geometry counts then
-    // fall out of two grouped aggregates instead of ten single-row ones
-    // in separate stages. Same candidate sets, same output rows.
+    // BAND NESTING collapses the sweep to ONE self-join at the finest
+    // geometry: with the aligned band layout (band k of width r covers
+    // signature rows [k·r, (k+1)·r)), a pair collides at width r iff
+    // some aligned r-block of its single-hash agreement bits is fully
+    // set — equal concat keys ⟺ equal hash tuples ⟺ all width-1 bits of
+    // the block set. So the rpb=1 self-join (whose Σ bucket² work
+    // DOMINATED the old 5-geometry union join anyway — coarser keys
+    // have strictly smaller buckets) surfaces every pair any geometry
+    // can candidate, one bit_or aggregate builds each pair's 16-bit
+    // agreement mask, and per-geometry candidate/verified counts are
+    // map-side mask tests — no geometry-tagged row explosion, no
+    // 5×-tagged dropDuplicates, one truth join instead of per-geometry.
     // shuffle_hash: corpus-sized signature self-join, same engine pin
     // as minHashLshPairs (the round-16 broadcast-estimate hazard).
-    val bandedAll = rowsPerBandSettings.map { r =>
-      bandExplode(sig, r)
-        .select(lit(r.toLong).as("rpb"), col("band"), col("key"), col("doc_id"))
-    }.reduce(_ unionByName _)
-    val cand = bandedAll
-      .select(col("rpb"), col("band"), col("key"), col("doc_id").as("doc_a"))
-      .join(bandedAll
-        .select(col("rpb"), col("band"), col("key"), col("doc_id").as("doc_b"))
-        .hint("shuffle_hash"), Seq("rpb", "band", "key"))
+    val banded1 = bandExplode(sig, 1)
+    val pairMask = banded1
+      .select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(banded1
+        .select(col("band"), col("key"), col("doc_id").as("doc_b"))
+        .hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("rpb", "doc_a", "doc_b").dropDuplicates("rpb", "doc_a", "doc_b")
-      .localCheckpoint()
-    val nCand = cand.groupBy("rpb").agg(count(lit(1)).as("n_candidates"))
-    val nVer = cand.join(t, Seq("doc_a", "doc_b"))
-      .groupBy("rpb").agg(count(lit(1)).as("n_verified"))
-    val geoms = {
-      import docs.sparkSession.implicits._
-      rowsPerBandSettings
-        .map(r => ((Hashing.MinHashParams.size / r).toLong, r.toLong))
-        .toDF("bands", "rpb")
-    }
-    geoms
-      .join(broadcast(nCand), Seq("rpb"), "left")
-      .join(broadcast(nVer), Seq("rpb"), "left")
+      .groupBy("doc_a", "doc_b")
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT))")).as("mask"))
+    val flagged = pairMask
+      .join(t.withColumn("__tr", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .select(col("mask"), coalesce(col("__tr"), lit(0L)).as("tr"))
+    // collides at width r ⟺ some aligned r-block fully agreed
+    def collidesAt(r: Int): Column =
+      (0 until Hashing.MinHashParams.size / r).map { k =>
+        val bm = ((1L << r) - 1L) << (k * r)
+        col("mask").bitwiseAND(lit(bm)) === lit(bm)
+      }.reduce(_ || _)
+    val aggCols = rowsPerBandSettings.flatMap(r => Seq(
+      sum(when(collidesAt(r), 1L).otherwise(0L)).as(s"nc_$r"),
+      sum(when(collidesAt(r) && col("tr") === 1L, 1L).otherwise(0L)).as(s"nv_$r")))
+    val counts = flagged.agg(aggCols.head, aggCols.tail: _*)
+    counts
+      .select(explode(array(rowsPerBandSettings.map { r =>
+        struct(
+          lit((Hashing.MinHashParams.size / r).toLong).as("bands"),
+          lit(r.toLong).as("rpb"),
+          coalesce(col(s"nc_$r"), lit(0L)).as("n_candidates"),
+          coalesce(col(s"nv_$r"), lit(0L)).as("n_verified"))
+      }: _*)).as("g"))
+      .select(col("g.bands").as("bands"), col("g.rpb").as("rpb"),
+        col("g.n_candidates").as("n_candidates"), col("g.n_verified").as("n_verified"))
       .crossJoin(broadcast(nTrue))
       .select(
         col("bands"), col("rpb").as("rows_per_band"), col("n_true"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
-        round(coalesce(col("n_verified"), lit(0L)).cast("double") /
+        col("n_candidates"), col("n_verified"),
+        round(col("n_verified").cast("double") /
           nullif(col("n_true").cast("double"), lit(0.0)), 6).as("recall"),
-        round(coalesce(col("n_verified"), lit(0L)).cast("double") /
-          nullif(coalesce(col("n_candidates"), lit(0L)).cast("double"), lit(0.0)), 6)
+        round(col("n_verified").cast("double") /
+          nullif(col("n_candidates").cast("double"), lit(0.0)), 6)
           .as("cand_precision"))
   }
 

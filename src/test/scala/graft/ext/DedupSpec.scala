@@ -808,4 +808,41 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(whole.toSeq == Seq((0L, 9L, 10L)))
   }
+
+  test("band sweep mask fusion == naive per-geometry candidate counts") {
+    // The r18 rewrite computes every geometry's candidate set from ONE
+    // rpb=1 self-join + a 16-bit agreement mask (band nesting: a pair
+    // collides at width r iff some aligned r-block of single-hash
+    // agreements is fully set). This pins the fused form against the
+    // naive per-geometry re-band + self-join + distinct on a corpus
+    // with near-dups, exact dups, and unrelated docs.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "one two three four five six seven eight nine ten"),
+      (6L, "totally unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val truth = Dedup.ngramJaccardPairs(docs, 3, 0.3)
+    val settings = Seq(1, 2, 4, 8, 16)
+    val fused = Dedup.lshBandSweep(docs, truth, settings)
+      .orderBy("rows_per_band")
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    // naive reference: per geometry, re-band + self-join + distinct
+    val sig = Dedup.minHashSigFromX(
+      Dedup.shingleRows(docs, 3)
+        .withColumn("x", graft.ext.Hashing.portableTokenHash(col("sh"))))
+    val t = truth.select("doc_a", "doc_b")
+    val naive = settings.map { r =>
+      val b = Dedup.bandExplode(sig, r)
+      val cand = b.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+        .join(b.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+          Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      (r.toLong, cand.count(), cand.join(t, Seq("doc_a", "doc_b")).count())
+    }
+    assert(fused == naive, s"fused=$fused naive=$naive")
+  }
 }

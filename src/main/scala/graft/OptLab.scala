@@ -375,10 +375,8 @@ object OptLab {
     }
 
     val variants: Seq[(String, () => Unit)] = Seq(
-      "cp_full_cur" -> (() => cpFull()),
-      "cp_full_windf_merge" -> (() => cpFullVariant(cpPerDocWin, false)),
-      "jp_full_cur" -> (() => jpFull()),
-      "jp_full_windf" -> (() => jpFullWindf())
+      "incnd_cur" -> (() => incndCur()),
+      "incnd_onepass" -> (() => incndOnePass())
     )
 
     // warm everything once, then interleave timed passes

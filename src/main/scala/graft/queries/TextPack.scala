@@ -735,12 +735,19 @@ object TextPack extends QueryPack {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
         val nDocs = 200.0
+        // tf checkpoints (one tokenize+count pass): df and the weight
+        // join read it back; w checkpoints too because it feeds THREE
+        // consumers (norms + both self-join sides) — un-materialized,
+        // the tokenize subtree re-ran once per consumer through the
+        // plan tree (6 evaluations for one query)
         val tf = docs
           .select(col("doc_id"), explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+          .localCheckpoint()
         val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
         val w = tf.join(df, Seq("tok"))
           .select(col("doc_id"), col("tok"), (col("tf") * (lit(nDocs) / col("df"))).as("w"))
+          .localCheckpoint()
         val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
         val a = w.select(col("doc_id").as("doc_a"), col("tok"), col("w").as("wa"))
         val b = w.select(col("doc_id").as("doc_b"), col("tok"), col("w").as("wb"))
